@@ -1,0 +1,389 @@
+"""Core operator queries: filters, aggregations, windows, sessionization,
+rollup, spine/zero-fill, pivot, range-join, COUNTER two-level aggs.
+
+Reference parity notes cite SURVEY.md §2 ids (P*, A*, W*, O*, F*).
+Numeric discipline for oracle comparability: money-ish doubles are
+summed as DECIMAL(18,2) (exact, order-independent) then rounded and
+cast back to double; timestamps are emitted as epoch microseconds or
+formatted strings — never raw floats from multi-order accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.operators.counter import counter_report
+from metrics_service_spark.operators.iprange import range_join
+from metrics_service_spark.operators.sessionize import (
+    hash_session_id,
+    last_event_per_key,
+    session_bounds,
+    sessionize,
+    top_k_per_key,
+)
+from metrics_service_spark.operators.spine import date_spine, zero_fill
+from metrics_service_spark.sources.eventlog import (
+    COUNTER_FILTER_SQL,
+    EVENTLOG_SQL,
+    counter_filter,
+    eventlog_view,
+)
+from metrics_service_spark.sources.tables import load_table
+
+
+def dec_sum(col, alias, scale=2):
+    """Order-independent exact sum of a double money column: sum as
+    decimal, round, surface as double (identical in Spark & DuckDB)."""
+    return (
+        F.round(F.sum(F.col(col).cast("decimal(18,2)")), scale)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+DEC_SUM_SQL = "CAST(round(sum(CAST({col} AS DECIMAL(18,2))), 2) AS DOUBLE)"
+
+
+# --- P2/P3/P6/O1/O2: predicate stack + deterministic limit ---------------
+def q_ev_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("event_type").isin("view", "click")
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+            & (F.col("value") >= 50.0)
+        )
+        .orderBy("event_id")
+        .limit(200)
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+
+
+ORACLE_EV_FILTER = """
+SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us
+FROM events
+WHERE event_type IN ('view','click')
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+  AND value >= 50.0
+ORDER BY event_id
+LIMIT 200
+"""
+
+
+# --- A1/A2/A3/A5: composite group-by + distinct + date histogram ---------
+def q_ev_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum("value", "total_value"),
+    )
+
+
+ORACLE_EV_MONTHLY = f"""
+SELECT strftime(ts, '%Y-%m') AS month, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {DEC_SUM_SQL.format(col="value")} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- W2/A6: gap sessionization + per-session bounds ----------------------
+def _sessions(spark: SparkSession, sf_dir: str, min_events: int) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"]
+    )
+    bounds = session_bounds(sess, "user_id", "ts", min_events=min_events)
+    return bounds.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sessions(spark, sf_dir, 1)
+
+
+def q_ev_session_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sessions(spark, sf_dir, 3)
+
+
+def _oracle_sessions(having: str) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 60 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_seq
+{having}
+"""
+
+
+# --- W1: last event per key ----------------------------------------------
+def q_ev_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return last_event_per_key(ev, "user_id", "ts", tiebreak=["event_id"]).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+ORACLE_EV_LAST = """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+# --- O3: top-k per group -------------------------------------------------
+def q_ev_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    topk = top_k_per_key(
+        ev, "event_type", [F.col("value").desc(), F.col("event_id").asc()], 3
+    )
+    return topk.select("event_type", "event_id", F.col("rank").cast("int").alias("rank"))
+
+
+ORACLE_EV_TOP3 = """
+SELECT event_type, event_id, CAST(rank AS INT) AS rank
+FROM (SELECT event_type, event_id, row_number() OVER (
+        PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+      FROM events)
+WHERE rank <= 3
+"""
+
+
+# --- A9: partial ROLLUP cube (mat-view analog) ---------------------------
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS m,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus, ROLLUP(year(o_orderdate), month(o_orderdate))
+        """
+    )
+
+
+ORACLE_ORDERS_ROLLUP = """
+SELECT o_orderstatus,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus, ROLLUP(year(o_orderdate), month(o_orderdate))
+"""
+
+
+# --- A12: date spine + zero-fill -----------------------------------------
+def q_ev_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_signups"))
+    )
+    spine = date_spine(spark, "2024-01-01", "2024-02-15")
+    filled = zero_fill(spine, agg, ["d"], {"n_signups": 0})
+    return filled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_signups").cast("long").alias("n_signups"),
+    )
+
+
+ORACLE_EV_SPINE = """
+WITH spine AS (
+  SELECT CAST(gs AS DATE) AS d
+  FROM generate_series(DATE '2024-01-01', DATE '2024-02-15', INTERVAL 1 DAY) t(gs)
+), agg AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n_raw
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+       CAST(coalesce(agg.n_raw, 0) AS BIGINT) AS n_signups
+FROM spine LEFT JOIN agg USING (d)
+"""
+
+
+# --- A12 pivot: wide daily counts per event type -------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_ev_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+ORACLE_EV_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+"""
+
+
+# --- A10/W4/F12: COUNTER report over the eventlog adapter ----------------
+def q_counter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = eventlog_view(load_table(spark, sf_dir, "events"))
+    filtered = counter_filter(ev).withColumn(
+        "sess", hash_session_id(F.col("ipAddress"), F.lit("UA"), F.col("dateLogged"))
+    )
+    return counter_report(filtered, "sess", ["country"]).select(
+        "country",
+        F.col("total_investigations").cast("long").alias("total_investigations"),
+        F.col("unique_investigations").cast("long").alias("unique_investigations"),
+        F.col("total_requests").cast("long").alias("total_requests"),
+        F.col("unique_requests").cast("long").alias("unique_requests"),
+    )
+
+
+ORACLE_COUNTER = f"""
+WITH eventlog AS ({EVENTLOG_SQL}),
+filtered AS (
+  SELECT *, md5(ipAddress || ' ' || 'UA') || '|' || strftime(dateLogged, '%Y%m%d%H') AS sess
+  FROM eventlog WHERE {COUNTER_FILTER_SQL}
+),
+g1i AS (SELECT sess, country, count(*) AS n FROM filtered GROUP BY 1, 2),
+inv AS (SELECT country, count(*) AS unique_investigations,
+               CAST(sum(n) AS BIGINT) AS total_investigations FROM g1i GROUP BY 1),
+g1r AS (SELECT sess, country, count(*) AS n FROM filtered
+        WHERE formatType = 'DATA' GROUP BY 1, 2),
+req AS (SELECT country, count(*) AS unique_requests,
+               CAST(sum(n) AS BIGINT) AS total_requests FROM g1r GROUP BY 1)
+SELECT coalesce(inv.country, req.country) AS country,
+       coalesce(total_investigations, 0) AS total_investigations,
+       coalesce(unique_investigations, 0) AS unique_investigations,
+       coalesce(total_requests, 0) AS total_requests,
+       coalesce(unique_requests, 0) AS unique_requests
+FROM inv FULL OUTER JOIN req ON inv.country = req.country
+"""
+
+
+# --- F16/F17 analog: broadcast range join (bucketed hash-join path) ------
+TIERS = [(0, 50, "T0"), (50, 100, "T1"), (100, 150, "T2"), (150, 300, "T3")]
+
+
+def q_ev_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(TIERS, "lo INT, hi INT, tag STRING")
+    joined = range_join(ev, tiers, "value", how="left", bucket_width=50)
+    return joined.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("value", "total_value")
+    )
+
+
+ORACLE_EV_TIERS = f"""
+WITH tiers(lo, hi, tag) AS (VALUES (0, 50, 'T0'), (50, 100, 'T1'),
+                                   (100, 150, 'T2'), (150, 300, 'T3'))
+SELECT t.tag, count(*) AS n, {DEC_SUM_SQL.format(col="e.value")} AS total_value
+FROM events e LEFT JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tag
+"""
+
+
+# --- W4: hash-bucket session ids -----------------------------------------
+def q_ev_hash_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = eventlog_view(load_table(spark, sf_dir, "events"))
+    return ev.groupBy(
+        hash_session_id(F.col("ipAddress"), F.lit("UA"), F.col("dateLogged")).alias(
+            "session_key"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+ORACLE_EV_HASH_SESS = f"""
+WITH eventlog AS ({EVENTLOG_SQL})
+SELECT md5(ipAddress || ' ' || 'UA') || '|' || strftime(dateLogged, '%Y%m%d%H') AS session_key,
+       count(*) AS n_events
+FROM eventlog
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ev_filter_project": QuerySpec(
+        q_ev_filter_project, ORACLE_EV_FILTER, "P2/P3/P6 predicate stack", ("core",)
+    ),
+    "ev_monthly_stats": QuerySpec(
+        q_ev_monthly_stats, ORACLE_EV_MONTHLY, "A1/A2/A5 composite agg", ("core",)
+    ),
+    "ev_sessionize": QuerySpec(
+        q_ev_sessionize, _oracle_sessions(""), "W2 gap sessionization", ("core",)
+    ),
+    "ev_session_having": QuerySpec(
+        q_ev_session_having,
+        _oracle_sessions("HAVING count(*) >= 3"),
+        "A6 session bounds + HAVING",
+        ("core",),
+    ),
+    "ev_last_per_user": QuerySpec(
+        q_ev_last_per_user, ORACLE_EV_LAST, "W1 top-1 per key", ("core",)
+    ),
+    "ev_top3_per_type": QuerySpec(
+        q_ev_top3_per_type, ORACLE_EV_TOP3, "O3 top-k per group", ("core",)
+    ),
+    "orders_rollup": QuerySpec(
+        q_orders_rollup, ORACLE_ORDERS_ROLLUP, "A9 partial ROLLUP", ("core",)
+    ),
+    "ev_day_spine": QuerySpec(
+        q_ev_day_spine, ORACLE_EV_SPINE, "A12 spine zero-fill", ("core",)
+    ),
+    "ev_pivot_daily": QuerySpec(
+        q_ev_pivot_daily, ORACLE_EV_PIVOT, "A12 pivot", ("core",)
+    ),
+    "counter_report": QuerySpec(
+        q_counter_report, ORACLE_COUNTER, "A10 COUNTER unique/total", ("core",)
+    ),
+    "ev_value_tiers": QuerySpec(
+        q_ev_value_tiers, ORACLE_EV_TIERS, "F16/F17 broadcast range join", ("core",)
+    ),
+    "ev_hash_sessions": QuerySpec(
+        q_ev_hash_sessions, ORACLE_EV_HASH_SESS, "W4 hash session", ("core",)
+    ),
+}

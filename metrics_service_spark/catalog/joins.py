@@ -1,0 +1,234 @@
+"""Join & set-operation queries (SURVEY.md §2.3 / §2.7).
+
+J1/J2 iterative closure, J3 semi-join, J4 substring theta join,
+J6 full-outer zero-fill merge, J9/J12 anti-joins, U1/U2 set ops,
+U5/O5/ST6 array canonicalization + family hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.operators.closure import resolve_chains
+from metrics_service_spark.sources.tables import load_table
+
+
+# --- J3: left-semi join (identifier-family expansion analog) -------------
+def q_semi_join_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        ev.join(purchasers, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_SEMI = """
+SELECT event_type, count(*) AS n_events
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+GROUP BY 1
+"""
+
+
+# --- J9/J12: anti-join (expunge / dedup-against-existing analog) ---------
+def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- J4: substring-containment theta join (citation target_id-in-pid) ----
+def q_theta_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference gatherCitations (metricsreader.py:423-468) matches
+    citation.target_id as a lowercase substring of pids.  Same shape
+    here: customer keys as targets, order custkey strings as pids;
+    broadcast nested-loop join with a contains predicate."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_custkey").cast("string").alias("needle")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").cast("string").alias("hay")
+    )
+    joined = orders.join(
+        F.broadcast(cust), F.col("hay").contains(F.col("needle")), "inner"
+    )
+    return joined.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+ORACLE_THETA = """
+SELECT c.c_custkey, count(*) AS n_matches
+FROM orders o JOIN customer c
+  ON position(CAST(c.c_custkey AS VARCHAR) IN CAST(o.o_custkey AS VARCHAR)) > 0
+GROUP BY 1
+"""
+
+
+# --- J1/J2: obsolescence-chain transitive closure ------------------------
+def q_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's orders (by date) form an obsoletes chain; resolve
+    every order to its root + depth via the iterative driver-loop join
+    (pid_resolution.py:207-282 analog, depth cap 20)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = orders.select(
+        F.col("o_orderkey").alias("child"),
+        F.lag("o_orderkey").over(w).alias("parent"),
+    )
+    out = resolve_chains(edges, max_depth=20)
+    return out.select(
+        F.col("node").alias("o_orderkey"),
+        F.col("root").alias("root_orderkey"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+ORACLE_CHAINS = """
+WITH RECURSIVE edges AS (
+  SELECT o_orderkey AS child,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS parent
+  FROM orders
+), r AS (
+  SELECT child AS node, child AS root, 0 AS depth FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.child, r.root, r.depth + 1
+  FROM edges e JOIN r ON e.parent = r.node
+  WHERE r.depth < 20
+)
+SELECT node AS o_orderkey, root AS root_orderkey, CAST(depth AS INT) AS depth FROM r
+"""
+
+
+# --- J6: full-outer monthly merge with zero-fill -------------------------
+def q_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("views"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+    merged = views.join(purchases, "d", "full_outer")
+    return merged.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("views", F.lit(0)).cast("long").alias("views"),
+        F.coalesce("purchases", F.lit(0)).cast("long").alias("purchases"),
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH v AS (SELECT CAST(ts AS DATE) AS d, count(*) AS views
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT CAST(ts AS DATE) AS d, count(*) AS purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT strftime(coalesce(v.d, p.d), '%Y-%m-%d') AS day,
+       CAST(coalesce(views, 0) AS BIGINT) AS views,
+       CAST(coalesce(purchases, 0) AS BIGINT) AS purchases
+FROM v FULL OUTER JOIN p ON v.d = p.d
+"""
+
+
+# --- U1: union + distinct ------------------------------------------------
+def q_union_distinct_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    a = ev.filter(F.col("event_type") == "click").select(F.col("user_id").alias("id"))
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("id")
+    )
+    return a.union(b).distinct()
+
+
+ORACLE_UNION = """
+SELECT user_id AS id FROM events WHERE event_type = 'click'
+UNION
+SELECT c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+# --- U2: except ----------------------------------------------------------
+def q_except_non_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    all_users = ev.select(F.col("user_id").alias("id")).distinct()
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+    )
+    return all_users.subtract(purchasers)
+
+
+ORACLE_EXCEPT = """
+SELECT DISTINCT user_id AS id FROM events
+EXCEPT
+SELECT DISTINCT user_id AS id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# --- U5/O5/ST6: sorted-distinct array + family hash ----------------------
+def q_user_event_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portal-family canonicalization analog (es_eventlog_sync.py:469-482):
+    sorted distinct member set + md5 change-detection hash."""
+    ev = load_table(spark, sf_dir, "events")
+    fam = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("family")
+    )
+    return fam.select(
+        "user_id",
+        "family",
+        F.md5(F.concat_ws(",", "family")).alias("family_hash"),
+    )
+
+
+ORACLE_FAMILY = """
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS family,
+       md5(array_to_string(list_sort(list_distinct(list(event_type))), ',')) AS family_hash
+FROM events
+GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "semi_join_purchasers": QuerySpec(
+        q_semi_join_purchasers, ORACLE_SEMI, "J3 left-semi join", ("joins",)
+    ),
+    "anti_join_no_orders": QuerySpec(
+        q_anti_join_no_orders, ORACLE_ANTI, "J9/J12 anti-join", ("joins",)
+    ),
+    "theta_contains": QuerySpec(
+        q_theta_contains, ORACLE_THETA, "J4 substring theta join", ("joins",)
+    ),
+    "order_chains": QuerySpec(
+        q_order_chains, ORACLE_CHAINS, "J1/J2 iterative closure", ("joins",)
+    ),
+    "full_outer_daily": QuerySpec(
+        q_full_outer_daily, ORACLE_FULL_OUTER, "J6 outer merge zero-fill", ("joins",)
+    ),
+    "union_distinct_ids": QuerySpec(
+        q_union_distinct_ids, ORACLE_UNION, "U1 union distinct", ("joins",)
+    ),
+    "except_non_purchasers": QuerySpec(
+        q_except_non_purchasers, ORACLE_EXCEPT, "U2 except", ("joins",)
+    ),
+    "user_event_family": QuerySpec(
+        q_user_event_family, ORACLE_FAMILY, "U5/ST6 family hash", ("joins",)
+    ),
+}

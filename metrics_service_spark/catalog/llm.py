@@ -1,0 +1,292 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis over the `documents` / `embeddings` tables.
+
+Oracle-compared where SQL-expressible; MinHash-LSH / SimHash / ANN are
+exposed without oracles (rows-only driver check) because their hash
+pipelines (xxhash64 seeds, hyperplane signatures) have no DuckDB
+equivalent — their correctness is instead property-tested in
+tests/test_dedup.py (candidates verified by exact Jaccard, ANN recall
+vs brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from metrics_service_spark.operators.similarity import ann_topk, brute_force_topk
+from metrics_service_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from metrics_service_spark.sources.tables import load_table
+
+
+# --- exact dedup ---------------------------------------------------------
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --- token stats ---------------------------------------------------------
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+# --- quality scoring -----------------------------------------------------
+def _occ_sql(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         {_occ_sql('the')} + {_occ_sql('a')} + {_occ_sql('of')} AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
+       round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio
+FROM t
+"""
+
+
+# --- language id heuristic ----------------------------------------------
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _oracle_lang_id() -> str:
+    langs = list(LANG_MARKERS)
+    score_exprs = {
+        lang: " + ".join(_occ_sql(w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    score_cols = ",\n       ".join(
+        f"({score_exprs[lang]}) AS score_{lang}" for lang in langs
+    )
+    g = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, {pred} AS pred_lang,
+       {", ".join(f"score_{lang}" for lang in langs)}
+FROM s
+"""
+
+
+# --- fingerprinting ------------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_FINGERPRINT = """
+WITH t AS (SELECT doc_id, text, substr(text, 1, 200) AS head FROM documents)
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(head) AS head_hash,
+       list_min([md5(substr(head, i, 16))
+                 FOR i IN range(1, greatest(length(head) - 15, 1) + 1)]) AS min_window_hash
+FROM t
+"""
+
+
+# --- blocked n-gram Jaccard pairs ----------------------------------------
+JACCARD_THRESHOLD = 0.5
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        block_cols=["lang"],
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- MinHash-LSH / SimHash (rows-only driver check) ----------------------
+def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- similarity search ---------------------------------------------------
+N_QUERY_VECS = 8
+TOPK = 5
+
+
+def q_emb_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, queries, k=TOPK)
+
+
+ORACLE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         [CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) FOR x IN embedding] AS qv
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS neighbor_id,
+         [CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) FOR x IN embedding] AS cv
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum([qv[i] * cv[i] FOR i IN range(1, 65)]) AS BIGINT) AS dot_q
+  FROM q, c WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {TOPK}
+"""
+
+
+def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_topk(emb, queries, k=TOPK)
+
+
+# --- per-label centroid (vector aggregate) -------------------------------
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 10000, 0).cast("long"),
+            )
+        ).alias("pos0", "q"),
+    )
+    return (
+        quant.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("q").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            "sum_q",
+            "n",
+            F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+        )
+    )
+
+
+ORACLE_CENTROIDS = """
+SELECT label, i AS pos, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
+       round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS mean_q
+FROM (SELECT label, i,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
+      FROM embeddings, range(1, 65) t(i))
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "doc_exact_dedup": QuerySpec(
+        q_doc_exact_dedup, ORACLE_EXACT_DEDUP, "exact dedup hash-groupBy", ("llm",)
+    ),
+    "doc_token_stats": QuerySpec(
+        q_doc_token_stats, ORACLE_TOKEN_STATS, "token counting", ("llm",)
+    ),
+    "doc_quality": QuerySpec(
+        q_doc_quality, ORACLE_QUALITY, "quality scoring", ("llm",)
+    ),
+    "doc_lang_id": QuerySpec(
+        q_doc_lang_id, _oracle_lang_id(), "marker-word language id", ("llm",)
+    ),
+    "doc_fingerprint": QuerySpec(
+        q_doc_fingerprint, ORACLE_FINGERPRINT, "document fingerprinting", ("llm",)
+    ),
+    "doc_jaccard_pairs": QuerySpec(
+        q_doc_jaccard_pairs, ORACLE_JACCARD, "blocked n-gram Jaccard", ("llm",)
+    ),
+    "doc_minhash_dedup": QuerySpec(
+        q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",)
+    ),
+    "doc_simhash": QuerySpec(q_doc_simhash, None, "64-bit SimHash", ("llm",)),
+    "emb_topk_bruteforce": QuerySpec(
+        q_emb_topk_bruteforce, ORACLE_TOPK, "brute-force k-NN", ("llm",)
+    ),
+    "emb_ann_lsh": QuerySpec(
+        q_emb_ann_lsh, None, "LSH-bucketed approximate k-NN", ("llm",)
+    ),
+    "emb_centroids": QuerySpec(
+        q_emb_centroids, ORACLE_CENTROIDS, "per-label centroid", ("llm",)
+    ),
+}

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference surface (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and blocked n-gram Jaccard — the
+operators a 100 TB training-data pipeline runs over a `documents`
+table.
+
+Scale design:
+- Exact dedup is one hash-groupBy (map-side combine collapses most of
+  the table before the shuffle).
+- MinHash: signatures are computed with ONE explode + groupBy
+  (xxhash64 is JVM-side, whole-stage codegen; no Python UDFs), then LSH
+  banding turns the quadratic all-pairs problem into an equi-join on
+  (band_idx, band_hash) — the only shuffle is on band keys.  Huge
+  buckets (degenerate bands) are capped to keep the within-bucket
+  pair-explosion bounded, which is the standard guard at scale.
+- Blocked Jaccard: exact verification only ever runs on candidate
+  pairs, never the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingle_array(tokens: Column, n: int) -> Column:
+    """Distinct n-word shingles from a token array (1-based slice)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct
+    content with the canonical (minimum) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked all-pairs exact n-gram Jaccard: candidate pairs share the
+    blocking key (cheap equi-join); Jaccard computed only on candidates.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    block_cols = block_cols or []
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        shingle_array(toks, n).alias("__sh"),
+    ).withColumn("__len", F.size("__sh"))
+    # the probe side's partitioning drives task parallelism under a
+    # broadcast join; a single-file input would otherwise run 1 task
+    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # length-ratio prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # pairs violating the ratio bound can never pass the threshold —
+    # evaluated before the (expensive) set intersection.
+    cond = cond & (
+        F.least(F.col("a.__len"), F.col("b.__len")).cast("double")
+        / F.greatest(F.col("a.__len"), F.col("b.__len")).cast("double")
+        >= F.lit(threshold)
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of
+    xxhash64(shingle, i).  One explode + one groupBy; all hashing is
+    JVM-side (codegen), no Python."""
+    toks = F.split(F.col(text_col), " ")
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_array(toks, n)).alias("__shingle"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("__id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: equal band-hash in any band -> candidate pair.
+
+    Buckets larger than max_bucket are dropped (degenerate-band guard:
+    at scale a single hot bucket would otherwise explode quadratically).
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                F.col("__id"),
+                F.lit(bi).alias("__band"),
+                F.xxhash64(*cols).alias("__bh"),
+            )
+        )
+    all_bands = band_rows[0]
+    for extra in band_rows[1:]:
+        all_bands = all_bands.unionByName(extra)
+    counts = all_bands.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__n"))
+    pruned = all_bands.join(
+        counts.filter(F.col("__n") <= max_bucket), ["__band", "__bh"], "inner"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection with exact Jaccard
+    verification of candidates (so the output has no false positives;
+    recall is governed by the band geometry)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    toks = F.split(F.col(text_col), " ")
+    sh = df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+    return (
+        cands.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    bit_b(doc) = sign of sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1); assembled JVM-side with 64 conditional
+    sums — no Python, one explode + one groupBy."""
+    toks = F.split(F.col(text_col), " ")
+    exploded = df.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
+    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = exploded.groupBy("__id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        # set bit b when the signed vote is non-negative; bit 63 kept
+        # positive-safe by shifting within long range
+        bit = F.when(F.col(f"b{b}") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = sim + F.shiftleft(bit, b) if b < 63 else sim
+    out = sums.withColumn("simhash", sim)
+    return out.select(F.col("__id").alias(id_col), "simhash")

@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond the reference surface (BASELINE.json north star): brute-force
+top-k as the exact baseline, and an LSH-bucketed (random hyperplane)
+approximate variant as the scale path.
+
+Determinism note: oracle-compared variants rank by an INTEGER dot
+product over quantized vectors (round(x * 10^4)) so Spark and DuckDB
+produce bit-identical orderings — float accumulation order differences
+can flip near-ties, integers cannot.  The float cosine is still exposed
+for real use (`cosine`).
+
+Scale design: the query set is broadcast, the corpus is scanned once —
+a 100 TB corpus streams through executors, each holding only the query
+batch. Top-k uses a window per query id; with AQE the skew is bounded
+because every query id has exactly |corpus| candidate rows pre-filter.
+For billion-row corpora the LSH variant prunes the candidate set with
+an equi-join on bucket signature before ranking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 10_000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> -> array<long> at 1e-4 resolution (exact arithmetic)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT_SCALE, 0).cast("long")
+    )
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Float cosine similarity (for real use; not oracle-compared)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector by quantized dot
+    product (desc), neighbor id asc as tiebreak.  Queries are broadcast;
+    the corpus is scanned once."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("__cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qv")
+    )
+    scored = corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        dot_long(F.col("__qv"), F.col("__cv")).alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane weights derived
+    from SHA-256 — reproducible across runs/machines with no RNG state."""
+    out = []
+    for d in range(dim):
+        h = hashlib.sha256(f"msspark-lsh:{plane}:{d}".encode()).digest()
+        v = int.from_bytes(h[:8], "big", signed=False)
+        out.append((v % 2_000_001) / 1_000_000.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, *, planes: int = 8, dim: int = 64, table: int = 0) -> Column:
+    """Random-hyperplane signature: bit p = (vec . w_p) >= 0; `table`
+    selects an independent plane family for multi-table LSH."""
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        w = F.array(*[F.lit(x) for x in _hyperplane(table * 1000 + p, dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, p)
+    return sig
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket in ANY
+    of `tables` independent hash tables (standard multi-table LSH —
+    recall is tuned by (planes, tables): fewer planes = bigger buckets,
+    more tables = more chances to collide).  Each table is an equi-join
+    on (table, signature) — a hash join, no cross product — then exact
+    quantized-dot ranking within the union of candidates."""
+    bucket_cols = [
+        lsh_bucket(F.col(vec_col), planes=planes, dim=dim, table=t).alias(f"__b{t}")
+        for t in range(tables)
+    ]
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("__cv"),
+        *bucket_cols,
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("__qv"),
+        *bucket_cols,
+    )
+    melt = lambda df, idc, vec: df.select(  # noqa: E731
+        idc,
+        vec,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b"))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(idc, vec, F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__b"))
+    scored = (
+        melt(corpus, "neighbor_id", "__cv")
+        .join(F.broadcast(melt(qs, "query_id", "__qv")), ["__t", "__b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            dot_long(F.col("__qv"), F.col("__cv")).alias("dot_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )

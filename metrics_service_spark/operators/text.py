@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): token
+counting, quality scoring, n-gram-heuristic language ID, and document
+fingerprinting — all pure column expressions (JVM-side, whole-stage
+codegen; zero Python UDFs in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the stopword-hit language heuristic;
+# fixed priority order breaks ties deterministically
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "los", "que", "y"],
+    "zh": ["de", "shi", "he", "zai"],
+}
+
+
+def occurrences(text: Column, word: str) -> Column:
+    """Count whole-word occurrences via pad-and-measure (no regex, so
+    semantics are identical across engines): pad text with spaces,
+    count length drop when ' word ' is removed."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    # overlapping ' a b a ' cases don't arise for space-separated tokens
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + distinct token count per document."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: token count, mean token length,
+    stopword ratio, type-token ratio.  Single-division doubles only
+    (deterministic across engines)."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    stop_hits = sum(
+        (occurrences(F.col(text_col), w) for w in ("the", "a", "of")),
+        F.lit(0).cast("long"),
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"), 4).alias(
+            "mean_token_len"
+        ),
+        F.round(stop_hits.cast("double") / n_tokens.cast("double"), 4).alias(
+            "stopword_ratio"
+        ),
+        F.round(n_distinct.cast("double") / n_tokens.cast("double"), 4).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker
+    hits, ties broken by LANG_MARKERS declaration order."""
+    text = F.col(text_col)
+    scores = {
+        lang: sum(
+            (occurrences(text, w) for w in words), F.lit(0).cast("long")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    cols = [F.col(id_col), best.alias("pred_lang")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in langs]
+    return df.select(*cols)
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, *, window: int = 16, head: int = 200
+) -> DataFrame:
+    """Document fingerprints: full-content hash, head hash, and a
+    winnowing-style min-hash over sliding character windows of the head
+    (lexicographic min of md5 hex — engine-portable, no platform hash).
+    """
+    text = F.col(text_col)
+    headc = F.substring(text, 1, head)
+    n = F.greatest(F.length(headc) - (window - 1), F.lit(1))
+    mins = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(headc.substr(i, F.lit(window))),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(text).alias("content_hash"),
+        F.md5(headc).alias("head_hash"),
+        mins.alias("min_window_hash"),
+    )

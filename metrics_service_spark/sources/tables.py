@@ -1,0 +1,68 @@
+"""Parquet table loaders for the driver-generated test datasets.
+
+Reference analog: the reference scans Solr pages (eventprocessor.py:75-154)
+and ES scrolls (metricselasticsearch.py:52-141) with hand-written cursors;
+here a scan is `spark.read.parquet` — Spark partitions the scan, pushes
+predicates into the parquet reader, and prunes columns (SURVEY.md S1/S2).
+
+At 100 TB the event table would be written partitioned by event date
+(`.partitionBy("event_date")`) so the per-query date-range filter
+(metricselasticsearch.py:1115-1122) prunes whole partitions; the loaders
+here read the flat driver-provided files but all downstream operators
+filter on raw columns so partition pruning engages automatically once the
+layout is partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as int64 nanos and truncate to
+        # microseconds — exactly what DuckDB does when it surfaces the
+        # column as TIMESTAMP (µs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view for spark.sql use."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
