@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -35,37 +37,47 @@ def resolve_chains(
 
     `edges` has one row per node: (child, parent) with parent NULL for
     roots.  Returns (node, root, depth): depth 0 for roots, k for a node
-    k hops below its root.  Mirrors getObsolescenceChain semantics with
-    the reference's depth cap, but resolves ALL chains in O(depth)
-    distributed joins instead of one walk per queried id.
+    k hops below its root; nodes deeper than max_depth (the reference's
+    walk cap, pid_resolution.py:207) are omitted.
+
+    Algorithm: pointer jumping (path doubling) — each round every
+    node's ancestor pointer leaps twice as far, so chains of depth d
+    resolve in ceil(log2(d)) self-joins instead of d frontier joins.
+    At 100 TB this is the difference between 5 shuffles and 20+; state
+    is localCheckpoint-ed per round to keep lineage O(1).
     """
-    nodes = edges.select(F.col(child).alias("node"), F.col(parent).alias("__parent"))
-    frontier = (
-        nodes.filter(F.col("__parent").isNull())
-        .select(
-            F.col("node"),
-            F.col("node").alias("root"),
-            F.lit(0).alias("depth"),
+    state = edges.select(
+        F.col(child).alias("node"),
+        F.coalesce(F.col(parent), F.col(child)).alias("ptr"),
+        F.when(F.col(parent).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
+        F.col(parent).isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("node").alias("p_node"),
+            F.col("ptr").alias("p_ptr"),
+            F.col("depth").alias("p_depth"),
+            F.col("done").alias("p_done"),
         )
-    )
-    resolved = frontier
-    for depth in range(1, max_depth + 1):
-        frontier = (
-            nodes.alias("e")
-            .join(frontier.alias("f"), F.col("e.__parent") == F.col("f.node"), "inner")
+        state = (
+            state.join(hop, state.ptr == hop.p_node, "inner")
             .select(
-                F.col("e.node").alias("node"),
-                F.col("f.root").alias("root"),
-                F.lit(depth).alias("depth"),
+                "node",
+                F.when(F.col("done"), F.col("ptr")).otherwise(F.col("p_ptr")).alias("ptr"),
+                F.when(F.col("done"), F.col("depth"))
+                .otherwise(F.col("depth") + F.col("p_depth"))
+                .alias("depth"),
+                (F.col("done") | F.col("p_done")).alias("done"),
             )
+            .localCheckpoint(eager=True)
         )
-        # materialize each round: truncates lineage AND lets us stop at
-        # fixpoint instead of always paying max_depth joins
-        frontier = frontier.localCheckpoint(eager=True)
-        if frontier.rdd.isEmpty():
+        if state.filter(~F.col("done")).isEmpty():
             break
-        resolved = resolved.unionByName(frontier)
-    return resolved
+    return state.filter(F.col("done") & (F.col("depth") <= max_depth)).select(
+        "node", F.col("ptr").alias("root"), F.col("depth").cast("int").alias("depth")
+    )
 
 
 def expand_family(
