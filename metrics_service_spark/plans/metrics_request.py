@@ -1,0 +1,279 @@
+"""MetricsRequest JSON -> DataFrame plan translator.
+
+This is the reference's public query surface (SURVEY.md P10, §3.1):
+`process_request` dispatches on filterBy[0].filterType
+(metricsreader.py:108-161), expands the target identifier set, runs the
+COUNTER-filtered composite aggregation in ES, merges Postgres citation
+counts, and pivots into parallel arrays with a zero-filled month spine
+(metricsreader.py:1569-1816).
+
+Here the whole lifecycle is ONE lazy DataFrame program:
+  identifier expansion (broadcast semi-join) -> COUNTER filter ->
+  groupBy(date_trunc, dims) with exact distinct -> full-outer merge with
+  the citations aggregate -> date-spine zero-fill.
+Process boundaries (HTTP->Solr->ES->Postgres) become Spark stages.
+
+Known deviations from the reference, implemented intentionally
+(SURVEY.md §7.4 "reference bugs to not replicate silently"):
+- `getMetricsPerRepository`'s tuple-append bug (metricsreader.py:746-751)
+  -> intended semantics (a real nodeId equality filter).
+- `formatDataPerUser` stale month_index bug (metricsreader.py:1060-1068)
+  -> correct outer merge for citation-only months.
+- "unique" counts use exact countDistinct (the ES `cardinality` HLL
+  approximation is available via approx=True).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EXCLUDED_TAGS = (
+    "ignore_ip",
+    "machine_ua",
+    "robot_ua",
+    "dataone_ip",
+    "robot_ip",
+    "d1_admin_subject",
+)
+
+AGG_FORMATS = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "year": "yyyy"}
+CITATION_KEY_LEN = {"month": 7, "day": 10, "year": 4}
+
+
+@dataclass
+class MetricsTables:
+    """Input tables in the FIXTURES.md schemas."""
+
+    events: DataFrame
+    identifiers: DataFrame
+    citations: DataFrame
+
+
+def _parse_request_date(s: str) -> datetime:
+    return datetime.strptime(s, "%m/%d/%Y")  # metricsreader.py:278-298
+
+
+class MetricsRequestPlanner:
+    def __init__(self, spark: SparkSession, tables: MetricsTables, *, approx: bool = False):
+        self.spark = spark
+        self.t = tables
+        self.approx = approx
+
+    # -- identifier expansion (process boundary #1 in the reference) ------
+    def family_pids(self, filter_type: str, values: list[str]) -> DataFrame:
+        """Expand the request's target ids into the full PID set, one
+        column `pid` (reference: getResolvePIDs / identifiers-2 lookups,
+        pid_resolution.py:285-416, metricsreader.py:1259-1343)."""
+        ids = self.t.identifiers
+        vals = [F.lit(v) for v in values]
+        if filter_type in ("dataset", "catalog", "package"):
+            matched = ids.filter(
+                F.col("PID").isin(values)
+                | F.col("SID").isin(values)
+                | F.arrays_overlap("datasetIdentifierFamily", F.array(*vals))
+            )
+        elif filter_type in ("user", "group"):
+            # user/group queries require public datasets
+            # (metricsreader.py:1305-1323)
+            matched = ids.filter(
+                F.arrays_overlap("userID", F.array(*vals)) & F.col("isPublic")
+            )
+        else:
+            raise ValueError(f"family_pids does not apply to {filter_type!r}")
+        return (
+            matched.select(F.explode("datasetIdentifierFamily").alias("pid"))
+            .union(matched.select(F.col("PID").alias("pid")))
+            .distinct()
+        )
+
+    # -- event-side filtering --------------------------------------------
+    def counter_filtered_events(self) -> DataFrame:
+        """The robot/machine exclusion + read/format/session predicates
+        applied to every aggregation (metricselasticsearch.py:232-265)."""
+        ev = self.t.events
+        return ev.filter(
+            (F.col("event") == "read")
+            & F.col("formatType").isin("METADATA", "DATA")
+            & F.col("sessionId").isNotNull()
+            & (F.col("sessionId") != -1)
+            & (
+                F.col("tags").isNull()
+                | ~F.arrays_overlap(
+                    "tags", F.array(*[F.lit(t) for t in EXCLUDED_TAGS])
+                )
+            )
+        )
+
+    def scoped_events(self, request: dict) -> tuple[DataFrame, DataFrame | None, dict]:
+        """Apply the filterBy clauses: target scope (dataset/repository/
+        user/group/portal), plus the date-range filter.  Returns
+        (events, family_or_None, meta)."""
+        filters = request.get("filterBy", [])
+        ev = self.counter_filtered_events()
+        family = None
+        meta: dict = {"filterType": None, "start": None, "end": None}
+        for f in filters:
+            ftype, values = f["filterType"], list(f["values"])
+            interp = f.get("interpretAs", "list")
+            if ftype in ("month", "day", "year") and interp == "range":
+                start, end = (_parse_request_date(v) for v in values)
+                meta["start"], meta["end"] = start, end
+                ev = ev.filter(
+                    (F.col("dateLogged") >= F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+                    & (F.col("dateLogged") <= F.lit(end.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+                )
+            elif ftype in ("dataset", "catalog", "package", "user", "group"):
+                meta["filterType"] = ftype
+                family = self.family_pids(ftype, values)
+                ev = ev.join(F.broadcast(family), "pid", "left_semi")
+            elif ftype == "repository":
+                meta["filterType"] = ftype
+                ev = ev.filter(F.col("nodeId").isin(values))
+            elif ftype == "portal":
+                meta["filterType"] = ftype
+                ev = ev.filter(
+                    F.arrays_overlap(
+                        "portalIdentifier", F.array(*[F.lit(v) for v in values])
+                    )
+                )
+            else:
+                raise ValueError(f"unsupported filterType {ftype!r}")
+        return ev, family, meta
+
+    # -- citations (process boundary #3 in the reference) -----------------
+    def citations_for_family(self, family: DataFrame | None) -> DataFrame:
+        """gatherCitations (metricsreader.py:423-468): target_id matched
+        as lowercase substring of a family pid, Dryad '?'-suffix
+        stripped from the pid before comparison.  Kept as a broadcast
+        theta-join for fidelity; each citation counted once
+        (reference breaks after first matching pid)."""
+        cites = self.t.citations
+        if family is None:
+            return cites
+        pids = family.select(
+            F.lower(F.substring_index(F.col("pid"), "?", 1)).alias("__pid_norm")
+        ).distinct()
+        matched = cites.join(
+            F.broadcast(pids),
+            F.instr(F.col("__pid_norm"), F.lower(F.col("target_id"))) > 0,
+            "inner",
+        )
+        return matched.dropDuplicates(["target_id", "source_id"])
+
+    # -- the aggregation + merge ------------------------------------------
+    def plan(self, request: dict) -> DataFrame:
+        """Build the full result DataFrame: one row per spine bucket
+        (x country when grouped), with total/unique downloads & views
+        and citation counts, zero-filled."""
+        group_by = list(request.get("groupBy", ["month"]))
+        agg_type = next(
+            (g for g in group_by if g in AGG_FORMATS), "month"
+        )  # aggType selection metricsreader.py:711-721
+        by_country = "country" in group_by
+        fmt = AGG_FORMATS[agg_type]
+
+        ev, family, meta = self.scoped_events(request)
+        bucket = F.date_format("dateLogged", fmt).alias("bucket")
+        dims = [bucket] + ([F.col("geoip.country_code2").alias("country")] if by_country else [])
+
+        uniq = (
+            F.approx_count_distinct if self.approx else F.countDistinct
+        )
+        is_data = F.col("formatType") == "DATA"
+        is_meta = F.col("formatType") == "METADATA"
+        agg = ev.groupBy(*dims).agg(
+            F.count(F.when(is_data, 1)).alias("downloads"),
+            F.count(F.when(is_meta, 1)).alias("views"),
+            uniq(F.when(is_data, F.col("eventId"))).alias("unique_downloads"),
+            uniq(F.when(is_meta, F.col("eventId"))).alias("unique_views"),
+        )
+
+        cites = self.citations_for_family(family)
+        key_len = CITATION_KEY_LEN[agg_type]
+        cite_agg = (
+            cites.filter(F.col("link_publication_date").isNotNull())
+            .groupBy(
+                F.substring("link_publication_date", 1, key_len).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("citations"))
+        )
+
+        merged = agg.join(cite_agg, "bucket", "full_outer")
+
+        spine = self._spine(meta, agg_type)
+        if spine is not None:
+            if by_country:
+                countries = agg.select("country").distinct()
+                spine = spine.crossJoin(F.broadcast(countries))
+                merged = spine.join(merged, ["bucket", "country"], "full_outer")
+            else:
+                merged = spine.join(merged, ["bucket"], "full_outer")
+
+        out_cols = ["bucket"] + (["country"] if by_country else [])
+        fills = ["downloads", "views", "unique_downloads", "unique_views", "citations"]
+        return merged.select(
+            *out_cols,
+            *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in fills],
+        ).orderBy(*out_cols)
+
+    def _spine(self, meta: dict, agg_type: str) -> DataFrame | None:
+        """Bucket spine over the requested range.  The reference builds
+        it by iterating days start..end and deduping the formatted keys
+        (metricsreader.py:1029-1033) — i.e. the end day is inclusive;
+        we mirror that (a range ending on the 1st contributes that
+        month/day/year)."""
+        if meta["start"] is None:
+            return None
+        fmt = AGG_FORMATS[agg_type]
+        start = meta["start"].strftime("%Y-%m-%d")
+        end = meta["end"].strftime("%Y-%m-%d")
+        return (
+            self.spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.lit(start).cast("date"),
+                        F.lit(end).cast("date"),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("d")
+            )
+            .select(F.date_format("d", fmt).alias("bucket"))
+            .distinct()
+        )
+
+    # -- reference-shaped response ----------------------------------------
+    def response(self, request: dict) -> dict:
+        """Collect plan() into the reference's parallel-array response
+        (metricsreader.py:1569-1816): results + resultDetails totals."""
+        metrics = list(request.get("metrics", ["citations", "downloads", "views"]))
+        df = self.plan(request)
+        rows = df.collect()
+        group_by = list(request.get("groupBy", ["month"]))
+        agg_type = next((g for g in group_by if g in AGG_FORMATS), "month")
+        by_country = "country" in group_by
+        results: dict = {"months" if agg_type == "month" else agg_type + "s": [
+            r["bucket"] for r in rows
+        ]}
+        if by_country:
+            results["country"] = [r["country"] for r in rows]
+        for m in ("downloads", "views", "citations"):
+            if m in metrics:
+                results[m] = [r[m] for r in rows]
+        for m in ("downloads", "views"):
+            if m in metrics:
+                results[f"unique_{m}"] = [r[f"unique_{m}"] for r in rows]
+        details = {
+            "totalDownloads": sum(r["downloads"] for r in rows),
+            "totalViews": sum(r["views"] for r in rows),
+            "totalCitations": sum(r["citations"] for r in rows),
+        }
+        return {
+            "metricsRequest": request,
+            "results": results,
+            "resultDetails": details,
+        }
