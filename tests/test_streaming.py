@@ -1,0 +1,236 @@
+"""Structured Streaming tests (SURVEY.md §5.5): ingest pipeline with
+corrupt-record quarantine, stream sessionization vs batch parity, late
+data beyond the watermark dropped."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_service_spark.operators.sessionize import session_bounds, sessionize
+from metrics_service_spark.streaming.ingest import cidr_ranges_df, run_ingest
+from metrics_service_spark.streaming.sessions import (
+    changed_keys_upsert,
+    live_sessions_at,
+    session_aggregate,
+    tumbling_hourly,
+)
+
+T0 = datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _event(i: int, *, ip: str, minutes: float, ua: str = "Mozilla/5.0", **kw):
+    rec = {
+        "eventId": f"e{i}",
+        "nodeId": "urn:node:A",
+        "pid": f"pid{i % 3}",
+        "formatType": "DATA",
+        "event": "read",
+        "dateLogged": (T0 + timedelta(minutes=minutes)).strftime(
+            "%Y-%m-%dT%H:%M:%S.000Z"
+        ),
+        "ipAddress": ip,
+        "userAgent": ua,
+        "subject": "cn=u",
+        "request": "/cn/v2/object",
+        "size": 100,
+        "isPublic": True,
+    }
+    rec.update(kw)
+    return json.dumps(rec)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    landing = root / "landing"
+    landing.mkdir()
+    lines = [
+        _event(0, ip="10.1.0.5", minutes=0),
+        _event(1, ip="10.1.0.5", minutes=5),
+        _event(2, ip="20.2.0.9", minutes=1, ua="GoogleBot/2.1"),
+        _event(3, ip="30.3.0.1", minutes=2, request="/cn/v2/query/solr/?q=x"),
+        "{not valid json at all",
+    ]
+    (landing / "part-0.json").write_text("\n".join(lines) + "\n")
+    ranges = cidr_ranges_df(spark, [("10.1.0.0/16", "dataone_ip")])
+    q = run_ingest(
+        spark,
+        str(landing),
+        str(root / "silver"),
+        str(root / "ckpt"),
+        ip_ranges=ranges,
+        quarantine_dir=str(root / "quarantine"),
+    )
+    q.awaitTermination(120)
+    return root
+
+
+def test_ingest_enriches_and_partitions(spark, ingested):
+    silver = spark.read.parquet(str(ingested / "silver"))
+    rows = {r["eventId"]: r for r in silver.collect()}
+    assert set(rows) == {"e0", "e1", "e2", "e3"}
+    assert rows["e0"]["tags"] == ["dataone_ip"]          # CIDR range join
+    assert rows["e2"]["tags"] == ["robot_ua"]            # UA pattern
+    assert rows["e3"]["tags"] == []
+    assert rows["e3"]["searchevent"] is True             # P8 prefix test
+    assert rows["e0"]["searchevent"] is False
+    # sink is hive-partitioned by event_date (partition pruning at scale)
+    assert (ingested / "silver" / "event_date=2024-03-01").exists()
+
+
+def test_ingest_quarantines_corrupt(spark, ingested):
+    bad = spark.read.json(str(ingested / "quarantine")).collect()
+    assert len(bad) == 1
+    assert "not valid json" in bad[0]["raw_line"]
+
+
+def test_ingest_checkpoint_no_reprocess(spark, ingested):
+    """ST7: restarting over the same landing dir must not duplicate
+    (checkpoint replaces the reference's overlap-dedup-by-id)."""
+    q = run_ingest(
+        spark,
+        str(ingested / "landing"),
+        str(ingested / "silver"),
+        str(ingested / "ckpt"),
+        quarantine_dir=str(ingested / "quarantine"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(ingested / "silver")).count() == 4
+
+
+def _stream_session_rows(spark, tmp_path, events_df, fn, name):
+    src = tmp_path / f"{name}-src"
+    events_df.coalesce(1).write.json(str(src))
+    stream = spark.readStream.schema(events_df.schema).json(str(src))
+    out = fn(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"{name}-ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_session_window_matches_batch(spark, tmp_path):
+    """ST2: streaming session_window == batch sessionize + bounds for
+    sessions closed by the watermark."""
+    rows = [
+        ("a", T0 + timedelta(minutes=m)) for m in (0, 10, 30, 120, 130)
+    ] + [("b", T0 + timedelta(minutes=m)) for m in (5, 400)]
+    # sentinel far in the future advances the watermark past everything
+    rows.append(("zz", T0 + timedelta(days=30)))
+    df = spark.createDataFrame(rows, "ipAddress string, dateLogged timestamp")
+
+    got = {
+        (r["ipAddress"], r["session_start"], r["n_events"])
+        for r in _stream_session_rows(
+            spark, tmp_path, df, session_aggregate, "sess_stream"
+        )
+        if r["ipAddress"] != "zz"
+    }
+
+    batch = session_bounds(
+        sessionize(df.filter(F.col("ipAddress") != "zz"), "ipAddress", "dateLogged"),
+        "ipAddress",
+        "dateLogged",
+    )
+    want = {
+        (r["ipAddress"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == want
+    assert ("a", T0, 3) in got  # 0,10,30 one session; 120 starts a new one
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """ST3: an event arriving behind the watermark is dropped — the
+    declarative replacement for removeStaleSessionIds repair."""
+    src = tmp_path / "late-src"
+    src.mkdir()
+    schema = "ipAddress string, dateLogged timestamp"
+    batch1 = spark.createDataFrame(
+        [("a", T0), ("adv", T0 + timedelta(days=10))], schema
+    )
+    batch1.coalesce(1).write.mode("append").json(str(src))
+
+    out_dir = tmp_path / "late-out"
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).json(str(src))
+        q = (
+            session_aggregate(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "late-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # now a VERY late event for "a" (watermark is already at T0+10d-1h)
+    spark.createDataFrame([("a", T0 + timedelta(minutes=1))], schema).coalesce(
+        1
+    ).write.mode("append").json(str(src))
+    run_once()
+
+    got = [
+        (r["ipAddress"], r["n_events"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+        if r["ipAddress"] == "a"
+    ]
+    assert got == [("a", 1)]  # late event did not create/extend a session
+
+
+def test_tumbling_hourly(spark, tmp_path):
+    rows = [
+        ("1.1.1.1", "ua1", T0 + timedelta(minutes=m)) for m in (0, 20, 70)
+    ] + [("zz", "zz", T0 + timedelta(days=30))]
+    df = spark.createDataFrame(
+        rows, "ipAddress string, userAgent string, dateLogged timestamp"
+    )
+    got = {
+        (r["hour_start"], r["n_events"])
+        for r in _stream_session_rows(spark, tmp_path, df, tumbling_hourly, "tumb")
+        if r["hour_start"] < T0 + timedelta(days=1)
+    }
+    assert got == {(T0, 2), (T0 + timedelta(hours=1), 1)}
+
+
+def test_changed_keys_upsert(spark):
+    new = spark.createDataFrame(
+        [("p1", ["a", "b"]), ("p2", ["c"]), ("p3", ["d"])],
+        "sid string, members array<string>",
+    )
+    prior = spark.createDataFrame(
+        [("p1", ["b", "a"]), ("p2", ["zzz"])],
+        "sid string, members array<string>",
+    )
+    changed = changed_keys_upsert(new, prior, key="sid", members_col="members")
+    # p1 unchanged (order-insensitive hash), p2 changed, p3 new
+    assert {r["sid"] for r in changed.collect()} == {"p2", "p3"}
+
+
+def test_live_sessions_at(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", T0 - timedelta(minutes=90)),   # expired
+            ("b", T0 - timedelta(minutes=30)),
+            ("b", T0 - timedelta(minutes=10)),   # newest for b
+            ("c", T0),                            # at mark: excluded
+        ],
+        "ipAddress string, dateLogged timestamp",
+    )
+    live = {
+        (r["ipAddress"], r["last_seen"])
+        for r in live_sessions_at(df, T0).collect()
+    }
+    assert live == {("b", T0 - timedelta(minutes=10))}
