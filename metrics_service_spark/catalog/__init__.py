@@ -24,10 +24,17 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from metrics_service_spark.catalog import core, joins, landing, llm, tpch
+    from metrics_service_spark.catalog import (
+        core,
+        joins,
+        landing,
+        llm,
+        multimodal,
+        tpch,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, joins, tpch, llm, landing):
+    for mod in (core, joins, tpch, llm, landing, multimodal):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,114 @@
+"""Multimodal catalog queries: binary payload decode / resize / frame
+sampling / feature extraction over the documents table (payloads derived
+from text — the container has no media libs, so decode is the
+deterministic fake; the Spark plumbing is real: binary columns, Arrow
+batches, mapInPandas 1->N expansion).
+
+The fake decode is pure arithmetic on payload byte length, so DuckDB can
+oracle-check the entire mapInPandas pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.operators.multimodal import (
+    attach_payload,
+    decode_audio,
+    decode_image,
+    frame_sample,
+    image_features,
+    resize_plan,
+)
+from metrics_service_spark.sources.tables import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_payload(
+        load_table(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )
+
+
+def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode (mapInPandas) -> resize geometry (JVM-side)."""
+    return resize_plan(decode_image(_media(spark, sf_dir)), max_side=256)
+
+
+ORACLE_IMAGE_META = """
+WITH d AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+  FROM documents
+), dims AS (
+  SELECT media_id,
+         CAST(64 + n % 577 AS INT) AS width,
+         CAST(64 + (n * 7) % 417 AS INT) AS height
+  FROM d
+)
+SELECT media_id, width, height,
+       CAST(greatest(1, floor(width  * least(1.0, 256.0 / greatest(width, height)))) AS INT) AS out_width,
+       CAST(greatest(1, floor(height * least(1.0, 256.0 / greatest(width, height)))) AS INT) AS out_height
+FROM dims
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(_media(spark, sf_dir), stride=4, fps=24, max_frames=24)
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       CAST(g AS INT) AS frame_idx,
+       CAST(g * 1000 // 24 AS BIGINT) AS frame_ts_ms
+FROM documents,
+     LATERAL unnest(range(0, 1 + octet_length(encode(text)) % 24, 4)) AS t(g)
+"""
+
+
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_audio(_media(spark, sf_dir))
+
+
+ORACLE_AUDIO_META = """
+SELECT doc_id AS media_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(octet_length(encode(text)) * 1000 // 32 AS BIGINT) AS duration_ms,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features; no SQL oracle (per-byte loop) — the
+    histogram math is unit-tested in tests/test_multimodal.py."""
+    feats = image_features(_media(spark, sf_dir))
+    # surface a scalar summary column so the rows-only check still sees
+    # the feature content, not just the array shape
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+QUERIES = {
+    "mm_image_meta": QuerySpec(
+        q_mm_image_meta,
+        ORACLE_IMAGE_META,
+        "binary decode stub + resize geometry",
+        ("multimodal",),
+    ),
+    "mm_frame_sample": QuerySpec(
+        q_mm_frame_sample,
+        ORACLE_FRAME_SAMPLE,
+        "video frame sampling, 1->N mapInPandas",
+        ("multimodal",),
+    ),
+    "mm_audio_meta": QuerySpec(
+        q_mm_audio_meta, ORACLE_AUDIO_META, "audio decode stub", ("multimodal",)
+    ),
+    "mm_image_features": QuerySpec(
+        q_mm_image_features, None, "byte-histogram feature extract", ("multimodal",)
+    ),
+}

@@ -1,0 +1,214 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond the reference surface (training-data-pipeline extension): the
+reference engine is text/metrics only, so there is no file:line parity
+target — this module defines the engine's convention for carrying media
+through Spark and the decode/feature/resize/frame-sample operators a
+100 TB multimodal corpus needs.
+
+Design:
+- Media travels as an opaque `binary` payload column plus a typed
+  metadata struct (format, n_bytes). Parquet stores binary natively;
+  predicate pushdown still works on the metadata columns, and column
+  pruning means metadata-only queries never read the payload bytes.
+- Decode / feature-extract / resize / frame-sample are `mapInPandas`
+  operators: Arrow moves the binary batches to Python zero-copy-ish,
+  one pandas batch per call (batch size bounded by
+  `spark.sql.execution.arrow.maxRecordsPerBatch`), and the UDF yields
+  0..N output rows per input row (frame sampling is 1->N).
+- The actual codec call is STUBBED: this container has no PIL/ffmpeg,
+  so `real=True` raises NotImplementedError at the exact seam where a
+  production deployment plugs in the library, and the default path is
+  a DETERMINISTIC fake derived from the payload bytes — stable across
+  runs/machines, so it is oracle-checkable and testable.
+
+Scale:
+- Payload batches are the memory unit: cap Arrow batch size rather
+  than rows-per-partition when payloads are MBs each.
+- `repartition(media_id)` before decode if upstream produced skewed
+  file-sized partitions; decode cost is per-byte, so balance on
+  SUM(n_bytes) via range partitioning on a byte-cumsum when skew is
+  extreme (documented here; not needed at test scale).
+- Feature vectors come back as array<float> and feed the similarity
+  operators (operators/similarity.py) unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of decode_image — metadata only, payload dropped.
+IMAGE_META_SCHEMA = (
+    "media_id long, width int, height int, channels int, n_bytes long"
+)
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = "media_id long, feature array<float>, n_bytes long"
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms long"
+
+AUDIO_META_SCHEMA = "media_id long, sample_rate int, duration_ms long, n_bytes long"
+
+
+def attach_payload(
+    df: DataFrame, *, id_col: str, text_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Test scaffolding: derive an opaque binary payload from a text
+    column (real pipelines read binary parquet directly).  The payload
+    is treated as opaque bytes from here on."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(media_type).alias("format"),
+            F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_image_dims(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic fake decode: dims derived from payload length only
+    (no RNG, no library). Mirrors what a real decoder returns."""
+    return 64 + n_bytes % 577, 64 + (n_bytes * 7) % 417, 3
+
+
+def decode_image(media: DataFrame, *, real: bool = False) -> DataFrame:
+    """Decode the binary payload to image metadata via mapInPandas.
+
+    `real=True` is the production seam (PIL/libvips) — unavailable in
+    this container, so it raises; the deterministic fake keeps the whole
+    Spark plan (Arrow batching, schema, partitioning) real and testable.
+    """
+    if real:
+        raise NotImplementedError(
+            "real image decode requires PIL/libvips; not available in this "
+            "container — plug the library call into _decode_batch"
+        )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": (64 + n % 577).astype("int32"),
+                    "height": (64 + (n * 7) % 417).astype("int32"),
+                    "channels": 3,
+                    "n_bytes": n,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batch, schema=IMAGE_META_SCHEMA
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Byte-histogram feature vector (deterministic stand-in for a real
+    embedding model): 8 buckets of byte-value counts, L1-normalized.
+    Output feeds operators/similarity.py directly."""
+
+    def _feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats, sizes = [], []
+            for raw in pdf["payload"]:
+                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                total = max(int(hist.sum()), 1)
+                feats.append((hist / total).astype("float32"))
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _feat_batch, schema=FEATURE_SCHEMA
+    )
+
+
+def resize_plan(decoded: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Resize geometry (aspect-preserving fit into max_side^2).  Pure
+    arithmetic on decoded metadata -> stays JVM-side, no UDF: the actual
+    pixel resample would live inside decode_image's batch fn."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side))
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale).cast("int")).alias(
+            "out_width"
+        ),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale).cast("int")).alias(
+            "out_height"
+        ),
+    )
+
+
+def frame_sample(
+    media: DataFrame, *, stride: int = 4, fps: int = 24, max_frames: int = 24
+) -> DataFrame:
+    """Video frame sampling: 1 input row -> N frame rows (every
+    `stride`-th frame), the mapInPandas row-expansion pattern.  Frame
+    count is the deterministic fake (1 + n_bytes % max_frames); a real
+    build reads the container header instead."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs = [], []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = 1 + len(raw) % max_frames
+                for i in range(0, n_frames, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+            out = pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                }
+            )
+            out["frame_ts_ms"] = (out["frame_idx"] * 1000 // fps).astype("int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
+
+
+def decode_audio(media: DataFrame, *, real: bool = False) -> DataFrame:
+    """Audio metadata decode: same seam/stub pattern as decode_image.
+    Fake: 16 kHz mono, duration proportional to payload bytes."""
+    if real:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/ffmpeg; not available in "
+            "this container — plug the library call into _decode_batch"
+        )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": 16_000,
+                    "duration_ms": n * 1000 // 32,  # fake 16 kHz * 2 B/sample
+                    "n_bytes": n,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _decode_batch, schema=AUDIO_META_SCHEMA
+    )
