@@ -21,7 +21,12 @@ from metrics_service_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from metrics_service_spark.operators.similarity import ann_topk, brute_force_topk
+from metrics_service_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_near_duplicates,
+    ivf_topk,
+)
 from metrics_service_spark.operators.text import (
     LANG_MARKERS,
     fingerprint,
@@ -222,6 +227,44 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, queries, k=TOPK)
 
 
+def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk(emb, queries, k=TOPK, n_cells=16, nprobe=4)
+
+
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact integer decision — the
+    oracle replays the identical quantized arithmetic in DuckDB."""
+    return cosine_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, quant=1000
+    )
+
+
+# threshold 0.4 -> Fraction(0.4) = 2/5, squared = 4/25
+ORACLE_COSINE_NEARDUP = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS dot_q,
+         a.n2 AS na, b.n2 AS nb
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot_q
+FROM pairs
+WHERE dot_q > 0 AND 25 * dot_q * dot_q >= 4 * na * nb
+"""
+
+
 # --- per-label centroid (vector aggregate) -------------------------------
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -282,6 +325,18 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_simhash": QuerySpec(q_doc_simhash, None, "64-bit SimHash", ("llm",)),
     "emb_topk_bruteforce": QuerySpec(
         q_emb_topk_bruteforce, ORACLE_TOPK, "brute-force k-NN", ("llm",)
+    ),
+    "emb_cosine_neardup": QuerySpec(
+        q_emb_cosine_neardup,
+        ORACLE_COSINE_NEARDUP,
+        "cosine near-dup pairs, exact integer threshold",
+        ("llm",),
+    ),
+    "emb_ann_ivf": QuerySpec(
+        q_emb_ann_ivf,
+        None,
+        "IVF cell-probed approximate top-k",
+        ("llm",),
     ),
     "emb_ann_lsh": QuerySpec(
         q_emb_ann_lsh, None, "LSH-bucketed approximate k-NN", ("llm",)

@@ -100,6 +100,189 @@ def brute_force_topk(
     )
 
 
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    quant: int = 1_000,
+    prefilter_planes: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) with
+    cosine >= threshold, decided in EXACT integer arithmetic so Spark
+    and DuckDB agree bit-for-bit on boundary pairs:
+
+        cos(a,b) >= t  <=>  dot > 0  and  q * dot^2 >= p * |a|^2 |b|^2
+
+    with t^2 = p/q (threshold rationalized) over vectors quantized to
+    `quant` resolution.  All terms stay < 2^63 for 64-dim unit vectors
+    at quant=1000, so int64 suffices on both engines.
+
+    Scale path: all-pairs is O(n^2) — pass `prefilter_planes` to block
+    by an LSH signature first (pairs must share the signature; recall
+    <1, standard near-dup practice), turning the cross join into an
+    equi-join on bucket.  At 100 TB you'd also band the corpus by
+    norm-prefix; documented, not needed at test scale."""
+    from fractions import Fraction
+
+    t2 = Fraction(threshold).limit_denominator(100) ** 2
+    p, q = t2.numerator, t2.denominator
+
+    qvec = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * quant, 0).cast("long")
+    )
+    norm2 = F.aggregate(
+        F.transform(qvec, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cols = [
+        F.col(id_col).alias("id"),
+        qvec.alias("__v"),
+        norm2.alias("__n2"),
+    ]
+    if prefilter_planes is not None:
+        cols.append(
+            lsh_bucket(F.col(vec_col), planes=prefilter_planes, dim=dim).alias("__b")
+        )
+    side = embeddings.select(*cols)
+    a = side.select(
+        F.col("id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n2").alias("__na"),
+        *([F.col("__b")] if prefilter_planes is not None else []),
+    )
+    b = side.select(
+        F.col("id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n2").alias("__nb"),
+        *([F.col("__b")] if prefilter_planes is not None else []),
+    )
+    if prefilter_planes is not None:
+        pairs = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = dot_long(F.col("__va"), F.col("__vb"))
+    scored = pairs.select("id_a", "id_b", dot.alias("__dot"), "__na", "__nb")
+    return (
+        scored.filter(
+            (F.col("__dot") > 0)
+            & (
+                F.lit(q) * F.col("__dot") * F.col("__dot")
+                >= F.lit(p) * F.col("__na") * F.col("__nb")
+            )
+        )
+        .select("id_a", "id_b", F.col("__dot").alias("dot_q"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: deterministic seed selection (the `n_cells`
+    corpus vectors with the smallest xxhash64(id) — reproducible, no
+    RNG) as cell centroids, then every vector assigned to its nearest
+    centroid by float cosine.  Returns (centroids, assigned) where
+    `assigned` carries a `cell` column.
+
+    Scale: centroids are tiny and broadcast; assignment is one scan of
+    the corpus (map-side nearest-of-16), and the index is just the
+    corpus re-partitioned/sorted by `cell` — partition pruning at query
+    time reads only the probed cells."""
+    # Seed selection is a global top-N: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition top-N + driver merge — no
+    # single-partition window shuffle); the n_cells winning rows are
+    # tiny, so materializing them to build the centroid dim is the
+    # legitimate driver-side collect.
+    seeds = (
+        embeddings.select(
+            F.col(id_col).alias("cell_seed"),
+            F.col(vec_col).alias("cvec"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h", "cell_seed")
+        .limit(n_cells)
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in r.cvec]) for i, r in enumerate(seeds)],
+        "cell int, cvec array<float>",
+    )
+    cand = embeddings.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(F.broadcast(centroids), how="cross")
+    sim = cosine(F.col(vec_col), F.col("cvec"))
+    wbest = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
+    assigned = (
+        cand.select(id_col, vec_col, "cell", sim.alias("__sim"))
+        .withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its `nprobe` nearest
+    cells and ranks exactly (quantized dot) within them.  Candidate set
+    is an equi-join on `cell` — no cross product against the corpus.
+
+    Recall is tuned by (n_cells, nprobe); nprobe=n_cells degenerates to
+    exact brute force."""
+    centroids, assigned = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    )
+    qsim = cosine(F.col(vec_col), F.col("cvec"))
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("cell"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .join(F.broadcast(centroids), how="cross")
+        .select("query_id", vec_col, "cell", qsim.alias("__sim"))
+        .withColumn("__rk", F.row_number().over(wprobe))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", F.col(vec_col).alias("__qraw"), "cell")
+    )
+    corpus = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("__cv"),
+        "cell",
+    )
+    scored = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            dot_long(quantize(F.col("__qraw")), F.col("__cv")).alias("dot_q"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane weights derived
     from SHA-256 — reproducible across runs/machines with no RNG state."""

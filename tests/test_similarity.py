@@ -1,0 +1,145 @@
+"""Property tests for the approximate similarity/dedup operators whose
+hash pipelines have no DuckDB oracle: ANN (LSH + IVF) recall vs exact
+brute force, near-dup prefilter soundness, MinHash candidate quality."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_service_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from metrics_service_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_near_duplicates,
+    ivf_topk,
+)
+
+DIM = 64
+N_CLUSTERS = 10
+PER_CLUSTER = 30
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    """Deterministic clustered unit vectors: ANN recall is meaningful
+    only when true neighbors exist."""
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        center = [rng.gauss(0, 1) for _ in range(DIM)]
+        for _ in range(PER_CLUSTER):
+            v = [x + rng.gauss(0, 0.15) for x in center]
+            norm = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / norm for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _recall(approx_rows, exact_rows):
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+def test_ivf_recall_vs_bruteforce(clustered_embeddings):
+    queries = clustered_embeddings.filter(F.col("vec_id") % PER_CLUSTER == 0)
+    exact = brute_force_topk(clustered_embeddings, queries, k=5).collect()
+    approx = ivf_topk(
+        clustered_embeddings, queries, k=5, n_cells=12, nprobe=4
+    ).collect()
+    assert _recall(approx, exact) >= 0.6
+
+
+def test_ivf_nprobe_all_cells_is_exact(clustered_embeddings):
+    queries = clustered_embeddings.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(clustered_embeddings, queries, k=5).collect()
+    full = ivf_topk(
+        clustered_embeddings, queries, k=5, n_cells=8, nprobe=8
+    ).collect()
+    assert _recall(full, exact) == 1.0
+
+
+def test_lsh_ann_recall(clustered_embeddings):
+    queries = clustered_embeddings.filter(F.col("vec_id") % PER_CLUSTER == 0)
+    exact = brute_force_topk(clustered_embeddings, queries, k=5).collect()
+    approx = ann_topk(
+        clustered_embeddings, queries, k=5, planes=4, tables=4, dim=DIM
+    ).collect()
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_neardup_prefilter_is_subset(clustered_embeddings):
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_duplicates(
+            clustered_embeddings, threshold=0.9
+        ).collect()
+    }
+    filtered_pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_duplicates(
+            clustered_embeddings, threshold=0.9, prefilter_planes=4, dim=DIM
+        ).collect()
+    }
+    assert exact_pairs, "fixture must contain true near-dup pairs"
+    assert filtered_pairs <= exact_pairs
+    # 4-plane blocking on tight clusters should keep most true pairs
+    assert len(filtered_pairs) >= 0.5 * len(exact_pairs)
+
+
+def test_neardup_threshold_boundary(spark):
+    # hand-built vectors with known cosines: parallel (1.0),
+    # orthogonal (0.0), 45 degrees (~0.7071)
+    inv = 1 / math.sqrt(2)
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [1.0, 0.0] + [0.0] * 62),
+        (3, [0.0, 1.0] + [0.0] * 62),
+        (4, [inv, inv] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_duplicates(df, threshold=0.7).collect()
+    }
+    assert got == {(1, 2), (1, 4), (2, 4), (3, 4)}
+    strict = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_duplicates(df, threshold=0.95).collect()
+    }
+    assert strict == {(1, 2)}
+
+
+def test_minhash_candidates_verified_by_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = [
+        (1, base),
+        (2, base + "extra tail words here"),  # near-dup of 1
+        (3, "completely different content about spark query engines " * 5),
+        (4, base.replace("quick", "slow")),  # near-dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_near_duplicates(df, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
+    assert (1, 2) in got or (1, 4) in got
+    assert all(3 not in p for p in got)
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.select("id_a", "id_b").collect()}
+    # every LSH-confirmed pair passes the exact-Jaccard bar too
+    assert got <= exact_pairs
