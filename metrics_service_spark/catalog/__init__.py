@@ -26,6 +26,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from metrics_service_spark.catalog import (
         core,
+        gold,
         joins,
         landing,
         llm,
@@ -34,7 +35,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, joins, tpch, llm, landing, multimodal):
+    for mod in (core, joins, tpch, llm, landing, multimodal, gold):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,64 @@
+"""Gold-layer catalog queries: the metrics star fact and the reference's
+ROLLUP materialized views (src/sql/02-metrics-materialized-views.sql),
+oracle-checked end-to-end including GROUPING() indicators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.plans.gold import (
+    build_matview,
+    matview_oracle_sql,
+    metrics_star,
+    METRICS_STAR_SQL,
+)
+from metrics_service_spark.sources.eventlog import (
+    COUNTER_FILTER_SQL,
+    EVENTLOG_SQL,
+    eventlog_view,
+)
+from metrics_service_spark.sources.tables import load_table
+
+
+def _star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics_star(eventlog_view(load_table(spark, sf_dir, "events")))
+
+
+def q_metrics_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _star(spark, sf_dir)
+
+
+ORACLE_METRICS_STAR = (
+    f"WITH eventlog AS ({EVENTLOG_SQL}) "
+    + METRICS_STAR_SQL.format(counter_filter=COUNTER_FILTER_SQL)
+)
+
+
+def _mk_matview_query(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return build_matview(spark, _star(spark, sf_dir), name)
+
+    q.__name__ = f"q_matview_{name}"
+    return q
+
+
+QUERIES = {
+    "metrics_star": QuerySpec(
+        q_metrics_star,
+        ORACLE_METRICS_STAR,
+        "COUNTER-filtered star fact aggregation",
+        ("gold",),
+    ),
+}
+# one rollup view and one plain view of each distinct shape, plus the
+# landing page view (the hottest reference path); the other 4 views are
+# the same two shapes with different dims (MATVIEWS registry).
+for _name in ("landingpage", "userprofilemetrics", "repocharts"):
+    QUERIES[f"matview_{_name}"] = QuerySpec(
+        _mk_matview_query(_name),
+        matview_oracle_sql(_name, EVENTLOG_SQL, COUNTER_FILTER_SQL),
+        f"mat-view {_name} (02-metrics-materialized-views.sql)",
+        ("gold",),
+    )
