@@ -26,6 +26,7 @@ class QuerySpec:
 def all_queries() -> dict[str, QuerySpec]:
     from metrics_service_spark.catalog import (
         core,
+        functions_suite,
         gold,
         joins,
         landing,
@@ -35,7 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, joins, tpch, llm, landing, multimodal, gold):
+    for mod in (core, joins, tpch, llm, landing, multimodal, gold, functions_suite):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,91 @@
+"""Scalar function library (SURVEY.md §2.8 F1-F22).
+
+Every reference string/date/hash/url helper re-expressed as a built-in
+Spark column expression — JVM-side, whole-stage-codegen friendly, no
+Python UDFs.  Reference citations per function; the CIDR/geo-IP range
+joins live in operators/iprange.py (F16/F17), robot-UA tagging in
+streaming/ingest.py (F7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Public DOI syntax (Crossref guidance): directory indicator 10,
+#: 4-9 digit registrant, '/', suffix.  Reference equivalent:
+#: citationsmanager.py:230-239 doi_pattern regex.
+DOI_PATTERN = r"(10\.\d{4,9}/[^\s\"<>]+)"
+
+
+def extract_doi(col: Column) -> Column:
+    """First DOI substring, '' when absent (F4; metricsdatabase.py
+    :509-545 index('10.') slicing, citationsmanager.py:230-239)."""
+    return F.regexp_extract(col, DOI_PATTERN, 1)
+
+
+def doi_prefix(col: Column) -> Column:
+    """7-char publisher prefix starting at '10.' — the reference slices
+    hit[start:start+7] (metricsdatabase.py:1028-1054)."""
+    start = F.instr(col, "10.")
+    return F.when(start > 0, F.substring(col, start, 7)).otherwise(F.lit(""))
+
+
+def strip_version_suffix(col: Column) -> Column:
+    """Dryad '?ver=...' suffix strip: j.split('?')[0]
+    (metricsreader.py:444-445, F3)."""
+    return F.substring_index(col, "?", 1)
+
+
+def month_key(ts: Column) -> Column:
+    """'YYYY-MM' bucket key (strftime('%Y-%m'), metricsreader.py:347)."""
+    return F.date_format(ts, "yyyy-MM")
+
+
+def day_key(ts: Column) -> Column:
+    return F.date_format(ts, "yyyy-MM-dd")
+
+
+def year_key(ts: Column) -> Column:
+    return F.date_format(ts, "yyyy")
+
+
+def epoch_ms_to_ts(col: Column) -> Column:
+    """ES epoch-ms bucket key -> timestamp (//1000 consumption,
+    metricsreader.py:334,1051, F9)."""
+    return F.timestamp_millis(col.cast("long"))
+
+
+def family_hash(members: Column) -> Column:
+    """MD5 over the sorted identifier family — the portal change-
+    detection hash (es_eventlog_sync.py:469-482, F12/O5)."""
+    return F.md5(F.concat_ws(",", F.array_sort(members)))
+
+
+def geohash_prefix(col: Column, n: int) -> Column:
+    """geohash_1..9 are prefix truncations (example_events.js:19-25);
+    `metrics.geohash4` = 4-char prefix (00-metrics-tables.sql:28, F21)."""
+    return F.substring(col, 1, n)
+
+
+def null_country_patch(col: Column) -> Column:
+    """Bucket key country None/'null' -> 'US'
+    (metricsreader.py:1684-1686, P12)."""
+    return F.when(col.isNull() | (col == "null"), "US").otherwise(col)
+
+
+def jwt_payload(token: Column) -> Column:
+    """JWT payload segment decoded to a JSON string — the logstash ruby
+    filter (search.conf:208-231, F15) as unbase64 built-ins.  Pads the
+    urlsafe-b64 segment; parse downstream with from_json."""
+    seg = F.split(token, r"\.").getItem(1)
+    # base64url -> base64, padded to a 4-multiple
+    std = F.translate(seg, "-_", "+/")
+    padded = F.concat(std, F.repeat(F.lit("="), (4 - F.length(std) % 4) % 4))
+    return F.decode(F.unbase64(padded), "UTF-8")
+
+
+def query_params(url: Column) -> Column:
+    """URL query string -> map<string,string> (logstash urldecode+kv,
+    search.conf:73-88, F14)."""
+    return F.str_to_map(F.parse_url(url, F.lit("QUERY")), F.lit("&"), F.lit("="))

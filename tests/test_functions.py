@@ -1,0 +1,70 @@
+"""Unit tests for the scalar function library (functions/scalars.py) —
+the pieces DuckDB can't oracle-check (JWT decode, URL parsing) plus
+edge cases of the DOI helpers."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import functions as F
+
+from metrics_service_spark.functions import (
+    doi_prefix,
+    epoch_ms_to_ts,
+    extract_doi,
+    jwt_payload,
+    query_params,
+    strip_version_suffix,
+)
+
+
+def _one(spark, col, **inputs):
+    df = spark.createDataFrame(
+        [tuple(inputs.values())], ", ".join(f"{k} string" for k in inputs)
+    )
+    return df.select(col.alias("out")).first().out
+
+
+def test_extract_doi_variants(spark):
+    assert (
+        _one(spark, extract_doi(F.col("s")), s="see doi:10.5063/F1ABC end")
+        == "10.5063/F1ABC"
+    )
+    assert _one(spark, extract_doi(F.col("s")), s="no doi here") == ""
+    # registrant must be 4-9 digits
+    assert _one(spark, extract_doi(F.col("s")), s="10.12/x") == ""
+
+
+def test_doi_prefix_and_version_strip(spark):
+    assert _one(spark, doi_prefix(F.col("s")), s="doi:10.5063/F1") == "10.5063"
+    assert _one(spark, doi_prefix(F.col("s")), s="nothing") == ""
+    assert (
+        _one(spark, strip_version_suffix(F.col("s")), s="pid123?ver=2018")
+        == "pid123"
+    )
+    assert _one(spark, strip_version_suffix(F.col("s")), s="pid123") == "pid123"
+
+
+def test_jwt_payload_roundtrip(spark):
+    payload = {"sub": "http://orcid.org/0000-0002-1825-0097", "exp": 1234567890}
+    seg = (
+        base64.urlsafe_b64encode(json.dumps(payload).encode())
+        .decode()
+        .rstrip("=")  # JWTs strip padding
+    )
+    token = f"eyJhbGciOiJSUzI1NiJ9.{seg}.fakesig"
+    decoded = _one(spark, jwt_payload(F.col("s")), s=token)
+    assert json.loads(decoded) == payload
+
+
+def test_query_params_map(spark):
+    url = "https://cn.dataone.org/cn/v2/query/solr/?q=id:x&rows=25&start=0"
+    m = _one(spark, query_params(F.col("s")), s=url)
+    assert m["rows"] == "25" and m["q"] == "id:x" and m["start"] == "0"
+
+
+def test_epoch_ms_to_ts(spark):
+    df = spark.createDataFrame([(1514764800000,)], "ms long")
+    out = df.select(epoch_ms_to_ts(F.col("ms")).alias("ts")).first().ts
+    assert out.year == 2018 and out.month == 1 and out.day == 1
