@@ -346,7 +346,50 @@ GROUP BY 1
 """
 
 
+# --- M7: SUSHI per-(pid,country) COUNTER instances -----------------------
+def q_sushi_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.plans.sushi import sushi_instances
+
+    ev = counter_filter(eventlog_view(load_table(spark, sf_dir, "events")))
+    return sushi_instances(ev)
+
+
+ORACLE_SUSHI_INSTANCES = f"""
+WITH eventlog AS ({EVENTLOG_SQL}),
+ev AS (
+  SELECT pid, lower(coalesce(country, 'n/a')) AS country, formatType,
+         sessionId
+  FROM eventlog WHERE {COUNTER_FILTER_SQL}
+),
+inv AS (
+  SELECT pid, country,
+         CAST(count(*) AS BIGINT) AS total_investigations,
+         CAST(count(DISTINCT CAST(sessionId AS VARCHAR) || '|' || formatType)
+              AS BIGINT) AS unique_investigations
+  FROM ev WHERE formatType IN ('METADATA','DATA') GROUP BY 1, 2
+),
+req AS (
+  SELECT pid, country,
+         CAST(count(*) AS BIGINT) AS total_requests,
+         CAST(count(DISTINCT sessionId) AS BIGINT) AS unique_requests
+  FROM ev WHERE formatType = 'DATA' GROUP BY 1, 2
+)
+SELECT pid, country,
+       coalesce(total_investigations, 0) AS total_investigations,
+       coalesce(unique_investigations, 0) AS unique_investigations,
+       coalesce(total_requests, 0) AS total_requests,
+       coalesce(unique_requests, 0) AS unique_requests
+FROM inv FULL JOIN req USING (pid, country)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sushi_instances": QuerySpec(
+        q_sushi_instances,
+        ORACLE_SUSHI_INSTANCES,
+        "M7 SUSHI COUNTER instances per (pid, country)",
+        ("core",),
+    ),
     "ev_filter_project": QuerySpec(
         q_ev_filter_project, ORACLE_EV_FILTER, "P2/P3/P6 predicate stack", ("core",)
     ),
