@@ -53,28 +53,31 @@ def resolve_chains(
         F.col(parent).isNull().alias("done"),
     ).localCheckpoint(eager=True)
 
+    # Pointer jumping needs only ceil(log2(depth)) rounds, so for the
+    # reference's depth cap (20 -> 5 rounds) the whole loop is planned
+    # lazily — no per-round driver action, one final job executes the
+    # 5-join tree.  Only genuinely deep closures (rounds > 6) pay for
+    # mid-loop checkpoints (lineage truncation) and early-exit probes.
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
-    for _ in range(rounds):
+    for i in range(rounds):
         hop = state.select(
             F.col("node").alias("p_node"),
             F.col("ptr").alias("p_ptr"),
             F.col("depth").alias("p_depth"),
             F.col("done").alias("p_done"),
         )
-        state = (
-            state.join(hop, state.ptr == hop.p_node, "inner")
-            .select(
-                "node",
-                F.when(F.col("done"), F.col("ptr")).otherwise(F.col("p_ptr")).alias("ptr"),
-                F.when(F.col("done"), F.col("depth"))
-                .otherwise(F.col("depth") + F.col("p_depth"))
-                .alias("depth"),
-                (F.col("done") | F.col("p_done")).alias("done"),
-            )
-            .localCheckpoint(eager=True)
+        state = state.join(hop, state.ptr == hop.p_node, "inner").select(
+            "node",
+            F.when(F.col("done"), F.col("ptr")).otherwise(F.col("p_ptr")).alias("ptr"),
+            F.when(F.col("done"), F.col("depth"))
+            .otherwise(F.col("depth") + F.col("p_depth"))
+            .alias("depth"),
+            (F.col("done") | F.col("p_done")).alias("done"),
         )
-        if state.filter(~F.col("done")).isEmpty():
-            break
+        if rounds > 6 and (i + 1) % CHECKPOINT_EVERY == 0:
+            state = state.localCheckpoint(eager=True)
+            if state.filter(~F.col("done")).isEmpty():
+                break
     return state.filter(F.col("done") & (F.col("depth") <= max_depth)).select(
         "node", F.col("ptr").alias("root"), F.col("depth").cast("int").alias("depth")
     )

@@ -113,9 +113,13 @@ def minhash_signatures(
     xxhash64(shingle, i).  One explode + one groupBy; all hashing is
     JVM-side (codegen), no Python."""
     toks = F.split(F.col(text_col), " ")
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingle_array(toks, n)).alias("__shingle"),
+    # single-file parquet = 1 input partition; spread the (CPU-heavy)
+    # shingle explode + hashing across the executors before it runs
+    spread = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__id"
+    )
+    exploded = spread.select(
+        "__id", F.explode(shingle_array(F.col("__toks"), n)).alias("__shingle")
     )
     aggs = [
         F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"h{i}")
@@ -136,20 +140,36 @@ def lsh_candidate_pairs(
     Buckets larger than max_bucket are dropped (degenerate-band guard:
     at scale a single hot bucket would otherwise explode quadratically).
     Returns distinct (id_a, id_b), id_a < id_b.
+
+    The signature frame is referenced three times downstream (bucket
+    counts + both self-join sides); it is materialized once
+    (localCheckpoint) so the upstream shingle/minhash aggregation runs
+    exactly once — signatures are 1 row x num_hashes longs per doc,
+    tiny relative to the text they summarize.
     """
-    band_rows = []
-    for bi in range(bands):
-        cols = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                F.col("__id"),
-                F.lit(bi).alias("__band"),
-                F.xxhash64(*cols).alias("__bh"),
+    signatures = signatures.localCheckpoint(eager=True)
+    # all band hashes in ONE pass over the signatures (a union of
+    # per-band selects would recompute the minhash aggregation once per
+    # band — `bands`x the work)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{bi * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bh"),
             )
-        )
-    all_bands = band_rows[0]
-    for extra in band_rows[1:]:
-        all_bands = all_bands.unionByName(extra)
+            for bi in range(bands)
+        ]
+    )
+    all_bands = signatures.select(
+        F.col("__id"), F.explode(band_structs).alias("__tb")
+    ).select(
+        "__id", F.col("__tb.band").alias("__band"), F.col("__tb.bh").alias("__bh")
+    )
     counts = all_bands.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__n"))
     pruned = all_bands.join(
         counts.filter(F.col("__n") <= max_bucket), ["__band", "__bh"], "inner"
