@@ -346,6 +346,35 @@ GROUP BY 1
 """
 
 
+# --- J5/U5/F18: array-membership join (citation_metadata node_id ANY) ----
+def q_ev_tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `'x' = ANY(array_col)` membership queries
+    (metricsreader.py:827-830,1545) as explode + group: per tag (rows
+    with empty tags under '(none)') count events and distinct sessions."""
+    ev = eventlog_view(load_table(spark, sf_dir, "events"))
+    return (
+        ev.select(
+            F.explode_outer("tags").alias("tag"), F.col("sessionId"), F.col("eventId")
+        )
+        .withColumn("tag", F.coalesce(F.col("tag"), F.lit("(none)")))
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("sessionId").alias("n_sessions"),
+        )
+    )
+
+
+ORACLE_EV_TAG_MEMBERSHIP = f"""
+WITH eventlog AS ({EVENTLOG_SQL})
+SELECT coalesce(t.tag, '(none)') AS tag,
+       count(*) AS n_events,
+       CAST(count(DISTINCT sessionId) AS BIGINT) AS n_sessions
+FROM eventlog LEFT JOIN LATERAL unnest(tags) AS t(tag) ON true
+GROUP BY 1
+"""
+
+
 # --- M7: SUSHI per-(pid,country) COUNTER instances -----------------------
 def q_sushi_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.plans.sushi import sushi_instances
@@ -384,6 +413,12 @@ FROM inv FULL JOIN req USING (pid, country)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "ev_tag_membership": QuerySpec(
+        q_ev_tag_membership,
+        ORACLE_EV_TAG_MEMBERSHIP,
+        "J5/F18 array-membership explode join",
+        ("core",),
+    ),
     "sushi_instances": QuerySpec(
         q_sushi_instances,
         ORACLE_SUSHI_INSTANCES,

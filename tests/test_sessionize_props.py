@@ -1,0 +1,78 @@
+"""Sessionization property tests (SURVEY.md §5.4): on random event
+streams, (a) no within-session gap exceeds the TTL and sessions are
+split at every gap > TTL, (b) session seq ids are monotone per key in
+time order, (c) input order invariance — a shuffled stream produces
+identical sessions to the sorted stream (the declarative answer to the
+reference's out-of-order repair loop, W3/ST3)."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_service_spark.operators.sessionize import sessionize
+
+GAP_MIN = 60
+BASE = datetime(2024, 1, 1)
+
+
+def _random_stream(seed: int, n_keys: int = 5, n_events: int = 120):
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for k in range(n_keys):
+        t = BASE + timedelta(minutes=rng.randint(0, 600))
+        for _ in range(rng.randint(1, n_events // n_keys)):
+            # mix sub-gap and super-gap increments, incl. exactly-60m
+            t = t + timedelta(minutes=rng.choice([1, 5, 59, 60, 61, 200]))
+            rows.append((eid, f"ip{k}", t))
+            eid += 1
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_gap_and_monotonicity(spark, seed):
+    rows = _random_stream(seed)
+    df = spark.createDataFrame(rows, "event_id long, ip string, ts timestamp")
+    out = (
+        sessionize(df, "ip", "ts", gap_minutes=GAP_MIN, order_tiebreak=["event_id"])
+        .orderBy("ip", "ts", "event_id")
+        .collect()
+    )
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r.ip, []).append(r)
+    for evs in by_key.values():
+        assert evs[0].session_seq == 1
+        for prev, cur in zip(evs, evs[1:]):
+            gap = (cur.ts - prev.ts).total_seconds() / 60
+            if gap > GAP_MIN:  # strict >, TTL boundary stays in-session
+                assert cur.session_seq == prev.session_seq + 1
+            else:
+                assert cur.session_seq == prev.session_seq
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_shuffle_invariance(spark, seed):
+    rows = _random_stream(seed)
+    shuffled = rows[:]
+    random.Random(seed + 1).shuffle(shuffled)
+    df1 = spark.createDataFrame(rows, "event_id long, ip string, ts timestamp")
+    df2 = spark.createDataFrame(shuffled, "event_id long, ip string, ts timestamp")
+    key = lambda r: (r.ip, r.event_id)  # noqa: E731
+    s1 = {
+        key(r): r.session_seq
+        for r in sessionize(
+            df1, "ip", "ts", gap_minutes=GAP_MIN, order_tiebreak=["event_id"]
+        ).collect()
+    }
+    s2 = {
+        key(r): r.session_seq
+        for r in sessionize(
+            df2, "ip", "ts", gap_minutes=GAP_MIN, order_tiebreak=["event_id"]
+        ).collect()
+    }
+    assert s1 == s2
