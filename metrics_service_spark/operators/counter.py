@@ -44,27 +44,26 @@ def counter_report(
 ) -> DataFrame:
     """Full COUNTER split: total/unique investigations and requests per
     dims.  investigations = METADATA+DATA events; requests = DATA only
-    (metricsreporter.py:208-308)."""
-    inv = counter_unique_total(
-        events.filter(F.col(format_col).isin("METADATA", "DATA")), session_col, dims
-    ).select(
-        *dims,
-        F.col("total").alias("total_investigations"),
-        F.col("unique").alias("unique_investigations"),
+    (metricsreporter.py:208-308).
+
+    One scan, two shuffles: the per-session rollup carries a DATA
+    sub-count, so the final aggregation derives all four metrics
+    without a second scan or the investigations⟗requests outer join
+    (requests-only cells can't exist — DATA is a subset of the
+    investigations filter — so the join was pure overhead)."""
+    g1 = (
+        events.filter(F.col(format_col).isin("METADATA", "DATA"))
+        .groupBy(session_col, *dims)
+        .agg(
+            F.count(F.lit(1)).alias("__n_all"),
+            F.count(F.when(F.col(format_col) == "DATA", 1)).alias("__n_data"),
+        )
     )
-    req = counter_unique_total(
-        events.filter(F.col(format_col) == "DATA"), session_col, dims
-    ).select(
-        *dims,
-        F.col("total").alias("total_requests"),
-        F.col("unique").alias("unique_requests"),
+    return g1.groupBy(*dims).agg(
+        F.sum("__n_all").cast("long").alias("total_investigations"),
+        F.count(F.lit(1)).cast("long").alias("unique_investigations"),
+        F.sum("__n_data").cast("long").alias("total_requests"),
+        F.count(F.when(F.col("__n_data") > 0, 1))
+        .cast("long")
+        .alias("unique_requests"),
     )
-    out = inv.join(req, on=dims, how="full_outer")
-    for c in (
-        "total_investigations",
-        "unique_investigations",
-        "total_requests",
-        "unique_requests",
-    ):
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-    return out

@@ -39,36 +39,32 @@ def sushi_instances(events: DataFrame, *, session_col: str = "sessionId") -> Dat
     both METADATA and DATA events counts twice, faithfully), while
     unique requests = distinct sessions with DATA events.  Country
     nulls become 'n/a' lowercased (reference :208-210)."""
-    ev = events.withColumn(
+    ev = events.filter(F.col("formatType").isin("METADATA", "DATA")).withColumn(
         "__country", F.lower(F.coalesce(F.col("country"), F.lit("n/a")))
     )
-    inv = (
-        ev.filter(F.col("formatType").isin("METADATA", "DATA"))
-        .groupBy("pid", "__country")
+    # one scan, one aggregation: DATA is a subset of the investigations
+    # filter, so the requests side is a conditional agg, not a second
+    # scan + outer join
+    return (
+        ev.groupBy("pid", "__country")
         .agg(
-            F.count(F.lit(1)).alias("total_investigations"),
+            F.count(F.lit(1)).cast("long").alias("total_investigations"),
             F.countDistinct(
                 F.concat_ws("|", F.col(session_col), F.col("formatType"))
-            ).alias("unique_investigations"),
+            )
+            .cast("long")
+            .alias("unique_investigations"),
+            F.count(F.when(F.col("formatType") == "DATA", 1))
+            .cast("long")
+            .alias("total_requests"),
+            F.countDistinct(
+                F.when(F.col("formatType") == "DATA", F.col(session_col))
+            )
+            .cast("long")
+            .alias("unique_requests"),
         )
+        .withColumnRenamed("__country", "country")
     )
-    req = (
-        ev.filter(F.col("formatType") == "DATA")
-        .groupBy("pid", "__country")
-        .agg(
-            F.count(F.lit(1)).alias("total_requests"),
-            F.countDistinct(session_col).alias("unique_requests"),
-        )
-    )
-    out = inv.join(req, ["pid", "__country"], "full_outer")
-    for c in (
-        "total_investigations",
-        "unique_investigations",
-        "total_requests",
-        "unique_requests",
-    ):
-        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
-    return out.withColumnRenamed("__country", "country")
 
 
 def sushi_dataset_blocks(
