@@ -234,3 +234,37 @@ def test_live_sessions_at(spark):
         for r in live_sessions_at(df, T0).collect()
     }
     assert live == {("b", T0 - timedelta(minutes=10))}
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """ST2 exact shape: per-event session assignment from
+    applyInPandasWithState equals the batch window-function result."""
+    from metrics_service_spark.streaming.stateful import stateful_sessionize
+
+    rows = (
+        [("a", T0 + timedelta(minutes=m)) for m in (0, 10, 61, 200)]
+        + [("b", T0 + timedelta(minutes=m)) for m in (5, 66, 126)]
+        + [("zz", T0 + timedelta(days=30))]  # watermark advancer
+    )
+    df = spark.createDataFrame(rows, "ipAddress string, dateLogged timestamp")
+    got = {
+        (r["key"], r["dateLogged"], r["session_seq"])
+        for r in _stream_session_rows(
+            spark, tmp_path, df, stateful_sessionize, "stateful_sess"
+        )
+        if r["key"] != "zz"
+    }
+    batch = sessionize(
+        df.filter(F.col("ipAddress") != "zz"), "ipAddress", "dateLogged"
+    )
+    want = {
+        (r["ipAddress"], r["dateLogged"], r["session_seq"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # gap semantics: a @ (0,10,61,200) -> 61-10=51m stays, 200-61=139m splits
+    a_seqs = sorted(s for k, _, s in got if k == "a")
+    assert a_seqs == [1, 1, 1, 2]
+    # b @ (5,66,126) -> 61m gap splits (strict >60), 60m gap stays
+    b_seqs = sorted(s for k, _, s in got if k == "b")
+    assert b_seqs == [1, 2, 2]
