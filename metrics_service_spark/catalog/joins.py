@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
-from metrics_service_spark.operators.closure import resolve_chains
+from metrics_service_spark.operators.closure import expand_family, resolve_chains
 from metrics_service_spark.sources.tables import load_table
 
 
@@ -197,6 +197,59 @@ def q_user_event_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 getResolvePIDs fixpoint (pid_resolution.py:285-416): BFS
+    closure from seed ids over an undirected edge set.  Edges link each
+    customer's first 10 orders into a chain (both directions, like the
+    reference's resourceMap/documents bidirectional membership); seeds
+    are a deterministic sample."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lim = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_custkey", "rn")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("rn")
+    e1 = lim.select(
+        F.col("o_orderkey").alias("child"),
+        F.lag("o_orderkey").over(w2).alias("parent"),
+    ).filter(F.col("parent").isNotNull())
+    edges = e1.select(F.col("child").alias("src"), F.col("parent").alias("dst")).union(
+        e1.select(F.col("parent").alias("src"), F.col("child").alias("dst"))
+    )
+    seeds = lim.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("pid")
+    )
+    return expand_family(seeds, edges, seed_col="pid", max_iters=12)
+
+
+ORACLE_PID_FAMILY = """
+WITH RECURSIVE o AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), lim AS (
+  SELECT * FROM o WHERE rn <= 10
+), e1 AS (
+  SELECT o_orderkey AS child,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY rn) AS parent
+  FROM lim
+), edges AS (
+  SELECT child AS src, parent AS dst FROM e1 WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT parent AS src, child AS dst FROM e1 WHERE parent IS NOT NULL
+), fam AS (
+  SELECT o_orderkey AS seed, o_orderkey AS member FROM lim
+  WHERE o_orderkey % 97 = 0
+  UNION
+  SELECT f.seed, e.dst AS member FROM fam f JOIN edges e ON f.member = e.src
+)
+SELECT seed, member FROM fam
+"""
+
+
 ORACLE_FAMILY = """
 SELECT user_id,
        list_sort(list_distinct(list(event_type))) AS family,
@@ -227,6 +280,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "except_non_purchasers": QuerySpec(
         q_except_non_purchasers, ORACLE_EXCEPT, "U2 except", ("joins",)
+    ),
+    "pid_family_closure": QuerySpec(
+        q_pid_family_closure, ORACLE_PID_FAMILY, "J1 fixpoint family closure", ("joins",)
     ),
     "user_event_family": QuerySpec(
         q_user_event_family, ORACLE_FAMILY, "U5/ST6 family hash", ("joins",)

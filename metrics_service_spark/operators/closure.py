@@ -101,20 +101,33 @@ def expand_family(
     reference's two nested expansion loops are the same computation done
     one id at a time).
     """
-    family = seeds.select(
-        F.col(seed_col).alias("seed"), F.col(seed_col).alias("member")
-    ).distinct()
-    frontier = family
-    for it in range(max_iters):
+    # BFS by layers.  Each round's frontier is dedup'd against ALL
+    # prior layers with a CHAIN of anti-joins (not one anti-join
+    # against their union: a Union inside a checkpointed/persisted
+    # plan trips Spark 4.1's constraint rewrite, and unioning
+    # self-referencing cached plans nests them exponentially).  Every
+    # layer is checkpointed, so each plan in flight is one join chain
+    # over materialized leaves — O(layers) nodes, O(1) lineage.
+    frontier = (
+        seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("member"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = [frontier]
+    for _ in range(max_iters):
         grown = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.member") == F.col(f"e.{src}"), "inner")
             .select(F.col("f.seed").alias("seed"), F.col(f"e.{dst}").alias("member"))
             .distinct()
         )
-        frontier = grown.join(family, ["seed", "member"], "left_anti")
-        frontier = frontier.localCheckpoint(eager=True)
-        if frontier.rdd.isEmpty():
+        for seen in layers:
+            grown = grown.join(seen, ["seed", "member"], "left_anti")
+        frontier = grown.localCheckpoint(eager=True)
+        if frontier.isEmpty():
             break
-        family = family.unionByName(frontier).localCheckpoint(eager=True)
-    return family
+        layers.append(frontier)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out
