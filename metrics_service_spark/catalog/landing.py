@@ -96,3 +96,60 @@ QUERIES: dict[str, QuerySpec] = {
         ("flagship",),
     ),
 }
+
+
+# --- resultDetails: per-PID package counts with obsolescence rollup ------
+def q_package_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parsePackageCounts analog (metricsreader.py:633-670): per visible
+    pid, unique view/download counts accumulated over its obsolescence
+    ancestry.  The synthetic obsoletes graph links pidN -> pid(N-1)
+    within each block of 10 (chains of length 10, like version chains)."""
+    from metrics_service_spark.plans.metrics_request import package_counts
+
+    ev = counter_filter(eventlog_view(load_table(spark, sf_dir, "events")))
+    suffix = F.substring("pid", 4, 10).cast("int")
+    # the obsoletes dim spans the full version universe, not just pids
+    # with surviving events — the reference's chain walk passes through
+    # versions that have no (post-filter) events, contributing 0
+    max_suffix = ev.agg(F.max(suffix)).first()[0] or 0
+    obsoletes = spark.range(0, max_suffix + 1).select(
+        F.concat(F.lit("pid"), F.col("id").cast("string")).alias("pid"),
+        F.when(
+            F.col("id") % 10 != 0,
+            F.concat(F.lit("pid"), (F.col("id") - 1).cast("string")),
+        ).alias("obsoletes"),
+    )
+    return package_counts(ev, obsoletes)
+
+
+ORACLE_PACKAGE_COUNTS = f"""
+WITH RECURSIVE eventlog AS ({EVENTLOG_SQL}),
+ev AS (SELECT * FROM eventlog WHERE {COUNTER_FILTER_SQL}),
+counts AS (
+  SELECT pid,
+         count(DISTINCT CASE WHEN formatType = 'METADATA' THEN eventId END) AS views,
+         count(DISTINCT CASE WHEN formatType = 'DATA' THEN eventId END) AS downloads
+  FROM ev GROUP BY pid
+),
+pids AS (SELECT DISTINCT pid FROM ev),
+anc AS (
+  SELECT pid AS seed, pid AS member FROM pids
+  UNION
+  SELECT a.seed,
+         'pid' || CAST(CAST(substring(a.member, 4) AS INT) - 1 AS VARCHAR)
+  FROM anc a
+  WHERE CAST(substring(a.member, 4) AS INT) % 10 <> 0
+)
+SELECT seed AS pid,
+       CAST(sum(coalesce(views, 0)) AS BIGINT) AS view_count,
+       CAST(sum(coalesce(downloads, 0)) AS BIGINT) AS download_count
+FROM anc LEFT JOIN counts ON anc.member = counts.pid
+GROUP BY 1
+"""
+
+QUERIES["package_counts"] = QuerySpec(
+    q_package_counts,
+    ORACLE_PACKAGE_COUNTS,
+    "per-PID counts with obsolescence-chain rollup",
+    ("landing",),
+)

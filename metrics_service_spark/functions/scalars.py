@@ -85,6 +85,45 @@ def jwt_payload(token: Column) -> Column:
     return F.decode(F.unbase64(padded), "UTF-8")
 
 
+def parse_doi_node(identifier: Column, node_id: Column) -> Column:
+    """Per-member-node DOI normalization (es_sysmeta_sync.py:403-429
+    `parseDOI`): each repository publishes identifiers in its own
+    format; the result is a canonical 'doi:10....' string or NULL.
+
+    - TDAR: 'doi:10.6067:XCV8..._meta$v=...' -> strip '_meta' suffix,
+      third ':' becomes '/'.
+    - DRYAD: 'http://dx.doi.org/<doi>?ver=...' -> strip query, http
+      prefix becomes 'doi:'.
+    - RW: bare '10.24431/...' -> prefix 'doi:'.
+    - IEDA_MGDL: 'http://doi.org/<doi>' -> prefix swap.
+    - default: pass through identifiers already starting with 'doi:'.
+    """
+    tdar_body = F.substring_index(identifier, "_meta", 1)
+    tdar = F.concat(
+        F.substring_index(tdar_body, ":", 2),
+        F.lit("/"),
+        F.substring_index(tdar_body, ":", -1),
+    )
+    dryad = F.regexp_replace(
+        F.substring_index(identifier, "?", 1), "^http://dx\\.doi\\.org/", "doi:"
+    )
+    ieda = F.regexp_replace(identifier, "^http://doi\\.org/", "doi:")
+    return (
+        F.when(identifier.isNull(), F.lit(None).cast("string"))
+        .when(
+            node_id == "urn:node:TDAR",
+            F.when(identifier.startswith("doi:"), tdar),
+        )
+        .when(node_id == "urn:node:DRYAD", dryad)
+        .when(
+            node_id == "urn:node:RW",
+            F.when(identifier.startswith("10.24431"), F.concat(F.lit("doi:"), identifier)),
+        )
+        .when(node_id == "urn:node:IEDA_MGDL", ieda)
+        .otherwise(F.when(identifier.startswith("doi:"), identifier))
+    )
+
+
 def query_params(url: Column) -> Column:
     """URL query string -> map<string,string> (logstash urldecode+kv,
     search.conf:73-88, F14)."""

@@ -277,3 +277,55 @@ class MetricsRequestPlanner:
             "results": results,
             "resultDetails": details,
         }
+
+
+def package_counts(
+    events: DataFrame,
+    obsoletes: DataFrame,
+    *,
+    pid_col: str = "pid",
+    child_col: str = "pid",
+    parent_col: str = "obsoletes",
+    max_depth: int = 20,
+) -> DataFrame:
+    """Catalog-page resultDetails: per visible PID, unique view/download
+    counts accumulated over its obsolescence ancestry
+    (parsePackageCounts, metricsreader.py:633-670: walk the obsoletes
+    dictionary and add the obsoleted versions' counts to the current
+    version).
+
+    `obsoletes` carries (child, parent) rows — parent is the version the
+    child obsoletes.  Counts for a pid = its own + all transitive
+    ancestors'.  Implements the intended accumulate-both semantics; the
+    reference overwrites downloadCount instead of adding while walking
+    (stale-assignment bug, SURVEY.md §7.4) — documented deviation.
+
+    One aggregation + one bounded closure + one join: the ancestry pairs
+    come from expand_family over the directed parent edges (depth-capped
+    like the reference's max_depth=20 walk).
+    """
+    from metrics_service_spark.operators.closure import expand_family
+
+    counts = events.groupBy(F.col(pid_col).alias("__pid")).agg(
+        F.countDistinct(
+            F.when(F.col("formatType") == "METADATA", F.col("eventId"))
+        ).alias("__views"),
+        F.countDistinct(
+            F.when(F.col("formatType") == "DATA", F.col("eventId"))
+        ).alias("__downloads"),
+    )
+    edges = obsoletes.select(
+        F.col(child_col).alias("src"), F.col(parent_col).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    seeds = events.select(F.col(pid_col).alias("pid")).distinct()
+    ancestry = expand_family(seeds, edges, seed_col="pid", max_iters=max_depth)
+    return (
+        ancestry.join(counts, ancestry.member == counts.__pid, "left")
+        .groupBy(F.col("seed").alias("pid"))
+        .agg(
+            F.sum(F.coalesce("__views", F.lit(0))).cast("long").alias("view_count"),
+            F.sum(F.coalesce("__downloads", F.lit(0)))
+            .cast("long")
+            .alias("download_count"),
+        )
+    )

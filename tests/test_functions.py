@@ -68,3 +68,35 @@ def test_epoch_ms_to_ts(spark):
     df = spark.createDataFrame([(1514764800000,)], "ms long")
     out = df.select(epoch_ms_to_ts(F.col("ms")).alias("ts")).first().ts
     assert out.year == 2018 and out.month == 1 and out.day == 1
+
+
+def test_parse_doi_node_rules(spark):
+    from metrics_service_spark.functions import parse_doi_node
+
+    cases = [
+        # (identifier, nodeId, expected) — examples from
+        # es_sysmeta_sync.py:403-429 comments
+        ("doi:10.6067:XCV8TM78S9_meta$v=1319571080230", "urn:node:TDAR",
+         "doi:10.6067/XCV8TM78S9"),
+        ("http://dx.doi.org/10.5061/dryad.26h4q/15?ver=2017-05-17T11:39",
+         "urn:node:DRYAD", "doi:10.5061/dryad.26h4q/15"),
+        ("10.24431/rw1k13", "urn:node:RW", "doi:10.24431/rw1k13"),
+        ("99.9/not-a-doi", "urn:node:RW", None),
+        ("http://doi.org/10.1594/IEDA/312247", "urn:node:IEDA_MGDL",
+         "doi:10.1594/IEDA/312247"),
+        ("doi:10.5063/F1ABC", "urn:node:KNB", "doi:10.5063/F1ABC"),
+        ("urn:uuid:1234", "urn:node:KNB", None),
+        (None, "urn:node:KNB", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, ident, node) for i, (ident, node, _) in enumerate(cases)],
+        "i int, ident string, node string",
+    )
+    got = {
+        r.i: r.doi
+        for r in df.select(
+            "i", parse_doi_node(F.col("ident"), F.col("node")).alias("doi")
+        ).collect()
+    }
+    for i, (_, _, expect) in enumerate(cases):
+        assert got[i] == expect, (i, got[i], expect)
