@@ -57,6 +57,20 @@ def _parse_request_date(s: str) -> datetime:
     return datetime.strptime(s, "%m/%d/%Y")  # metricsreader.py:278-298
 
 
+def run_metrics_request(
+    spark: SparkSession,
+    request: dict,
+    tables: MetricsTables,
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """The engine's public query API (SURVEY.md S9): MetricsRequest JSON
+    in, result DataFrame out.  The REST layer stays external and calls
+    this; `MetricsRequestPlanner.response` renders the reference's
+    parallel-array JSON shape."""
+    return MetricsRequestPlanner(spark, tables, approx=approx).plan(request)
+
+
 class MetricsRequestPlanner:
     def __init__(self, spark: SparkSession, tables: MetricsTables, *, approx: bool = False):
         self.spark = spark
