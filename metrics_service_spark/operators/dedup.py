@@ -205,7 +205,14 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
     toks = F.split(F.col(text_col), " ")
-    sh = df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+    # the shingle arrays feed BOTH sides of the verify join; materialize
+    # them once (they're re-derived from raw text otherwise — the third
+    # full tokenization pass of the pipeline)
+    sh = (
+        df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
+        .localCheckpoint(eager=True)
+    )
     return (
         cands.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
         .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")

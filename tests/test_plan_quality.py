@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the properties that make these
+queries scale — broadcast joins for small dims, predicate pushdown into
+the parquet scan, column pruning, no cartesian products — asserted on
+the optimized plans so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from metrics_service_spark.catalog import all_queries
+
+CATALOG = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q5_all_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # every dim fits the 64MB threshold
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_scan_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5")
+    # region filter reached the scan; lineitem scan reads only the 4
+    # needed columns
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert (
+        "struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"
+        in plan
+    )
+
+
+def test_landing_page_pushdown_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "landing_page_daily")
+    # the driver's events file stores TIMESTAMP(NANOS) read as int64, so
+    # the range predicate on the derived timestamp can't reach parquet —
+    # it lands in DataFilters (row-level, pre-shuffle); the scale path is
+    # the date-partitioned silver layout (tests/test_layout.py asserts
+    # PartitionFilters there)
+    assert "DataFilters: [isnotnull(ts" in plan
+    # column pruning: props is untouched by this query
+    assert "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string,value:double>" in plan
+    # the day spine joins broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_counter_report_single_scan(spark, sf_dir):
+    # the one-pass rewrite: exactly one parquet scan of events
+    plan = _plan(spark, sf_dir, "counter_report")
+    assert plan.count("Scan parquet") == 1
+    assert "FullOuter" not in plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "emb_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["landing_page_daily", "ev_monthly_stats", "sushi_instances"]
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    assert "CartesianProduct" not in _plan(spark, sf_dir, name)
