@@ -26,6 +26,7 @@ from metrics_service_spark.operators.similarity import (
     brute_force_topk,
     cosine_near_duplicates,
     ivf_topk,
+    kmeans_step,
 )
 from metrics_service_spark.operators.text import (
     LANG_MARKERS,
@@ -58,6 +59,25 @@ ORACLE_TOKEN_STATS = """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+# --- BPE-ish token counting ----------------------------------------------
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+ORACLE_BPE_TOKENS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
 
@@ -265,6 +285,42 @@ WHERE dot_q > 0 AND 25 * dot_q * dot_q >= 4 * na * nb
 """
 
 
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_step(load_table(spark, sf_dir, "embeddings"), n_cells=16)
+
+
+ORACLE_KMEANS_STEP = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), scored AS (
+  SELECT q.vec_id, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT cell, CAST(i AS BIGINT) AS pos,
+       CAST(sum(v[i]) AS BIGINT) AS sum_q,
+       count(*) AS n,
+       round(CAST(sum(v[i]) AS DOUBLE) / count(*), 4) AS mean_q
+FROM assigned, range(1, 65) t(i)
+GROUP BY 1, 2
+"""
+
+
 # --- per-label centroid (vector aggregate) -------------------------------
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -304,6 +360,9 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_exact_dedup": QuerySpec(
         q_doc_exact_dedup, ORACLE_EXACT_DEDUP, "exact dedup hash-groupBy", ("llm",)
     ),
+    "doc_bpe_tokens": QuerySpec(
+        q_doc_bpe_tokens, ORACLE_BPE_TOKENS, "BPE-ish token estimate", ("llm",)
+    ),
     "doc_token_stats": QuerySpec(
         q_doc_token_stats, ORACLE_TOKEN_STATS, "token counting", ("llm",)
     ),
@@ -340,6 +399,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_ann_lsh": QuerySpec(
         q_emb_ann_lsh, None, "LSH-bucketed approximate k-NN", ("llm",)
+    ),
+    "emb_kmeans_step": QuerySpec(
+        q_emb_kmeans_step,
+        ORACLE_KMEANS_STEP,
+        "one exact Lloyd iteration (assign + re-center)",
+        ("llm",),
     ),
     "emb_centroids": QuerySpec(
         q_emb_centroids, ORACLE_CENTROIDS, "per-label centroid", ("llm",)

@@ -283,6 +283,76 @@ def ivf_topk(
     )
 
 
+def kmeans_step(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """One exact Lloyd iteration as DataFrame ops, fully deterministic:
+    seeds are the n_cells vectors with the smallest md5(id) (md5 so the
+    DuckDB oracle can replicate the selection — xxhash64 has no DuckDB
+    equivalent), assignment is argmax INTEGER quantized dot (ties to the
+    lowest cell), and the output is the per-(cell, dimension) quantized
+    sum/count/mean — the new centroid in quantized space.
+
+    The full k-means loop is this step iterated with the previous
+    output as centroids; one step suffices to oracle-check the
+    assignment + vector-mean machinery end-to-end.
+
+    Scale: seeds broadcast; assignment is one corpus scan (map-side
+    argmax over n_cells dots); the re-centering shuffle moves
+    (cell, pos) partial sums — map-side combined, k*dim rows total."""
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(i, list(r["__sv"])) for i, r in enumerate(seeds)],
+        "cell int, cvec array<long>",
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v"))
+        .join(F.broadcast(centroids))
+        .select(
+            "__vid",
+            "__v",
+            "cell",
+            dot_long(F.col("__v"), F.col("cvec")).alias("__dot"),
+        )
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__dot").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("__vid", "__v", "cell")
+    )
+    return (
+        assigned.select("cell", F.posexplode("__v").alias("pos0", "qv"))
+        .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.sum("qv").alias("sum_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cell",
+            F.col("pos").cast("long").alias("pos"),
+            "sum_q",
+            "n",
+            F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+        )
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane weights derived
     from SHA-256 — reproducible across runs/machines with no RNG state."""

@@ -45,6 +45,23 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenization classes (letter runs / single digits /
+#: non-alnum symbols), the GPT-2 pre-tokenizer's shape reduced to
+#: constructs whose semantics are identical in Java regex and RE2/PCRE —
+#: so the same pattern runs in Spark and the DuckDB oracle.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count: number of pre-token pieces (letter
+    runs count 1 each, digits 1 per char, punctuation 1 per symbol) —
+    the standard cheap estimator for LLM-corpus budgeting when the real
+    tokenizer isn't on the executors."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features: token count, mean token length,
     stopword ratio, type-token ratio.  Single-division doubles only
