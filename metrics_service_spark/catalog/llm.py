@@ -20,6 +20,7 @@ from metrics_service_spark.operators.dedup import (
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_duplicates,
 )
 from metrics_service_spark.operators.similarity import (
     ann_topk,
@@ -208,6 +209,48 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-hamming simhash dedup; rows-only (xxhash64 has no DuckDB
+    equivalent) — recall/precision property-tested in
+    tests/test_similarity.py."""
+    return simhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline quality gate: keep the top half of documents by
+    quality score (percent_rank with doc_id tiebreak — deterministic).
+
+    Scale note: exact global percent_rank is a single-partition sort —
+    fine for oracle comparison, wrong at 10^9 docs; the cluster path is
+    `approxQuantile("q", [0.5], eps)` for the cutoff then a plain
+    filter (one scan, no global sort)."""
+    from pyspark.sql import Window
+
+    scored = quality_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumn("q", F.col("stopword_ratio") + F.col("type_token_ratio"))
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select("doc_id")
+    )
+
+
+ORACLE_QUALITY_FILTER = f"""
+WITH q AS ({{quality}})
+SELECT doc_id FROM (
+  SELECT doc_id,
+         percent_rank() OVER (
+             ORDER BY (stopword_ratio + type_token_ratio) DESC, doc_id ASC
+         ) AS pr
+  FROM q
+) WHERE pr <= 0.5
+"""
+
+
 # --- similarity search ---------------------------------------------------
 N_QUERY_VECS = 8
 TOPK = 5
@@ -382,6 +425,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",)
     ),
     "doc_simhash": QuerySpec(q_doc_simhash, None, "64-bit SimHash", ("llm",)),
+    "doc_simhash_neardup": QuerySpec(
+        q_doc_simhash_neardup,
+        None,
+        "banded-hamming SimHash near-dup pairs",
+        ("llm",),
+    ),
+    "doc_quality_filter": QuerySpec(
+        q_doc_quality_filter,
+        ORACLE_QUALITY_FILTER.format(quality=ORACLE_QUALITY),
+        "quality percentile gate (top half)",
+        ("llm",),
+    ),
     "emb_topk_bruteforce": QuerySpec(
         q_emb_topk_bruteforce, ORACLE_TOPK, "brute-force k-NN", ("llm",)
     ),

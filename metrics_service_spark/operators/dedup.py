@@ -252,3 +252,55 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sim = sim + F.shiftleft(bit, b) if b < 63 else sim
     out = sums.withColumn("simhash", sim)
     return out.select(F.col("__id").alias(id_col), "simhash")
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= k.
+
+    Pigeonhole blocking: split the 64-bit hash into `bands` equal
+    slices; any pair within hamming distance < bands must agree on at
+    least one slice, so candidates come from an equi-join on
+    (band, slice) — no all-pairs — and are verified exactly with
+    bit_count(xor).  Standard large-scale simhash dedup
+    (bands > max_hamming guarantees full recall).
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for full recall")
+    width = 64 // bands
+    sigs = simhash(df, id_col, text_col)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("slice"),
+            )
+            for b in range(bands)
+        ]
+    )
+    melted = sigs.select(
+        F.col(id_col).alias("__id"), F.col("simhash"), F.explode(slices).alias("__s")
+    ).select("__id", "simhash", F.col("__s.band").alias("__band"), F.col("__s.slice").alias("__slice"))
+    a = melted.select(
+        F.col("__id").alias("id_a"), F.col("simhash").alias("__ha"), "__band", "__slice"
+    )
+    b = melted.select(
+        F.col("__id").alias("id_b"), F.col("simhash").alias("__hb"), "__band", "__slice"
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(b, ["__band", "__slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

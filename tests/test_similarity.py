@@ -143,3 +143,29 @@ def test_minhash_candidates_verified_by_jaccard(spark):
     exact_pairs = {(r.id_a, r.id_b) for r in exact.select("id_a", "id_b").collect()}
     # every LSH-confirmed pair passes the exact-Jaccard bar too
     assert got <= exact_pairs
+
+
+def test_simhash_neardup_finds_near_identical(spark):
+    from metrics_service_spark.operators.dedup import simhash_near_duplicates
+
+    base = ("spark engines shuffle data across executors for wide "
+            "aggregations and joins while narrow maps pipeline ") * 4
+    docs = [
+        (1, base),
+        (2, base + "tiny tail"),  # near-identical -> small hamming
+        (3, "entirely unrelated corpus about marine biology and plankton "
+            "blooms in the north atlantic " * 4),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(
+            df, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    # hamming is symmetric-exact: identical docs -> 0
+    df2 = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
+    identical = simhash_near_duplicates(df2, "doc_id", "text").collect()
+    assert identical[0].hamming == 0
