@@ -250,6 +250,48 @@ SELECT seed, member FROM fam
 """
 
 
+def q_order_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seedless connected components over the per-customer order chains
+    (the full-corpus family-resolution scale path; SCALE.md).  Component
+    id = min order key in the chain."""
+    from metrics_service_spark.operators.closure import connected_components
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lim = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_custkey", "rn")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("rn")
+    edges = lim.select(
+        F.col("o_orderkey").alias("src"),
+        F.lag("o_orderkey").over(w2).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return connected_components(edges, max_iters=12)
+
+
+# the chains are paths within one customer, so each component's min id
+# is just the min order key of the customer's (first 10) orders;
+# single-order customers have no edges and are not graph nodes
+ORACLE_COMPONENTS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), lim AS (
+  SELECT * FROM o WHERE rn <= 10
+), c AS (
+  SELECT o_custkey, count(*) AS n, min(o_orderkey) AS mn
+  FROM lim GROUP BY 1
+)
+SELECT l.o_orderkey AS node, c.mn AS component
+FROM lim l JOIN c ON l.o_custkey = c.o_custkey
+WHERE c.n >= 2
+"""
+
+
 ORACLE_FAMILY = """
 SELECT user_id,
        list_sort(list_distinct(list(event_type))) AS family,
@@ -283,6 +325,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pid_family_closure": QuerySpec(
         q_pid_family_closure, ORACLE_PID_FAMILY, "J1 fixpoint family closure", ("joins",)
+    ),
+    "order_components": QuerySpec(
+        q_order_components,
+        ORACLE_COMPONENTS,
+        "seedless connected components (min-label propagation)",
+        ("joins",),
     ),
     "user_event_family": QuerySpec(
         q_user_event_family, ORACLE_FAMILY, "U5/ST6 family hash", ("joins",)

@@ -131,3 +131,61 @@ def expand_family(
     for layer in layers[1:]:
         out = out.unionByName(layer)
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node
+    repeatedly adopts the smallest component id among itself and its
+    neighbors, to fixpoint.  Returns (node, component) with component =
+    min node id in the component.
+
+    This is the seedless scale path for FULL-corpus identifier-family
+    resolution (10^8 edges) where per-seed BFS (expand_family) would be
+    quadratic.  Rounds ~ graph diameter; the large-star/small-star
+    variant (log n rounds) is the upgrade when diameters are large —
+    for identifier families (version chains + resource maps) diameters
+    are tens at most.
+
+    Each round: one shuffle join (labels x edges) + one min-aggregate;
+    state is checkpointed per round (O(1) lineage); termination checks
+    piggyback on the aggregate's count.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
+        eager=True
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), F.col("component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
