@@ -159,3 +159,74 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q3": QuerySpec(q_tpch_q3, ORACLE_Q3, "top-10 multi-join", ("tpch",)),
     "tpch_q5": QuerySpec(q_tpch_q5, ORACLE_Q5, "6-table snowflake join", ("tpch",)),
 }
+
+
+# --- q6: forecast revenue change (pure scan, tight filter) ---------------
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (_dec("l_discount").between(
+                F.lit("0.05").cast("decimal(18,2)"), F.lit("0.07").cast("decimal(18,2)")
+            ))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2))
+      BETWEEN CAST('0.05' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+# --- q12: shipping modes / priority classes (join + conditional agg) -----
+# driver schema has no l_shipmode; class on o_orderpriority instead,
+# bucketing lineitems by ship year — same join + CASE-sum shape as q12
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy").alias("ship_year"))
+        .agg(
+            F.count(F.when(is_high, 1)).alias("high_line_count"),
+            F.count(F.when(~is_high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT strftime(l_shipdate, '%Y') AS ship_year,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+QUERIES["tpch_q6"] = QuerySpec(q_tpch_q6, ORACLE_Q6, "pure-scan filter agg", ("tpch",))
+QUERIES["tpch_q12"] = QuerySpec(
+    q_tpch_q12, ORACLE_Q12, "join + conditional agg", ("tpch",)
+)
