@@ -268,3 +268,52 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     # b @ (5,66,126) -> 61m gap splits (strict >60), 60m gap stays
     b_seqs = sorted(s for k, _, s in got if k == "b")
     assert b_seqs == [1, 2, 2]
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """State continuity: a session open at the end of run 1 extends in
+    run 2 from the checkpointed (last_ts, seq) state — the property the
+    reference's live-session dict loses on process restart."""
+    from metrics_service_spark.streaming.stateful import stateful_sessionize
+
+    src = tmp_path / "restart-src"
+    src.mkdir()
+    out = tmp_path / "restart-out"
+    schema = "ipAddress string, dateLogged timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "ipAddress string, dateLogged timestamp"
+        ).json(str(src))
+        q = (
+            stateful_sessionize(stream, watermark="365 days")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "restart-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two events 10 minutes apart -> one open session
+    spark.createDataFrame(
+        [("a", T0), ("a", T0 + timedelta(minutes=10))], schema
+    ).coalesce(1).write.mode("append").json(str(src))
+    run_once()
+    # run 2 (fresh query, same checkpoint): +30 min extends session 1;
+    # +500 min starts session 2
+    spark.createDataFrame(
+        [
+            ("a", T0 + timedelta(minutes=40)),
+            ("a", T0 + timedelta(minutes=540)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").json(str(src))
+    run_once()
+
+    rows = sorted(
+        (r["dateLogged"], r["session_seq"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert [s for _, s in rows] == [1, 1, 1, 2]
