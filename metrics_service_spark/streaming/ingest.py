@@ -144,6 +144,7 @@ def run_ingest(
     ip_ranges: DataFrame | None = None,
     quarantine_dir: str | None = None,
     available_now: bool = True,
+    trigger_interval: str | None = None,
 ):
     """The end-to-end ingest query (ST1+ST8): landing NDJSON ->
     quarantine split -> enrichment -> date-partitioned parquet.
@@ -152,7 +153,10 @@ def run_ingest(
     micro-batch — the streaming analog of the reference routing parse
     failures to sessionId=-1 (metricselasticsearch.py:964-978).
     With `available_now` the query drains the backlog and stops
-    (Trigger.AvailableNow — the incremental-job mode, ST5).
+    (Trigger.AvailableNow — the incremental-job mode, ST5); pass
+    `trigger_interval="10 minutes"` instead for the reference's
+    continuous portal-sync cadence (BATCH_TDELTA_PERIOD,
+    es_eventlog_sync.py:53).
     """
     raw = read_event_stream(spark, landing_dir)
 
@@ -177,6 +181,8 @@ def run_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
-    if available_now:
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
