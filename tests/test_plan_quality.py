@@ -13,6 +13,10 @@ CATALOG = all_queries()
 
 
 def _plan(spark, sf_dir, name: str) -> str:
+    # cached relations from other tests would substitute into matching
+    # subtrees and (correctly) bypass scan pruning — these tests assert
+    # the UNCACHED plan shape
+    spark.catalog.clearCache()
     df = CATALOG[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
