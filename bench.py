@@ -26,14 +26,21 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
     "landing_page_daily",
     "ev_sessionize",
     "counter_report",
+    "sushi_instances",
     "ev_monthly_stats",
+    "matview_landingpage",
     "order_chains",
+    "pid_family_closure",
     "doc_exact_dedup",
     "doc_minhash_dedup",
+    "doc_bpe_tokens",
     "emb_topk_bruteforce",
+    "emb_cosine_neardup",
+    "mm_image_meta",
 ]
 
 

@@ -299,7 +299,11 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact integer decision — the
     oracle replays the identical quantized arithmetic in DuckDB."""
-    return cosine_near_duplicates(
+    from metrics_service_spark.operators.similarity import (
+        cosine_near_duplicates_np,
+    )
+
+    return cosine_near_duplicates_np(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4, quant=1000
     )
 

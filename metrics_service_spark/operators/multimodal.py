@@ -59,14 +59,23 @@ def attach_payload(
 ) -> DataFrame:
     """Test scaffolding: derive an opaque binary payload from a text
     column (real pipelines read binary parquet directly).  The payload
-    is treated as opaque bytes from here on."""
-    return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        F.struct(
-            F.lit(media_type).alias("format"),
-            F.length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
-        ).alias("media_meta"),
+    is treated as opaque bytes from here on.
+
+    Repartitions by media id so the downstream mapInPandas decode runs
+    across all executors — a single-file input would otherwise put the
+    whole (CPU-bound) decode on one task."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.encode(F.col(text_col), "UTF-8").alias("payload"),
+            F.struct(
+                F.lit(media_type).alias("format"),
+                F.length(F.encode(F.col(text_col), "UTF-8"))
+                .cast("long")
+                .alias("n_bytes"),
+            ).alias("media_meta"),
+        )
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "media_id")
     )
 
 
