@@ -221,7 +221,7 @@ def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = lim.filter(F.col("o_orderkey") % 97 == 0).select(
         F.col("o_orderkey").alias("pid")
     )
-    return expand_family(seeds, edges, seed_col="pid", max_iters=12)
+    return expand_family(seeds, edges, seed_col="pid", max_iters=12, undirected=True)
 
 
 ORACLE_PID_FAMILY = """

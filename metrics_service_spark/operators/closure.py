@@ -91,15 +91,24 @@ def expand_family(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 20,
+    undirected: bool = False,
 ) -> DataFrame:
-    """Transitive closure from seed ids over an undirected-ish edge set
-    (J1 `getResolvePIDs` fixpoint: resourceMap/documents/seriesId
+    """Transitive closure from seed ids over an edge set (J1
+    `getResolvePIDs` fixpoint: resourceMap/documents/seriesId
     expansion).  Returns (seed, member) pairs including (seed, seed).
 
     Each round joins the new frontier to the edge list and unions in
     unseen members; terminates at fixpoint or after max_iters (the
     reference's two nested expansion loops are the same computation done
     one id at a time).
+
+    `undirected=True` (edges symmetric, as in identifier families)
+    enables the BFS-distance optimization: a neighbor of a
+    distance-k node is at distance k-1, k, or k+1, so deduping the new
+    frontier against only the LAST TWO layers is exhaustive — per-round
+    join count stays constant instead of growing with depth.  Directed
+    graphs (back edges can reach any earlier layer) keep the full
+    chain.
     """
     # BFS by layers.  Each round's frontier is dedup'd against ALL
     # prior layers with a CHAIN of anti-joins (not one anti-join
@@ -108,6 +117,14 @@ def expand_family(
     # self-referencing cached plans nests them exponentially).  Every
     # layer is checkpointed, so each plan in flight is one join chain
     # over materialized leaves — O(layers) nodes, O(1) lineage.
+    # materialize the edge list once: every round re-reads it, and the
+    # materialized size gives the planner real statistics so the
+    # per-round frontier⋈edges join can broadcast the smaller side
+    # instead of planning a blind sort-merge (at 10^9-edge scale the
+    # checkpoint amortizes over max_iters reads of the same relation)
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=True)
     frontier = (
         seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("member"))
         .distinct()
@@ -121,7 +138,8 @@ def expand_family(
             .select(F.col("f.seed").alias("seed"), F.col(f"e.{dst}").alias("member"))
             .distinct()
         )
-        for seen in layers:
+        dedup_targets = layers[-2:] if undirected else layers
+        for seen in dedup_targets:
             grown = grown.join(seen, ["seed", "member"], "left_anti")
         frontier = grown.localCheckpoint(eager=True)
         if frontier.isEmpty():

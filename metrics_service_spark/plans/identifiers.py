@@ -64,7 +64,8 @@ def build_identifiers(sysmeta: DataFrame, *, max_iters: int = 20) -> DataFrame:
     datasetDOIFamily)."""
     edges = sysmeta_edges(sysmeta)
     seeds = sysmeta.select(F.col("pid")).distinct()
-    fam = expand_family(seeds, edges, seed_col="pid", max_iters=max_iters)
+    # sysmeta_edges emits symmetric edges -> two-layer dedup applies
+    fam = expand_family(seeds, edges, seed_col="pid", max_iters=max_iters, undirected=True)
     families = fam.groupBy(F.col("seed").alias("__pid")).agg(
         F.array_sort(F.collect_set("member")).alias("datasetIdentifierFamily")
     )
