@@ -42,24 +42,29 @@ def sushi_instances(events: DataFrame, *, session_col: str = "sessionId") -> Dat
     ev = events.filter(F.col("formatType").isin("METADATA", "DATA")).withColumn(
         "__country", F.lower(F.coalesce(F.col("country"), F.lit("n/a")))
     )
-    # one scan, one aggregation: DATA is a subset of the investigations
-    # filter, so the requests side is a conditional agg, not a second
-    # scan + outer join
+    # cascade of map-side-combinable aggregations instead of
+    # multi-distinct (which Catalyst plans as an Expand that triples the
+    # shuffle volume): each level collapses the data before the next,
+    # and every distinct-count becomes a plain count over the coarser
+    # grain.  DATA is a subset of the investigations filter, so the
+    # requests side is a conditional agg, never a second scan.
+    g1 = ev.groupBy("pid", "__country", session_col, "formatType").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    g2 = g1.groupBy("pid", "__country", session_col).agg(
+        F.sum("__n").alias("__n_all"),
+        F.sum(F.when(F.col("formatType") == "DATA", F.col("__n"))).alias("__n_data"),
+        F.count(F.lit(1)).alias("__n_formats"),  # distinct (session, format)
+    )
     return (
-        ev.groupBy("pid", "__country")
+        g2.groupBy("pid", "__country")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("total_investigations"),
-            F.countDistinct(
-                F.concat_ws("|", F.col(session_col), F.col("formatType"))
-            )
-            .cast("long")
-            .alias("unique_investigations"),
-            F.count(F.when(F.col("formatType") == "DATA", 1))
+            F.sum("__n_all").cast("long").alias("total_investigations"),
+            F.sum("__n_formats").cast("long").alias("unique_investigations"),
+            F.coalesce(F.sum("__n_data"), F.lit(0))
             .cast("long")
             .alias("total_requests"),
-            F.countDistinct(
-                F.when(F.col("formatType") == "DATA", F.col(session_col))
-            )
+            F.count(F.when(F.col("__n_data") > 0, 1))
             .cast("long")
             .alias("unique_requests"),
         )
