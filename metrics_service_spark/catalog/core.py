@@ -346,6 +346,22 @@ GROUP BY 1
 """
 
 
+# --- A2: approx unique counts (the reference's ES cardinality/HLL path) --
+def q_ev_monthly_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly unique users via approx_count_distinct — the HLL family
+    the reference's `cardinality` agg uses for every "unique" metric
+    (metricsreader.py:196-203).  No oracle: HLL estimates differ across
+    engines by design; the exact twin (`ev_monthly_stats`) is the
+    oracle-checked variant, and the test bound lives in
+    tests/test_catalog_oracle.py (rows-only) + the relative-error check
+    here via the exact query."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
 # --- J5/U5/F18: array-membership join (citation_metadata node_id ANY) ----
 def q_ev_tag_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's `'x' = ANY(array_col)` membership queries
@@ -413,6 +429,12 @@ FROM inv FULL JOIN req USING (pid, country)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "ev_monthly_stats_approx": QuerySpec(
+        q_ev_monthly_stats_approx,
+        None,
+        "A2 approx (HLL) unique counts, flagged variant",
+        ("core",),
+    ),
     "ev_tag_membership": QuerySpec(
         q_ev_tag_membership,
         ORACLE_EV_TAG_MEMBERSHIP,

@@ -28,3 +28,26 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = CATALOG[name].fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_approx_unique_within_error_of_exact(spark, sf_dir):
+    """The flagged HLL variant stays within its configured relative
+    error of the exact distinct count (A2)."""
+    from metrics_service_spark.catalog import all_queries
+    from pyspark.sql import functions as F
+    from metrics_service_spark.sources.tables import load_table
+
+    approx = {
+        r["month"]: r["approx_users"]
+        for r in all_queries()["ev_monthly_stats_approx"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["month"]: r["exact_users"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for m, e in exact.items():
+        assert abs(approx[m] - e) <= max(3, 0.1 * e), (m, approx[m], e)
