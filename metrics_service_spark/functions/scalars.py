@@ -68,6 +68,56 @@ def geohash_prefix(col: Column, n: int) -> Column:
     return F.substring(col, 1, n)
 
 
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 9) -> Column:
+    """Full geohash encode from lat/lon as PURE column expressions
+    (F21: the reference stores precomputed geohash_1..9 prefixes,
+    example_events.js:19-25; encoding usually reaches for a UDF — here
+    the bit interleave is unrolled into shift/mask arithmetic, staying
+    inside whole-stage codegen).
+
+    Standard algorithm: quantize lon to ceil(5p/2) bits and lat to
+    floor(5p/2) bits of their ranges, interleave starting with lon,
+    emit 5-bit groups through the base32 alphabet."""
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lon_q = F.floor((lon.cast("double") + 180.0) / 360.0 * (1 << lon_bits)).cast(
+        "long"
+    )
+    lat_q = F.floor((lat.cast("double") + 90.0) / 180.0 * (1 << lat_bits)).cast(
+        "long"
+    )
+    # clamp the right-edge case (lat=90/lon=180 quantize to 2^bits)
+    lon_q = F.least(lon_q, F.lit((1 << lon_bits) - 1))
+    lat_q = F.least(lat_q, F.lit((1 << lat_bits) - 1))
+    combined = F.lit(0).cast("long")
+    # bit position i (0 = most significant of the interleave): even
+    # positions take longitude bits, odd take latitude
+    for i in range(total_bits):
+        if i % 2 == 0:
+            src_bit = lon_bits - 1 - (i // 2)
+            bit = F.shiftright(lon_q, src_bit).bitwiseAND(F.lit(1))
+        else:
+            src_bit = lat_bits - 1 - (i // 2)
+            bit = F.shiftright(lat_q, src_bit).bitwiseAND(F.lit(1))
+        combined = combined + F.shiftleft(bit, total_bits - 1 - i)
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_BASE32),
+            (
+                F.shiftright(combined, 5 * (precision - 1 - k)).bitwiseAND(F.lit(31))
+                + 1
+            ).cast("int"),
+            1,
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)
+
+
 def null_country_patch(col: Column) -> Column:
     """Bucket key country None/'null' -> 'US'
     (metricsreader.py:1684-1686, P12)."""

@@ -100,3 +100,64 @@ def test_parse_doi_node_rules(spark):
     }
     for i, (_, _, expect) in enumerate(cases):
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_geohash_encode_known_vectors(spark):
+    from metrics_service_spark.functions import geohash_encode, geohash_prefix
+
+    cases = [
+        # classic test vector from the original geohash description
+        (57.64911, 10.40744, "u4pruydqq"),
+        (0.0, 0.0, "s00000000"),
+        (90.0, 180.0, "zzzzzzzzz"),   # right edge clamps
+        (-90.0, -180.0, "000000000"),
+        (37.7749, -122.4194, None),   # San Francisco: checked vs pygeohash-style impl below
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo, _) in enumerate(cases)],
+        "i int, lat double, lon double",
+    )
+    out = df.select(
+        "i", geohash_encode(F.col("lat"), F.col("lon"), 9).alias("gh")
+    )
+    got = {r.i: r.gh for r in out.collect()}
+    for i, (la, lo, expect) in enumerate(cases):
+        if expect is not None:
+            assert got[i] == expect, (la, lo, got[i], expect)
+
+    # cross-check every case against a pure-python reference encoder
+    def py_geohash(lat, lon, precision=9):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, even, ch, out = 0, True, 0, []
+        while len(out) < precision:
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lon_lo = mid
+                else:
+                    ch = ch * 2
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lat_lo = mid
+                else:
+                    ch = ch * 2
+                    lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(b32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    for i, (la, lo, _) in enumerate(cases):
+        assert got[i] == py_geohash(la, lo), (la, lo)
+
+    # geohash4 column = prefix truncation of the full encode (F21)
+    out4 = df.select("i", geohash_prefix(geohash_encode(F.col("lat"), F.col("lon"), 9), 4).alias("g4")).collect()
+    for r in out4:
+        assert r.g4 == got[r.i][:4]
