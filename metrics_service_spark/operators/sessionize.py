@@ -104,3 +104,89 @@ def hash_session_id(ip: Column, user_agent: Column, ts: Column) -> Column:
         F.lit("|"),
         F.date_format(ts, "yyyyMMddHH"),
     )
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    *,
+    gap_minutes: int = 60,
+    bucket_days: int = 7,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Skew-safe sessionization: identical output to `sessionize`, but
+    the per-key window sort runs within (key, time-bucket) partitions so
+    one pathological key (a NAT gateway with 10^8 events) splits across
+    tasks instead of sorting in a single one.
+
+    Mechanics: sessionize within each bucket, then stitch the bucket
+    boundaries — the first session of bucket b merges with the last
+    session of bucket b-1 when the boundary gap is within the TTL, and
+    global sequence numbers are rebuilt from cumulative per-bucket
+    session counts minus cumulative merges.  Correctness requires
+    bucket length >= gap (an empty intermediate bucket then implies a
+    gap larger than the TTL, so no merge can skip a bucket); enforced.
+
+    The only per-key-global operation left is a window over the BUCKET
+    SUMMARY rows (a handful per key), not the events.
+    """
+    if bucket_days * 24 * 60 < gap_minutes:
+        raise ValueError("bucket must be at least as long as the session gap")
+    bucket = F.window(F.col(ts), f"{bucket_days} days").start.alias("__bucket")
+    ev = df.withColumn("__bucket", bucket)
+
+    order_cols = [F.col(ts)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(key, "__bucket").orderBy(*order_cols)
+    prev_ts = F.lag(F.col(ts)).over(w)
+    is_new = prev_ts.isNull() | (
+        F.col(ts) > prev_ts + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    )
+    running = Window.partitionBy(key, "__bucket").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ev.withColumn("__local_seq", F.sum(is_new.cast("long")).over(running))
+
+    # bucket summaries: tiny (one row per key x active bucket)
+    summary = local.groupBy(key, "__bucket").agg(
+        F.max("__local_seq").alias("__n_sessions"),
+        F.min(ts).alias("__first_ts"),
+        F.max(ts).alias("__last_ts"),
+    )
+    wb = Window.partitionBy(key).orderBy("__bucket")
+    prev_last = F.lag("__last_ts").over(wb)
+    merged = summary.withColumn(
+        "__merge",
+        (
+            prev_last.isNotNull()
+            & (
+                F.col("__first_ts")
+                <= prev_last + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+            )
+        ).cast("long"),
+    )
+    stitched = merged.select(
+        key,
+        "__bucket",
+        (
+            F.coalesce(
+                F.sum("__n_sessions").over(
+                    Window.partitionBy(key)
+                    .orderBy("__bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum("__merge").over(
+                Window.partitionBy(key)
+                .orderBy("__bucket")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("__offset"),
+    )
+    return (
+        local.join(stitched, [key, "__bucket"])
+        .withColumn(out_col, F.col("__offset") + F.col("__local_seq"))
+        .drop("__bucket", "__local_seq", "__offset")
+    )

@@ -76,3 +76,49 @@ def test_shuffle_invariance(spark, seed):
         ).collect()
     }
     assert s1 == s2
+
+
+@pytest.mark.parametrize("seed", [2, 11, 31])
+def test_bucketed_equals_plain(spark, seed):
+    """sessionize_bucketed must produce exactly the same (key, event) ->
+    session assignment as the single-partition-per-key sessionize,
+    including sessions that straddle bucket boundaries."""
+    from metrics_service_spark.operators.sessionize import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for k in range(4):
+        t = BASE
+        for _ in range(200):
+            # long strides force many bucket crossings incl. boundary
+            # gaps both under and over the TTL
+            t = t + timedelta(minutes=rng.choice([1, 30, 59, 61, 60 * 24, 60 * 24 * 6]))
+            rows.append((eid, f"ip{k}", t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ip string, ts timestamp")
+    plain = {
+        (r.ip, r.event_id): r.session_seq
+        for r in sessionize(
+            df, "ip", "ts", gap_minutes=60, order_tiebreak=["event_id"]
+        ).collect()
+    }
+    bucketed = {
+        (r.ip, r.event_id): r.session_seq
+        for r in sessionize_bucketed(
+            df, "ip", "ts", gap_minutes=60, bucket_days=7,
+            order_tiebreak=["event_id"],
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_bucketed_rejects_short_buckets(spark):
+    from metrics_service_spark.operators.sessionize import sessionize_bucketed
+
+    df = spark.createDataFrame([(1, "a", BASE)], "event_id long, ip string, ts timestamp")
+    with pytest.raises(ValueError):
+        sessionize_bucketed(df, "ip", "ts", gap_minutes=60 * 24 * 40, bucket_days=1)
