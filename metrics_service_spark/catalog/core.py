@@ -346,6 +346,33 @@ GROUP BY 1
 """
 
 
+# --- F13/F19: JSON blob -> map analytics (props / queryParts shape) ------
+def q_ev_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logstash kv/queryParts pattern (search.conf:73-88) and the
+    reference's JSON blob columns (citations.report/metadata): parse the
+    props JSON into a map, explode, aggregate per key."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json(F.col("props"), "map<string,string>")
+        ).alias("k", "v")
+    )
+    return kv.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("v").alias("n_distinct_values"),
+    )
+
+
+ORACLE_EV_PROPS_KV = """
+SELECT k,
+       count(*) AS n,
+       CAST(count(DISTINCT json_extract_string(props, '$.' || k))
+            AS BIGINT) AS n_distinct_values
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+GROUP BY 1
+"""
+
+
 # --- A2: approx unique counts (the reference's ES cardinality/HLL path) --
 def q_ev_monthly_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly unique users via approx_count_distinct — the HLL family
@@ -429,6 +456,12 @@ FROM inv FULL JOIN req USING (pid, country)
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "ev_props_kv": QuerySpec(
+        q_ev_props_kv,
+        ORACLE_EV_PROPS_KV,
+        "F13/F19 JSON blob -> map explode analytics",
+        ("core",),
+    ),
     "ev_monthly_stats_approx": QuerySpec(
         q_ev_monthly_stats_approx,
         None,
