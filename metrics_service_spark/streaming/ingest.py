@@ -53,11 +53,39 @@ RAW_EVENT_SCHEMA = T.StructType(
     ]
 )
 
-#: Robot user-agent alternation (stand-in for the 1000+-pattern
-#: counter_ua.yml/machine_ua.yml dictionaries, SURVEY.md F7 — at scale
-#: the full dictionary compiles to one rlike alternation exactly like
-#: this, evaluated JVM-side).
+#: Robot user-agent alternation (default stand-in; production loads the
+#: full COUNTER dictionaries via `load_ua_dictionary` +
+#: `compile_ua_pattern` below, SURVEY.md F7).
 ROBOT_UA_PATTERN = r"(?i)(bot|crawler|spider|curl|wget|scrapy|httpclient)"
+
+
+def load_ua_dictionary(path: str) -> dict[str, str]:
+    """Parse a logstash translate dictionary (counter_ua.yml /
+    machine_ua.yml shape: one `"regex": tag` mapping per line,
+    search.conf:306-327).  Returns {regex: tag}.  A plain line parser,
+    not a YAML library — the files are flat string:string maps and the
+    regex keys contain characters YAML loaders mangle."""
+    out: dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or ":" not in line:
+                continue
+            key, _, val = line.rpartition(":")
+            key = key.strip().strip('"')
+            val = val.strip().strip('"')
+            if key:
+                # yml escaping doubles backslashes; undo for Java regex
+                out[key.replace("\\\\", "\\")] = val
+    return out
+
+
+def compile_ua_pattern(patterns: list[str]) -> str:
+    """OR the dictionary's regex keys into ONE case-insensitive
+    alternation evaluated JVM-side by a single rlike — the scale answer
+    to logstash checking 1000+ patterns per event (each pattern keeps
+    its own group so anchors bind correctly)."""
+    return "(?i)(" + "|".join(f"(?:{p})" for p in patterns) + ")"
 
 
 def read_event_stream(

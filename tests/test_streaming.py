@@ -317,3 +317,51 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert [s for _, s in rows] == [1, 1, 1, 2]
+
+
+def test_ua_dictionary_loader(spark, tmp_path):
+    """F7: the logstash translate dictionaries compile to one rlike
+    alternation; anchors and escapes survive the round trip."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.streaming.ingest import (
+        compile_ua_pattern,
+        load_ua_dictionary,
+    )
+
+    yml = tmp_path / "ua.yml"
+    yml.write_text(
+        '"bot": counterUA\n'
+        '"^ruby$": counterUA\n'
+        '"^voyager\\\\/": counterUA\n'
+        '"[^a]fish": counterUA\n'
+    )
+    d = load_ua_dictionary(str(yml))
+    assert d == {
+        "bot": "counterUA",
+        "^ruby$": "counterUA",
+        "^voyager\\/": "counterUA",
+        "[^a]fish": "counterUA",
+    }
+    pat = compile_ua_pattern(list(d))
+    df = spark.createDataFrame(
+        [
+            ("GoogleBot/2.1", True),       # substring 'bot' (case-insensitive)
+            ("ruby", True),                # anchored exact
+            ("ruby/1.9", False),           # anchor must NOT match prefix
+            ("voyager/2", True),
+            ("catfish", False),            # [^a]fish: 'tfish' matches? t != a -> True
+            ("Mozilla/5.0", False),
+        ],
+        "ua string, _ignore boolean",
+    )
+    got = {
+        r.ua: r.hit
+        for r in df.select("ua", F.col("ua").rlike(pat).alias("hit")).collect()
+    }
+    assert got["GoogleBot/2.1"] is True
+    assert got["ruby"] is True
+    assert got["ruby/1.9"] is False
+    assert got["voyager/2"] is True
+    assert got["catfish"] is True  # 'tfish' satisfies [^a]fish
+    assert got["Mozilla/5.0"] is False
