@@ -230,3 +230,49 @@ QUERIES["tpch_q6"] = QuerySpec(q_tpch_q6, ORACLE_Q6, "pure-scan filter agg", ("t
 QUERIES["tpch_q12"] = QuerySpec(
     q_tpch_q12, ORACLE_Q12, "join + conditional agg", ("tpch",)
 )
+
+
+# --- q14: promo revenue share (join + conditional decimal ratio) ---------
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(100.0 *
+         CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+       4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+QUERIES["tpch_q14"] = QuerySpec(
+    q_tpch_q14, ORACLE_Q14, "promo revenue ratio (lineitem x part)", ("tpch",)
+)
