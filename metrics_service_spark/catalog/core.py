@@ -126,6 +126,27 @@ def q_ev_session_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sessions(spark, sf_dir, 3)
 
 
+def q_ev_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe bucketed sessionizer, held to the SAME oracle as
+    the plain one — the output contract is bit-identical (the stitch
+    logic is the thing under test)."""
+    from metrics_service_spark.operators.sessionize import sessionize_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_bucketed(
+        ev, "user_id", "ts", gap_minutes=60, bucket_days=7,
+        order_tiebreak=["event_id"],
+    )
+    bounds = session_bounds(sess, "user_id", "ts", min_events=1)
+    return bounds.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def _oracle_sessions(having: str) -> str:
     return f"""
 WITH flagged AS (
@@ -493,6 +514,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_session_having,
         _oracle_sessions("HAVING count(*) >= 3"),
         "A6 session bounds + HAVING",
+        ("core",),
+    ),
+    "ev_sessionize_bucketed": QuerySpec(
+        q_ev_sessionize_bucketed,
+        _oracle_sessions(""),
+        "W2 skew-safe bucketed sessionization (same oracle as plain)",
         ("core",),
     ),
     "ev_last_per_user": QuerySpec(
