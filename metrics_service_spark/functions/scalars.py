@@ -68,6 +68,39 @@ def geohash_prefix(col: Column, n: int) -> Column:
     return F.substring(col, 1, n)
 
 
+def parse_relative_date(s: str, *, now=None):
+    """Driver-side relative-date parsing (F11): the reference's CLI
+    accepts '7 days ago' / '3 hours ago' / ISO dates via the dateparser
+    package (common.py:12-32, manage_es.py:59-68).  Supported here with
+    stdlib only: '<n> <unit> ago' (seconds/minutes/hours/days/weeks),
+    'today', 'yesterday', and ISO-8601 strings."""
+    from datetime import datetime, timedelta
+
+    now = now or datetime.utcnow()
+    text = s.strip().lower()
+    if text == "today":
+        return now.replace(hour=0, minute=0, second=0, microsecond=0)
+    if text == "yesterday":
+        return now.replace(hour=0, minute=0, second=0, microsecond=0) - timedelta(
+            days=1
+        )
+    parts = text.split()
+    if len(parts) == 3 and parts[2] == "ago":
+        n = float(parts[0])
+        unit = parts[1].rstrip("s")
+        seconds = {
+            "second": 1,
+            "minute": 60,
+            "hour": 3600,
+            "day": 86400,
+            "week": 604800,
+        }.get(unit)
+        if seconds is None:
+            raise ValueError(f"unsupported unit in {s!r}")
+        return now - timedelta(seconds=n * seconds)
+    return datetime.fromisoformat(s.strip())
+
+
 GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -161,3 +161,34 @@ def test_geohash_encode_known_vectors(spark):
     out4 = df.select("i", geohash_prefix(geohash_encode(F.col("lat"), F.col("lon"), 9), 4).alias("g4")).collect()
     for r in out4:
         assert r.g4 == got[r.i][:4]
+
+
+def test_parse_relative_date():
+    from datetime import datetime
+
+    from metrics_service_spark.functions import parse_relative_date
+
+    now = datetime(2026, 8, 13, 12, 30, 0)
+    assert parse_relative_date("7 days ago", now=now) == datetime(2026, 8, 6, 12, 30)
+    assert parse_relative_date("3 hours ago", now=now) == datetime(2026, 8, 13, 9, 30)
+    assert parse_relative_date("1 week ago", now=now) == datetime(2026, 8, 6, 12, 30)
+    assert parse_relative_date("today", now=now) == datetime(2026, 8, 13)
+    assert parse_relative_date("yesterday", now=now) == datetime(2026, 8, 12)
+    assert parse_relative_date("2024-02-29T10:00:00") == datetime(2024, 2, 29, 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_relative_date("5 fortnights ago", now=now)
+
+
+def test_json_state_roundtrip(tmp_path):
+    from metrics_service_spark.sources.state import JsonState
+
+    st = JsonState(str(tmp_path / "state.json"))
+    assert st.get("missing") is None
+    st.set("last_harvest", "2026-08-01T00:00:00")
+    st.set("counts", {"events": 123})
+    assert st.get("last_harvest") == "2026-08-01T00:00:00"
+    assert JsonState(str(tmp_path / "state.json")).get("counts") == {"events": 123}
+    st.delete("counts")
+    assert st.all() == {"last_harvest": "2026-08-01T00:00:00"}
