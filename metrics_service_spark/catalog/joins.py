@@ -183,9 +183,12 @@ SELECT DISTINCT user_id AS id FROM events WHERE event_type = 'purchase'
 
 
 # --- U5/O5/ST6: sorted-distinct array + family hash ----------------------
-def q_user_event_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_event_family_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portal-family canonicalization analog (es_eventlog_sync.py:469-482):
-    sorted distinct member set + md5 change-detection hash."""
+    sorted distinct member set + md5 change-detection hash.  Array form —
+    used by pytest; the catalog entry serializes the set (see
+    q_user_event_family) because the driver's pandas canonicalizer cannot
+    hash list cells."""
     ev = load_table(spark, sf_dir, "events")
     fam = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("family")
@@ -194,6 +197,17 @@ def q_user_event_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "family",
         F.md5(F.concat_ws(",", "family")).alias("family_hash"),
+    )
+
+
+def q_user_event_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form of user_event_family_array: the sorted distinct
+    member set is emitted as a ','-joined string so the result is fully
+    scalar (hashable by the correctness comparator)."""
+    return user_event_family_array(spark, sf_dir).select(
+        "user_id",
+        F.array_join("family", ",").alias("family"),
+        "family_hash",
     )
 
 
@@ -294,7 +308,7 @@ WHERE c.n >= 2
 
 ORACLE_FAMILY = """
 SELECT user_id,
-       list_sort(list_distinct(list(event_type))) AS family,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS family,
        md5(array_to_string(list_sort(list_distinct(list(event_type))), ',')) AS family_hash
 FROM events
 GROUP BY user_id

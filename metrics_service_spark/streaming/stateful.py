@@ -68,8 +68,15 @@ def _make_assigner(gap_minutes: int, timeout_extra_ms: int):
             state.remove()
             return
         last_ts, seq = state.get if state.exists else (None, 0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("dateLogged", kind="stable")
+        # Concatenate every chunk of the micro-batch before sorting:
+        # event-time order must hold across Arrow-batch boundaries, and
+        # the reset_index keeps the sorted timestamps positionally
+        # aligned with the session numbers computed below (a dict-of-
+        # Series construction would realign on the permuted index).
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values("dateLogged", kind="stable").reset_index(drop=True)
             out_seq = []
             for ts in pdf["dateLogged"]:
                 if pd.isna(ts):

@@ -270,6 +270,26 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert b_seqs == [1, 2, 2]
 
 
+def test_stateful_sessionize_out_of_order_batch(spark, tmp_path):
+    """An out-of-time-order micro-batch must still attach session numbers
+    to the RIGHT events: [13:20, 10:00] in arrival order is sessions
+    {10:00 -> 1, 13:20 -> 2}, not the swapped assignment a pandas index
+    misalignment would produce."""
+    from metrics_service_spark.streaming.stateful import stateful_sessionize
+
+    late, early = T0 + timedelta(hours=3, minutes=20), T0
+    rows = [("a", late), ("a", early), ("zz", T0 + timedelta(days=30))]
+    df = spark.createDataFrame(rows, "ipAddress string, dateLogged timestamp")
+    got = {
+        (r["dateLogged"], r["session_seq"])
+        for r in _stream_session_rows(
+            spark, tmp_path, df, stateful_sessionize, "stateful_ooo"
+        )
+        if r["key"] == "a"
+    }
+    assert got == {(early, 1), (late, 2)}
+
+
 def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
     """State continuity: a session open at the end of run 1 extends in
     run 2 from the checkpointed (last_ts, seq) state — the property the
