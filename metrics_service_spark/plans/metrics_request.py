@@ -132,14 +132,29 @@ class MetricsRequestPlanner:
         meta: dict = {"filterType": None, "start": None, "end": None}
         for f in filters:
             ftype, values = f["filterType"], list(f["values"])
-            interp = f.get("interpretAs", "list")
-            if ftype in ("month", "day", "year") and interp == "range":
+            interp = f.get("interpretAs", "list").lower()
+            if ftype in ("month", "day", "year"):
+                if interp != "range":
+                    # the reference only applies date filters flagged
+                    # interpretAs=range (metricsreader.py:282,707,920);
+                    # others are silently ignored
+                    continue
                 start, end = (_parse_request_date(v) for v in values)
                 meta["start"], meta["end"] = start, end
+                # reference bounds: strict gt on the start instant, lte
+                # on the end instant (metricselasticsearch.py:259-264)
                 ev = ev.filter(
-                    (F.col("dateLogged") >= F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
+                    (F.col("dateLogged") > F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
                     & (F.col("dateLogged") <= F.lit(end.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
                 )
+            elif interp != "list":
+                # the reference dispatcher handles scope filters only for
+                # interpretAs == "list" (metricsreader.py:126-156); any
+                # other value — including the API-documented "full_text"
+                # — falls through every branch and yields an empty
+                # result.  Mirror that: the scope matches nothing.
+                meta["filterType"] = ftype
+                ev = ev.filter(F.lit(False))
             elif ftype in ("dataset", "catalog", "package", "user", "group"):
                 meta["filterType"] = ftype
                 family = self.family_pids(ftype, values)
@@ -236,10 +251,11 @@ class MetricsRequestPlanner:
 
     def _spine(self, meta: dict, agg_type: str) -> DataFrame | None:
         """Bucket spine over the requested range.  The reference builds
-        it by iterating days start..end and deduping the formatted keys
-        (metricsreader.py:1029-1033) — i.e. the end day is inclusive;
-        we mirror that (a range ending on the 1st contributes that
-        month/day/year)."""
+        it with `range((end - start).days)` over day offsets and dedupes
+        the formatted keys (metricsreader.py:1029-1033) — the END DAY IS
+        EXCLUSIVE, so a range ending on the 1st of a month contributes
+        no bucket for that month/day.  We generate days in [start, end)
+        to match."""
         if meta["start"] is None:
             return None
         fmt = AGG_FORMATS[agg_type]
@@ -256,6 +272,7 @@ class MetricsRequestPlanner:
                     )
                 ).alias("d")
             )
+            .filter(F.col("d") < F.lit(end).cast("date"))  # end-exclusive
             .select(F.date_format("d", fmt).alias("bucket"))
             .distinct()
         )

@@ -33,20 +33,22 @@ def request(filter_type, values, *, start="01/01/2018", end="03/01/2018", group_
 def test_dataset_landing_page(planner):
     df = planner.plan(request("dataset", ["doi:10.5063/A1"]))
     # (bucket, downloads, views, unique_downloads, unique_views, citations)
+    # NOTE no "2018-03" row: the reference spine iterates
+    # range((end-start).days) — END-DAY EXCLUSIVE — so a range ending
+    # 03/01 contributes no March bucket (metricsreader.py:1030).
     assert _rows(df) == [
         ("2017-12", 0, 0, 0, 0, 1),  # citation-only month, outer-merged
         ("2018-01", 2, 3, 2, 2, 0),  # robots excluded; dup eventId -> uniq 2
         ("2018-02", 2, 0, 2, 0, 1),  # family member A2 counted; B1 not
-        ("2018-03", 0, 0, 0, 0, 0),  # spine zero-fill (end day inclusive)
     ]
 
 
 def test_dataset_response_shape(planner):
     resp = planner.response(request("dataset", ["doi:10.5063/A1"]))
-    assert resp["results"]["months"] == ["2017-12", "2018-01", "2018-02", "2018-03"]
-    assert resp["results"]["downloads"] == [0, 2, 2, 0]
-    assert resp["results"]["views"] == [0, 3, 0, 0]
-    assert resp["results"]["citations"] == [1, 0, 1, 0]
+    assert resp["results"]["months"] == ["2017-12", "2018-01", "2018-02"]
+    assert resp["results"]["downloads"] == [0, 2, 2]
+    assert resp["results"]["views"] == [0, 3, 0]
+    assert resp["results"]["citations"] == [1, 0, 1]
     assert resp["resultDetails"] == {
         "totalDownloads": 4,
         "totalViews": 3,
@@ -89,19 +91,68 @@ def test_day_aggregation(planner):
         request("dataset", ["doi:10.5063/A1"], start="01/02/2018", end="01/06/2018", group_by=["day"])
     )
     rows = _rows(df)
-    # spine is the 5 request days; e01(DATA,2nd) e02(DATA,3rd); e05
-    # (METADATA, 12:00 on the 6th) is excluded because the range end is
-    # midnight of the end day (reference parses MM/dd/yyyy to 00:00 and
-    # filters lte).  Citation-only buckets outside the range are
-    # appended (J6 unseen-citation-month semantics).
+    # spine is the request days [start, end) — the 6th is excluded by
+    # the end-exclusive spine AND its event e05 (METADATA, 12:00 on the
+    # 6th) is excluded by the lte-midnight end bound (reference parses
+    # MM/dd/yyyy to 00:00).  Citation-only buckets outside the range
+    # are appended (J6 unseen-citation-month semantics).
     assert [r[0] for r in rows] == [
         "2017-12-01",
-        "2018-01-02", "2018-01-03", "2018-01-04", "2018-01-05", "2018-01-06",
+        "2018-01-02", "2018-01-03", "2018-01-04", "2018-01-05",
         "2018-02-15",
     ]
-    assert [r[1] for r in rows] == [0, 1, 1, 0, 0, 0, 0]
-    assert [r[2] for r in rows] == [0, 0, 0, 0, 0, 0, 0]
-    assert [r[5] for r in rows] == [1, 0, 0, 0, 0, 0, 1]
+    assert [r[1] for r in rows] == [0, 1, 1, 0, 0, 0]
+    assert [r[2] for r in rows] == [0, 0, 0, 0, 0, 0]
+    assert [r[5] for r in rows] == [1, 0, 0, 0, 0, 1]
+
+
+def test_start_bound_is_strict(spark, planner):
+    """The reference filters dateLogged with strict gt on the start
+    instant (metricselasticsearch.py:261): an event logged exactly at
+    start-day midnight is NOT counted."""
+    from metrics_service_spark.testing.fixtures import make_tables
+    import datetime as dt
+
+    tables = make_tables(spark)
+    midnight = tables.events.limit(1).collect()[0].asDict()
+    midnight.update(
+        eventId="e_mid",
+        dateLogged=dt.datetime(2018, 1, 2, 0, 0, 0),
+        formatType="DATA",
+    )
+    ev2 = tables.events.union(
+        spark.createDataFrame([tuple(midnight.values())], tables.events.schema)
+    )
+    p = MetricsRequestPlanner(
+        spark, type(tables)(ev2, tables.identifiers, tables.citations)
+    )
+    df = p.plan(
+        request("dataset", ["doi:10.5063/A1"], start="01/02/2018", end="01/06/2018", group_by=["day"])
+    )
+    by_day = {r[0]: r[1] for r in df.collect()}
+    assert by_day["2018-01-02"] == 1  # e01 at 12:00 only; e_mid excluded
+
+
+def test_full_text_scope_yields_empty(planner):
+    """interpretAs values other than 'list' on a scope filter fall
+    through every reference dispatcher branch (metricsreader.py:126-156)
+    and return empty results; mirrored as a scope matching nothing."""
+    req = request("dataset", ["doi:10.5063/A1"])
+    req["filterBy"][0]["interpretAs"] = "full_text"
+    df = planner.plan(req)
+    assert all(
+        r["downloads"] == 0 and r["views"] == 0 for r in df.collect()
+    )
+
+
+def test_month_filter_with_list_interpret_is_ignored(planner):
+    """A date filter not flagged interpretAs=range is ignored by the
+    reference (metricsreader.py:282): no range filter, no spine."""
+    req = request("dataset", ["doi:10.5063/A1"])
+    req["filterBy"][1]["interpretAs"] = "list"
+    df = planner.plan(req)
+    months = [r["bucket"] for r in df.collect()]
+    assert months == ["2017-12", "2018-01", "2018-02"]  # data-driven, no spine
 
 
 def test_country_grouping(planner):
