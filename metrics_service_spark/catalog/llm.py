@@ -296,9 +296,83 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=TOPK, n_cells=16, nprobe=4)
 
 
+NEARDUP_PLANES = 4
+NEARDUP_TABLES = 4
+
+
 def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact integer decision — the
-    oracle replays the identical quantized arithmetic in DuckDB."""
+    """Embedding-cosine near-dup pairs, banded-LSH-prefiltered — the
+    100 TB default: integer-exact hyperplane signatures
+    (`lsh_bucket_int`, 4 planes x 4 independent tables) turn the
+    all-pairs non-equi join into an equi-join on (table, bucket), so
+    the plan is an ordinary distributed hash join (no driver collect,
+    no cross product; asserted in tests/test_plan_quality.py).  Recall
+    <1 by design (a pair must collide in at least one table) and the
+    oracle replays the identical integer bucketing, so the blocked
+    result is still bit-for-bit comparable."""
+    return cosine_near_duplicates(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        quant=1000,
+        prefilter_planes=NEARDUP_PLANES,
+        prefilter_tables=NEARDUP_TABLES,
+    )
+
+
+def _oracle_cosine_neardup_lsh(
+    planes: int = NEARDUP_PLANES, tables: int = NEARDUP_TABLES
+) -> str:
+    """DuckDB replay of the banded-LSH-prefiltered near-dup: same
+    quantization, same int64 hyperplane weights (inlined as VALUES),
+    same sign-bit buckets per table, candidate iff colliding in ANY
+    table, same rationalized threshold — every step integer-exact."""
+    from metrics_service_spark.operators.similarity import int_planes
+
+    values = ", ".join(
+        f"({t}, {p}, [{', '.join(str(x) for x in w)}])"
+        for t in range(tables)
+        for p, w in enumerate(int_planes(planes, 64, table=t))
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), w(t, p, wv) AS (VALUES {values}),
+b AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN
+              CAST(list_sum(list_transform(range(1, 65), i -> v[i] * wv[i]))
+                   AS BIGINT) >= 0
+              THEN (1 << p) ELSE 0 END) AS BIGINT) AS bkt
+  FROM q CROSS JOIN w GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+), s AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+  FROM q
+), pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> sa.v[i] * sb.v[i]))
+              AS BIGINT) AS dot_q,
+         sa.n2 AS na, sb.n2 AS nb
+  FROM cand
+  JOIN s sa ON sa.vec_id = cand.id_a
+  JOIN s sb ON sb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, dot_q
+FROM pairs
+WHERE dot_q > 0 AND 25 * dot_q * dot_q >= 4 * na * nb
+"""
+
+
+def q_emb_cosine_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (BLAS matmul over a collected corpus) —
+    guarded small-N path; the prefiltered `emb_cosine_neardup` is the
+    scale default."""
     from metrics_service_spark.operators.similarity import (
         cosine_near_duplicates_np,
     )
@@ -446,8 +520,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_cosine_neardup": QuerySpec(
         q_emb_cosine_neardup,
+        _oracle_cosine_neardup_lsh(),
+        "cosine near-dup pairs, integer-exact LSH-blocked (scale default)",
+        ("llm",),
+    ),
+    "emb_cosine_neardup_allpairs": QuerySpec(
+        q_emb_cosine_neardup_allpairs,
         ORACLE_COSINE_NEARDUP,
-        "cosine near-dup pairs, exact integer threshold",
+        "cosine near-dup pairs, exact all-pairs baseline (small-N)",
         ("llm",),
     ),
     "emb_ann_ivf": QuerySpec(

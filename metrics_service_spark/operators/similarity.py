@@ -100,6 +100,51 @@ def brute_force_topk(
     )
 
 
+def int_planes(planes: int, dim: int, *, table: int = 0) -> list[list[int]]:
+    """Deterministic INTEGER hyperplane weights in [-10^6, 10^6],
+    SHA-256-derived — reproducible with no RNG, and (unlike the float
+    planes of `_hyperplane`) bit-exactly replayable by a SQL oracle:
+    the plane dot over quantized vectors is pure int64 arithmetic, so
+    Spark and DuckDB agree on every sign bit.  `table` selects an
+    independent family (same `table*1000 + p` indexing as
+    `lsh_bucket`)."""
+    return [
+        [
+            int.from_bytes(
+                hashlib.sha256(
+                    f"msspark-lshq:{table * 1000 + p}:{d}".encode()
+                ).digest()[:8],
+                "big",
+                signed=False,
+            )
+            % 2_000_001
+            - 1_000_000
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket_int(qvec: Column, *, planes: int, dim: int, table: int = 0) -> Column:
+    """Integer-exact random-hyperplane signature over an ALREADY
+    QUANTIZED vector (array<long>): bit p = (qvec . w_p >= 0) with the
+    int64 weights of `int_planes`.  Max |term| is quant * 10^6 and the
+    64-term sum stays far below 2^63, so the sign is exact on any
+    engine — this is what lets an LSH-prefiltered near-dup query keep a
+    bit-identical DuckDB oracle."""
+    sig = F.lit(0).cast("long")
+    for p, weights in enumerate(int_planes(planes, dim, table=table)):
+        w = F.array(*[F.lit(x).cast("long") for x in weights])
+        dot = F.aggregate(
+            F.zip_with(qvec, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, p)
+    return sig
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     *,
@@ -108,6 +153,7 @@ def cosine_near_duplicates(
     threshold: float = 0.95,
     quant: int = 1_000,
     prefilter_planes: int | None = None,
+    prefilter_tables: int = 1,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with
@@ -121,10 +167,17 @@ def cosine_near_duplicates(
     at quant=1000, so int64 suffices on both engines.
 
     Scale path: all-pairs is O(n^2) — pass `prefilter_planes` to block
-    by an LSH signature first (pairs must share the signature; recall
-    <1, standard near-dup practice), turning the cross join into an
-    equi-join on bucket.  At 100 TB you'd also band the corpus by
-    norm-prefix; documented, not needed at test scale."""
+    by integer-exact LSH signatures first (standard banded near-dup
+    practice: a pair is a candidate iff it collides in ANY of
+    `prefilter_tables` independent signature tables), turning the
+    non-equi join into an equi-join on (table, bucket) that distributes
+    like any hash join.  Recall is tuned by (planes, tables): fewer
+    planes = bigger buckets, more tables = more collision chances.
+    Signatures are `lsh_bucket_int` over the quantized vector, so the
+    blocked result is still fully deterministic and a DuckDB oracle can
+    replay bucketing AND threshold bit-for-bit.  At 100 TB you'd also
+    band the corpus by norm-prefix; documented, not needed at test
+    scale."""
     from fractions import Fraction
 
     t2 = Fraction(threshold).limit_denominator(100) ** 2
@@ -138,31 +191,64 @@ def cosine_near_duplicates(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    cols = [
+    side = embeddings.select(
         F.col(id_col).alias("id"),
         qvec.alias("__v"),
         norm2.alias("__n2"),
-    ]
+    )
     if prefilter_planes is not None:
-        cols.append(
-            lsh_bucket(F.col(vec_col), planes=prefilter_planes, dim=dim).alias("__b")
+        # melt to one row per (vector, table): the payload is shuffled
+        # `tables`x, but each table join is a plain hash join on
+        # (table, bucket) — the shape that survives a 1000-executor
+        # shuffle, unlike a non-equi self-join
+        side = side.select(
+            "id",
+            "__v",
+            "__n2",
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket_int(
+                            F.col("__v"),
+                            planes=prefilter_planes,
+                            dim=dim,
+                            table=t,
+                        )
+                        for t in range(prefilter_tables)
+                    ]
+                )
+            ).alias("__t", "__b"),
         )
-    side = embeddings.select(*cols)
-    a = side.select(
-        F.col("id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n2").alias("__na"),
-        *([F.col("__b")] if prefilter_planes is not None else []),
-    )
-    b = side.select(
-        F.col("id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n2").alias("__nb"),
-        *([F.col("__b")] if prefilter_planes is not None else []),
-    )
-    if prefilter_planes is not None:
-        pairs = a.join(b, "__b").filter(F.col("id_a") < F.col("id_b"))
+        a = side.select(
+            F.col("id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n2").alias("__na"),
+            "__t",
+            "__b",
+        )
+        b = side.select(
+            F.col("id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n2").alias("__nb"),
+            "__t",
+            "__b",
+        )
+        pairs = (
+            a.join(b, ["__t", "__b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
+        a = side.select(
+            F.col("id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n2").alias("__na"),
+        )
+        b = side.select(
+            F.col("id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n2").alias("__nb"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     dot = dot_long(F.col("__va"), F.col("__vb"))
     scored = pairs.select("id_a", "id_b", dot.alias("__dot"), "__na", "__nb")
@@ -186,6 +272,7 @@ def cosine_near_duplicates_np(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     quant: int = 1_000,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup, numpy-accelerated: identical
     integer decision rule to `cosine_near_duplicates` (same oracle), but
@@ -200,7 +287,9 @@ def cosine_near_duplicates_np(
 
     The corpus matrix is broadcast to executors (collect + broadcast —
     the all-pairs baseline is only for corpora that fit comfortably,
-    ~10^5 vectors; beyond that use the LSH prefilter variant)."""
+    ~10^5 vectors; beyond that use the LSH prefilter variant).  The
+    `max_rows` guard enforces that contract: a corpus that exceeds it
+    raises instead of silently OOMing the driver."""
     from fractions import Fraction
 
     import numpy as np
@@ -212,6 +301,13 @@ def cosine_near_duplicates_np(
         F.col(vec_col), lambda x: F.round(x.cast("double") * quant, 0).cast("long")
     )
     quantized = embeddings.select(F.col(id_col).alias("id"), qvec.alias("v"))
+    # limit-probe: scans at most max_rows+1 rows, never the full corpus
+    if quantized.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"cosine_near_duplicates_np is the small-corpus all-pairs "
+            f"baseline (max_rows={max_rows}); use "
+            f"cosine_near_duplicates(prefilter_planes=...) for large corpora"
+        )
     rows = quantized.collect()
     ids = np.array([r.id for r in rows], dtype=np.int64)
     mat = np.array([r.v for r in rows], dtype=np.float64)

@@ -70,3 +70,16 @@ def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
 )
 def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in _plan(spark, sf_dir, name)
+
+
+def test_cosine_neardup_default_is_bucketed(spark, sf_dir):
+    # the catalog/bench default must be the banded-LSH equi-join: a
+    # distributed hash join on (table, bucket) — never a cross product,
+    # a non-equi nested-loop join, or a driver-side collect (the plan
+    # of a collect-based variant would show no join at all, just a
+    # python map stage — assert a real join is present)
+    plan = _plan(spark, sf_dir, "emb_cosine_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the (table, bucket) self-join is in-plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
