@@ -218,22 +218,37 @@ def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-pipeline quality gate: keep the top half of documents by
-    quality score (percent_rank with doc_id tiebreak — deterministic).
-
-    Scale note: exact global percent_rank is a single-partition sort —
-    fine for oracle comparison, wrong at 10^9 docs; the cluster path is
-    `approxQuantile("q", [0.5], eps)` for the cutoff then a plain
-    filter (one scan, no global sort)."""
-    from pyspark.sql import Window
-
-    scored = quality_score(
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     ).withColumn("q", F.col("stopword_ratio") + F.col("type_token_ratio"))
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline quality gate, scale default: keep the top half
+    of documents by quality score via `top_fraction` — an EXACT
+    distributed selection (the 4-decimal score has bounded cardinality,
+    so the cutoff search runs over a tiny value histogram, never a
+    global corpus sort).  Bit-identical to the percent_rank oracle
+    variant, so both share the same DuckDB oracle."""
+    from metrics_service_spark.operators.gate import top_fraction
+
+    return top_fraction(
+        _quality_scored(spark, sf_dir), score_col="q", id_col="doc_id", frac=0.5
+    )
+
+
+def q_doc_quality_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle twin: global percent_rank with doc_id tiebreak — a
+    single-partition sort, kept as the semantics definition and
+    differential check for `top_fraction`; not the path you run at
+    10^9 docs."""
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("pr", F.percent_rank().over(w))
+        _quality_scored(spark, sf_dir)
+        .withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") <= 0.5)
         .select("doc_id")
     )
@@ -512,7 +527,13 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_quality_filter": QuerySpec(
         q_doc_quality_filter,
         ORACLE_QUALITY_FILTER.format(quality=ORACLE_QUALITY),
-        "quality percentile gate (top half)",
+        "quality percentile gate, distributed exact selection (default)",
+        ("llm",),
+    ),
+    "doc_quality_filter_exact": QuerySpec(
+        q_doc_quality_filter_exact,
+        ORACLE_QUALITY_FILTER.format(quality=ORACLE_QUALITY),
+        "quality percentile gate, global percent_rank (oracle twin)",
         ("llm",),
     ),
     "emb_topk_bruteforce": QuerySpec(

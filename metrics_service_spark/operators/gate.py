@@ -1,0 +1,104 @@
+"""Top-fraction selection gates for training-data quality filtering.
+
+The naive exact gate — ``percent_rank()`` over an unpartitioned window —
+is a single-task global sort: correct, and the right ORACLE twin, but
+wrong at 10^9 documents.  Two scale paths:
+
+``top_fraction``
+    EXACT distributed selection for bounded-cardinality scores (the
+    quality score is rounded to 4 decimals, so it takes at most ~20k
+    distinct values no matter the corpus size).  One map-side-combined
+    groupBy builds the value histogram; the cumulative-count window and
+    cutoff search then run over the tiny histogram, never the corpus;
+    the corpus itself is only ever filtered.  Produces the bit-identical
+    result to ``percent_rank() <= frac`` with (score DESC, id ASC)
+    ordering — so it shares the exact DuckDB oracle.
+
+``top_fraction_approx``
+    For unbounded/continuous scores: ``approxQuantile`` cutoff (one
+    distributed GK-sketch pass) + a plain value filter.  Ties at the
+    cutoff are all kept, so the kept fraction is approximate two ways
+    (sketch error + tie inclusion); no oracle is claimed.
+
+Reference parity: the reference has no quality gate (this is part of
+the beyond-reference LLM-pipeline surface); the percentile semantics
+mirror the catalog's oracle variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_fraction(
+    scored: DataFrame,
+    *,
+    score_col: str,
+    id_col: str,
+    frac: float = 0.5,
+) -> DataFrame:
+    """Keep the top ``frac`` of rows by (score DESC, id ASC), exactly
+    matching ``percent_rank() OVER (ORDER BY score DESC, id ASC) <=
+    frac`` — i.e. keep k = floor((n-1)*frac) + 1 rows — without ever
+    globally sorting the corpus.
+
+    Plan shape: histogram groupBy (shuffle of <=|distinct scores| rows),
+    a window + top-1 over the tiny histogram, then two corpus filters
+    joined against the broadcast 1-row cutoff.  The only per-row window
+    runs on the boundary group (rows tied AT the cutoff value) to rank
+    ties by id; degenerate corpora where most rows share one score fall
+    back to sorting that one group.
+
+    Returns the ``id_col`` column only (matching the window variant).
+    """
+    sc = F.col(score_col)
+    hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    wcum = Window.orderBy(sc.desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cutoff = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__k",
+            (F.floor((F.col("__n") - 1) * F.lit(frac)) + 1).cast("long"),
+        )
+        .filter(F.col("__cum") >= F.col("__k"))
+        .orderBy(sc.desc())
+        .limit(1)
+        .select(
+            sc.alias("__cut"),
+            # rows still needed once everything above the cut is kept
+            (F.col("__k") - (F.col("__cum") - F.col("__c"))).alias("__m"),
+        )
+    )
+    above = (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(sc > F.col("__cut"))
+        .select(id_col)
+    )
+    wtie = Window.partitionBy(score_col).orderBy(F.col(id_col).asc())
+    boundary = (
+        scored.join(F.broadcast(cutoff), sc == F.col("__cut"))
+        .withColumn("__r", F.row_number().over(wtie))
+        .filter(F.col("__r") <= F.col("__m"))
+        .select(id_col)
+    )
+    return above.unionByName(boundary)
+
+
+def top_fraction_approx(
+    scored: DataFrame,
+    *,
+    score_col: str,
+    id_col: str,
+    frac: float = 0.5,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Approximate gate for unbounded scores: one Greenwald-Khanna
+    sketch pass for the (1-frac) quantile cutoff, then a plain filter.
+    Keeps all ties at the cutoff; kept fraction is frac +- (sketch
+    error + tie mass).  No oracle — use ``top_fraction`` when the score
+    has bounded cardinality and exactness matters."""
+    (cut,) = scored.approxQuantile(score_col, [1.0 - frac], relative_error)
+    return scored.filter(F.col(score_col) >= F.lit(cut)).select(id_col)

@@ -1,0 +1,66 @@
+"""top_fraction: exact distributed percentile gate vs the percent_rank
+definition, including tie boundaries and degenerate fractions."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metrics_service_spark.operators.gate import top_fraction, top_fraction_approx
+
+
+def _exact(df, frac):
+    w = Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    return sorted(
+        r.doc_id
+        for r in df.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= frac)
+        .select("doc_id")
+        .collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def tied_scores(spark):
+    # heavy ties: only 3 distinct scores over 97 rows, so every frac
+    # lands inside a tie group and exercises the boundary resolution
+    rows = [
+        (i, float(s)) for i, s in zip(range(97), itertools.cycle([1.0, 2.0, 2.0, 3.0]))
+    ]
+    return spark.createDataFrame(rows, "doc_id long, q double").repartition(8)
+
+
+@pytest.mark.parametrize("frac", [0.0, 0.1, 0.5, 0.77, 1.0])
+def test_top_fraction_matches_percent_rank(tied_scores, frac):
+    got = sorted(
+        r.doc_id
+        for r in top_fraction(
+            tied_scores, score_col="q", id_col="doc_id", frac=frac
+        ).collect()
+    )
+    assert got == _exact(tied_scores, frac)
+
+
+def test_top_fraction_single_row(spark):
+    df = spark.createDataFrame([(7, 1.5)], "doc_id long, q double")
+    got = [
+        r.doc_id
+        for r in top_fraction(df, score_col="q", id_col="doc_id", frac=0.5).collect()
+    ]
+    assert got == [7]
+
+
+def test_top_fraction_approx_brackets_exact(tied_scores):
+    # the approx gate keeps at least the exact top set's score range
+    # (ties at the cutoff are all kept), never fewer distinct scores
+    got = set(
+        r.doc_id
+        for r in top_fraction_approx(
+            tied_scores, score_col="q", id_col="doc_id", frac=0.5, relative_error=0.01
+        ).collect()
+    )
+    exact = set(_exact(tied_scores, 0.5))
+    assert exact - got == set() or got - exact == set()  # one contains the other

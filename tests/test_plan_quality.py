@@ -72,6 +72,17 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in _plan(spark, sf_dir, name)
 
 
+def test_quality_filter_default_no_global_sort(spark, sf_dir):
+    # the default gate computes the exact cutoff over the bounded-
+    # cardinality score HISTOGRAM; the corpus itself is never globally
+    # sorted through percent_rank (the single-task plan the oracle twin
+    # doc_quality_filter_exact deliberately keeps)
+    plan = _plan(spark, sf_dir, "doc_quality_filter")
+    assert "percent_rank" not in plan
+    exact_plan = _plan(spark, sf_dir, "doc_quality_filter_exact")
+    assert "percent_rank" in exact_plan  # the twin really is the definition
+
+
 def test_cosine_neardup_default_is_bucketed(spark, sf_dir):
     # the catalog/bench default must be the banded-LSH equi-join: a
     # distributed hash join on (table, bucket) — never a cross product,
