@@ -52,10 +52,11 @@ QUERIES = {
         ("gold",),
     ),
 }
-# one rollup view and one plain view of each distinct shape, plus the
-# landing page view (the hottest reference path); the other 4 views are
-# the same two shapes with different dims (MATVIEWS registry).
-for _name in ("landingpage", "userprofilemetrics", "repocharts"):
+# every reference mat-view (02-metrics-materialized-views.sql:1-21) is
+# registered and oracle-checked — the reference serves all 7.
+from metrics_service_spark.plans.gold import MATVIEWS  # noqa: E402
+
+for _name in MATVIEWS:
     QUERIES[f"matview_{_name}"] = QuerySpec(
         _mk_matview_query(_name),
         matview_oracle_sql(_name, EVENTLOG_SQL, COUNTER_FILTER_SQL),
