@@ -32,11 +32,22 @@ def all_queries() -> dict[str, QuerySpec]:
         landing,
         llm,
         multimodal,
+        search,
         tpch,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, joins, tpch, llm, landing, multimodal, gold, functions_suite):
+    for mod in (
+        core,
+        joins,
+        tpch,
+        llm,
+        landing,
+        multimodal,
+        gold,
+        functions_suite,
+        search,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
