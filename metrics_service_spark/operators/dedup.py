@@ -66,8 +66,29 @@ def ngram_jaccard_pairs(
     """Blocked all-pairs exact n-gram Jaccard: candidate pairs share the
     blocking key (cheap equi-join); Jaccard computed only on candidates.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Blocking is (block_cols x length-bucket): jaccard(A,B) >= t implies
+    min(|A|,|B|)/max(|A|,|B|) >= t, so a qualifying pair's
+    floor(log2(shingle count)) buckets differ by at most
+    k = ceil(log2(1/t)) — the bucket becomes an extra EQUI-join key
+    (probe side exploded to its +-k neighborhood), making per-block
+    candidate counts near-linear instead of quadratic in the block-col
+    population, and it is LOSSLESS: the output (and therefore the
+    oracle) is identical to unbucketed blocking.  The bucket is the
+    integer-exact length(bin(len)) = floor(log2(len)) + 1 — no float
+    log whose rounding could disagree across engines.
+
+    Block-size bound: within one (block_cols, bucket) cell all docs are
+    within 2x shingle count of each other; for natural corpora that
+    caps cells at a small corpus fraction, and the per-pair ratio prune
+    below still rejects non-qualifying pairs before the set
+    intersection.  (The sub-quadratic scale path remains MinHash-LSH —
+    this operator is the exact verification baseline.)
     """
+    import math
+
     block_cols = block_cols or []
+    k = max(1, math.ceil(math.log2(1.0 / threshold) - 1e-9))
     toks = F.split(F.col(text_col), " ")
     sh = df.select(
         *[F.col(c) for c in block_cols],
@@ -77,9 +98,21 @@ def ngram_jaccard_pairs(
     # the probe side's partitioning drives task parallelism under a
     # broadcast join; a single-file input would otherwise run 1 task
     sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = F.col("a.__id") < F.col("b.__id")
+    bkt = F.length(F.bin(F.col("__len")))
+    a = sh.withColumn("__bkt", bkt).alias("a")
+    # build side carries its own bucket once; probe side explodes to the
+    # +-k neighborhood, so each qualifying pair collides on exactly one
+    # bucket value (the build doc's own) — found once, no dedup needed
+    b = (
+        sh.withColumn("__bkt0", bkt)
+        .withColumn(
+            "__bkt",
+            F.explode(F.sequence(F.col("__bkt0") - k, F.col("__bkt0") + k)),
+        )
+        .drop("__bkt0")
+        .alias("b")
+    )
+    cond = (F.col("a.__id") < F.col("b.__id")) & (F.col("a.__bkt") == F.col("b.__bkt"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     # length-ratio prune: jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
