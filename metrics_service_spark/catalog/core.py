@@ -126,6 +126,63 @@ def q_ev_session_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sessions(spark, sf_dir, 3)
 
 
+def q_ev_sessionize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-fidelity flagged variant: reference-style globally monotone
+    session ids (metricselasticsearch.py:598-627) on top of the gap
+    sessionizer — numbered by session start time via the distributed
+    two-phase rank in `sessionize_global` (no full-data global sort)."""
+    from metrics_service_spark.operators.sessionize import sessionize_global
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_global(
+        ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"]
+    )
+    return (
+        sess.groupBy("user_id", "session_seq", "global_session_id")
+        .agg(
+            F.min("ts").alias("st"),
+            F.max("ts").alias("en"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            F.col("global_session_id").cast("long").alias("global_session_id"),
+            F.unix_micros("st").alias("session_start_us"),
+            F.unix_micros("en").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_EV_SESS_GLOBAL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 60 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+), bounds AS (
+  SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en,
+         count(*) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, session_seq,
+       CAST(row_number() OVER (ORDER BY st, user_id, session_seq) AS BIGINT)
+           AS global_session_id,
+       epoch_us(st) AS session_start_us,
+       epoch_us(en) AS session_end_us,
+       n_events
+FROM bounds
+"""
+
+
 def q_ev_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-safe bucketed sessionizer, held to the SAME oracle as
     the plain one — the output contract is bit-identical (the stitch
@@ -514,6 +571,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_session_having,
         _oracle_sessions("HAVING count(*) >= 3"),
         "A6 session bounds + HAVING",
+        ("core",),
+    ),
+    "ev_sessionize_global": QuerySpec(
+        q_ev_sessionize_global,
+        ORACLE_EV_SESS_GLOBAL,
+        "W2 exact-fidelity globally monotone session ids",
         ("core",),
     ),
     "ev_sessionize_bucketed": QuerySpec(

@@ -277,12 +277,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sums = exploded.groupBy("__id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for b in range(64):
-        # set bit b when the signed vote is non-negative; bit 63 kept
-        # positive-safe by shifting within long range
+        # set bit b when the signed vote is non-negative.  Bit 63:
+        # shiftleft(1, 63) is Long.MIN_VALUE; adding it to the bits
+        # 0-62 sum (< 2^63) just sets the sign bit in two's complement
+        # — no overflow, and the hash is genuinely 64-bit
         bit = F.when(F.col(f"b{b}") >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        sim = sim + F.shiftleft(bit, b) if b < 63 else sim
+        sim = sim + F.shiftleft(bit, b)
     out = sums.withColumn("simhash", sim)
     return out.select(F.col("__id").alias(id_col), "simhash")
 

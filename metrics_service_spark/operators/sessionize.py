@@ -55,6 +55,50 @@ def sessionize(
     return df.withColumn(out_col, F.sum(is_new.cast("long")).over(running))
 
 
+def sessionize_global(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    *,
+    gap_minutes: int = 60,
+    order_tiebreak: list[str] | None = None,
+    out_col: str = "global_session_id",
+) -> DataFrame:
+    """Exact-fidelity variant of `sessionize`: additionally assigns the
+    reference's GLOBALLY MONOTONE session id
+    (metricselasticsearch.py:598-627 increments one counter as events
+    stream in time order, so sessions are numbered by first-event
+    time).  Total order: (session start ts, key, session_seq) — fully
+    deterministic.
+
+    Scale shape: the global rank is computed over SESSIONS (not
+    events) with a two-phase distributed rank — per-day bucket counts,
+    a prefix-sum of bucket offsets over the tiny per-day frame, then a
+    row_number window PARTITIONED by day — never a single-partition
+    sort of the full data.  (A session lives in exactly one bucket:
+    the day its start falls on.)"""
+    s = sessionize(
+        df, key, ts, gap_minutes=gap_minutes, order_tiebreak=order_tiebreak
+    )
+    bounds = s.groupBy(key, "session_seq").agg(F.min(ts).alias("__start"))
+    b = bounds.withColumn("__bkt", F.to_date("__start"))
+    counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    # prefix sum over the per-day frame: bounded by #days, not #sessions
+    woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__bkt", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
+    )
+    wrank = Window.partitionBy("__bkt").orderBy(
+        F.col("__start"), F.col(key), F.col("session_seq")
+    )
+    ranked = (
+        b.join(F.broadcast(offs), "__bkt")
+        .withColumn(out_col, F.col("__off") + F.row_number().over(wrank))
+        .select(key, "session_seq", out_col)
+    )
+    return s.join(ranked, [key, "session_seq"])
+
+
 def session_bounds(
     sessions: DataFrame,
     key: str,

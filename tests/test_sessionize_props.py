@@ -122,3 +122,32 @@ def test_bucketed_rejects_short_buckets(spark):
     df = spark.createDataFrame([(1, "a", BASE)], "event_id long, ip string, ts timestamp")
     with pytest.raises(ValueError):
         sessionize_bucketed(df, "ip", "ts", gap_minutes=60 * 24 * 40, bucket_days=1)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_global_ids_monotone_and_dense(spark, seed):
+    """sessionize_global: ids are 1..N dense, and ordering by id equals
+    ordering by (session start, key, session_seq) — the reference's
+    time-of-first-event monotone numbering — regardless of input
+    partitioning."""
+    from metrics_service_spark.operators.sessionize import sessionize_global
+
+    rows = _random_stream(seed)
+    df = spark.createDataFrame(
+        rows, "event_id long, ip string, ts timestamp"
+    ).repartition(13)
+    out = sessionize_global(
+        df, "ip", "ts", gap_minutes=GAP_MIN, order_tiebreak=["event_id"]
+    )
+    sess = (
+        out.groupBy("ip", "session_seq", "global_session_id")
+        .agg(F.min("ts").alias("st"))
+        .collect()
+    )
+    ids = sorted(r.global_session_id for r in sess)
+    assert ids == list(range(1, len(sess) + 1))  # dense, 1-based
+    by_id = sorted(sess, key=lambda r: r.global_session_id)
+    by_time = sorted(sess, key=lambda r: (r.st, r.ip, r.session_seq))
+    assert [r.global_session_id for r in by_time] == [
+        r.global_session_id for r in by_id
+    ]
