@@ -85,10 +85,11 @@ FROM documents
 
 # --- quality scoring -----------------------------------------------------
 def _occ_sql(word: str) -> str:
-    needle = f" {word} "
+    # token-array filter count — the verbatim DuckDB mirror of
+    # operators.text.occurrences (counts adjacent repeats correctly)
     return (
-        f"CAST((length(' ' || text || ' ') - "
-        f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)} AS BIGINT)"
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> t = '{word}')) AS BIGINT)"
     )
 
 

@@ -23,15 +23,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def occurrences(text: Column, word: str) -> Column:
-    """Count whole-word occurrences via pad-and-measure (no regex, so
-    semantics are identical across engines): pad text with spaces,
-    count length drop when ' word ' is removed."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {word} "
-    # overlapping ' a b a ' cases don't arise for space-separated tokens
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / len(needle)
+    """Count whole-word occurrences by filtering the whitespace token
+    array (no regex, semantics identical across engines — the oracle
+    mirrors it with list_filter).  The earlier pad-and-replace variant
+    undercounted ADJACENT repeats ('the the the' -> 2) because each
+    replace consumed the shared separator space; the token-array count
+    has no such overlap."""
+    return F.size(
+        F.filter(F.split(text, " "), lambda t: t == F.lit(word))
     ).cast("long")
 
 

@@ -177,9 +177,15 @@ def run_ingest(
     """The end-to-end ingest query (ST1+ST8): landing NDJSON ->
     quarantine split -> enrichment -> date-partitioned parquet.
 
-    foreachBatch splits valid/corrupt into two sinks atomically per
-    micro-batch — the streaming analog of the reference routing parse
-    failures to sessionId=-1 (metricselasticsearch.py:964-978).
+    foreachBatch splits valid/corrupt into two sinks — the streaming
+    analog of the reference routing parse failures to sessionId=-1
+    (metricselasticsearch.py:964-978).  Both sinks are IDEMPOTENT
+    under checkpoint replay: every write is a dynamic-partition
+    OVERWRITE keyed by batch_id (micro-batch ids are stable across
+    restarts), so a failure between the two writes followed by replay
+    rewrites exactly the partitions of that batch instead of appending
+    duplicates — effectively-once, the standard foreachBatch recipe
+    for non-transactional sinks.
     With `available_now` the query drains the backlog and stops
     (Trigger.AvailableNow — the incremental-job mode, ST5); pass
     `trigger_interval="10 minutes"` instead for the reference's
@@ -193,14 +199,26 @@ def run_ingest(
         try:
             corrupt = batch.filter(F.col("_corrupt_record").isNotNull())
             if quarantine_dir is not None:
-                corrupt.select(
-                    F.col("_corrupt_record").alias("raw_line")
-                ).write.mode("append").json(quarantine_dir)
+                (
+                    corrupt.select(F.col("_corrupt_record").alias("raw_line"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .json(quarantine_dir)
+                )
             valid = batch.filter(
                 F.col("_corrupt_record").isNull() & F.col("eventId").isNotNull()
             ).drop("_corrupt_record")
-            enriched = enrich_events(valid, ip_ranges)
-            enriched.write.mode("append").partitionBy("event_date").parquet(out_dir)
+            enriched = enrich_events(valid, ip_ranges).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            (
+                enriched.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("event_date", "batch_id")
+                .parquet(out_dir)
+            )
         finally:
             batch.unpersist()
 

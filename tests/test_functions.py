@@ -192,3 +192,18 @@ def test_json_state_roundtrip(tmp_path):
     assert JsonState(str(tmp_path / "state.json")).get("counts") == {"events": 123}
     st.delete("counts")
     assert st.all() == {"last_harvest": "2026-08-01T00:00:00"}
+
+
+def test_occurrences_counts_adjacent_repeats(spark):
+    """Regression (ADVICE r01): pad-and-replace undercounted 'the the
+    the' as 2; the token-array filter counts all 3."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.text import occurrences
+
+    df = spark.createDataFrame(
+        [("the the the",), ("a the b the",), ("thethe the",), ("",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(occurrences(F.col("text"), "the")).collect()]
+    assert got == [3, 2, 1, 0]
