@@ -206,6 +206,79 @@ def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-replicable MinHash twin: md5 hash family (exists in
+    DuckDB verbatim), so the FULL pipeline — shingle, 16 min-hashes,
+    4-band hashing, hot-bucket guard, candidate equi-join, exact
+    Jaccard verify — is replayed bit-for-bit by the oracle.  The
+    xxhash64 variant stays the bench default (cheaper hash); same
+    banding statistics."""
+    from metrics_service_spark.operators.dedup import minhash_near_duplicates_md5
+
+    return minhash_near_duplicates_md5(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+def _oracle_minhash_md5(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=bi,
+            expr=" || '|' || ".join(
+                f"h{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    band_values = ", ".join(f"({bi})" for bi in range(bands))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+), bandsx AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bh
+  FROM sig, (VALUES {band_values}) b(band)
+), counts AS (
+  SELECT band, bh, count(*) AS c FROM bandsx GROUP BY 1, 2
+), pruned AS (
+  SELECT bandsx.doc_id, bandsx.band, bandsx.bh
+  FROM bandsx JOIN counts USING (band, bh) WHERE c <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pruned a JOIN pruned b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             AS jaccard
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -310,6 +383,68 @@ def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return ivf_topk(emb, queries, k=TOPK, n_cells=16, nprobe=4)
+
+
+def q_emb_ann_ivf_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-replicable IVF: md5 seed order + integer-dot assignment,
+    probing and ranking (ivf_topk_int) — the full index build AND
+    search replayed bit-for-bit by DuckDB.  The float-cosine ivf_topk
+    stays as the production variant (recall property-tested)."""
+    from metrics_service_spark.operators.similarity import ivf_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_topk_int(emb, queries, k=TOPK, n_cells=16, nprobe=4)
+
+
+ORACLE_ANN_IVF_INT = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), ascored AS (
+  SELECT q.vec_id, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+), qs AS (
+  SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < {N_QUERY_VECS}
+), pscored AS (
+  SELECT query_id, qv, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM qs CROSS JOIN seeds s
+), probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM pscored
+  ) WHERE rk <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> p.qv[i] * a.v[i]))
+              AS BIGINT) AS dot_q
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOPK}
+"""
 
 
 NEARDUP_PLANES = 4
@@ -518,6 +653,12 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_minhash_dedup": QuerySpec(
         q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",)
     ),
+    "doc_minhash_dedup_md5": QuerySpec(
+        q_doc_minhash_dedup_md5,
+        _oracle_minhash_md5(),
+        "MinHash+LSH near-dup, md5 family — full pipeline oracle",
+        ("llm",),
+    ),
     "doc_simhash": QuerySpec(q_doc_simhash, None, "64-bit SimHash", ("llm",)),
     "doc_simhash_neardup": QuerySpec(
         q_doc_simhash_neardup,
@@ -556,6 +697,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_emb_ann_ivf,
         None,
         "IVF cell-probed approximate top-k",
+        ("llm",),
+    ),
+    "emb_ann_ivf_int": QuerySpec(
+        q_emb_ann_ivf_int,
+        ORACLE_ANN_IVF_INT,
+        "IVF top-k, integer-exact index+search — full pipeline oracle",
         ("llm",),
     ),
     "emb_ann_lsh": QuerySpec(

@@ -339,3 +339,110 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature with a SQL-replicable hash family: h_i =
+    lexicographic min over shingles of md5(i || ':' || shingle) hex.
+
+    Same statistics as the xxhash64 family (a uniform hash is a
+    uniform hash; the min of i.i.d. hex strings is a valid min-hash),
+    but md5 exists verbatim in DuckDB, so the WHOLE pipeline — shingle,
+    signature, banding, candidate join, exact verify — can be replayed
+    by an oracle bit-for-bit.  The xxhash64 variant stays the bench
+    default (xxhash is cheaper); this twin is the correctness witness.
+    """
+    toks = F.split(F.col(text_col), " ")
+    spread = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__id"
+    )
+    exploded = spread.select(
+        "__id", F.explode(shingle_array(F.col("__toks"), n)).alias("__shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("__id").agg(*aggs)
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup with the md5 hash family of
+    `minhash_signatures_md5` — identical shape to
+    `minhash_near_duplicates` (band equi-join, hot-bucket guard, exact
+    Jaccard verify), fully oracle-replicable."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_md5(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{bi * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    all_bands = sigs.select(
+        F.col("__id"), F.explode(band_structs).alias("__tb")
+    ).select("__id", F.col("__tb.band").alias("__band"), F.col("__tb.bh").alias("__bh"))
+    counts = all_bands.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__n"))
+    pruned = all_bands.join(
+        counts.filter(F.col("__n") <= max_bucket), ["__band", "__bh"], "inner"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    toks = F.split(F.col(text_col), " ")
+    sh = (
+        df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        cands.join(
+            sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"),
+            "id_b",
+        )
+        .select("id_a", "id_b", jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -606,3 +606,95 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_q")
     )
+
+
+def ivf_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Oracle-replicable IVF twin of `ivf_topk`: every step is exact
+    integer arithmetic over quantized vectors — md5-ordered seed
+    selection (as in `kmeans_step`), argmax-integer-dot cell
+    assignment, integer-dot probe selection, integer-dot ranking — so
+    a DuckDB oracle replays the whole index + search bit-for-bit.
+    Same plan shape as `ivf_topk`: broadcast centroids, one corpus
+    scan to assign, candidates from an equi-join on cell."""
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(i, list(r["__sv"])) for i, r in enumerate(seeds)],
+        "cell int, cvec array<long>",
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("__cv")
+        )
+        .join(F.broadcast(centroids))
+        .select(
+            "neighbor_id",
+            "__cv",
+            "cell",
+            dot_long(F.col("__cv"), F.col("cvec")).alias("__dot"),
+        )
+    )
+    wbest = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__dot").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        scored.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .select("neighbor_id", "__cv", "cell")
+    )
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qv")
+        )
+        .join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "__qv",
+            "cell",
+            dot_long(F.col("__qv"), F.col("cvec")).alias("__dot"),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("__dot").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("__rk", F.row_number().over(wprobe))
+        .filter(F.col("__rk") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+    # each corpus vector lives in exactly one cell, so a (query,
+    # neighbor) candidate appears at most once — no dedup needed
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            dot_long(F.col("__qv"), F.col("__cv")).alias("dot_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
