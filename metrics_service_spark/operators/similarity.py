@@ -145,6 +145,50 @@ def lsh_bucket_int(qvec: Column, *, planes: int, dim: int, table: int = 0) -> Co
     return sig
 
 
+def lsh_buckets_int_batch(
+    df: DataFrame,
+    id_col: str,
+    qvec_col: str,
+    *,
+    planes: int,
+    tables: int,
+    dim: int,
+) -> DataFrame:
+    """All (id, table, bucket) signature rows in one codegen pass.
+
+    `lsh_bucket_int` evaluates planes x tables higher-order folds per
+    row — correct but interpreted (CodegenFallback), the known slow
+    path for tight loops.  This batch variant stays in whole-stage
+    codegen end to end: posexplode the quantized vector once, join the
+    broadcast (table, plane, pos, weight, bitval) dim, then two hash
+    aggregations (plane dots -> sign bits -> bucket).  Bit values are
+    carried in the dim table because shiftleft needs a literal shift.
+    Identical buckets to `lsh_bucket_int` (property-tested)."""
+    spark = df.sparkSession
+    wrows = [
+        (t, p, pos, w, 1 << p)
+        for t in range(tables)
+        for p, ws in enumerate(int_planes(planes, dim, table=t))
+        for pos, w in enumerate(ws)
+    ]
+    wdf = spark.createDataFrame(wrows, "t int, p int, pos int, w long, bitval long")
+    ex = df.select(F.col(id_col), F.posexplode(F.col(qvec_col)).alias("pos", "qv"))
+    dots = (
+        ex.join(F.broadcast(wdf), "pos")
+        .groupBy(id_col, "t", "p", "bitval")
+        .agg(F.sum(F.col("qv") * F.col("w")).alias("d"))
+    )
+    return (
+        dots.groupBy(id_col, "t")
+        .agg(
+            F.sum(
+                F.when(F.col("d") >= 0, F.col("bitval")).otherwise(F.lit(0).cast("long"))
+            ).alias("b")
+        )
+        .select(F.col(id_col), F.col("t").alias("__t"), F.col("b").alias("__b"))
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     *,
@@ -200,43 +244,54 @@ def cosine_near_duplicates(
         # melt to one row per (vector, table): the payload is shuffled
         # `tables`x, but each table join is a plain hash join on
         # (table, bucket) — the shape that survives a 1000-executor
-        # shuffle, unlike a non-equi self-join
-        side = side.select(
+        # shuffle, unlike a non-equi self-join.  Signatures come from
+        # the codegen batch variant (identical to lsh_bucket_int).
+        buckets = lsh_buckets_int_batch(
+            side,
             "id",
             "__v",
-            "__n2",
-            F.posexplode(
-                F.array(
-                    *[
-                        lsh_bucket_int(
-                            F.col("__v"),
-                            planes=prefilter_planes,
-                            dim=dim,
-                            table=t,
-                        )
-                        for t in range(prefilter_tables)
-                    ]
-                )
-            ).alias("__t", "__b"),
+            planes=prefilter_planes,
+            tables=prefilter_tables,
+            dim=dim,
         )
-        a = side.select(
-            F.col("id").alias("id_a"),
-            F.col("__v").alias("__va"),
-            F.col("__n2").alias("__na"),
-            "__t",
-            "__b",
-        )
-        b = side.select(
-            F.col("id").alias("id_b"),
-            F.col("__v").alias("__vb"),
-            F.col("__n2").alias("__nb"),
-            "__t",
-            "__b",
-        )
-        pairs = (
-            a.join(b, ["__t", "__b"])
+        # candidate pairs are found and DEDUPED as bare id pairs — the
+        # vector payloads never ride through the band join or the
+        # distinct shuffle (at 100 TB the banding shuffle moves ids
+        # only); vectors re-attach afterwards with two hash joins
+        cands = (
+            buckets.select(F.col("id").alias("id_a"), "__t", "__b")
+            .join(buckets.select(F.col("id").alias("id_b"), "__t", "__b"), ["__t", "__b"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        pairs = cands.join(
+            side.select(
+                F.col("id").alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__n2").alias("__na"),
+            ),
+            "id_a",
+        ).join(
+            side.select(
+                F.col("id").alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n2").alias("__nb"),
+            ),
+            "id_b",
+        )
+        # pair dots on the codegen path too: explode the zipped vectors
+        # and hash-aggregate the products — exact int64, same values as
+        # the fold, ~an order of magnitude faster on wide candidate sets
+        zipped = pairs.select(
+            "id_a",
+            "id_b",
+            "__na",
+            "__nb",
+            F.explode(F.arrays_zip("__va", "__vb")).alias("__z"),
+        )
+        scored = zipped.groupBy("id_a", "id_b", "__na", "__nb").agg(
+            F.sum(F.col("__z.__va") * F.col("__z.__vb")).alias("__dot")
         )
     else:
         a = side.select(
@@ -250,8 +305,8 @@ def cosine_near_duplicates(
             F.col("__n2").alias("__nb"),
         )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = dot_long(F.col("__va"), F.col("__vb"))
-    scored = pairs.select("id_a", "id_b", dot.alias("__dot"), "__na", "__nb")
+        dot = dot_long(F.col("__va"), F.col("__vb"))
+        scored = pairs.select("id_a", "id_b", dot.alias("__dot"), "__na", "__nb")
     return (
         scored.filter(
             (F.col("__dot") > 0)
