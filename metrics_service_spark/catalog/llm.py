@@ -298,6 +298,88 @@ def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("q", F.col("stopword_ratio") + F.col("type_token_ratio"))
 
 
+SIMHASH_BANDS = 4
+SIMHASH_WIDTH = 16
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_doc_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-replicable SimHash signature (independent md5 vote per
+    bit, banded into four 16-bit slices) — see simhash_md5_slices."""
+    from metrics_service_spark.operators.dedup import simhash_md5_slices
+
+    return simhash_md5_slices(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bands=SIMHASH_BANDS,
+        width=SIMHASH_WIDTH,
+    )
+
+
+def q_doc_simhash_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.dedup import simhash_near_duplicates_md5
+
+    return simhash_near_duplicates_md5(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bands=SIMHASH_BANDS,
+        width=SIMHASH_WIDTH,
+    )
+
+
+def _simhash_md5_slice_sql() -> str:
+    nbits = SIMHASH_BANDS * SIMHASH_WIDTH
+    vote_cols = ",\n         ".join(
+        f"sum(CASE WHEN substr(md5('{b}:' || tok), 1, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    slice_exprs = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{s * SIMHASH_WIDTH + j} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_WIDTH)
+        )
+        + f" AS BIGINT) AS slice{s}"
+        for s in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM ex GROUP BY doc_id
+)
+SELECT doc_id, {slice_exprs} FROM votes
+"""
+
+
+ORACLE_SIMHASH_MD5 = _simhash_md5_slice_sql()
+
+ORACLE_SIMHASH_NEARDUP_MD5 = f"""
+WITH sig AS ({ORACLE_SIMHASH_MD5}),
+melted AS (
+  SELECT doc_id, slice0, slice1, slice2, slice3, band,
+         CASE band WHEN 0 THEN slice0 WHEN 1 THEN slice1
+                   WHEN 2 THEN slice2 ELSE slice3 END AS sl
+  FROM sig, (VALUES (0), (1), (2), (3)) b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.slice0, b.slice0)) + bit_count(xor(a.slice1, b.slice1)) +
+         bit_count(xor(a.slice2, b.slice2)) + bit_count(xor(a.slice3, b.slice3))
+             AS hamming
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline quality gate, scale default: keep the top half
     of documents by quality score via `top_fraction` — an EXACT
@@ -377,6 +459,58 @@ def q_emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return ann_topk(emb, queries, k=TOPK)
+
+
+def q_emb_ann_lsh_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-replicable multi-table LSH top-k: integer signatures +
+    integer-dot ranking (ann_topk_int) — the float-plane ann_topk stays
+    the production variant (recall property-tested)."""
+    from metrics_service_spark.operators.similarity import ann_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_topk_int(emb, queries, k=TOPK, planes=4, tables=4)
+
+
+def _oracle_ann_lsh_int(planes: int = 4, tables: int = 4) -> str:
+    from metrics_service_spark.operators.similarity import int_planes
+
+    values = ", ".join(
+        f"({t}, {p}, [{', '.join(str(x) for x in w)}], {1 << p})"
+        for t in range(tables)
+        for p, w in enumerate(int_planes(planes, 64, table=t))
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), w(t, p, wv, bitval) AS (VALUES {values}),
+b AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN
+              CAST(list_sum(list_transform(range(1, 65), i -> v[i] * wv[i]))
+                   AS BIGINT) >= 0
+              THEN bitval ELSE 0 END) AS BIGINT) AS bkt
+  FROM q CROSS JOIN w GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM b qb JOIN b cb ON qb.t = cb.t AND qb.bkt = cb.bkt
+  WHERE qb.vec_id < {N_QUERY_VECS} AND cb.vec_id != qb.vec_id
+), dots AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * c.v[i]))
+              AS BIGINT) AS dot_q
+  FROM cand JOIN q a ON a.vec_id = cand.query_id
+            JOIN q c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM dots
+) WHERE rank <= {TOPK}
+"""
 
 
 def q_emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,6 +800,18 @@ QUERIES: dict[str, QuerySpec] = {
         "banded-hamming SimHash near-dup pairs",
         ("llm",),
     ),
+    "doc_simhash_md5": QuerySpec(
+        q_doc_simhash_md5,
+        ORACLE_SIMHASH_MD5,
+        "SimHash signature, md5 vote family — oracle-replicable",
+        ("llm",),
+    ),
+    "doc_simhash_neardup_md5": QuerySpec(
+        q_doc_simhash_neardup_md5,
+        ORACLE_SIMHASH_NEARDUP_MD5,
+        "banded-hamming SimHash near-dup, md5 family — full oracle",
+        ("llm",),
+    ),
     "doc_quality_filter": QuerySpec(
         q_doc_quality_filter,
         ORACLE_QUALITY_FILTER.format(quality=ORACLE_QUALITY),
@@ -707,6 +853,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_ann_lsh": QuerySpec(
         q_emb_ann_lsh, None, "LSH-bucketed approximate k-NN", ("llm",)
+    ),
+    "emb_ann_lsh_int": QuerySpec(
+        q_emb_ann_lsh_int,
+        _oracle_ann_lsh_int(),
+        "multi-table LSH k-NN, integer-exact — full pipeline oracle",
+        ("llm",),
     ),
     "emb_kmeans_step": QuerySpec(
         q_emb_kmeans_step,

@@ -446,3 +446,106 @@ def minhash_near_duplicates_md5(
         .select("id_a", "id_b", jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_md5_slices(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bands: int = 4,
+    width: int = 16,
+) -> DataFrame:
+    """Oracle-replicable SimHash twin of `simhash`: instead of
+    extracting bit b from one 64-bit token hash (xxhash64 — absent in
+    DuckDB), each bit gets an INDEPENDENT md5-derived vote: bit b of a
+    token votes +1 iff the first hex char of md5(b ':' token) is >=
+    '8' (exactly half the nibble space — a uniform ±1, so the
+    estimator statistics match the classic construction).  The
+    bands*width bits are emitted as `bands` unsigned width-bit slices
+    (slice0..slice{bands-1}) — the banding unit for pigeonhole
+    blocking — so every sum stays far from int64 overflow on either
+    engine.  One explode + one groupBy, all codegen; md5-per-bit makes
+    it ~64x the hash work of the xxhash64 variant, which therefore
+    stays the scale default."""
+    toks = F.split(F.col(text_col), " ")
+    exploded = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
+    nbits = bands * width
+    aggs = [
+        F.sum(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{b}:"), F.col("__tok"))), 1, 1
+                )
+                >= "8",
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(nbits)
+    ]
+    votes = exploded.groupBy("__id").agg(*aggs)
+    slices = []
+    for s in range(bands):
+        sl = F.lit(0).cast("long")
+        for j in range(width):
+            bit = F.when(F.col(f"b{s * width + j}") >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sl = sl + F.shiftleft(bit, j)
+        slices.append(sl.alias(f"slice{s}"))
+    return votes.select(F.col("__id").alias(id_col), *slices)
+
+
+def simhash_near_duplicates_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    width: int = 16,
+) -> DataFrame:
+    """Banded-hamming near-dup over `simhash_md5_slices` signatures —
+    same pigeonhole blocking as `simhash_near_duplicates` (a pair
+    within hamming < bands must agree on >= 1 slice; bands >
+    max_hamming gives full recall), fully oracle-replicable: candidates
+    from an equi-join on (band, slice), hamming verified as the sum of
+    per-slice bit_count(xor)."""
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for full recall")
+    sigs = simhash_md5_slices(
+        df, id_col, text_col, bands=bands, width=width
+    ).localCheckpoint(eager=True)
+    melted = sigs.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(f"slice{s}") for s in range(bands)],
+        F.posexplode(F.array(*[F.col(f"slice{s}") for s in range(bands)])).alias(
+            "__band", "__slice"
+        ),
+    )
+    a = melted.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"slice{s}").alias(f"__a{s}") for s in range(bands)],
+        "__band",
+        "__slice",
+    )
+    b = melted.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"slice{s}").alias(f"__b{s}") for s in range(bands)],
+        "__band",
+        "__slice",
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"__a{s}").bitwiseXOR(F.col(f"__b{s}")))
+            for s in range(bands)
+        ),
+        F.lit(0),
+    )
+    return (
+        a.join(b, ["__band", "__slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

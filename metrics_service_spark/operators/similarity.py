@@ -753,3 +753,65 @@ def ivf_topk_int(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_q")
     )
+
+
+def ann_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Oracle-replicable multi-table LSH top-k twin of `ann_topk`:
+    integer-exact signatures (`lsh_buckets_int_batch`) and integer-dot
+    ranking, so index AND search replay bit-for-bit in DuckDB.  Same
+    plan shape: candidates from an equi-join on (table, bucket) in ANY
+    table, exact quantized ranking on the deduped candidate set."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("__cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__qv")
+    )
+    cb = lsh_buckets_int_batch(
+        corpus, "neighbor_id", "__cv", planes=planes, tables=tables, dim=dim
+    )
+    qb = lsh_buckets_int_batch(
+        qs, "query_id", "__qv", planes=planes, tables=tables, dim=dim
+    )
+    cands = (
+        cb.join(F.broadcast(qb), ["__t", "__b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(corpus, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__qv",
+            "__cv",
+        )
+    )
+    zipped = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(F.arrays_zip("__qv", "__cv")).alias("__z"),
+    )
+    dots = zipped.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.col("__z.__qv") * F.col("__z.__cv")).alias("dot_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot_q")
+    )
