@@ -193,6 +193,118 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- end-to-end dedup clustering ------------------------------------------
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup flow a training pipeline runs: exact near-dup
+    pairs (blocked n-gram Jaccard) -> connected components (log-round
+    min-label propagation, operators/closure.py) -> one row per doc
+    with its cluster id and whether it is the cluster's canonical
+    (minimum-id) representative.  Filtering is_canonical gives the
+    keep-list."""
+    from metrics_service_spark.operators.closure import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, block_cols=["lang"], threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iters=12,
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster"))
+    )
+
+
+# recursive CTE with UNION (not UNION ALL) dedups rows globally, so the
+# walk terminates on cycles; component = min reachable id incl. self
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, lang,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk AS (
+  SELECT a AS node, b AS reach FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+), comp AS (
+  SELECT node, least(node, min(reach)) AS cluster FROM walk GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.cluster, d.doc_id) AS cluster,
+       d.doc_id = coalesce(c.cluster, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+# --- deterministic split / stratified sampling ----------------------------
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.75}
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.sampling import hash_split
+
+    return hash_split(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+ORACLE_DOC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        SAMPLE_RATES,
+        default_rate=0.125,
+    )
+
+
+def _oracle_sample_stratified() -> str:
+    def cut(rate: float) -> str:
+        n = max(0, min(256, round(rate * 256)))
+        return "zz" if n >= 256 else f"{n:02x}"
+
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN '{cut(v)}'" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CASE {whens} ELSE '{cut(0.125)}' END AS cut
+  FROM documents
+) WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 2) < cut
+"""
+
+
 # --- MinHash-LSH / SimHash (rows-only driver check) ----------------------
 def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(
@@ -783,6 +895,24 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_jaccard_pairs": QuerySpec(
         q_doc_jaccard_pairs, ORACLE_JACCARD, "blocked n-gram Jaccard", ("llm",)
+    ),
+    "doc_dedup_clusters": QuerySpec(
+        q_doc_dedup_clusters,
+        ORACLE_DEDUP_CLUSTERS,
+        "near-dup pairs -> connected components -> canonical keep-list",
+        ("llm",),
+    ),
+    "doc_split": QuerySpec(
+        q_doc_split,
+        ORACLE_DOC_SPLIT,
+        "deterministic train/val/test hash split",
+        ("llm",),
+    ),
+    "doc_sample_stratified": QuerySpec(
+        q_doc_sample_stratified,
+        _oracle_sample_stratified(),
+        "deterministic per-language stratified sample",
+        ("llm",),
     ),
     "doc_minhash_dedup": QuerySpec(
         q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",)

@@ -1,0 +1,77 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Both operators key on a salted md5 of the id, compared as a lowercase
+hex PREFIX STRING: for fixed-length lowercase hex, lexicographic order
+equals numeric order ('0'-'9' < 'a'-'f' in ASCII), so a threshold like
+`hex2 < 'cc'` keeps exactly 204/256 of the uniform hash space — no
+hex->int parsing, which keeps the expression bit-identical in Spark
+and any SQL oracle.
+
+Scale: pure per-row codegen expressions plus (for the stratified
+variant) one broadcast join against the tiny rates dim — a 100 TB
+corpus streams through with zero shuffles.
+
+Reference parity: beyond the reference surface (training-pipeline
+operators); determinism mirrors the repo-wide no-RNG policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (upper-exclusive 2-hex-char threshold, name) — contiguous ranges of
+#: the 256-value space: train [00,cc) = 204/256, val [cc,e6) = 26/256,
+#: test [e6,ff] = 26/256.
+SPLITS: list[tuple[str, str]] = [("cc", "train"), ("e6", "val"), ("zz", "test")]
+
+
+def _hex2(id_col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 2)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, *, salt: str = "split", out_col: str = "split"
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split (~80/10/10)
+    from the salted hash of its id — stable across runs, machines and
+    engines; changing `salt` re-rolls every assignment at once."""
+    h = _hex2(F.col(id_col), f"{salt}:")
+    expr = F.lit(SPLITS[-1][1])
+    for cut, name in reversed(SPLITS[:-1]):
+        expr = F.when(h < cut, name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    *,
+    salt: str = "samp",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept iff hex2(salted id) < the stratum's threshold.  Rates are
+    quantized to 1/256 resolution (the 2-hex-char space) so the
+    predicate is an exact string comparison on both engines; the rates
+    dim is broadcast.  Strata missing from `rates` use `default_rate`.
+    """
+
+    def cut(rate: float) -> str:
+        n = max(0, min(256, round(rate * 256)))
+        return "zz" if n >= 256 else f"{n:02x}"
+
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(k, cut(v)) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, __cut string",
+    )
+    h = _hex2(F.col(id_col), f"{salt}:")
+    return (
+        df.join(F.broadcast(rates_df), stratum_col, "left")
+        .withColumn("__cut", F.coalesce(F.col("__cut"), F.lit(cut(default_rate))))
+        .filter(h < F.col("__cut"))
+        .drop("__cut")
+    )

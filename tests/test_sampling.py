@@ -1,0 +1,50 @@
+"""Deterministic sampling/splitting: stability, proportions, salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metrics_service_spark.operators.sampling import hash_split, stratified_sample
+
+
+def test_split_is_stable_and_partitioning_invariant(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(17), "doc_id").collect()
+    }
+    assert a == b  # same assignment regardless of layout / rerun
+    frac = {s: sum(1 for v in a.values() if v == s) / len(a) for s in set(a.values())}
+    assert abs(frac["train"] - 204 / 256) < 0.05
+    assert abs(frac["val"] - 26 / 256) < 0.03
+    assert abs(frac["test"] - 26 / 256) < 0.03
+
+
+def test_split_salt_rerolls(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt="v2").collect()}
+    assert a != b
+
+
+def test_stratified_rates(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "de")
+            .otherwise("xx"),
+        )
+    )
+    kept = stratified_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.0}, default_rate=1.0
+    )
+    by_lang = {
+        r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("de", 0) == 0  # rate 0 keeps nothing
+    assert by_lang["xx"] == 1000  # default 1.0 keeps everything
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.06
