@@ -92,6 +92,40 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_image_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked feature twin: the Arrow stage emits integer
+    bucket counts (image_features_int) and the normalized f0 is an
+    exact int64 -> double division JVM-side; the payload is the UTF-8
+    bytes of ASCII text, so the oracle replays the byte histogram with
+    ascii(char) % 8 over exploded characters."""
+    from metrics_service_spark.operators.multimodal import image_features_int
+
+    f = image_features_int(_media(spark, sf_dir))
+    return f.select(
+        "media_id",
+        "n_bytes",
+        "hist0",
+        F.round(F.col("hist0").cast("double") / F.col("total"), 6).alias("f0"),
+    )
+
+
+ORACLE_IMAGE_FEATURES_EXACT = """
+WITH ex AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         unnest(string_split(text, '')) AS ch
+  FROM documents
+), h AS (
+  SELECT media_id, n_bytes,
+         CAST(sum(CASE WHEN ascii(ch) % 8 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
+         greatest(count(*), 1) AS total
+  FROM ex GROUP BY 1, 2
+)
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, hist0,
+       round(CAST(hist0 AS DOUBLE) / total, 6) AS f0
+FROM h
+"""
+
+
 QUERIES = {
     "mm_image_meta": QuerySpec(
         q_mm_image_meta,
@@ -110,5 +144,11 @@ QUERIES = {
     ),
     "mm_image_features": QuerySpec(
         q_mm_image_features, None, "byte-histogram feature extract", ("multimodal",)
+    ),
+    "mm_image_features_exact": QuerySpec(
+        q_mm_image_features_exact,
+        ORACLE_IMAGE_FEATURES_EXACT,
+        "byte-histogram features, integer counts — oracle-checked",
+        ("multimodal",),
     ),
 }

@@ -221,3 +221,36 @@ def decode_audio(media: DataFrame, *, real: bool = False) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _decode_batch, schema=AUDIO_META_SCHEMA
     )
+
+
+def image_features_int(media: DataFrame) -> DataFrame:
+    """Integer twin of `image_features`: same Arrow mapInPandas plumbing
+    over the binary payload, but emits the RAW bucket-0 count and total
+    byte count so any downstream normalization happens in exact
+    int64 -> double arithmetic — the seam that lets a SQL oracle replay
+    the feature math bit-for-bit (float32 normalization inside the
+    batch fn cannot be replayed exactly)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            h0, tot, sizes = [], [], []
+            for raw in pdf["payload"]:
+                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                h0.append(int(hist[0]))
+                tot.append(max(int(hist.sum()), 1))
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "hist0": pd.Series(h0, dtype="int64"),
+                    "total": pd.Series(tot, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batch, schema="media_id long, n_bytes long, hist0 long, total long"
+    )
