@@ -1,0 +1,102 @@
+"""Command-line surface for the engine.
+
+    python -m metrics_service_spark list
+        List every catalog query with its one-line description.
+
+    python -m metrics_service_spark query <name> [--sf-dir DIR] [--limit N]
+        Run a catalog query against the parquet tables in --sf-dir and
+        print the result as JSON lines.
+
+    python -m metrics_service_spark request FILE.json \
+        --events P --identifiers P --citations P
+        Run a MetricsRequest (the reference's POST body, SURVEY.md P10)
+        against parquet tables in the FIXTURES.md schemas and print the
+        reference-shaped response JSON — the engine-side equivalent of
+        the reference's /metrics endpoint (the REST layer itself stays
+        out of engine scope by design, SURVEY.md §1/S9).
+
+Uses the engine-tuned session (AQE, broadcast thresholds); results go
+to stdout, logs to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from metrics_service_spark.session import get_spark
+
+    spark = get_spark("msspark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_list() -> int:
+    from metrics_service_spark.catalog import all_queries
+
+    for name, spec in sorted(all_queries().items()):
+        oracle = "oracle" if spec.oracle else "rows-only"
+        print(f"{name:32s} [{oracle}] {spec.doc}")
+    return 0
+
+
+def cmd_query(name: str, sf_dir: str, limit: int | None) -> int:
+    from metrics_service_spark.catalog import all_queries
+
+    cat = all_queries()
+    if name not in cat:
+        print(f"unknown query {name!r}; see `list`", file=sys.stderr)
+        return 2
+    df = cat[name].fn(_spark(), sf_dir)
+    if limit is not None:
+        df = df.limit(limit)
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
+def cmd_request(path: str, events: str, identifiers: str, citations: str) -> int:
+    from metrics_service_spark.plans.metrics_request import (
+        MetricsRequestPlanner,
+        MetricsTables,
+    )
+
+    spark = _spark()
+    with open(path, encoding="utf-8") as fh:
+        request = json.load(fh)
+    tables = MetricsTables(
+        events=spark.read.parquet(events),
+        identifiers=spark.read.parquet(identifiers),
+        citations=spark.read.parquet(citations),
+    )
+    resp = MetricsRequestPlanner(spark, tables).response(request)
+    print(json.dumps(resp, indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="metrics_service_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list")
+    q = sub.add_parser("query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=None)
+    r = sub.add_parser("request")
+    r.add_argument("file")
+    r.add_argument("--events", required=True)
+    r.add_argument("--identifiers", required=True)
+    r.add_argument("--citations", required=True)
+    args = ap.parse_args(argv)
+    if args.cmd == "list":
+        return cmd_list()
+    if args.cmd == "query":
+        return cmd_query(args.name, args.sf_dir, args.limit)
+    return cmd_request(args.file, args.events, args.identifiers, args.citations)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,55 @@
+"""CLI surface: list / query / request subcommands."""
+
+from __future__ import annotations
+
+import json
+
+from metrics_service_spark.__main__ import main
+from metrics_service_spark.testing.fixtures import make_tables
+
+
+def test_list_and_query(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "landing_page_daily" in out and "[oracle]" in out
+
+    assert (
+        main(["query", "ev_day_spine", "--sf-dir", "/root/testdata/sf0.001", "--limit", "2"])
+        == 0
+    )
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2 and "day" in lines[0]
+
+
+def test_request_roundtrip(spark, tmp_path, capsys):
+    tables = make_tables(spark)
+    for name in ("events", "identifiers", "citations"):
+        getattr(tables, name).write.parquet(str(tmp_path / name))
+    req = {
+        "metricsPage": {"total": 0, "start": 0, "count": 0},
+        "metrics": ["citations", "downloads", "views"],
+        "filterBy": [
+            {"filterType": "dataset", "values": ["doi:10.5063/A1"], "interpretAs": "list"},
+            {
+                "filterType": "month",
+                "values": ["01/01/2018", "03/01/2018"],
+                "interpretAs": "range",
+            },
+        ],
+        "groupBy": ["month"],
+    }
+    (tmp_path / "req.json").write_text(json.dumps(req))
+    rc = main(
+        [
+            "request",
+            str(tmp_path / "req.json"),
+            "--events", str(tmp_path / "events"),
+            "--identifiers", str(tmp_path / "identifiers"),
+            "--citations", str(tmp_path / "citations"),
+        ]
+    )
+    assert rc == 0
+    resp = json.loads(capsys.readouterr().out)
+    # end-exclusive spine: a range ending 03/01 has no March bucket
+    assert resp["results"]["months"] == ["2017-12", "2018-01", "2018-02"]
+    assert resp["resultDetails"]["totalDownloads"] == 4
