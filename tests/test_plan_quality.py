@@ -83,6 +83,13 @@ def test_quality_filter_default_no_global_sort(spark, sf_dir):
     assert "percent_rank" in exact_plan  # the twin really is the definition
 
 
+def test_search_pipeline_zero_shuffle(spark, sf_dir):
+    # the whole logstash-equivalent parse is per-row codegen: a 100 TB
+    # log scan must stream through with NO exchange
+    plan = _plan(spark, sf_dir, "search_log_pipeline")
+    assert "Exchange" not in plan
+
+
 def test_cosine_neardup_default_is_bucketed(spark, sf_dir):
     # the catalog/bench default must be the banded-LSH equi-join: a
     # distributed hash join on (table, bucket) — never a cross product,
