@@ -64,3 +64,36 @@ def test_top_fraction_approx_brackets_exact(tied_scores):
     )
     exact = set(_exact(tied_scores, 0.5))
     assert exact - got == set() or got - exact == set()  # one contains the other
+
+
+# --- hypothesis: top_fraction == percent_rank on arbitrary multisets ------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(
+        scores=st.lists(
+            st.integers(min_value=0, max_value=5), min_size=1, max_size=40
+        ),
+        frac=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_top_fraction_hypothesis(spark, scores, frac):
+        """Arbitrary small-integer score multisets (maximal ties) at
+        several fracs: the histogram gate must equal percent_rank."""
+        df = spark.createDataFrame(
+            [(i, float(s)) for i, s in enumerate(scores)], "doc_id long, q double"
+        )
+        got = sorted(
+            r.doc_id
+            for r in top_fraction(
+                df, score_col="q", id_col="doc_id", frac=frac
+            ).collect()
+        )
+        assert got == _exact(df, frac)
