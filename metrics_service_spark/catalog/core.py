@@ -130,28 +130,32 @@ def q_ev_sessionize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-fidelity flagged variant: reference-style globally monotone
     session ids (metricselasticsearch.py:598-627) on top of the gap
     sessionizer — numbered by session start time via the distributed
-    two-phase rank in `sessionize_global` (no full-data global sort)."""
-    from metrics_service_spark.operators.sessionize import sessionize_global
+    two-phase rank (operators/rank.global_row_number; no full-data
+    global sort).  The rank runs directly over the session BOUNDS so
+    events are sessionized exactly once."""
+    from metrics_service_spark.operators.rank import global_row_number
+    from metrics_service_spark.operators.sessionize import sessionize
 
     ev = load_table(spark, sf_dir, "events")
-    sess = sessionize_global(
-        ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"]
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"])
+    bounds = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("st"),
+        F.max("ts").alias("en"),
+        F.count(F.lit(1)).alias("n_events"),
     )
-    return (
-        sess.groupBy("user_id", "session_seq", "global_session_id")
-        .agg(
-            F.min("ts").alias("st"),
-            F.max("ts").alias("en"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select(
-            "user_id",
-            F.col("session_seq").cast("long").alias("session_seq"),
-            F.col("global_session_id").cast("long").alias("global_session_id"),
-            F.unix_micros("st").alias("session_start_us"),
-            F.unix_micros("en").alias("session_end_us"),
-            "n_events",
-        )
+    ranked = global_row_number(
+        bounds,
+        bucket=F.to_date("st"),
+        order=[F.col("st"), F.col("user_id"), F.col("session_seq")],
+        out_col="global_session_id",
+    )
+    return ranked.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("global_session_id").cast("long").alias("global_session_id"),
+        F.unix_micros("st").alias("session_start_us"),
+        F.unix_micros("en").alias("session_end_us"),
+        "n_events",
     )
 
 

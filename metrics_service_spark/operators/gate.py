@@ -37,6 +37,7 @@ def top_fraction(
     score_col: str,
     id_col: str,
     frac: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Keep the top ``frac`` of rows by (score DESC, id ASC), exactly
     matching ``percent_rank() OVER (ORDER BY score DESC, id ASC) <=
@@ -51,7 +52,17 @@ def top_fraction(
     back to sorting that one group.
 
     Returns the ``id_col`` column only (matching the window variant).
+
+    With ``materialize`` (default) the (id, score) projection is
+    computed ONCE and checkpointed — ~16 bytes/row — instead of
+    re-deriving the scores (typically expensive text expressions over
+    the full corpus) for the histogram, the above-cutoff filter and
+    the boundary group separately.  On a cluster swap localCheckpoint
+    for a reliable checkpoint (SCALE.md).
     """
+    scored = scored.select(id_col, score_col)
+    if materialize:
+        scored = scored.localCheckpoint(eager=True)
     sc = F.col(score_col)
     hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
     tot = hist.agg(F.sum("__c").alias("__n"))

@@ -77,25 +77,18 @@ def sessionize_global(
     row_number window PARTITIONED by day — never a single-partition
     sort of the full data.  (A session lives in exactly one bucket:
     the day its start falls on.)"""
+    from metrics_service_spark.operators.rank import global_row_number
+
     s = sessionize(
         df, key, ts, gap_minutes=gap_minutes, order_tiebreak=order_tiebreak
     )
     bounds = s.groupBy(key, "session_seq").agg(F.min(ts).alias("__start"))
-    b = bounds.withColumn("__bkt", F.to_date("__start"))
-    counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c"))
-    # prefix sum over the per-day frame: bounded by #days, not #sessions
-    woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.select(
-        "__bkt", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
-    )
-    wrank = Window.partitionBy("__bkt").orderBy(
-        F.col("__start"), F.col(key), F.col("session_seq")
-    )
-    ranked = (
-        b.join(F.broadcast(offs), "__bkt")
-        .withColumn(out_col, F.col("__off") + F.row_number().over(wrank))
-        .select(key, "session_seq", out_col)
-    )
+    ranked = global_row_number(
+        bounds,
+        bucket=F.to_date("__start"),
+        order=[F.col("__start"), F.col(key), F.col("session_seq")],
+        out_col=out_col,
+    ).select(key, "session_seq", out_col)
     return s.join(ranked, [key, "session_seq"])
 
 
