@@ -253,6 +253,99 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# --- sequence packing ------------------------------------------------------
+PACK_CAPACITY = 1024
+
+
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: stream documents in doc_id order into
+    fixed token-capacity packs — pack_id = floor(stream position
+    before the doc / capacity), the deterministic contiguous-fill
+    packing (a doc spanning a boundary belongs to the pack it starts
+    in).  The running position is a DISTRIBUTED prefix sum
+    (operators/rank.global_cumsum): per-bucket sums + tiny offset
+    frame + in-bucket window — never one global sort/partition."""
+    from metrics_service_spark.operators.rank import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = global_cumsum(
+        docs,
+        F.col("n_tokens"),
+        bucket=F.floor(F.col("doc_id") / 100),
+        order=[F.col("doc_id")],
+        out_col="cum",
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_CAPACITY)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+ORACLE_DOC_PACK = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / {PACK_CAPACITY}.0) AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+# --- benchmark contamination ----------------------------------------------
+CONTAM_BENCH_DOCS = 5
+CONTAM_N = 5
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    {CONTAM_N}-gram with the benchmark set (here: the first
+    {CONTAM_BENCH_DOCS} docs stand in for an eval suite).  Benchmark
+    shingles are tiny and broadcast; the corpus explodes shingles once
+    and hash-joins — the shape that survives a 100 TB corpus."""
+    from metrics_service_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(toks, CONTAM_N)).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < CONTAM_BENCH_DOCS).select("sh").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= CONTAM_BENCH_DOCS)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+{CONTAM_N - 1}], ' ')
+                FOR i IN range(1, greatest(len(toks) - {CONTAM_N - 1}, 1) + 1)])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id < {CONTAM_BENCH_DOCS}
+)
+SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+FROM sh s JOIN bench USING (sh)
+WHERE s.doc_id >= {CONTAM_BENCH_DOCS}
+GROUP BY 1
+"""
+
+
 # --- deterministic split / stratified sampling ----------------------------
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.75}
 
@@ -906,6 +999,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_split,
         ORACLE_DOC_SPLIT,
         "deterministic train/val/test hash split",
+        ("llm",),
+    ),
+    "doc_pack": QuerySpec(
+        q_doc_pack,
+        ORACLE_DOC_PACK,
+        "context-window packing via distributed prefix sum",
+        ("llm",),
+    ),
+    "doc_contamination": QuerySpec(
+        q_doc_contamination,
+        ORACLE_CONTAMINATION,
+        "benchmark-contamination n-gram scan",
         ("llm",),
     ),
     "doc_sample_stratified": QuerySpec(

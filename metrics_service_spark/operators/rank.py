@@ -43,3 +43,34 @@ def global_row_number(
         .withColumn(out_col, F.col("__off") + F.row_number().over(wrank))
         .drop("__bkt", "__off")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value: Column,
+    *,
+    bucket: Column,
+    order: list[Column],
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Add `out_col` = inclusive running sum of `value` under the total
+    order (bucket, *order) — the distributed prefix sum: per-bucket
+    value sums, a prefix-sum of bucket offsets over the tiny per-bucket
+    frame, then an in-bucket running sum + the broadcast offset.  Same
+    bucket contract as `global_row_number`."""
+    b = df.withColumn("__bkt", bucket).withColumn("__val", value)
+    counts = b.groupBy("__bkt").agg(F.sum("__val").alias("__s"))
+    woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__bkt", F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__off")
+    )
+    wrun = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offs), "__bkt")
+        .withColumn(out_col, F.col("__off") + F.sum("__val").over(wrun))
+        .drop("__bkt", "__off", "__val")
+    )

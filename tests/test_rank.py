@@ -1,0 +1,51 @@
+"""global_row_number / global_cumsum must equal the single-partition
+window definitions on shuffled input."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metrics_service_spark.operators.rank import global_cumsum, global_row_number
+
+
+def _data(spark, seed=7, n=500):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 40), rng.randint(1, 9)) for i in range(n)]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "id long, key long, v long").repartition(13)
+
+
+def test_global_row_number_matches_window(spark):
+    df = _data(spark)
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df, bucket=F.col("key"), order=[F.col("key"), F.col("id")], out_col="rn"
+        ).collect()
+    }
+    w = Window.orderBy(F.col("key"), F.col("id"))
+    want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_global_cumsum_matches_window(spark):
+    df = _data(spark)
+    got = {
+        r.id: r.cs
+        for r in global_cumsum(
+            df,
+            F.col("v"),
+            bucket=F.col("key"),
+            order=[F.col("key"), F.col("id")],
+            out_col="cs",
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("key"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {r.id: r.cs for r in df.withColumn("cs", F.sum("v").over(w)).collect()}
+    assert got == want
