@@ -102,6 +102,128 @@ GROUP BY 1, 2
 """
 
 
+# --- rolling 7-day window over the daily frame ---------------------------
+def q_ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals + a 7-day rolling sum.  The range-frame window runs
+    over the DAILY frame (bounded cardinality — one row per day, like
+    the quality gate's histogram), so the only corpus-sized work is the
+    map-side-combined groupBy; the unpartitioned window never sees more
+    rows than there are days."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day", "n_events", F.sum("n_events").over(w).alias("n_7d")
+    )
+
+
+ORACLE_EV_ROLLING = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       CAST(sum(n_events) OVER (ORDER BY day
+            RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_7d
+FROM daily
+"""
+
+
+# --- ordered conversion funnel over sessions ------------------------------
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view -> click -> purchase within a gap
+    session: stage 1 = saw a view, stage 2 = a click strictly after the
+    first view, stage 3 = a purchase strictly after that click.
+    Computed as three conditional-min aggregations over the sessionized
+    events (each a map-side-combined groupBy on the session key — no
+    window over raw events); output is sessions per reached stage."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"])
+    keys = ["user_id", "session_seq"]
+    v = sess.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        sess.join(v, keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    p = (
+        sess.join(c, keys)
+        .groupBy(*keys)
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    staged = p.select(
+        (
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("funnel_stage")
+    )
+    return staged.groupBy("funnel_stage").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+ORACLE_EV_FUNNEL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 60 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+), v AS (
+  SELECT user_id, session_seq,
+         min(ts) FILTER (event_type = 'view') AS t_view
+  FROM sess GROUP BY 1, 2
+), c AS (
+  SELECT s.user_id, s.session_seq, any_value(v.t_view) AS t_view,
+         min(s.ts) FILTER (s.event_type = 'click' AND s.ts > v.t_view) AS t_click
+  FROM sess s JOIN v USING (user_id, session_seq) GROUP BY 1, 2
+), p AS (
+  SELECT s.user_id, s.session_seq, any_value(c.t_view) AS t_view,
+         any_value(c.t_click) AS t_click,
+         min(s.ts) FILTER (s.event_type = 'purchase' AND s.ts > c.t_click)
+             AS t_purchase
+  FROM sess s JOIN c USING (user_id, session_seq) GROUP BY 1, 2
+)
+SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       count(*) AS n_sessions
+FROM p GROUP BY 1
+"""
+
+
 # --- W2/A6: gap sessionization + per-session bounds ----------------------
 def _sessions(spark: SparkSession, sf_dir: str, min_events: int) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -570,6 +692,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ev_sessionize": QuerySpec(
         q_ev_sessionize, _oracle_sessions(""), "W2 gap sessionization", ("core",)
+    ),
+    "ev_rolling_7d": QuerySpec(
+        q_ev_rolling_7d,
+        ORACLE_EV_ROLLING,
+        "7-day rolling sum over the daily frame",
+        ("core",),
+    ),
+    "ev_funnel": QuerySpec(
+        q_ev_funnel,
+        ORACLE_EV_FUNNEL,
+        "ordered view->click->purchase funnel per session",
+        ("core",),
     ),
     "ev_session_having": QuerySpec(
         q_ev_session_having,
