@@ -308,8 +308,8 @@ CONTAM_N = 5
 
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: flag corpus documents sharing any
-    {CONTAM_N}-gram with the benchmark set (here: the first
-    {CONTAM_BENCH_DOCS} docs stand in for an eval suite).  Benchmark
+    5-gram (CONTAM_N) with the benchmark set (here: the first
+    CONTAM_BENCH_DOCS docs stand in for an eval suite).  Benchmark
     shingles are tiny and broadcast; the corpus explodes shingles once
     and hash-joins — the shape that survives a 100 TB corpus."""
     from metrics_service_spark.operators.dedup import shingle_array
