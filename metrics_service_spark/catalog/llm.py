@@ -253,6 +253,123 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# --- incremental dedup (new batch vs existing corpus) ----------------------
+INCR_SPLIT_ID = 400
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ingest flow: which NEW docs (doc_id >= 400) near-dup
+    the EXISTING corpus (doc_id < 400)?  New-batch md5-MinHash bands
+    join the corpus signature index; exact-Jaccard verify — cost scales
+    with the new batch, never the corpus cross product."""
+    from metrics_service_spark.operators.dedup import (
+        incremental_near_duplicates_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_near_duplicates_md5(
+        docs.filter(F.col("doc_id") >= INCR_SPLIT_ID),
+        docs.filter(F.col("doc_id") < INCR_SPLIT_ID),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+def _oracle_incremental_md5(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
+) -> str:
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=bi,
+            expr=" || '|' || ".join(
+                f"h{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    band_values = ", ".join(f"({bi})" for bi in range(bands))
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+), bandsx AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bh
+  FROM sig, (VALUES {band_values}) b(band)
+), corpus_bands AS (
+  SELECT doc_id AS corpus_id, band, bh FROM bandsx WHERE doc_id < {INCR_SPLIT_ID}
+), counts AS (
+  SELECT band, bh, count(*) AS c FROM corpus_bands GROUP BY 1, 2
+), pruned AS (
+  SELECT corpus_bands.* FROM corpus_bands
+  JOIN counts USING (band, bh) WHERE c <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, p.corpus_id
+  FROM bandsx n JOIN pruned p ON n.band = p.band AND n.bh = p.bh
+  WHERE n.doc_id >= {INCR_SPLIT_ID}
+)
+SELECT new_id, corpus_id,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = cand.new_id
+          JOIN sh sb ON sb.doc_id = cand.corpus_id
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+      CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      >= {threshold}
+"""
+
+
+# --- integer-exact random projection ---------------------------------------
+PROJ_DIM_OUT = 8
+
+
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style dimensionality reduction to 8 components, integer-exact
+    (random_project_int); long-format (vec_id, out_pos, proj_q)."""
+    from metrics_service_spark.operators.similarity import random_project_int
+
+    return random_project_int(
+        load_table(spark, sf_dir, "embeddings"), dim_out=PROJ_DIM_OUT
+    )
+
+
+def _oracle_random_projection(dim_out: int = PROJ_DIM_OUT) -> str:
+    from metrics_service_spark.operators.similarity import int_planes
+
+    values = ", ".join(
+        f"({j}, [{', '.join(str(x) for x in w)}])"
+        for j, w in enumerate(int_planes(dim_out, 64, table=7))
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), w(j, wv) AS (VALUES {values})
+SELECT vec_id, CAST(j AS INT) AS out_pos,
+       CAST(list_sum(list_transform(range(1, 65), i -> v[i] * wv[i]))
+            AS BIGINT) AS proj_q
+FROM q CROSS JOIN w
+"""
+
+
 # --- sequence packing ------------------------------------------------------
 PACK_CAPACITY = 1024
 
@@ -1026,6 +1143,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_minhash_dedup_md5,
         _oracle_minhash_md5(),
         "MinHash+LSH near-dup, md5 family — full pipeline oracle",
+        ("llm",),
+    ),
+    "doc_incremental_dedup": QuerySpec(
+        q_doc_incremental_dedup,
+        _oracle_incremental_md5(),
+        "incremental near-dup: new batch vs existing corpus index",
+        ("llm",),
+    ),
+    "emb_random_projection": QuerySpec(
+        q_emb_random_projection,
+        _oracle_random_projection(),
+        "integer-exact JL random projection to 8 components",
         ("llm",),
     ),
     "doc_simhash": QuerySpec(q_doc_simhash, None, "64-bit SimHash", ("llm",)),

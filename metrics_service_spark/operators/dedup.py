@@ -549,3 +549,86 @@ def simhash_near_duplicates_md5(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_near_duplicates_md5(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Incremental dedup — the production flow for continuously
+    ingested training data: find NEW documents that near-duplicate the
+    EXISTING corpus.  New-batch signatures band-join against the corpus
+    signature table (in production a persisted index, recomputed here),
+    then candidates verify with exact Jaccard.  Cost scales with the
+    new batch + matched buckets, never the corpus cross product.
+    md5 family, so fully oracle-replicable.  Returns
+    (new_id, corpus_id, jaccard)."""
+    rows_per_band = num_hashes // bands
+
+    def _bands(sigs: DataFrame, label: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{bi * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+                for bi in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col("__id").alias(label), F.explode(structs).alias("__tb")
+        ).select(label, F.col("__tb.band").alias("__band"), F.col("__tb.bh").alias("__bh"))
+
+    new_bands = _bands(
+        minhash_signatures_md5(new_docs, id_col, text_col, n=n, num_hashes=num_hashes),
+        "new_id",
+    )
+    corpus_bands = _bands(
+        minhash_signatures_md5(corpus, id_col, text_col, n=n, num_hashes=num_hashes),
+        "corpus_id",
+    ).localCheckpoint(eager=True)
+    # hot-bucket guard on the CORPUS side (the side that can degenerate)
+    counts = corpus_bands.groupBy("__band", "__bh").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pruned = corpus_bands.join(
+        counts.filter(F.col("__n") <= max_bucket), ["__band", "__bh"], "inner"
+    )
+    cands = (
+        new_bands.join(pruned, ["__band", "__bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    toks = F.split(F.col(text_col), " ")
+    sh_new = new_docs.select(
+        F.col(id_col).alias("new_id"), shingle_array(toks, n).alias("__sha")
+    )
+    sh_corpus = corpus.select(
+        F.col(id_col).alias("corpus_id"), shingle_array(toks, n).alias("__shb")
+    )
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_corpus, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -815,3 +815,38 @@ def ann_topk_int(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot_q")
     )
+
+
+def random_project_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim_out: int = 8,
+    dim: int = 64,
+    table: int = 7,
+) -> DataFrame:
+    """Integer-exact random projection (Johnson-Lindenstrauss-style
+    dimensionality reduction): out_j = quantized(vec) . w_j with the
+    deterministic int64 weights of `int_planes` (family `table`) —
+    reproducible with no RNG and bit-replayable by a SQL oracle.
+    Runs on the codegen path: posexplode once, broadcast weight dim,
+    one hash aggregation.  Returns long-format rows
+    (id, out_pos, proj_q); pivot to an array with collect_list when an
+    array column is needed downstream."""
+    spark = embeddings.sparkSession
+    wrows = [
+        (j, pos, w)
+        for j, ws in enumerate(int_planes(dim_out, dim, table=table))
+        for pos, w in enumerate(ws)
+    ]
+    wdf = spark.createDataFrame(wrows, "j int, pos int, w long")
+    ex = embeddings.select(
+        F.col(id_col), F.posexplode(quantize(F.col(vec_col))).alias("pos", "qv")
+    )
+    return (
+        ex.join(F.broadcast(wdf), "pos")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("qv") * F.col("w")).alias("proj_q"))
+        .select(F.col(id_col), F.col("j").cast("int").alias("out_pos"), "proj_q")
+    )
