@@ -276,3 +276,87 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 QUERIES["tpch_q14"] = QuerySpec(
     q_tpch_q14, ORACLE_Q14, "promo revenue ratio (lineitem x part)", ("tpch",)
 )
+
+
+# --- q4-style: order priority checking (EXISTS semi-join) -----------------
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in a quarter with at least one RETURNED lineitem (the
+    EXISTS subquery of classic q4, with the late-delivery predicate
+    adapted to the driver schema's l_returnflag — lineitem carries no
+    commit/receipt dates) -> left_semi join, counted per priority.
+    The semi-join deduplicates multi-lineitem matches without a
+    distinct."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+QUERIES["tpch_q4"] = QuerySpec(
+    q_tpch_q4, ORACLE_Q4, "EXISTS semi-join order priority check", ("tpch",)
+)
+
+
+# --- q18-style: large-volume customers (HAVING subquery join-back) --------
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose single order exceeds a quantity threshold: the
+    HAVING-subquery key set joins back to orders/customer.  The inner
+    aggregate is the only corpus-sized shuffle; the key set is small
+    and drives broadcast join-backs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty_dec
+  FROM lineitem GROUP BY 1
+  HAVING round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) > 250
+)
+SELECT c_name, o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+"""
+
+QUERIES["tpch_q18"] = QuerySpec(
+    q_tpch_q18, ORACLE_Q18, "HAVING-subquery large orders join-back", ("tpch",)
+)
