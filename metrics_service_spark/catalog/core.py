@@ -102,6 +102,32 @@ GROUP BY 1, 2
 """
 
 
+# --- exact distributed median per group -----------------------------------
+def q_ev_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median of `value` per event type WITHOUT a
+    per-group row sort: the 2-decimal value column has bounded
+    cardinality, so `group_quantile_disc` works off the (group, value)
+    histogram — the generalization of the quality gate's cutoff
+    trick to arbitrary per-group quantiles."""
+    from metrics_service_spark.operators.gate import group_quantile_disc
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_quantile_disc(ev, ["event_type"], "value", 0.5)
+
+
+ORACLE_EV_MEDIAN = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, value AS q_value, n
+FROM r
+WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1
+"""
+
+
 # --- rolling 7-day window over the daily frame ---------------------------
 def q_ev_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily totals + a 7-day rolling sum.  The range-frame window runs
@@ -697,6 +723,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_rolling_7d,
         ORACLE_EV_ROLLING,
         "7-day rolling sum over the daily frame",
+        ("core",),
+    ),
+    "ev_value_median": QuerySpec(
+        q_ev_value_median,
+        ORACLE_EV_MEDIAN,
+        "exact per-group discrete median via value histogram",
         ("core",),
     ),
     "ev_funnel": QuerySpec(

@@ -927,12 +927,15 @@ def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_cosine_neardup_lsh(
-    planes: int = NEARDUP_PLANES, tables: int = NEARDUP_TABLES
+    planes: int = NEARDUP_PLANES,
+    tables: int = NEARDUP_TABLES,
+    max_bucket: int = 100_000,
 ) -> str:
     """DuckDB replay of the banded-LSH-prefiltered near-dup: same
     quantization, same int64 hyperplane weights (inlined as VALUES),
-    same sign-bit buckets per table, candidate iff colliding in ANY
-    table, same rationalized threshold — every step integer-exact."""
+    same sign-bit buckets per table, same hot-bucket guard, candidate
+    iff colliding in ANY table, same rationalized threshold — every
+    step integer-exact."""
     from metrics_service_spark.operators.similarity import int_planes
 
     values = ", ".join(
@@ -947,13 +950,18 @@ WITH q AS (
              x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
   FROM embeddings
 ), w(t, p, wv) AS (VALUES {values}),
-b AS (
+b0 AS (
   SELECT vec_id, t,
          CAST(sum(CASE WHEN
               CAST(list_sum(list_transform(range(1, 65), i -> v[i] * wv[i]))
                    AS BIGINT) >= 0
               THEN (1 << p) ELSE 0 END) AS BIGINT) AS bkt
   FROM q CROSS JOIN w GROUP BY vec_id, t
+), counts AS (
+  SELECT t, bkt, count(*) AS c FROM b0 GROUP BY 1, 2
+), b AS (
+  SELECT b0.vec_id, b0.t, b0.bkt
+  FROM b0 JOIN counts USING (t, bkt) WHERE c <= {max_bucket}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
   FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt AND a.vec_id < c.vec_id

@@ -98,6 +98,42 @@ def top_fraction(
     return above.unionByName(boundary)
 
 
+def group_quantile_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q: float,
+) -> DataFrame:
+    """Exact per-group DISCRETE quantile (an actual element, the one at
+    1-based rank floor((n-1)*q)+1 in ascending order) — the same
+    bounded-cardinality histogram trick as ``top_fraction``: one
+    map-side-combined (group, value) count, a cumulative window over
+    DISTINCT VALUES per group (bounded), and a min over qualifying
+    values.  No per-group sort of raw rows at any scale.
+
+    Returns one row per group: (*group_cols, q_value, n).
+    """
+    gv = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    wtot = Window.partitionBy(*group_cols)
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = gv.withColumn("__n", F.sum("__c").over(wtot)).withColumn(
+        "__cum", F.sum("__c").over(wcum)
+    )
+    k = (F.floor((F.col("__n") - 1) * F.lit(q)) + 1).cast("long")
+    return (
+        ranked.filter(F.col("__cum") >= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("q_value"),
+            F.first("__n").alias("n"),
+        )
+    )
+
+
 def top_fraction_approx(
     scored: DataFrame,
     *,

@@ -198,6 +198,7 @@ def cosine_near_duplicates(
     quant: int = 1_000,
     prefilter_planes: int | None = None,
     prefilter_tables: int = 1,
+    max_bucket: int = 100_000,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with
@@ -254,13 +255,22 @@ def cosine_near_duplicates(
             tables=prefilter_tables,
             dim=dim,
         )
+        # degenerate-bucket guard (a constant/duplicated embedding at
+        # corpus scale would make one bucket quadratic): drop buckets
+        # above max_bucket, the same recall-for-survival trade as the
+        # MinHash banding — replicated in the oracle so the blocked
+        # result stays bit-comparable
+        counts = buckets.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__n"))
+        pruned = buckets.join(
+            counts.filter(F.col("__n") <= max_bucket), ["__t", "__b"], "inner"
+        )
         # candidate pairs are found and DEDUPED as bare id pairs — the
         # vector payloads never ride through the band join or the
         # distinct shuffle (at 100 TB the banding shuffle moves ids
         # only); vectors re-attach afterwards with two hash joins
         cands = (
-            buckets.select(F.col("id").alias("id_a"), "__t", "__b")
-            .join(buckets.select(F.col("id").alias("id_b"), "__t", "__b"), ["__t", "__b"])
+            pruned.select(F.col("id").alias("id_a"), "__t", "__b")
+            .join(pruned.select(F.col("id").alias("id_b"), "__t", "__b"), ["__t", "__b"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .distinct()
