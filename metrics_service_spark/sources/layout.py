@@ -54,3 +54,104 @@ def scan_has_partition_pruning(df: DataFrame) -> bool:
     return "PartitionFilters: [" in plan and not (
         "PartitionFilters: []" in plan
     )
+
+
+def expunge_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    *,
+    partition_col: str = "event_date",
+) -> int:
+    """Partition-surgical deletion (the batch analog of the reference's
+    portal EXPUNGE flow, es_eventlog_sync.py delta handling; also the
+    GDPR/right-to-be-forgotten job): remove every row matching
+    `predicate` by rewriting ONLY the partitions that contain matches —
+    a dynamic-partition OVERWRITE of the kept rows, never a full-table
+    rewrite.
+
+    1. One pruned scan finds the distinct affected partition values
+       (tiny; collected).
+    2. The affected partitions are re-read, filtered to the KEPT rows,
+       and written back with partitionOverwriteMode=dynamic — untouched
+       partitions are not listed, read, or rewritten.
+
+    Returns the number of partitions rewritten.  At 100 TB deleting one
+    user touches only the days they were active.  (On Delta/Iceberg
+    this is `DELETE WHERE`; this is the plain-parquet equivalent with
+    the same IO shape.)
+    """
+    df = spark.read.parquet(path)
+    hit_parts = [
+        r[0]
+        for r in df.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not hit_parts:
+        return 0
+    affected = df.filter(F.col(partition_col).isin(hit_parts))
+    kept = affected.filter(~predicate)
+    # resolve kept partitions BEFORE the overwrite: kept's lineage reads
+    # the files the write below replaces — evaluated after, it would
+    # fail on (or silently miss) the rewritten inputs
+    kept_parts = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    emptied = [p for p in hit_parts if p not in kept_parts]
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data: a partition whose every row matched the predicate gets
+    # nothing written and its stale files would survive — remove those
+    # directories explicitly
+    if emptied:
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration()
+        )
+        for p in emptied:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}"),
+                True,
+            )
+    return len(hit_parts)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str = "event_date",
+    target_files_per_partition: int = 1,
+    partitions: list | None = None,
+) -> int:
+    """Small-file compaction for the silver layout: streaming ingest
+    appends a file per micro-batch, so partitions accumulate many small
+    files (the classic lakehouse problem — listing and task-scheduling
+    overhead grows per file).  Rewrite each (or the given) partition
+    coalesced to `target_files_per_partition` files via
+    dynamic-partition overwrite.  Returns partitions compacted.
+
+    Scale: compaction is per-partition-parallel and incremental — run
+    it over yesterday's partitions on a schedule; the rewrite IO equals
+    the data once, and readers see either the old or the new complete
+    partition (dynamic overwrite replaces atomically per partition
+    directory)."""
+    df = spark.read.parquet(path)
+    if partitions is None:
+        partitions = [r[0] for r in df.select(partition_col).distinct().collect()]
+    if not partitions:
+        return 0
+    subset = df.filter(F.col(partition_col).isin(partitions)).repartition(
+        max(1, len(partitions) * target_files_per_partition), partition_col
+    )
+    (
+        subset.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return len(partitions)
