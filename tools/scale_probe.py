@@ -21,7 +21,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["ev_monthly_stats", "ev_sessionize", "counter_report", "ev_value_median"]
+QUERIES = [
+    "ev_monthly_stats",
+    "ev_sessionize",
+    "counter_report",
+    "ev_value_median",
+    "doc_exact_dedup",
+    "doc_minhash_dedup",
+    "doc_split",
+]
 
 
 def main() -> None:
@@ -53,6 +61,34 @@ def main() -> None:
     )
     copies.write.mode("overwrite").parquet(f"{scratch}/events.parquet")
     print(f"replicated events: {n0} x {k} -> {n0 * k} rows", file=sys.stderr)
+
+    docs = load_table(spark, base, "documents")
+    nd = docs.count()
+    doc_copies = docs.crossJoin(
+        F.broadcast(spark.range(k).withColumnRenamed("id", "__copy"))
+    ).select(
+        (F.col("doc_id") + F.col("__copy") * 10_000_000).alias("doc_id"),
+        # make copies token-wise DISJOINT (suffix every token with the
+        # copy id): replication must not fabricate cross-copy near-dup
+        # clusters, which would quadratically inflate the candidate set
+        # and measure the replication scheme, not the operator
+        F.when(F.col("__copy") == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("__copy").cast("string")),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    doc_copies.write.mode("overwrite").parquet(f"{scratch}/documents.parquet")
+    print(f"replicated documents: {nd} x {k} -> {nd * k} rows", file=sys.stderr)
 
     cat = all_queries()
     out = {"k": k, "rows_base": n0, "queries": {}}
