@@ -110,15 +110,20 @@ def q_mm_image_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IMAGE_FEATURES_EXACT = """
-WITH ex AS (
-  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
-         unnest(string_split(text, '')) AS ch
+WITH d AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), ex AS (
+  SELECT doc_id AS media_id, unnest(string_split(text, '')) AS ch
   FROM documents
 ), h AS (
-  SELECT media_id, n_bytes,
-         CAST(sum(CASE WHEN ascii(ch) % 8 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
-         greatest(count(*), 1) AS total
-  FROM ex GROUP BY 1, 2
+  -- LEFT JOIN so an empty document still yields its row (unnest of an
+  -- empty split produces nothing; the Spark side emits hist0=0/total=1)
+  SELECT d.media_id, d.n_bytes,
+         CAST(coalesce(sum(CASE WHEN ascii(ch) % 8 = 0 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS hist0,
+         greatest(count(ch), 1) AS total
+  FROM d LEFT JOIN ex USING (media_id) GROUP BY 1, 2
 )
 SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, hist0,
        round(CAST(hist0 AS DOUBLE) / total, 6) AS f0

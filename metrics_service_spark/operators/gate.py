@@ -83,14 +83,22 @@ def top_fraction(
             (F.col("__k") - (F.col("__cum") - F.col("__c"))).alias("__m"),
         )
     )
+    # NULL-score handling mirrors the percent_rank twin: desc ordering
+    # puts NULLs LAST, so when the cutoff lands in the NULL group every
+    # non-null score is "above" it (plain sc > NULL would match
+    # nothing) and the boundary tie-group is matched null-safely
     above = (
         scored.crossJoin(F.broadcast(cutoff))
-        .filter(sc > F.col("__cut"))
+        .filter(
+            F.when(F.col("__cut").isNull(), sc.isNotNull()).otherwise(
+                sc > F.col("__cut")
+            )
+        )
         .select(id_col)
     )
     wtie = Window.partitionBy(score_col).orderBy(F.col(id_col).asc())
     boundary = (
-        scored.join(F.broadcast(cutoff), sc == F.col("__cut"))
+        scored.join(F.broadcast(cutoff), sc.eqNullSafe(F.col("__cut")))
         .withColumn("__r", F.row_number().over(wtie))
         .filter(F.col("__r") <= F.col("__m"))
         .select(id_col)
@@ -115,20 +123,26 @@ def group_quantile_disc(
     """
     gv = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("__c"))
     wtot = Window.partitionBy(*group_cols)
+    # asc_nulls_last matches the SQL-standard ORDER BY (and the DuckDB
+    # oracle): NULL values rank after every real value, so the quantile
+    # is NULL only when k exceeds the non-null population
     wcum = (
         Window.partitionBy(*group_cols)
-        .orderBy(F.col(value_col).asc())
+        .orderBy(F.col(value_col).asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ranked = gv.withColumn("__n", F.sum("__c").over(wtot)).withColumn(
         "__cum", F.sum("__c").over(wcum)
     )
     k = (F.floor((F.col("__n") - 1) * F.lit(q)) + 1).cast("long")
+    # min_by(__cum) picks the FIRST qualifying histogram row in rank
+    # order — unlike min(value), it correctly returns NULL when the
+    # quantile falls inside the NULL group
     return (
         ranked.filter(F.col("__cum") >= k)
         .groupBy(*group_cols)
         .agg(
-            F.min(value_col).alias("q_value"),
+            F.min_by(value_col, "__cum").alias("q_value"),
             F.first("__n").alias("n"),
         )
     )

@@ -35,13 +35,17 @@ def global_row_number(
     counts = b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__c"))
     woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
-        "__bkt", F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off")
+        F.col("__bkt").alias("__bkt_o"),
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
     )
     wrank = Window.partitionBy("__bkt").orderBy(*order)
+    # null-safe join: a NULL bucket (groupBy keeps it as its own group,
+    # sorted first like the window's asc-nulls-first) must not drop its
+    # rows through a plain equality join
     return (
-        b.join(F.broadcast(offs), "__bkt")
+        b.join(F.broadcast(offs), F.col("__bkt").eqNullSafe(F.col("__bkt_o")))
         .withColumn(out_col, F.col("__off") + F.row_number().over(wrank))
-        .drop("__bkt", "__off")
+        .drop("__bkt", "__bkt_o", "__off")
     )
 
 
@@ -62,7 +66,8 @@ def global_cumsum(
     counts = b.groupBy("__bkt").agg(F.sum("__val").alias("__s"))
     woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
-        "__bkt", F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__off")
+        F.col("__bkt").alias("__bkt_o"),
+        F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__off"),
     )
     wrun = (
         Window.partitionBy("__bkt")
@@ -70,7 +75,7 @@ def global_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        b.join(F.broadcast(offs), "__bkt")
+        b.join(F.broadcast(offs), F.col("__bkt").eqNullSafe(F.col("__bkt_o")))
         .withColumn(out_col, F.col("__off") + F.sum("__val").over(wrun))
-        .drop("__bkt", "__off", "__val")
+        .drop("__bkt", "__bkt_o", "__off", "__val")
     )

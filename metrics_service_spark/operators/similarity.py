@@ -242,6 +242,11 @@ def cosine_near_duplicates(
         norm2.alias("__n2"),
     )
     if prefilter_planes is not None:
+        # the quantized side feeds the signature batch AND both
+        # candidate re-attach joins — materialize it once instead of
+        # re-scanning + re-quantizing the source three times (same
+        # discipline as the MinHash signature checkpoint)
+        side = side.localCheckpoint(eager=True)
         # melt to one row per (vector, table): the payload is shuffled
         # `tables`x, but each table join is a plain hash join on
         # (table, bucket) — the shape that survives a 1000-executor

@@ -147,6 +147,20 @@ class MetricsRequestPlanner:
                     (F.col("dateLogged") > F.lit(start.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
                     & (F.col("dateLogged") <= F.lit(end.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp"))
                 )
+            elif ftype not in (
+                "dataset",
+                "catalog",
+                "package",
+                "user",
+                "group",
+                "repository",
+                "portal",
+            ):
+                # validate the filterType FIRST so a typo'd type raises
+                # regardless of interpretAs, instead of silently
+                # yielding an all-zero response through the
+                # unknown-interpretAs branch below
+                raise ValueError(f"unsupported filterType {ftype!r}")
             elif interp != "list":
                 # the reference dispatcher handles scope filters only for
                 # interpretAs == "list" (metricsreader.py:126-156); any
@@ -169,8 +183,6 @@ class MetricsRequestPlanner:
                         "portalIdentifier", F.array(*[F.lit(v) for v in values])
                     )
                 )
-            else:
-                raise ValueError(f"unsupported filterType {ftype!r}")
         return ev, family, meta
 
     # -- citations (process boundary #3 in the reference) -----------------

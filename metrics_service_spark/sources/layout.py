@@ -89,7 +89,11 @@ def expunge_rows(
     if not hit_parts:
         return 0
     affected = df.filter(F.col(partition_col).isin(hit_parts))
-    kept = affected.filter(~predicate)
+    # three-valued logic guard: a row whose predicate evaluates to NULL
+    # matches neither filter(predicate) nor filter(~predicate) — it
+    # must be KEPT (it does not match the delete predicate), so the
+    # negation treats NULL as False
+    kept = affected.filter(~F.coalesce(predicate, F.lit(False)))
     # resolve kept partitions BEFORE the overwrite: kept's lineage reads
     # the files the write below replaces — evaluated after, it would
     # fail on (or silently miss) the rewritten inputs

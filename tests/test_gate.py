@@ -97,3 +97,37 @@ if HAVE_HYPOTHESIS:
             ).collect()
         )
         assert got == _exact(df, frac)
+
+
+def test_top_fraction_with_null_scores(spark):
+    """NULL scores sort last (like percent_rank's desc window); a
+    cutoff landing inside the NULL group must not empty the result."""
+    df = spark.createDataFrame(
+        [(1, 3.0), (2, 1.0), (3, None)], "doc_id long, q double"
+    )
+    for frac in [0.0, 0.5, 1.0]:
+        got = sorted(
+            r.doc_id
+            for r in top_fraction(
+                df, score_col="q", id_col="doc_id", frac=frac
+            ).collect()
+        )
+        assert got == _exact(df, frac), frac
+
+
+def test_group_quantile_disc_nulls_last(spark):
+    """NULL values rank after every real value (SQL-standard ORDER BY,
+    matching the DuckDB oracle): the median of [1, 2, NULL] is 2, and
+    a group of only NULLs yields a NULL quantile."""
+    from metrics_service_spark.operators.gate import group_quantile_disc
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None), ("h", None)],
+        "grp string, q double",
+    )
+    got = {
+        r.grp: r.q_value
+        for r in group_quantile_disc(df, ["grp"], "q", 0.5).collect()
+    }
+    assert got["g"] == 2.0  # k = floor(2*0.5)+1 = 2 -> second value
+    assert got["h"] is None

@@ -124,3 +124,21 @@ def test_expunge_whole_partition_removes_directory(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10
     assert back.filter(F.col("event_date") == "2024-03-01").count() == 0
+
+
+def test_expunge_keeps_null_predicate_rows(spark, tmp_path):
+    """Rows where the delete predicate evaluates to NULL do NOT match
+    it and must survive (three-valued logic regression)."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.sources.layout import expunge_rows
+
+    df = spark.createDataFrame(
+        [(1, "2024-04-01", "alice"), (2, "2024-04-01", None), (3, "2024-04-01", "bob")],
+        "event_id long, event_date string, user string",
+    )
+    path = str(tmp_path / "silver4")
+    df.write.partitionBy("event_date").parquet(path)
+    expunge_rows(spark, path, F.col("user") == "alice")
+    left = sorted(r.event_id for r in spark.read.parquet(path).collect())
+    assert left == [2, 3]  # the NULL-user row survives

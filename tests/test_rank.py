@@ -49,3 +49,21 @@ def test_global_cumsum_matches_window(spark):
     )
     want = {r.id: r.cs for r in df.withColumn("cs", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_global_ops_keep_null_bucket_rows(spark):
+    """A NULL bucket must not drop rows through the offset join; the
+    numbering stays dense and matches the window definition (Spark asc
+    sorts NULL first, same as the offset prefix-sum)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, key string"
+    )
+    got = {
+        r.id: r.rn
+        for r in global_row_number(
+            df, bucket=F.col("key"), order=[F.col("key"), F.col("id")], out_col="rn"
+        ).collect()
+    }
+    w = Window.orderBy(F.col("key"), F.col("id"))
+    want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want and len(got) == 3

@@ -96,14 +96,10 @@ def main() -> None:
         fn = cat[name].fn
         times = {}
         for label, sf_dir in (("base", base), (f"x{k}", scratch)):
+            fn(spark, sf_dir).count()  # warm-up: codegen + broadcasts
             t0 = time.time()
-            fn(spark, sf_dir).count()
-            t1 = time.time()
-            # second run: steady-state (codegen/broadcast warm)
-            t2 = time.time()
-            fn(spark, sf_dir).count()
-            times[label] = round(time.time() - t2, 2)
-            _ = t1 - t0
+            fn(spark, sf_dir).count()  # steady-state, the reported time
+            times[label] = round(time.time() - t0, 2)
         times["ratio"] = round(times[f"x{k}"] / max(times["base"], 1e-9), 1)
         out["queries"][name] = times
         print(f"{name}: {times}", file=sys.stderr)
