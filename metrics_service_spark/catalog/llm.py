@@ -282,20 +282,7 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_incremental_md5(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
 ) -> str:
-    rows_per_band = num_hashes // bands
-    sig_cols = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
-    )
-    band_cases = " ".join(
-        "WHEN {b} THEN md5({expr})".format(
-            b=bi,
-            expr=" || '|' || ".join(
-                f"h{bi * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for bi in range(bands)
-    )
-    band_values = ", ".join(f"({bi})" for bi in range(bands))
+    sig_cols, band_cases, band_values = _md5_band_sql(num_hashes, bands)
     return f"""
 WITH sh AS (
   SELECT doc_id,
@@ -548,9 +535,10 @@ def q_doc_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_md5(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
-) -> str:
+def _md5_band_sql(num_hashes: int, bands: int) -> tuple[str, str, str]:
+    """The SQL mirror of operators.dedup.md5_band_rows /
+    minhash_signatures_md5 — ONE definition shared by every md5-family
+    oracle (batch + incremental): (sig_cols, band_cases, band_values)."""
     rows_per_band = num_hashes // bands
     sig_cols = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
@@ -565,6 +553,13 @@ def _oracle_minhash_md5(
         for bi in range(bands)
     )
     band_values = ", ".join(f"({bi})" for bi in range(bands))
+    return sig_cols, band_cases, band_values
+
+
+def _oracle_minhash_md5(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
+) -> str:
+    sig_cols, band_cases, band_values = _md5_band_sql(num_hashes, bands)
     return f"""
 WITH sh AS (
   SELECT doc_id,

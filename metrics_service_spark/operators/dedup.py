@@ -373,26 +373,16 @@ def minhash_signatures_md5(
     return exploded.groupBy("__id").agg(*aggs)
 
 
-def minhash_near_duplicates_md5(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    n: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    threshold: float = 0.5,
-    max_bucket: int = 1000,
+def md5_band_rows(
+    sigs: DataFrame, id_out: str, *, num_hashes: int, bands: int
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup with the md5 hash family of
-    `minhash_signatures_md5` — identical shape to
-    `minhash_near_duplicates` (band equi-join, hot-bucket guard, exact
-    Jaccard verify), fully oracle-replicable."""
+    """Melt an md5 signature frame (__id, h0..h{n-1}) to one row per
+    (id, band, band-hash): bh = md5 of the '|'-joined hashes of the
+    band's slice.  THE single definition of the md5 banding scheme —
+    shared by the batch and incremental near-dup variants and mirrored
+    verbatim by catalog/llm.py's oracle SQL builder."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_md5(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
-    ).localCheckpoint(eager=True)
-    band_structs = F.array(
+    structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
@@ -409,9 +399,30 @@ def minhash_near_duplicates_md5(
             for bi in range(bands)
         ]
     )
-    all_bands = sigs.select(
-        F.col("__id"), F.explode(band_structs).alias("__tb")
-    ).select("__id", F.col("__tb.band").alias("__band"), F.col("__tb.bh").alias("__bh"))
+    return sigs.select(
+        F.col("__id").alias(id_out), F.explode(structs).alias("__tb")
+    ).select(id_out, F.col("__tb.band").alias("__band"), F.col("__tb.bh").alias("__bh"))
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup with the md5 hash family of
+    `minhash_signatures_md5` — identical shape to
+    `minhash_near_duplicates` (band equi-join, hot-bucket guard, exact
+    Jaccard verify), fully oracle-replicable."""
+    sigs = minhash_signatures_md5(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    all_bands = md5_band_rows(sigs, "__id", num_hashes=num_hashes, bands=bands)
     counts = all_bands.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__n"))
     pruned = all_bands.join(
         counts.filter(F.col("__n") <= max_bucket), ["__band", "__bh"], "inner"
@@ -571,37 +582,17 @@ def incremental_near_duplicates_md5(
     new batch + matched buckets, never the corpus cross product.
     md5 family, so fully oracle-replicable.  Returns
     (new_id, corpus_id, jaccard)."""
-    rows_per_band = num_hashes // bands
-
-    def _bands(sigs: DataFrame, label: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"h{bi * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bh"),
-                )
-                for bi in range(bands)
-            ]
-        )
-        return sigs.select(
-            F.col("__id").alias(label), F.explode(structs).alias("__tb")
-        ).select(label, F.col("__tb.band").alias("__band"), F.col("__tb.bh").alias("__bh"))
-
-    new_bands = _bands(
+    new_bands = md5_band_rows(
         minhash_signatures_md5(new_docs, id_col, text_col, n=n, num_hashes=num_hashes),
         "new_id",
+        num_hashes=num_hashes,
+        bands=bands,
     )
-    corpus_bands = _bands(
+    corpus_bands = md5_band_rows(
         minhash_signatures_md5(corpus, id_col, text_col, n=n, num_hashes=num_hashes),
         "corpus_id",
+        num_hashes=num_hashes,
+        bands=bands,
     ).localCheckpoint(eager=True)
     # hot-bucket guard on the CORPUS side (the side that can degenerate)
     counts = corpus_bands.groupBy("__band", "__bh").agg(
