@@ -253,6 +253,45 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# --- corpus unigram-frequency scoring --------------------------------------
+def q_doc_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: mean corpus frequency of a
+    document's tokens (low mean = rare-token-heavy text — the cheap
+    perplexity proxy; exact integer counts + one final division keep it
+    oracle-safe, unlike float log-prob sums).  The vocabulary is built
+    with one token groupBy and re-joined to the exploded tokens — the
+    big-vocab shuffle-join pattern; stopword skew is AQE's skew-join
+    case at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_tok_freq"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_FREQ = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS mean_tok_freq
+FROM toks JOIN counts USING (tok)
+GROUP BY 1
+"""
+
+
 # --- incremental dedup (new batch vs existing corpus) ----------------------
 INCR_SPLIT_ID = 400
 
@@ -1152,6 +1191,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_incremental_dedup,
         _oracle_incremental_md5(),
         "incremental near-dup: new batch vs existing corpus index",
+        ("llm",),
+    ),
+    "doc_unigram_freq": QuerySpec(
+        q_doc_unigram_freq,
+        ORACLE_UNIGRAM_FREQ,
+        "mean corpus token frequency per doc (perplexity proxy)",
         ("llm",),
     ),
     "emb_random_projection": QuerySpec(
