@@ -253,6 +253,39 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# --- corpus top-k n-grams ---------------------------------------------------
+def q_doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus analysis: top-25 trigrams by DOCUMENT frequency (distinct
+    per doc, so boilerplate repeated inside one doc counts once — the
+    signal used for boilerplate/template detection).  One shingle
+    explode + count; the top-k compiles to TakeOrderedAndProject
+    (per-partition top-N + driver merge, no global sort)."""
+    from metrics_service_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = docs.select(F.explode(shingle_array(toks, 3)).alias("ngram"))
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(25)
+    )
+
+
+ORACLE_NGRAM_TOPK = """
+WITH sh AS (
+  SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS ngram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+)
+SELECT ngram, count(*) AS doc_freq
+FROM sh GROUP BY 1
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 25
+"""
+
+
 # --- corpus unigram-frequency scoring --------------------------------------
 def q_doc_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics quality signal: mean corpus frequency of a
@@ -1197,6 +1230,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_unigram_freq,
         ORACLE_UNIGRAM_FREQ,
         "mean corpus token frequency per doc (perplexity proxy)",
+        ("llm",),
+    ),
+    "doc_ngram_topk": QuerySpec(
+        q_doc_ngram_topk,
+        ORACLE_NGRAM_TOPK,
+        "corpus top-25 trigrams by document frequency",
         ("llm",),
     ),
     "emb_random_projection": QuerySpec(

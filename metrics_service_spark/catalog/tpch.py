@@ -360,3 +360,49 @@ FROM big JOIN orders ON o_orderkey = l_orderkey
 QUERIES["tpch_q18"] = QuerySpec(
     q_tpch_q18, ORACLE_Q18, "HAVING-subquery large orders join-back", ("tpch",)
 )
+
+
+# --- q10-style: returned-item customer revenue top-20 ---------------------
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue from returned items in a quarter:
+    join + decimal agg + deterministic top-k (TakeOrderedAndProject —
+    per-partition top-N + driver merge, never a global sort)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES["tpch_q10"] = QuerySpec(
+    q_tpch_q10, ORACLE_Q10, "returned-item revenue top-20", ("tpch",)
+)
