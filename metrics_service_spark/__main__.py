@@ -43,7 +43,7 @@ def cmd_list() -> int:
     return 0
 
 
-def cmd_query(name: str, sf_dir: str, limit: int | None) -> int:
+def cmd_query(name: str, sf_dir: str, limit: int | None, explain: bool) -> int:
     from metrics_service_spark.catalog import all_queries
 
     cat = all_queries()
@@ -51,6 +51,9 @@ def cmd_query(name: str, sf_dir: str, limit: int | None) -> int:
         print(f"unknown query {name!r}; see `list`", file=sys.stderr)
         return 2
     df = cat[name].fn(_spark(), sf_dir)
+    if explain:
+        df.explain("formatted")
+        return 0
     if limit is not None:
         df = df.limit(limit)
     for row in df.toJSON().toLocalIterator():
@@ -85,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=None)
+    q.add_argument(
+        "--explain", action="store_true", help="print the formatted physical plan"
+    )
     r = sub.add_parser("request")
     r.add_argument("file")
     r.add_argument("--events", required=True)
@@ -94,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         return cmd_list()
     if args.cmd == "query":
-        return cmd_query(args.name, args.sf_dir, args.limit)
+        return cmd_query(args.name, args.sf_dir, args.limit, args.explain)
     return cmd_request(args.file, args.events, args.identifiers, args.citations)
 
 
