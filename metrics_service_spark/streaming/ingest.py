@@ -232,3 +232,17 @@ def run_ingest(
     elif available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_event_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """ST7 for AT-LEAST-ONCE upstreams: drop repeated eventIds within
+    the watermark horizon.  The file-source checkpoint already gives
+    exactly-once over files; this guards against the upstream WRITER
+    repeating events across files (the reference's restart behavior —
+    re-emit the tail and dedupe by id, eventprocessor.py:244-367).
+    dropDuplicatesWithinWatermark keeps state only until the watermark
+    passes an id's event time, so state is bounded by (event rate x
+    horizon), not history."""
+    return events.withWatermark("dateLogged", watermark).dropDuplicatesWithinWatermark(
+        ["eventId"]
+    )

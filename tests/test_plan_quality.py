@@ -83,6 +83,22 @@ def test_quality_filter_default_no_global_sort(spark, sf_dir):
     assert "percent_rank" in exact_plan  # the twin really is the definition
 
 
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    # orderBy().limit() must plan as TakeOrderedAndProject
+    # (per-partition top-N + driver merge), never a global sort
+    for name in ("tpch_q3", "tpch_q10", "doc_ngram_topk"):
+        assert "TakeOrderedAndProject" in _plan(spark, sf_dir, name), name
+
+
+def test_split_and_sample_no_shuffle(spark, sf_dir):
+    # hash split is a pure projection; stratified sampling adds only a
+    # broadcast join — neither may shuffle the corpus
+    for name in ("doc_split", "doc_sample_stratified"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+
+
 def test_search_pipeline_zero_shuffle(spark, sf_dir):
     # the whole logstash-equivalent parse is per-row codegen: a 100 TB
     # log scan must stream through with NO exchange

@@ -385,3 +385,46 @@ def test_ua_dictionary_loader(spark, tmp_path):
     assert got["voyager/2"] is True
     assert got["catfish"] is True  # 'tfish' satisfies [^a]fish
     assert got["Mozilla/5.0"] is False
+
+
+def test_dedup_event_stream_drops_repeated_ids(spark, tmp_path):
+    """An upstream that re-emits events (at-least-once writer) is
+    deduped by eventId within the watermark horizon."""
+    import json
+
+    from metrics_service_spark.streaming.ingest import (
+        dedup_event_stream,
+        read_event_stream,
+    )
+
+    landing = tmp_path / "dup-landing"
+    landing.mkdir()
+    base = {
+        "nodeId": "urn:node:A", "pid": "p1", "formatType": "METADATA",
+        "event": "read", "ipAddress": "10.0.0.1", "userAgent": "ua",
+        "subject": "s", "request": "/cn/v2/object", "size": 1, "isPublic": True,
+    }
+    lines1 = [
+        json.dumps({**base, "eventId": "e1", "dateLogged": "2024-03-01T10:00:00"}),
+        json.dumps({**base, "eventId": "e2", "dateLogged": "2024-03-01T10:01:00"}),
+    ]
+    # writer restarts and re-emits e2 alongside a new e3
+    lines2 = [
+        json.dumps({**base, "eventId": "e2", "dateLogged": "2024-03-01T10:01:00"}),
+        json.dumps({**base, "eventId": "e3", "dateLogged": "2024-03-01T10:02:00"}),
+    ]
+    (landing / "a.json").write_text("\n".join(lines1) + "\n")
+    (landing / "b.json").write_text("\n".join(lines2) + "\n")
+
+    out = tmp_path / "dup-out"
+    stream = dedup_event_stream(read_event_stream(spark, str(landing)))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "dup-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.eventId for r in spark.read.parquet(str(out)).collect())
+    assert ids == ["e1", "e2", "e3"]
