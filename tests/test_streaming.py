@@ -428,3 +428,48 @@ def test_dedup_event_stream_drops_repeated_ids(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.eventId for r in spark.read.parquet(str(out)).collect())
     assert ids == ["e1", "e2", "e3"]
+
+
+def test_dedup_gate_admits_first_drops_repeats(spark, tmp_path):
+    """Streaming content-hash gate: first doc with a hash is admitted,
+    repeats (same text, different ids, later batches) are tagged
+    duplicates with a running count."""
+    import datetime as dt
+
+    from metrics_service_spark.streaming.dedup_gate import dedup_gate_stream
+
+    landing = tmp_path / "gate-landing"
+    landing.mkdir()
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def _rows(batch):
+        return "\n".join(
+            f'{{"doc_id": "{d}", "text": "{t}", "event_ts": "{(t0 + dt.timedelta(minutes=m)).isoformat()}"}}'
+            for d, t, m in batch
+        )
+
+    (landing / "b1.json").write_text(
+        _rows([("d1", "hello world", 0), ("d2", "hello world", 1), ("d3", "other text", 2)]) + "\n"
+    )
+    (landing / "b2.json").write_text(_rows([("d4", "hello world", 3)]) + "\n")
+
+    schema = "doc_id string, text string, event_ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(landing))
+    out = tmp_path / "gate-out"
+    q = (
+        dedup_gate_stream(stream, ttl_minutes=60, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "gate-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert rows["d1"].is_first and rows["d3"].is_first
+    assert not rows["d2"].is_first and not rows["d4"].is_first
+    # running duplicate count per hash: d2 first repeat, d4 second
+    assert rows["d2"].n_dropped_so_far == 1
+    assert rows["d4"].n_dropped_so_far == 2
+    admitted = sorted(d for d, r in rows.items() if r.is_first)
+    assert admitted == ["d1", "d3"]
