@@ -253,6 +253,48 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# --- multi-signal near-dup agreement ---------------------------------------
+def q_doc_multi_signal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup practice: merge the LEXICAL signal (exact
+    n-gram Jaccard) with the SEMANTIC signal (banded-LSH embedding
+    cosine) into one candidate ledger — a full outer join of the two
+    pair sets on (id_a, id_b) with per-signal scores and an agreement
+    count (doc_id and vec_id share the id space).  Each input is its
+    own catalog query with its own oracle; the composite just joins
+    them (both sides tiny relative to the corpus)."""
+    jac = q_doc_jaccard_pairs(spark, sf_dir)
+    cos = q_emb_cosine_neardup(spark, sf_dir).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "dot_q",
+    )
+    return jac.join(cos, ["id_a", "id_b"], "full_outer").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "dot_q",
+        (
+            F.col("jaccard").isNotNull().cast("int")
+            + F.col("dot_q").isNotNull().cast("int")
+        ).alias("n_signals"),
+    )
+
+
+def _oracle_multi_signal() -> str:
+    # wrap each full oracle as a derived table so their WITH scopes
+    # don't collide
+    return f"""
+SELECT coalesce(j.id_a, c.id_a) AS id_a,
+       coalesce(j.id_b, c.id_b) AS id_b,
+       j.jaccard, c.dot_q,
+       CAST((j.jaccard IS NOT NULL) AS INT) +
+       CAST((c.dot_q IS NOT NULL) AS INT) AS n_signals
+FROM ({ORACLE_JACCARD}) j
+FULL OUTER JOIN ({_oracle_cosine_neardup_lsh()}) c
+  ON j.id_a = c.id_a AND j.id_b = c.id_b
+"""
+
+
 # --- corpus top-k n-grams ---------------------------------------------------
 def q_doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus analysis: top-25 trigrams by DOCUMENT frequency (distinct
@@ -1236,6 +1278,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_ngram_topk,
         ORACLE_NGRAM_TOPK,
         "corpus top-25 trigrams by document frequency",
+        ("llm",),
+    ),
+    "doc_multi_signal_pairs": QuerySpec(
+        q_doc_multi_signal_pairs,
+        _oracle_multi_signal(),
+        "lexical AND semantic near-dup agreement (join of pair sets)",
         ("llm",),
     ),
     "emb_random_projection": QuerySpec(

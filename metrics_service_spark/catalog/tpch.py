@@ -406,3 +406,48 @@ LIMIT 20
 QUERIES["tpch_q10"] = QuerySpec(
     q_tpch_q10, ORACLE_Q10, "returned-item revenue top-20", ("tpch",)
 )
+
+
+# --- q19-style: disjunctive predicate pushdown (lineitem x part) ----------
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR-of-ANDs predicate spanning both
+    join sides — classic q19 shape (p_container adapted out: the driver
+    part table carries brand/size/type).  Catalyst splits the common
+    conjuncts to each scan and evaluates the disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return joined.filter(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+QUERIES["tpch_q19"] = QuerySpec(
+    q_tpch_q19, ORACLE_Q19, "disjunctive-predicate revenue (q19 shape)", ("tpch",)
+)
