@@ -102,6 +102,58 @@ GROUP BY 1, 2
 """
 
 
+# --- as-of join: event to latest order at event time -----------------------
+def q_ev_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each event joined to the
+    customer's LATEST order at or before the event time (union-window
+    as-of join, operators/asof.py — one shuffle, no per-key range
+    scan).  The order dim is deduped to one row per (custkey, date)
+    first: ambiguous as-of is undefined in every engine.  Oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from metrics_service_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .join(orders, ["o_custkey", "o_orderdate", "o_orderkey"])
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        dim,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+ORACLE_EV_ASOF = """
+WITH dim AS (
+  SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, o.o_totalprice
+  FROM (
+    SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY 1, 2
+  ) d JOIN orders o USING (o_custkey, o_orderdate, o_orderkey)
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       dim.o_orderkey, dim.o_totalprice
+FROM events e
+ASOF LEFT JOIN dim
+  ON e.user_id = dim.o_custkey AND e.ts >= dim.o_orderdate
+"""
+
+
 # --- exact distributed median per group -----------------------------------
 def q_ev_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete median of `value` per event type WITHOUT a
@@ -729,6 +781,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_value_median,
         ORACLE_EV_MEDIAN,
         "exact per-group discrete median via value histogram",
+        ("core",),
+    ),
+    "ev_asof_orders": QuerySpec(
+        q_ev_asof_orders,
+        ORACLE_EV_ASOF,
+        "as-of join: event to latest order at event time",
         ("core",),
     ),
     "ev_funnel": QuerySpec(

@@ -67,3 +67,27 @@ def test_global_ops_keep_null_bucket_rows(spark):
     w = Window.orderBy(F.col("key"), F.col("id"))
     want = {r.id: r.rn for r in df.withColumn("rn", F.row_number().over(w)).collect()}
     assert got == want and len(got) == 3
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of: equal timestamps match; earlier-only rows give
+    NULLs; the latest at-or-before version wins."""
+    from metrics_service_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 5), (3, "k", 2), (4, "x", 10)],
+        "eid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 5, "v5"), ("k", 8, "v8"), ("z", 1, "zz")],
+        "k string, t long, val string",
+    )
+    out = {
+        r.eid: r.val
+        for r in asof_join(
+            left, right,
+            left_key="k", right_key="k", left_ts="t", right_ts="t",
+            value_cols=["val"],
+        ).collect()
+    }
+    assert out == {1: "v8", 2: "v5", 3: None, 4: None}
