@@ -61,6 +61,19 @@ def cmd_query(name: str, sf_dir: str, limit: int | None, explain: bool) -> int:
     return 0
 
 
+def cmd_sql(statement: str, sf_dir: str, limit: int | None) -> int:
+    from metrics_service_spark.sources.tables import register_views
+
+    spark = _spark()
+    register_views(spark, sf_dir, derived=True)
+    df = spark.sql(statement)
+    if limit is not None:
+        df = df.limit(limit)
+    for row in df.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
 def cmd_request(path: str, events: str, identifiers: str, citations: str) -> int:
     from metrics_service_spark.plans.metrics_request import (
         MetricsRequestPlanner,
@@ -91,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--explain", action="store_true", help="print the formatted physical plan"
     )
+    s = sub.add_parser("sql")
+    s.add_argument("statement")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    s.add_argument("--limit", type=int, default=None)
     r = sub.add_parser("request")
     r.add_argument("file")
     r.add_argument("--events", required=True)
@@ -101,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_list()
     if args.cmd == "query":
         return cmd_query(args.name, args.sf_dir, args.limit, args.explain)
+    if args.cmd == "sql":
+        return cmd_sql(args.statement, args.sf_dir, args.limit)
     return cmd_request(args.file, args.events, args.identifiers, args.citations)
 
 

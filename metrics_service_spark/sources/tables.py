@@ -58,11 +58,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every table and register it as a temp view for spark.sql use."""
+def register_views(
+    spark: SparkSession, sf_dir: str, *, derived: bool = False
+) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view for spark.sql
+    use.  With `derived=True` also register the engine's adapter views:
+    `eventlog` (reference event-log schema over events) and `metrics`
+    (the COUNTER-filtered star fact) — the SQL-user migration surface:
+    any reference-side SQL written against those shapes runs as-is."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    if derived:
+        from metrics_service_spark.plans.gold import metrics_star
+        from metrics_service_spark.sources.eventlog import eventlog_view
+
+        ev = eventlog_view(out["events"])
+        ev.createOrReplaceTempView("eventlog")
+        out["eventlog"] = ev
+        star = metrics_star(ev)
+        star.createOrReplaceTempView("metrics")
+        out["metrics"] = star
     return out

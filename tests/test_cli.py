@@ -53,3 +53,17 @@ def test_request_roundtrip(spark, tmp_path, capsys):
     # end-exclusive spine: a range ending 03/01 has no March bucket
     assert resp["results"]["months"] == ["2017-12", "2018-01", "2018-02"]
     assert resp["resultDetails"]["totalDownloads"] == 4
+
+
+def test_sql_subcommand(capsys):
+    rc = main(
+        [
+            "sql",
+            "SELECT metrics_name, CAST(sum(metrics_value) AS BIGINT) AS total "
+            "FROM metrics GROUP BY 1 ORDER BY 1",
+            "--sf-dir", "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert {r["metrics_name"] for r in lines} == {"total_views", "total_downloads"}
