@@ -74,8 +74,13 @@ def counter_filter(eventlog: DataFrame) -> DataFrame:
         (F.col("event") == "read")
         & F.col("formatType").isin("METADATA", "DATA")
         & F.col("sessionId").isNotNull()
-        & ~F.arrays_overlap(
-            F.col("tags"), F.array(*[F.lit(t) for t in EXCLUDED_TAGS])
+        & (
+            # NULL tags = untagged = not excluded (three-valued logic:
+            # a bare ~arrays_overlap(NULL, ...) would drop the row)
+            F.col("tags").isNull()
+            | ~F.arrays_overlap(
+                F.col("tags"), F.array(*[F.lit(t) for t in EXCLUDED_TAGS])
+            )
         )
     )
 
