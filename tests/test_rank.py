@@ -91,3 +91,61 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {1: "v8", 2: "v5", 3: None, 4: None}
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @given(
+        left=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+        ),
+        right=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+        ),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+        """asof_join == pandas merge_asof(direction='backward',
+        allow_exact_matches=True) on random keyed timelines."""
+        import pandas as pd
+
+        from metrics_service_spark.operators.asof import asof_join
+
+        # right side unique per (key, ts) — ambiguous as-of is undefined
+        rmap = {(k, t): f"v{k}_{t}" for k, t in right}
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(left)], "eid long, k long, t long"
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in sorted(rmap.items())],
+            "k long, t long, val string",
+        )
+        got = {
+            r.eid: r.val
+            for r in asof_join(
+                ldf, rdf,
+                left_key="k", right_key="k", left_ts="t", right_ts="t",
+                value_cols=["val"],
+            ).collect()
+        }
+        lp = pd.DataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(left)], columns=["eid", "k", "t"]
+        ).sort_values("t", kind="stable")
+        rp = pd.DataFrame(
+            [(k, t, v) for (k, t), v in sorted(rmap.items())],
+            columns=["k", "t", "val"],
+        ).sort_values("t", kind="stable")
+        merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        want = {
+            int(r.eid): (None if pd.isna(r.val) else r.val)
+            for r in merged.itertuples()
+        }
+        assert got == want
