@@ -219,9 +219,17 @@ def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first view, stage 3 = a purchase strictly after that click.
     Computed as three conditional-min aggregations over the sessionized
     events (each a map-side-combined groupBy on the session key — no
-    window over raw events); output is sessions per reached stage."""
+    window over raw events); output is sessions per reached stage.
+
+    The sessionized projection is materialized once — the three agg
+    passes would otherwise each re-run the sessionization window over
+    the raw events (same discipline as the gate/minhash checkpoints:
+    materialize the narrow multi-consumed frame, never recompute the
+    expensive upstream)."""
     ev = load_table(spark, sf_dir, "events")
-    sess = sessionize(ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"])
+    sess = sessionize(
+        ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"]
+    ).select("user_id", "session_seq", "ts", "event_type").localCheckpoint(eager=True)
     keys = ["user_id", "session_seq"]
     v = sess.groupBy(*keys).agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
