@@ -174,14 +174,18 @@ def connected_components(
     state is checkpointed per round (O(1) lineage); termination checks
     piggyback on the aggregate's count.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # checkpoint the symmetrized edges FIRST: nodes/labels derive from
+    # them, so ordering the checkpoint after would evaluate the (possibly
+    # expensive — e.g. near-dup pair generation) edge input twice
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
         eager=True
     )
-    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
