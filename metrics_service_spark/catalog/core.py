@@ -102,6 +102,47 @@ GROUP BY 1, 2
 """
 
 
+# --- weekly cohort retention -----------------------------------------------
+def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week (Monday
+    truncation — identical in Spark and DuckDB), counted distinct in
+    each subsequent week offset.  Two aggregations + one join on
+    user_id; the cohort dim is small and broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_EV_RETENTION = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --- as-of join: event to latest order at event time -----------------------
 def q_ev_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup: each event joined to the
@@ -795,6 +836,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_asof_orders,
         ORACLE_EV_ASOF,
         "as-of join: event to latest order at event time",
+        ("core",),
+    ),
+    "ev_retention": QuerySpec(
+        q_ev_retention,
+        ORACLE_EV_RETENTION,
+        "weekly cohort retention (first-seen week x week offset)",
         ("core",),
     ),
     "ev_funnel": QuerySpec(
