@@ -102,6 +102,51 @@ GROUP BY 1, 2
 """
 
 
+# --- DAU / rolling MAU / stickiness ----------------------------------------
+def q_ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, EXACT trailing-28-day active users, and the
+    DAU/MAU stickiness ratio.  Rolling DISTINCT has no window form; the
+    exact shape is the contribution explode — each (user, day) activity
+    contributes to the 28 days it stays inside the trailing window,
+    then one countDistinct per day (equi-groupBy, no range join).  The
+    28x row amplification is the price of exactness; at 10^11 events
+    the sketch path is per-day HLL sketches merged over the window
+    (approx_count_distinct), same plan shape minus the explode."""
+    ev = load_table(spark, sf_dir, "events")
+    u_days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = u_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = u_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 27))
+        ).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("mau28"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau28",
+        F.round(F.col("dau").cast("double") / F.col("mau28"), 4).alias("stickiness"),
+    )
+
+
+ORACLE_EV_DAU = """
+WITH u_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM u_days GROUP BY 1
+), contrib AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS day
+  FROM u_days, range(0, 28) t(i)
+), mau AS (
+  SELECT day, count(DISTINCT user_id) AS mau28 FROM contrib GROUP BY 1
+)
+SELECT dau.day, dau.dau, mau.mau28,
+       round(CAST(dau.dau AS DOUBLE) / mau.mau28, 4) AS stickiness
+FROM dau JOIN mau USING (day)
+"""
+
+
 # --- weekly cohort retention -----------------------------------------------
 def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen week (Monday
@@ -842,6 +887,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_retention,
         ORACLE_EV_RETENTION,
         "weekly cohort retention (first-seen week x week offset)",
+        ("core",),
+    ),
+    "ev_dau_stickiness": QuerySpec(
+        q_ev_dau_stickiness,
+        ORACLE_EV_DAU,
+        "DAU / exact trailing-28d MAU / stickiness via contribution explode",
         ("core",),
     ),
     "ev_funnel": QuerySpec(
