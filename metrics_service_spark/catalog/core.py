@@ -113,7 +113,13 @@ def q_ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch path is per-day HLL sketches merged over the window
     (approx_count_distinct), same plan shape minus the explode."""
     ev = load_table(spark, sf_dir, "events")
-    u_days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # u_days feeds both the DAU and the MAU branch — materialize the
+    # narrow distinct frame once (multi-consumer discipline)
+    u_days = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dau = u_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     contrib = u_days.select(
         "user_id",
@@ -151,17 +157,22 @@ FROM dau JOIN mau USING (day)
 def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen week (Monday
     truncation — identical in Spark and DuckDB), counted distinct in
-    each subsequent week offset.  Two aggregations + one join on
-    user_id; the cohort dim is small and broadcast."""
+    each subsequent week offset.  The cohort frame derives from the
+    SAME distinct (user, week) frame (week truncation is monotone, so
+    min(week) = trunc(min(ts))) — one events scan, and the join side
+    is one row per user, so the planner (AQE) picks the join strategy;
+    no forced broadcast of a user-cardinality frame."""
     ev = load_table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    act = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
-    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        act.join(F.broadcast(first), "user_id")
+        act.join(first, "user_id")
         .groupBy(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)

@@ -33,12 +33,24 @@ def asof_join(
 ) -> DataFrame:
     """LEFT as-of join: every left row survives; `value_cols` from the
     latest right row with right_ts <= left_ts and matching key, NULL
-    when no such row exists."""
-    r = right.select(
-        F.col(right_key).alias("__k"),
-        F.col(right_ts).alias("__t"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
-    ).withColumn("__is_left", F.lit(0))
+    when no such row exists.
+
+    The right row is carried forward as ONE struct (not per column):
+    per-column last(ignorenulls) would mix values across versions when
+    a newer right row explicitly nulls a field — the struct is non-null
+    exactly when a right row exists, and its fields keep their own
+    NULLs.  Right rows with a NULL timestamp are dropped (they can
+    never be 'at or before' anything; DuckDB's ASOF predicate agrees).
+    """
+    r = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(right_key).alias("__k"),
+            F.col(right_ts).alias("__t"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("__rv"),
+        )
+        .withColumn("__is_left", F.lit(0))
+    )
     l = left.withColumn("__k", F.col(left_key)).withColumn(
         "__t", F.col(left_ts)
     ).withColumn("__is_left", F.lit(1))
@@ -48,13 +60,11 @@ def asof_join(
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
-    )
-    return filled.filter(F.col("__is_left") == 1).drop(
-        "__k", "__t", "__is_left", *[f"__v_{c}" for c in value_cols]
+    filled = u.withColumn("__rvf", F.last(F.col("__rv"), ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("__is_left") == 1)
+        .select(
+            "*", *[F.col(f"__rvf.{c}").alias(c) for c in value_cols]
+        )
+        .drop("__k", "__t", "__is_left", "__rv", "__rvf")
     )

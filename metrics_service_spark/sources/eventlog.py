@@ -75,11 +75,15 @@ def counter_filter(eventlog: DataFrame) -> DataFrame:
         & F.col("formatType").isin("METADATA", "DATA")
         & F.col("sessionId").isNotNull()
         & (
-            # NULL tags = untagged = not excluded (three-valued logic:
-            # a bare ~arrays_overlap(NULL, ...) would drop the row)
-            F.col("tags").isNull()
-            | ~F.arrays_overlap(
-                F.col("tags"), F.array(*[F.lit(t) for t in EXCLUDED_TAGS])
+            # three-valued logic, twice over: a NULL tags column AND a
+            # null ELEMENT inside tags both make arrays_overlap return
+            # NULL rather than false — either way the row is untagged
+            # and must be kept, so NULL coalesces to keep
+            F.coalesce(
+                ~F.arrays_overlap(
+                    F.col("tags"), F.array(*[F.lit(t) for t in EXCLUDED_TAGS])
+                ),
+                F.lit(True),
             )
         )
     )

@@ -68,8 +68,10 @@ def _make_gate(ttl_minutes: int):
         else:
             first_us, n_dropped = None, 0
         out_first, out_dropped = [], []
+        max_ts_ms = 0
         for ts in pdf["event_ts"]:
             ts_us = int(ts.value // 1_000)
+            max_ts_ms = max(max_ts_ms, ts_us // 1_000)
             if first_us is None:
                 first_us = ts_us
                 out_first.append(True)
@@ -78,8 +80,14 @@ def _make_gate(ttl_minutes: int):
                 out_first.append(False)
             out_dropped.append(n_dropped)
         state.update((first_us, n_dropped))
-        if state.getCurrentWatermarkMs() >= 0:
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        # timeout anchored on EVENT time, never the watermark alone: the
+        # first micro-batch runs with watermark 0, and an epoch-based
+        # timeout would evict all state on the next batch (re-admitting
+        # later duplicates as first).  max(event, watermark) keeps the
+        # required timeout > watermark invariant for late batches.
+        state.setTimeoutTimestamp(
+            max(max_ts_ms, state.getCurrentWatermarkMs()) + ttl_ms
+        )
         yield pd.DataFrame(
             {
                 "content_hash": pdf["content_hash"],

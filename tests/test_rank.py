@@ -149,3 +149,21 @@ if HAVE_HYPOTHESIS:
             for r in merged.itertuples()
         }
         assert got == want
+
+
+def test_asof_join_null_value_fields(spark):
+    """A newer right version that explicitly NULLs a field must win
+    whole — per-column carry-forward would resurrect the older value."""
+    from metrics_service_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 3)], "eid long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 1, 10, None), ("k", 2, None, 20)],
+        "k string, t long, a long, b long",
+    )
+    row = asof_join(
+        left, right,
+        left_key="k", right_key="k", left_ts="t", right_ts="t",
+        value_cols=["a", "b"],
+    ).collect()[0]
+    assert row.a is None and row.b == 20  # the t=2 row, whole

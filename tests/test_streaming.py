@@ -473,3 +473,47 @@ def test_dedup_gate_admits_first_drops_repeats(spark, tmp_path):
     assert rows["d4"].n_dropped_so_far == 2
     admitted = sorted(d for d, r in rows.items() if r.is_first)
     assert admitted == ["d1", "d3"]
+
+
+def test_dedup_gate_state_survives_across_micro_batches(spark, tmp_path):
+    """Regression: the first micro-batch runs at watermark 0; a timeout
+    anchored on the watermark would evict all state next batch and
+    re-admit later duplicates as first.  maxFilesPerTrigger=1 forces
+    each landing file into its own micro-batch."""
+    import datetime as dt
+
+    from metrics_service_spark.streaming.dedup_gate import dedup_gate_stream
+
+    landing = tmp_path / "gate2-landing"
+    landing.mkdir()
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def _row(d, t, m):
+        ts = (t0 + dt.timedelta(minutes=m)).isoformat()
+        return f'{{"doc_id": "{d}", "text": "{t}", "event_ts": "{ts}"}}'
+
+    (landing / "a.json").write_text(_row("d1", "same text", 0) + "\n")
+    (landing / "b.json").write_text(_row("d2", "unrelated", 1) + "\n")
+    (landing / "c.json").write_text(_row("d3", "same text", 2) + "\n")
+
+    schema = "doc_id string, text string, event_ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(landing))
+    )
+    out = tmp_path / "gate2-out"
+    q = (
+        dedup_gate_stream(stream, ttl_minutes=60, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "gate2-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.doc_id: r for r in spark.read.parquet(str(out)).collect()}
+    # d3 arrives 2+ micro-batches after d1 with identical content: the
+    # state must still be there to flag it as a duplicate
+    assert rows["d1"].is_first and rows["d2"].is_first
+    assert not rows["d3"].is_first and rows["d3"].n_dropped_so_far == 1
