@@ -955,3 +955,108 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_hash_sessions, ORACLE_EV_HASH_SESS, "W4 hash session", ("core",)
     ),
 }
+
+
+# --- DAU / MAU sketch variants (the 100x-scale path) -----------------------
+def q_ev_dau_stickiness_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28d MAU via threshold hash sampling (fixed-threshold
+    KMV): users whose md5 prefix falls under a threshold form a
+    deterministic Bernoulli sample (p = 192/256 here; the knob dials
+    DOWN as cardinality grows — p=1/1024 at 10^9 users), counted
+    distinct per window day and scaled by 1/p.  The sample filter runs
+    BEFORE the 28x window explode, so the amplified frame is p x |user
+    days| — that ordering is the scale win over the exact query.
+    Deterministic in both engines (md5 of the decimal user_id string),
+    hence oracle-exact, unlike the HLL twin."""
+    ev = load_table(spark, sf_dir, "events")
+    u_days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = u_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    sampled = u_days.filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2) < "c0"
+    )
+    contrib = sampled.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 27))).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(
+        F.round(
+            F.countDistinct("user_id").cast("double") * (256.0 / 192.0), 4
+        ).alias("mau28_est")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau28_est",
+        F.round(
+            F.col("dau").cast("double") / F.nullif(F.col("mau28_est"), F.lit(0.0)), 4
+        ).alias("stickiness_est"),
+    )
+
+
+ORACLE_EV_DAU_KMV = """
+WITH u_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau FROM u_days GROUP BY 1
+), sampled AS (
+  SELECT user_id, day FROM u_days
+  WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < 'c0'
+), contrib AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS day
+  FROM sampled, range(0, 28) t(i)
+), mau AS (
+  SELECT day, round(CAST(count(DISTINCT user_id) AS DOUBLE) * (256.0/192.0), 4)
+              AS mau28_est
+  FROM contrib GROUP BY 1
+)
+SELECT dau.day, dau.dau, mau.mau28_est,
+       round(CAST(dau.dau AS DOUBLE) / nullif(mau.mau28_est, 0.0), 4)
+       AS stickiness_est
+FROM dau JOIN mau USING (day)
+"""
+
+
+def q_ev_dau_stickiness_approx_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-28d MAU via per-day HLL sketch merge — the named sketch
+    path from q_ev_dau_stickiness's docstring.  One Datasketches HLL
+    sketch per day (hll_sketch_agg), each sketch exploded to the 28
+    window days it covers (amplifies |days| x 28 SKETCHES, never user
+    rows), merged with hll_union_agg and estimated.  Sketch bytes are
+    engine-specific, so this is the flagged rows-only entry; the
+    oracle-exact twin is ev_dau_stickiness_kmv and the error-bound test
+    compares both against the exact query."""
+    ev = load_table(spark, sf_dir, "events")
+    u_days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = u_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    day_sketch = u_days.groupBy("day").agg(
+        F.hll_sketch_agg(F.col("user_id")).alias("sketch")
+    )
+    contrib = day_sketch.select(
+        "sketch",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 27))).alias("day"),
+    )
+    mau = contrib.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("mau28_est")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau28_est",
+        F.round(
+            F.col("dau").cast("double") / F.nullif(F.col("mau28_est"), F.lit(0)), 4
+        ).alias("stickiness_est"),
+    )
+
+
+QUERIES["ev_dau_stickiness_kmv"] = QuerySpec(
+    q_ev_dau_stickiness_kmv,
+    ORACLE_EV_DAU_KMV,
+    "oracle-exact threshold-KMV trailing-28d MAU estimate",
+    ("core", "sketch"),
+)
+QUERIES["ev_dau_stickiness_approx_hll"] = QuerySpec(
+    q_ev_dau_stickiness_approx_hll,
+    None,
+    "per-day HLL sketch merge trailing-28d MAU (rows-only; see KMV twin)",
+    ("core", "sketch", "approx"),
+)

@@ -51,3 +51,26 @@ def test_approx_unique_within_error_of_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for m, e in exact.items():
         assert abs(approx[m] - e) <= max(3, 0.1 * e), (m, approx[m], e)
+
+
+def test_dau_sketches_within_error_of_exact(spark, sf_dir):
+    """Both trailing-28d MAU sketch variants (per-day HLL merge,
+    threshold-KMV hash sample) track the exact explode-based query.
+    HLL at default lgConfigK is near-exact at test cardinality; the
+    p=3/4 hash sample gets a Bernoulli bound."""
+    qs = all_queries()
+    exact = {r["day"]: r["mau28"] for r in qs["ev_dau_stickiness"].fn(spark, sf_dir).collect()}
+    hll = {
+        r["day"]: r["mau28_est"]
+        for r in qs["ev_dau_stickiness_approx_hll"].fn(spark, sf_dir).collect()
+    }
+    kmv = {
+        r["day"]: r["mau28_est"]
+        for r in qs["ev_dau_stickiness_kmv"].fn(spark, sf_dir).collect()
+    }
+    assert set(hll) == set(exact) and set(kmv) == set(exact)
+    for day, e in exact.items():
+        assert abs(hll[day] - e) <= max(2, 0.05 * e), ("hll", day, hll[day], e)
+        # Bernoulli p=3/4: sd = sqrt(n*(1-p)/p)/1 scaled by 1/p; 4 sigma + slack
+        bound = max(6.0, 4.0 * ((e * (1 - 0.75) / 0.75) ** 0.5) / 0.75)
+        assert abs(kmv[day] - e) <= bound, ("kmv", day, kmv[day], e)
