@@ -41,7 +41,17 @@ def asof_join(
     exactly when a right row exists, and its fields keep their own
     NULLs.  Right rows with a NULL timestamp are dropped (they can
     never be 'at or before' anything; DuckDB's ASOF predicate agrees).
+
+    `value_cols` must be disjoint from the left frame's columns — the
+    attached columns keep their right-side names, so a collision would
+    produce duplicate column names and ambiguous downstream selects.
     """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join value_cols collide with left columns: {sorted(clash)}; "
+            "rename (e.g. right.withColumnRenamed) before joining"
+        )
     r = (
         right.filter(F.col(right_ts).isNotNull())
         .select(

@@ -153,6 +153,7 @@ def lsh_buckets_int_batch(
     planes: int,
     tables: int,
     dim: int,
+    validate: bool = True,
 ) -> DataFrame:
     """All (id, table, bucket) signature rows in one codegen pass.
 
@@ -163,8 +164,28 @@ def lsh_buckets_int_batch(
     broadcast (table, plane, pos, weight, bitval) dim, then two hash
     aggregations (plane dots -> sign bits -> bucket).  Bit values are
     carried in the dim table because shiftleft needs a literal shift.
-    Identical buckets to `lsh_bucket_int` (property-tested)."""
+    Identical buckets to `lsh_bucket_int` (property-tested).
+
+    EXACT-DIM CONTRACT: every vector must have size(qvec_col) == dim
+    with no NULL elements.  Off-contract the two paths diverge (the
+    fold's NULL dot yields an all-zero bucket; the posexplode path
+    yields partial dots, and empty vectors vanish from the output), so
+    the contract is enforced here with a cheap limit-1 probe — pass
+    validate=False only when the input is already schema-guaranteed."""
     spark = df.sparkSession
+    if validate:
+        bad = (
+            df.filter(
+                F.col(qvec_col).isNull() | (F.size(F.col(qvec_col)) != dim)
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"lsh_buckets_int_batch: input rows violate the exact-dim "
+                f"contract (size({qvec_col}) != {dim} or NULL vector)"
+            )
     wrows = [
         (t, p, pos, w, 1 << p)
         for t in range(tables)

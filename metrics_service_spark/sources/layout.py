@@ -80,6 +80,14 @@ def expunge_rows(
     user touches only the days they were active.  (On Delta/Iceberg
     this is `DELETE WHERE`; this is the plain-parquet equivalent with
     the same IO shape.)
+
+    Crash semantics: fully-emptied partition directories are removed in
+    a separate step AFTER the dynamic-overwrite commit (dynamic
+    overwrite only replaces partitions present in the written data).  A
+    crash in that window leaves those rows on disk — the operation is
+    idempotent, so a failed expunge MUST be re-run until it returns
+    success; each emptied directory's removal is verified with an
+    existence check before success is reported.
     """
     df = spark.read.parquet(path)
     hit_parts = [
@@ -117,10 +125,15 @@ def expunge_rows(
             spark._jsc.hadoopConfiguration()
         )
         for p in emptied:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}"),
-                True,
-            )
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}")
+            fs.delete(hpath, True)
+            # verification read: never report success while expunged
+            # rows are still on disk (GDPR flow)
+            if fs.exists(hpath):
+                raise IOError(
+                    f"expunge_rows: failed to remove emptied partition "
+                    f"directory {path}/{partition_col}={p}; re-run the expunge"
+                )
     return len(hit_parts)
 
 
@@ -149,9 +162,24 @@ def compact_partitions(
         partitions = [r[0] for r in df.select(partition_col).distinct().collect()]
     if not partitions:
         return 0
-    subset = df.filter(F.col(partition_col).isin(partitions)).repartition(
-        max(1, len(partitions) * target_files_per_partition), partition_col
-    )
+    # repartition by the partition value alone sends ALL rows of one
+    # partition to one task -> always exactly one file; when the caller
+    # wants N files per partition, add a content-hash salt in [0, N) so
+    # each partition's rows spread over N shuffle keys
+    if target_files_per_partition > 1:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]),
+            F.lit(target_files_per_partition),
+        )
+        subset = df.filter(F.col(partition_col).isin(partitions)).repartition(
+            max(1, len(partitions) * target_files_per_partition),
+            F.col(partition_col),
+            salt,
+        )
+    else:
+        subset = df.filter(F.col(partition_col).isin(partitions)).repartition(
+            max(1, len(partitions)), partition_col
+        )
     (
         subset.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -142,3 +142,25 @@ def test_expunge_keeps_null_predicate_rows(spark, tmp_path):
     expunge_rows(spark, path, F.col("user") == "alice")
     left = sorted(r.event_id for r in spark.read.parquet(path).collect())
     assert left == [2, 3]  # the NULL-user row survives
+
+
+def test_compact_partitions_multi_file_target(spark, tmp_path):
+    """target_files_per_partition > 1 actually yields multiple files
+    (content-hash salt spreads one partition's rows over N shuffle
+    keys; plain repartition(partition_col) always collapsed to 1)."""
+    from metrics_service_spark.sources.layout import compact_partitions
+
+    path = str(tmp_path / "silver3")
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(batch * 20 + i, "2024-03-01", i) for i in range(20)],
+            "event_id long, event_date string, user_id long",
+        ).repartition(4)
+        df.write.mode("append").partitionBy("event_date").parquet(path)
+    import glob
+
+    n = compact_partitions(spark, path, target_files_per_partition=3)
+    assert n == 1
+    files_after = glob.glob(f"{path}/event_date=2024-03-01/*.parquet")
+    assert 2 <= len(files_after) <= 3
+    assert spark.read.parquet(path).count() == 120

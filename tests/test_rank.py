@@ -167,3 +167,21 @@ def test_asof_join_null_value_fields(spark):
         value_cols=["a", "b"],
     ).collect()[0]
     assert row.a is None and row.b == 20  # the t=2 row, whole
+
+
+def test_asof_join_rejects_value_col_collision(spark):
+    """value_cols colliding with left columns would produce duplicate
+    output names; the guard raises instead."""
+    import pytest as _pytest
+
+    from metrics_service_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, ts long, price string")
+    right = spark.createDataFrame([(1, 5, "y")], "k long, ts long, price string")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right,
+            left_key="k", right_key="k",
+            left_ts="ts", right_ts="ts",
+            value_cols=["price"],
+        )

@@ -169,3 +169,19 @@ def test_simhash_neardup_finds_near_identical(spark):
     df2 = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
     identical = simhash_near_duplicates(df2, "doc_id", "text").collect()
     assert identical[0].hamming == 0
+
+
+def test_lsh_batch_rejects_off_dim_vectors(spark):
+    """The exact-dim contract is enforced: a short/NULL vector raises
+    instead of silently diverging from lsh_bucket_int."""
+    from metrics_service_spark.operators.similarity import lsh_buckets_int_batch
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 2])], "id long, v array<long>"
+    )
+    with pytest.raises(ValueError, match="exact-dim"):
+        lsh_buckets_int_batch(df, "id", "v", planes=2, tables=1, dim=4).collect()
+    ok = lsh_buckets_int_batch(
+        df.filter("id = 1"), "id", "v", planes=2, tables=1, dim=4
+    )
+    assert ok.count() == 1
