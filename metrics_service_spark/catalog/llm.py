@@ -163,6 +163,11 @@ FROM t
 
 # --- blocked n-gram Jaccard pairs ----------------------------------------
 JACCARD_THRESHOLD = 0.5
+# worst-cell cap: docs in a (lang, log2-length) cell bigger than this are
+# excluded (deterministic, mirrored in the oracle below).  20k drops
+# nothing at any driver scale while bounding the within-cell all-pairs
+# tail to max_cell^2 — overfull cells belong to the MinHash path.
+JACCARD_MAX_CELL = 20_000
 
 
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,15 +178,26 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         block_cols=["lang"],
         threshold=JACCARD_THRESHOLD,
+        max_cell=JACCARD_MAX_CELL,
     )
 
 
+# the oracle mirrors the max_cell drop rule: the cell is the doc's own
+# (lang, length(bin(shingle count))) and cells over the cap are excluded
+# before pairing — same deterministic rule as the Spark side
 ORACLE_JACCARD = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, lang,
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+), cells AS (
+  SELECT lang, length(bin(len(s))) AS bkt, count(*) AS cell_n
+  FROM sh0 GROUP BY 1, 2
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN cells ON cells.lang = sh0.lang AND cells.bkt = length(bin(len(sh0.s)))
+  WHERE cells.cell_n <= {JACCARD_MAX_CELL}
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -62,6 +62,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_cols: list[str] | None = None,
     threshold: float = 0.5,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Blocked all-pairs exact n-gram Jaccard: candidate pairs share the
     blocking key (cheap equi-join); Jaccard computed only on candidates.
@@ -79,12 +80,19 @@ def ngram_jaccard_pairs(
     log whose rounding could disagree across engines.
 
     Block-size bound: within one (block_cols, bucket) cell all docs are
-    within 2x shingle count of each other; for natural corpora that
-    caps cells at a small corpus fraction, and the per-pair ratio prune
-    below still rejects non-qualifying pairs before the set
-    intersection.  (The sub-quadratic scale path remains MinHash-LSH —
-    this operator is the exact verification baseline.)
+    within 2x shingle count of each other, but a natural corpus
+    CONCENTRATES in a few (block, length) cells, leaving the within-cell
+    all-pairs O(m^2) in the worst case.  `max_cell` caps that tail:
+    docs whose own (block_cols, bucket) cell exceeds `max_cell` members
+    are EXCLUDED (cells collected and logged — the cell list is tiny,
+    |blocks| x ~60 buckets).  With the cap, every doc meets at most
+    (2k+1) x max_cell candidates, so candidate pairs are <= N(2k+1)
+    max_cell — linear in N.  The drop rule is a deterministic function
+    of the input (cell population), so an oracle mirrors it exactly.
+    Overfull cells are precisely where the exact baseline should defer
+    to MinHash-LSH, which remains the sub-quadratic scale path.
     """
+    import logging
     import math
 
     block_cols = block_cols or []
@@ -99,6 +107,21 @@ def ngram_jaccard_pairs(
     # broadcast join; a single-file input would otherwise run 1 task
     sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
     bkt = F.length(F.bin(F.col("__len")))
+    if max_cell is not None:
+        sh = sh.withColumn("__own_bkt", bkt)
+        cell_keys = [*block_cols, "__own_bkt"]
+        cells = sh.groupBy(*cell_keys).agg(F.count(F.lit(1)).alias("__cell_n"))
+        dropped = cells.filter(F.col("__cell_n") > max_cell).collect()
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: excluding %d overfull cells "
+                "(max_cell=%d): %s",
+                len(dropped),
+                max_cell,
+                [tuple(r) for r in dropped[:20]],
+            )
+        kept_cells = cells.filter(F.col("__cell_n") <= max_cell).drop("__cell_n")
+        sh = sh.join(F.broadcast(kept_cells), cell_keys).drop("__own_bkt")
     a = sh.withColumn("__bkt", bkt).alias("a")
     # build side carries its own bucket once; probe side explodes to the
     # +-k neighborhood, so each qualifying pair collides on exactly one

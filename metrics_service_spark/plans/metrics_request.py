@@ -104,6 +104,28 @@ class MetricsRequestPlanner:
             .distinct()
         )
 
+    def family_map(self, filter_type: str, values: list[str]) -> DataFrame:
+        """Per-seed family expansion: (seed, pid) rows keeping WHICH
+        requested id each family member belongs to — the per-dataset
+        analog of family_pids (reference: getResolvePIDs keyed by the
+        requested pid, pid_resolution.py:285-416; catalogPIDs dict in
+        metricsreader.py:480-508).  Every seed maps at least to itself
+        (the reference initializes catalogPIDs[i] = [i])."""
+        ids = self.t.identifiers
+        seeds = self.spark.createDataFrame([(v,) for v in values], "seed string")
+        matched = ids.join(
+            F.broadcast(seeds),
+            (F.col("PID") == F.col("seed"))
+            | (F.col("SID") == F.col("seed"))
+            | F.array_contains("datasetIdentifierFamily", F.col("seed")),
+        )
+        members = matched.select(
+            "seed", F.explode("datasetIdentifierFamily").alias("pid")
+        ).union(matched.select("seed", F.col("PID").alias("pid")))
+        return members.union(
+            seeds.select("seed", F.col("seed").alias("pid"))
+        ).distinct()
+
     # -- event-side filtering --------------------------------------------
     def counter_filtered_events(self) -> DataFrame:
         """The robot/machine exclusion + read/format/session predicates
@@ -289,10 +311,82 @@ class MetricsRequestPlanner:
             .distinct()
         )
 
+    # -- catalog / search page summary -------------------------------------
+    def catalog_summary_response(self, request: dict) -> dict:
+        """The browse/search-page branch (getSummaryMetricsPerCatalog +
+        formatDataPerCatalog, metricsreader.py:470-640): one entry PER
+        REQUESTED DATASET with its family's UNIQUE event counts —
+        parallel arrays datasets/downloads/views/citations with country
+        and months empty and resultDetails {}.
+
+        Fidelity notes: downloads/views are cardinality-of-eventId (the
+        ES `unique_doc_count`), not totals; the request's month filter
+        is IGNORED — the reference hardcodes 01/01/2012..today for this
+        branch (metricsreader.py:616-618); datasets follow request
+        order (catalogPIDs dict insertion order); citations are
+        gathered per family like gatherCitations.  One broadcast join +
+        one groupBy — per-seed families never leave the cluster."""
+        first = request.get("filterBy", [{}])[0]
+        values = list(first.get("values", []))
+        fam = self.family_map(first.get("filterType", "catalog"), values)
+        ev = self.counter_filtered_events()
+        counts = {
+            r["seed"]: (r["downloads"], r["views"])
+            for r in ev.join(F.broadcast(fam), "pid")
+            .groupBy("seed")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("formatType") == "DATA", F.col("eventId"))
+                ).alias("downloads"),
+                F.countDistinct(
+                    F.when(F.col("formatType") == "METADATA", F.col("eventId"))
+                ).alias("views"),
+            )
+            .collect()
+        }
+        pids = fam.select(
+            "seed",
+            F.lower(F.substring_index(F.col("pid"), "?", 1)).alias("__pid_norm"),
+        ).distinct()
+        cites = {
+            r["seed"]: r["citations"]
+            for r in self.t.citations.join(
+                F.broadcast(pids),
+                F.instr(F.col("__pid_norm"), F.lower(F.col("target_id"))) > 0,
+            )
+            .dropDuplicates(["seed", "target_id", "source_id"])
+            .groupBy("seed")
+            .agg(F.count(F.lit(1)).alias("citations"))
+            .collect()
+        }
+        results = {
+            "downloads": [counts.get(v, (0, 0))[0] for v in values],
+            "views": [counts.get(v, (0, 0))[1] for v in values],
+            "citations": [cites.get(v, 0) for v in values],
+            "datasets": list(values),
+            "country": [],
+            "months": [],
+        }
+        return {
+            "metricsRequest": request,
+            "results": results,
+            "resultDetails": {},
+        }
+
     # -- reference-shaped response ----------------------------------------
     def response(self, request: dict) -> dict:
         """Collect plan() into the reference's parallel-array response
-        (metricsreader.py:1569-1816): results + resultDetails totals."""
+        (metricsreader.py:1569-1816): results + resultDetails totals.
+        Catalog/package list requests with >1 values dispatch to the
+        per-dataset summary branch, mirroring process_request
+        (metricsreader.py:131-137)."""
+        first = request.get("filterBy", [{}])[0] if request.get("filterBy") else {}
+        if (
+            first.get("filterType", "").lower() in ("catalog", "package")
+            and first.get("interpretAs", "list").lower() == "list"
+            and len(first.get("values", [])) > 1
+        ):
+            return self.catalog_summary_response(request)
         metrics = list(request.get("metrics", ["citations", "downloads", "views"]))
         df = self.plan(request)
         rows = df.collect()

@@ -160,3 +160,118 @@ def test_country_grouping(planner):
     rows = {(r["bucket"], r["country"]): r["downloads"] for r in df.collect()}
     assert rows[("2018-02", "DE")] == 1
     assert rows[("2018-02", "US")] == 1
+
+
+# --- golden: the documented catalog-page request/response pair -------------
+# /root/reference notes.rst documents one verbatim request from the search
+# UI browse page (25 catalog PIDs + month range, groupBy month) and its
+# response.  The fixture below realizes exactly the documented per-dataset
+# unique counts; the response must reproduce the documented structure and
+# the documented pid -> count mapping (the reference's array order came
+# from a pre-3.7 dict; ours is request order, so compare as mappings).
+
+NOTES_RST_REQUEST_VALUES = [
+    "p1161.ds2423_20181010_0300", "p1151.ds2412_20181010_0300",
+    "urn:uuid:2e9143a6-2623-46be-9cc5-788c238f27ea", "PPBioMA.50.4",
+    "https://pasta.lternet.edu/package/metadata/eml/knb-lter-nwt/93/1",
+    "https://pasta.lternet.edu/package/metadata/eml/knb-lter-nwt/45/1",
+    "doi:10.6067:XCV8446794_meta$v=1538938553701",
+    "doi:10.6067:XCV8446793_meta$v=1538934411225",
+    "p10.ds237_20181007_0300", "p17.ds2553_20181006_0302",
+    "p1284.ds2551_20181006_0302", "p1284.ds2550_20181006_0302",
+    "p17.ds2547_20181006_0302", "p17.ds2546_20181006_0301",
+    "p17.ds2545_20181006_0301", "p1229.ds2543_20181006_0301",
+    "p1279.ds2539_20181006_0301", "p1279.ds2538_20181006_0301",
+    "p1278.ds2537_20181006_0301", "p1278.ds2536_20181006_0301",
+    "p1278.ds2535_20181006_0301", "p1278.ds2534_20181006_0301",
+    "p1278.ds2533_20181006_0301", "p1278.ds2532_20181006_0301",
+    "p43.ds2520_20181006_0301",
+]
+
+NOTES_RST_DATASETS = [
+    "p1278.ds2534_20181006_0301", "p17.ds2546_20181006_0301",
+    "p1278.ds2537_20181006_0301", "p10.ds237_20181007_0300",
+    "urn:uuid:2e9143a6-2623-46be-9cc5-788c238f27ea",
+    "doi:10.6067:XCV8446794_meta$v=1538938553701",
+    "p1279.ds2538_20181006_0301",
+    "https://pasta.lternet.edu/package/metadata/eml/knb-lter-nwt/93/1",
+    "p1278.ds2535_20181006_0301", "p17.ds2545_20181006_0301",
+    "p1151.ds2412_20181010_0300", "p1278.ds2533_20181006_0301",
+    "p17.ds2553_20181006_0302", "p1284.ds2551_20181006_0302",
+    "p43.ds2520_20181006_0301", "p1284.ds2550_20181006_0302",
+    "p1279.ds2539_20181006_0301", "p1229.ds2543_20181006_0301",
+    "https://pasta.lternet.edu/package/metadata/eml/knb-lter-nwt/45/1",
+    "doi:10.6067:XCV8446793_meta$v=1538934411225", "PPBioMA.50.4",
+    "p1161.ds2423_20181010_0300", "p1278.ds2536_20181006_0301",
+    "p1278.ds2532_20181006_0301", "p17.ds2547_20181006_0302",
+]
+NOTES_RST_VIEWS = [3, 3, 3, 5, 13, 0, 3, 3, 3, 3, 2, 3, 5, 3, 3, 3, 3, 3, 3, 0, 3, 4, 3, 3, 3]
+NOTES_RST_DOWNLOADS = [0, 0, 0, 0, 15, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0]
+
+NOTES_RST_REQUEST = {
+    "metricsPage": {"total": 0, "start": 0, "count": 0},
+    "metrics": ["citations", "downloads", "views"],
+    "filterBy": [
+        {
+            "filterType": "catalog",
+            "values": NOTES_RST_REQUEST_VALUES,
+            "interpretAs": "list",
+        },
+        {
+            "filterType": "month",
+            "values": ["01/01/2000", "10/16/2018"],
+            "interpretAs": "range",
+        },
+    ],
+    "groupBy": ["month"],
+}
+
+
+@pytest.fixture(scope="module")
+def notes_rst_planner(spark):
+    from metrics_service_spark.schemas import (
+        CITATION_SCHEMA,
+        EVENT_SCHEMA,
+        IDENTIFIER_SCHEMA,
+    )
+    from metrics_service_spark.plans.metrics_request import MetricsTables
+    from metrics_service_spark.testing.fixtures import _ev
+
+    doc_views = dict(zip(NOTES_RST_DATASETS, NOTES_RST_VIEWS))
+    doc_downloads = dict(zip(NOTES_RST_DATASETS, NOTES_RST_DOWNLOADS))
+    events, identifiers = [], []
+    for i, pid in enumerate(NOTES_RST_REQUEST_VALUES):
+        identifiers.append((pid, None, [pid], True, "METADATA", ["uid=u"], [pid]))
+        for j in range(doc_views[pid]):
+            events.append(_ev(f"v{i}_{j}", pid, (j % 27) + 1, fmt="METADATA"))
+        for j in range(doc_downloads[pid]):
+            events.append(_ev(f"d{i}_{j}", pid, (j % 27) + 1, fmt="DATA"))
+    tables = MetricsTables(
+        events=spark.createDataFrame(events, EVENT_SCHEMA),
+        identifiers=spark.createDataFrame(identifiers, IDENTIFIER_SCHEMA),
+        citations=spark.createDataFrame([], CITATION_SCHEMA),
+    )
+    return MetricsRequestPlanner(spark, tables)
+
+
+def test_notes_rst_catalog_golden_pair(notes_rst_planner):
+    resp = notes_rst_planner.response(NOTES_RST_REQUEST)
+    # top-level and results structure exactly as documented
+    assert set(resp) == {"results", "metricsRequest", "resultDetails"}
+    assert resp["metricsRequest"] == NOTES_RST_REQUEST
+    assert resp["resultDetails"] == {}
+    results = resp["results"]
+    assert set(results) == {
+        "views", "country", "citations", "datasets", "downloads", "months",
+    }
+    assert results["country"] == [] and results["months"] == []
+    # parallel arrays: one entry per requested dataset, request order
+    assert results["datasets"] == NOTES_RST_REQUEST_VALUES
+    for key in ("views", "downloads", "citations"):
+        assert len(results[key]) == len(NOTES_RST_REQUEST_VALUES)
+    # per-dataset values match the documented pairing
+    got_views = dict(zip(results["datasets"], results["views"]))
+    got_downloads = dict(zip(results["datasets"], results["downloads"]))
+    assert got_views == dict(zip(NOTES_RST_DATASETS, NOTES_RST_VIEWS))
+    assert got_downloads == dict(zip(NOTES_RST_DATASETS, NOTES_RST_DOWNLOADS))
+    assert results["citations"] == [0] * 25

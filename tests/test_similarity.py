@@ -185,3 +185,23 @@ def test_lsh_batch_rejects_off_dim_vectors(spark):
         df.filter("id = 1"), "id", "v", planes=2, tables=1, dim=4
     )
     assert ok.count() == 1
+
+
+def test_jaccard_max_cell_guard_drops_overfull_cells(spark):
+    """Docs whose (block, log2-length) cell exceeds max_cell are
+    excluded from exact-Jaccard pairing (the quadratic-tail cap);
+    smaller cells are unaffected and the rule is deterministic."""
+    from metrics_service_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "en", "a b c d e f g h") for i in range(5)]  # one hot cell
+    rows += [(100, "fr", "x y z w q r"), (101, "fr", "x y z w q r")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, block_cols=["lang"], threshold=0.5, max_cell=3
+    ).collect()
+    # the 5-doc en cell is dropped entirely; the 2-doc fr cell survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, block_cols=["lang"], threshold=0.5, max_cell=100
+    ).collect()
+    assert len(uncapped) == 1 + 10  # fr pair + all C(5,2) en pairs
