@@ -48,9 +48,13 @@ def test_decode_image_fake_dims(media):
     assert rows[4].n_bytes == 0
 
 
-def test_decode_real_raises(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media, real=True)
+def test_decode_real_seams(media):
+    # image real=True now decodes PNG (see the tests below); on the
+    # text-derived fixture payloads it fails at collect with a clear
+    # not-a-PNG error rather than fake numbers
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_image(media, real=True).collect()
+    # audio real decode remains a documented codec seam
     with pytest.raises(NotImplementedError):
         decode_audio(media, real=True)
 
@@ -92,3 +96,100 @@ def test_image_features_match_numpy(media):
     assert abs(float(got.sum()) - 1.0) < 1e-5
     # empty payload: all-zero vector, no NaN
     assert not np.isnan(np.array(feats[4].feature)).any()
+
+
+# --- real PNG decode path ---------------------------------------------------
+def _encode_png(px, filter_type=0):
+    """Minimal PNG encoder for tests: 8-bit RGB/RGBA/gray, one filter
+    type for all scanlines (inverse of the decoder's unfilter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        filt = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            left = int(cur[x - c]) if x >= c else 0
+            up = int(prev[x])
+            ul = int(prev[x - c]) if x >= c else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = left
+            elif filter_type == 2:
+                pred = up
+            elif filter_type == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc_) else (up if pb <= pc_ else ul)
+            filt[x] = (cur[x] - pred) % 256
+        raw += bytes([filter_type]) + bytes(filt.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixels_roundtrip_all_filters():
+    """The unfilter path (None/Sub/Up/Average/Paeth) reproduces pixels
+    exactly for every filter type and channel count."""
+    import numpy as np
+
+    from metrics_service_spark.operators.multimodal import png_meta, png_pixels
+
+    rng = np.random.RandomState(7)
+    for c in (1, 3, 4):
+        px = rng.randint(0, 256, size=(5, 4, c)).astype("uint8")
+        for ftype in range(5):
+            data = _encode_png(px, filter_type=ftype)
+            assert png_meta(data) == (4, 5, c)
+            assert (png_pixels(data) == px).all(), (c, ftype)
+
+
+def test_decode_image_real_png_through_spark(spark):
+    """mm decode with real=True runs an ACTUAL PNG (the checked-in
+    fixture) through the same mapInPandas plan as the fake path."""
+    import os
+
+    from metrics_service_spark.operators.multimodal import decode_image
+
+    fixture = os.path.join(os.path.dirname(__file__), "data", "tiny_rgb.png")
+    with open(fixture, "rb") as f:
+        png = f.read()
+    media = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, payload binary"
+    )
+    rows = decode_image(media, real=True).collect()
+    assert [(r["media_id"], r["width"], r["height"], r["channels"], r["n_bytes"]) for r in rows] == [
+        (1, 6, 4, 3, len(png))
+    ]
+
+
+def test_decode_image_real_rejects_non_png(spark):
+    from metrics_service_spark.operators.multimodal import decode_image
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not a png at all, just bytes"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_image(media, real=True).collect()
