@@ -24,69 +24,76 @@ class QuerySpec:
 
 
 # The external correctness driver checks the FIRST 50 entries of
-# all_queries() iteration order each round.  Rounds 1+2 sampled 61 distinct
-# names (see CORRECTNESS_r01/r02.json); the names below were never sampled,
-# plus the queries added in round 3 — they lead so that rounds 1-3 jointly
-# cover the whole catalog.  Highest-value first in case the sample shrinks.
-# Already-driver-green queries sit in the tail.  See README "Driver sample".
+# all_queries() iteration order each round.  Rounds 1-4 jointly covered
+# all 111 entries (union of CORRECTNESS_r0{1..4}.json); each round the
+# least-recently-checked entries are rotated to the front so driver
+# coverage stays fresh.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # flagship + gold mat-views (never sampled r1/r2)
-    "landing_page_daily",
-    "package_counts",
-    "metrics_star",
-    "matview_routed_repo",
-    "matview_landingpage",
-    "matview_userprofilemetrics",
-    "matview_userprofilecharts",
-    "matview_repometrics",
-    "matview_repocharts",
-    "matview_awardmetrics",
-    "matview_awardcharts",
-    # search pipeline
-    "search_log_pipeline",
-    "search_sessions",
-    # scalar-function suite
-    "func_scalar_suite",
-    # multimodal
-    "mm_image_meta",
-    "mm_frame_sample",
-    "mm_audio_meta",
-    "mm_image_features",
-    "mm_image_features_exact",
-    # md5 / integer oracle-exact twins (built to be driver-checkable)
-    "doc_minhash_dedup_md5",
-    "doc_simhash_md5",
-    "doc_simhash_neardup_md5",
-    "doc_quality_filter_exact",
-    "emb_ann_lsh_int",
-    "emb_ann_ivf_int",
-    # remaining never-sampled llm/embedding entries
-    "doc_dedup_clusters",
-    "doc_split",
-    "doc_pack",
-    "doc_contamination",
-    "doc_sample_stratified",
-    "doc_incremental_dedup",
-    "doc_unigram_freq",
-    "doc_ngram_topk",
-    "doc_multi_signal_pairs",
-    "emb_random_projection",
-    "emb_cosine_neardup_allpairs",
-    # round-3 additions: TPC-H completion (all 22 shapes) + DAU sketches
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "ev_dau_stickiness_kmv",
-    "ev_dau_stickiness_approx_hll",
+    # round-5 rotation: every entry below was last driver-checked in
+    # r1/r2 — re-front them so the post-fixture-regeneration (NTZ
+    # timestamps) behavior gets a fresh driver row.  Timestamp-heavy
+    # ev_* queries lead; the no-oracle HLL entry parks last.
+    "ev_props_kv",
+    "ev_tag_membership",
+    "sushi_instances",
+    "ev_filter_project",
+    "ev_monthly_stats",
+    "ev_sessionize",
+    "ev_rolling_7d",
+    "ev_value_median",
+    "ev_asof_orders",
+    "ev_retention",
+    "ev_dau_stickiness",
+    "ev_funnel",
+    "ev_session_having",
+    "ev_sessionize_global",
+    "ev_sessionize_bucketed",
+    "ev_last_per_user",
+    "ev_top3_per_type",
+    "orders_rollup",
+    "ev_day_spine",
+    "ev_pivot_daily",
+    "counter_report",
+    "ev_value_tiers",
+    "ev_hash_sessions",
+    "semi_join_purchasers",
+    "anti_join_no_orders",
+    "theta_contains",
+    "order_chains",
+    "full_outer_daily",
+    "union_distinct_ids",
+    "except_non_purchasers",
+    "pid_family_closure",
+    "order_components",
+    "user_event_family",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q4",
+    "tpch_q18",
+    "tpch_q10",
+    "tpch_q19",
+    "doc_exact_dedup",
+    "doc_bpe_tokens",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_jaccard_pairs",
+    "doc_minhash_dedup",
+    "doc_simhash",
+    "doc_simhash_neardup",
+    "doc_quality_filter",
+    "emb_topk_bruteforce",
+    "emb_cosine_neardup",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    "emb_kmeans_step",
+    "emb_centroids",
+    "ev_monthly_stats_approx",
 )
 
 

@@ -39,23 +39,44 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session-tz, pinned UTC).
+
+    The driver regenerates the parquet fixtures between rounds and has
+    emitted timestamps both as TIMESTAMP(NANOS) and as un-adjusted
+    TIMESTAMP(MICROS); Spark 4 reads the latter as TIMESTAMP_NTZ, which
+    functions like unix_micros() reject.  Normalizing here keeps every
+    downstream operator on a single timestamp type regardless of how the
+    fixtures were written — with the session timezone pinned to UTC the
+    wall-clock values are bit-identical to the NTZ reading.
+    """
+    from pyspark.sql import functions as F
+
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    return df.withColumns(
+        {c: F.col(c).cast("timestamp") for c in ntz_cols}
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as int64 nanos and truncate to
-        # microseconds — exactly what DuckDB does when it surfaces the
-        # column as TIMESTAMP (µs).
+        # events.ts has been parquet TIMESTAMP(NANOS) in some fixture
+        # generations, which Spark's vectorized reader rejects; read it
+        # as int64 nanos and truncate to microseconds — exactly what
+        # DuckDB does when it surfaces the column as TIMESTAMP (µs).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _normalize_ntz(df)
+    return _normalize_ntz(spark.read.parquet(path))
 
 
 def register_views(

@@ -41,14 +41,17 @@ def test_tpch_q5_scan_pruned(spark, sf_dir):
 
 def test_landing_page_pushdown_and_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "landing_page_daily")
-    # the driver's events file stores TIMESTAMP(NANOS) read as int64, so
-    # the range predicate on the derived timestamp can't reach parquet —
-    # it lands in DataFilters (row-level, pre-shuffle); the scale path is
-    # the date-partitioned silver layout (tests/test_layout.py asserts
-    # PartitionFilters there)
-    assert "DataFilters: [isnotnull(ts" in plan
+    # events.ts is parquet TIMESTAMP(MICROS) — the date-range predicate
+    # reaches the parquet reader (PushedFilters), so row groups outside
+    # the window are skipped at scan time; the scale path additionally
+    # uses the date-partitioned silver layout (tests/test_layout.py
+    # asserts PartitionFilters there)
+    assert "PushedFilters: [IsNotNull(ts)" in plan
     # column pruning: props is untouched by this query
-    assert "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string,value:double>" in plan
+    assert (
+        "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,"
+        "event_type:string,value:double>" in plan
+    )
     # the day spine joins broadcast
     assert "BroadcastHashJoin" in plan
 
@@ -117,3 +120,33 @@ def test_cosine_neardup_default_is_bucketed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # the (table, bucket) self-join is in-plan
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_asof_orders_single_window_no_range_explosion(spark, sf_dir):
+    # the as-of join compiles to union + ONE window pass over the merged
+    # stream — never a range join (which would be a nested-loop over
+    # every (event, order) pair in the time band) and never a cartesian
+    plan = _plan(spark, sf_dir, "ev_asof_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_dau_stickiness_no_nested_loop(spark, sf_dir):
+    # the exact trailing-28d MAU runs on the distinct user-day frame via
+    # an equi-join against the day spine — the day-offset fan-out must
+    # stay an explode + hash agg, not a time-band nested-loop join
+    plan = _plan(spark, sf_dir, "ev_dau_stickiness")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pid_family_closure_lineage_truncated(spark, sf_dir):
+    # the BFS closure localCheckpoints every round: the final plan must
+    # be a union of checkpointed layers (Scan ExistingRDD), not a replay
+    # of the accumulated join lineage (which would grow per round and
+    # recompute the whole BFS on every downstream action)
+    plan = _plan(spark, sf_dir, "pid_family_closure")
+    assert "Scan parquet" not in plan  # lineage cut at the checkpoints
+    assert "Join" not in plan  # per-round joins ran pre-checkpoint
+    assert "Scan ExistingRDD" in plan
