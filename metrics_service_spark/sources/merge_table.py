@@ -1,0 +1,235 @@
+"""Manifest-committed parquet table: transactional MERGE for gold state.
+
+Reference analog: `es_eventlog_sync` upserts session/family state into
+an ES index with per-document versioned bulk updates and
+`retry_on_conflict` (es_eventlog_sync.py:485-547,640-661); the
+Postgres materialized views are refreshed wholesale inside a
+transaction (02-metrics-materialized-views.sql).  SURVEY §1 maps both
+to a transactional table format (Delta/Iceberg MERGE).  This container
+has neither package, so this module implements the same commit
+protocol those formats use, from parquet + JSON primitives only:
+
+- Data files are immutable `part-*.parquet`, each pinned to one value
+  of the partition columns; the partition values are recorded in the
+  manifest (file-skipping metadata, like Delta's add-file stats).
+- A table VERSION is a JSON manifest (`_manifests/v{N}.json`) listing
+  its data files.  Commits write the next-version manifest with
+  O_EXCL create — two concurrent committers race on the version
+  number and exactly one wins (optimistic concurrency, the loser
+  retries on fresh state).
+- Old data files are never mutated or deleted by a commit, so a
+  reader that resolved version N keeps a consistent snapshot while
+  version N+1 lands (snapshot isolation for concurrent reads);
+  `vacuum` reclaims files unreferenced by the newest manifest.
+- `merge` is an upsert by key: only data files whose partition value
+  appears in the update batch are rewritten (anti-join out the
+  updated keys, union the new rows); untouched partitions carry their
+  files forward by reference.  Replaying the same batch converges to
+  the same state, so foreachBatch retries are safe.
+
+At 100 TB the manifest lists file paths + partition values only
+(KBs per thousand files) and the MERGE cost is proportional to the
+touched partitions, not the table — the same contract as Delta MERGE
+with dynamic file pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFEST_DIR, f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int:
+    """Newest committed version, or -1 for an empty/new table."""
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return -1
+    versions = [
+        int(name[1:-5])
+        for name in os.listdir(mdir)
+        if name.startswith("v") and name.endswith(".json")
+    ]
+    return max(versions, default=-1)
+
+
+def _load_manifest(table_dir: str, version: int) -> list[dict]:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)["files"]
+
+
+def _write_files(
+    df: DataFrame, table_dir: str, partition_cols: list[str]
+) -> list[dict]:
+    """Write df as immutable parquet files, one directory per commit,
+    and return manifest entries [{path, partition: {col: value}}]."""
+    stage = os.path.join(table_dir, f"stage-{uuid.uuid4().hex}")
+    if partition_cols:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
+    else:
+        df.write.mode("overwrite").parquet(stage)
+    entries: list[dict] = []
+    for root, _dirs, files in os.walk(stage):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(root, name)
+            rel = os.path.relpath(path, table_dir)
+            part = {}
+            for piece in os.path.relpath(root, stage).split(os.sep):
+                if "=" in piece:
+                    k, v = piece.split("=", 1)
+                    part[k] = v
+            entries.append({"path": rel, "partition": part})
+    return entries
+
+
+def _commit(table_dir: str, files: list[dict], version: int) -> int:
+    """Commit `files` at exactly `version` (the version the committer
+    computed its rewrite against, +1).  O_EXCL create makes exactly one
+    of two racing committers win; the loser gets ConflictError and must
+    recompute against the new current_version and retry."""
+    os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    try:
+        with open(_manifest_path(table_dir, version), "x") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        return version
+    except FileExistsError:
+        # lost the race; surface to the caller, whose rewrite was
+        # computed against a stale snapshot
+        raise ConflictError(
+            f"version {version} already committed under {table_dir}"
+        ) from None
+
+
+class ConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: recompute against the new
+    current version and retry (the reference's retry_on_conflict)."""
+
+
+def _read_files(
+    spark: SparkSession, table_dir: str, entries: list[dict]
+) -> DataFrame:
+    """Read manifest entries.  Files from different commits live under
+    different stage roots, so partition discovery runs per-stage (each
+    stage is internally consistent) and the scans union — a commit's
+    worth of files is one scan, so the union width is bounded by the
+    number of versions still contributing files, not file count."""
+    by_stage: dict[str, list[str]] = {}
+    for e in entries:
+        stage = e["path"].split(os.sep, 1)[0]
+        by_stage.setdefault(stage, []).append(
+            os.path.join(table_dir, e["path"])
+        )
+    parts = [
+        spark.read.option(
+            "basePath", os.path.join(table_dir, stage)
+        ).parquet(*paths)
+        for stage, paths in sorted(by_stage.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, *, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (newest version by default).  The returned
+    DataFrame stays valid while later versions commit — files are
+    immutable and vacuum only drops unreferenced ones."""
+    if version is None:
+        version = current_version(table_dir)
+    if version < 0:
+        raise FileNotFoundError(f"no committed version under {table_dir}")
+    entries = _load_manifest(table_dir, version)
+    if not entries:
+        raise ValueError(f"empty manifest v{version} under {table_dir}")
+    return _read_files(spark, table_dir, entries)
+
+
+def overwrite_table(
+    df: DataFrame, table_dir: str, *, partition_cols: list[str] | None = None
+) -> int:
+    """Full-table replace as a single atomic commit."""
+    base = current_version(table_dir)
+    files = _write_files(df, table_dir, partition_cols or [])
+    return _commit(table_dir, files, base + 1)
+
+
+def merge_table(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> int:
+    """MERGE (upsert): rows matching `key_cols` are replaced by the
+    update rows, new keys are inserted.  Only the partitions present
+    in `updates` are rewritten; every other data file is carried into
+    the new manifest by reference.  Idempotent under replay."""
+    partition_cols = partition_cols or []
+    base = current_version(table_dir)
+    if base < 0:
+        return overwrite_table(updates, table_dir, partition_cols=partition_cols)
+
+    entries = _load_manifest(table_dir, base)
+    if partition_cols:
+        touched = {
+            tuple(str(r[c]) for c in partition_cols)
+            for r in updates.select(*partition_cols).distinct().collect()
+        }
+        hit = [
+            e
+            for e in entries
+            if tuple(e["partition"].get(c) for c in partition_cols) in touched
+        ]
+        carried = [e for e in entries if e not in hit]
+    else:
+        hit, carried = entries, []
+
+    pieces = [updates]
+    if hit:
+        old = _read_files(spark, table_dir, hit)
+        keys = updates.select(*key_cols).distinct()
+        pieces.append(
+            old.join(F.broadcast(keys), key_cols, "left_anti").select(
+                *updates.columns
+            )
+        )
+    merged = pieces[0] if len(pieces) == 1 else pieces[0].unionByName(pieces[1])
+    new_files = _write_files(merged, table_dir, partition_cols)
+    return _commit(table_dir, carried + new_files, base + 1)
+
+
+def vacuum(table_dir: str) -> int:
+    """Delete data files unreferenced by the NEWEST manifest (breaks
+    older snapshots, like Delta VACUUM).  Returns files removed."""
+    version = current_version(table_dir)
+    if version < 0:
+        return 0
+    live = {
+        os.path.normpath(os.path.join(table_dir, e["path"]))
+        for e in _load_manifest(table_dir, version)
+    }
+    removed = 0
+    for root, _dirs, files in os.walk(table_dir):
+        if _MANIFEST_DIR in root:
+            continue
+        for name in files:
+            path = os.path.normpath(os.path.join(root, name))
+            if name.endswith(".parquet") and path not in live:
+                os.remove(path)
+                removed += 1
+    return removed

@@ -36,10 +36,20 @@ def incremental_star_refresh(
     checkpoint_dir: str,
     *,
     available_now: bool = True,
+    table_format: str = "parquet",
 ):
     """Stream silver -> star.  Silver rows are eventlog-shaped (the
     adapter schema); the star is written partitioned by (year, month)
-    and only the partitions containing new events are rewritten."""
+    and only the partitions containing new events are rewritten.
+
+    table_format="parquet" (default): dynamic-partition overwrite —
+    idempotent but a reader racing the rewrite can see a partition
+    mid-replace.  table_format="manifest": each refresh is an atomic
+    manifest commit (sources/merge_table) — concurrent readers keep
+    the snapshot they resolved until they re-resolve, the Delta/
+    Iceberg MERGE semantics SURVEY §1 maps ST6 to."""
+    if table_format not in ("parquet", "manifest"):
+        raise ValueError(f"unknown table_format {table_format!r}")
     schema = spark.read.parquet(silver_dir).schema
     stream = spark.readStream.schema(schema).parquet(silver_dir)
 
@@ -63,6 +73,20 @@ def incremental_star_refresh(
             ],
         )
         star = metrics_star(silver.filter(cond))
+        if table_format == "manifest":
+            from metrics_service_spark.sources.merge_table import merge_table
+
+            # the recompute unit is a whole (year, month) partition, so
+            # keying the merge on the partition itself replaces exactly
+            # the recomputed slices atomically
+            merge_table(
+                spark,
+                star_dir,
+                star,
+                key_cols=["year", "month"],
+                partition_cols=["year", "month"],
+            )
+            return
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -33,8 +33,10 @@ def _rows(df):
 
 def test_incremental_refresh_converges(spark, sf_dir, tmp_path):
     ev = eventlog_view(load_table(spark, sf_dir, "events")).cache()
-    jan = ev.filter(F.month("dateLogged") == 1)
-    rest = ev.filter(F.month("dateLogged") != 1)
+    # the regenerated fixtures span a single month; split by day so
+    # the second batch is non-empty and re-touches the month partition
+    jan = ev.filter(F.dayofmonth("dateLogged") <= 15)
+    rest = ev.filter(F.dayofmonth("dateLogged") > 15)
     silver = str(tmp_path / "silver")
     star = str(tmp_path / "star")
     ckpt = str(tmp_path / "ckpt")
