@@ -213,6 +213,51 @@ def merge_table(
     return _commit(table_dir, carried + new_files, base + 1)
 
 
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    partition_cols: list[str] | None = None,
+    min_files_per_partition: int = 2,
+) -> int:
+    """OPTIMIZE: bin-pack partitions fragmented across many small
+    files (every MERGE adds a commit's worth of files to the touched
+    partitions; a streaming refresh touching the same partition each
+    batch accretes one file set per batch — the classic small-file
+    problem).  Rewrites each partition held in >= min_files_per_
+    partition files into a single coalesced file set and commits; data
+    is unchanged, so readers of older versions are unaffected.  Run
+    vacuum afterwards to reclaim the replaced files."""
+    partition_cols = partition_cols or []
+    base = current_version(table_dir)
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {table_dir}")
+    entries = _load_manifest(table_dir, base)
+
+    by_part: dict[tuple, list[dict]] = {}
+    for e in entries:
+        key = tuple(e["partition"].get(c) for c in partition_cols)
+        by_part.setdefault(key, []).append(e)
+    fragmented = [
+        e
+        for group in by_part.values()
+        if len(group) >= min_files_per_partition
+        for e in group
+    ]
+    if not fragmented:
+        return base  # nothing to do; current version stands
+    carried = [e for e in entries if e not in fragmented]
+    packed = _read_files(spark, table_dir, fragmented)
+    if partition_cols:
+        # one output file per partition value: route all rows of a
+        # partition to one task before the partitioned write
+        packed = packed.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        packed = packed.coalesce(1)
+    new_files = _write_files(packed, table_dir, partition_cols)
+    return _commit(table_dir, carried + new_files, base + 1)
+
+
 def vacuum(table_dir: str) -> int:
     """Delete data files unreferenced by the NEWEST manifest (breaks
     older snapshots, like Delta VACUUM).  Returns files removed."""

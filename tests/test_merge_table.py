@@ -160,3 +160,35 @@ def test_gold_refresh_manifest_format_converges(spark, sf_dir, tmp_path):
     assert current_version(star) > v_after_b1
     assert rows(read_table(spark, star)) == rows(metrics_star(ev))
     assert rows(snapshot) == rows(metrics_star(jan))
+
+
+def test_compact_bin_packs_fragmented_partitions(spark, tmp_path):
+    from metrics_service_spark.sources.merge_table import compact_table
+
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 9, "a"), tdir, partition_cols=["part"])
+    # two merges against part=0 accrete two extra file sets there
+    for tag in ("b", "c"):
+        merge_table(
+            spark,
+            tdir,
+            _state(spark, 9, tag).filter(F.col("part") == 0),
+            key_cols=["k"],
+            partition_cols=["part"],
+        )
+    before = _rows(read_table(spark, tdir))
+
+    v = compact_table(spark, tdir, partition_cols=["part"])
+    assert v == current_version(tdir)
+    entries = json.load(
+        open(os.path.join(tdir, "_manifests", f"v{v}.json"))
+    )["files"]
+    per_part: dict[str, int] = {}
+    for e in entries:
+        per_part[e["partition"]["part"]] = per_part.get(e["partition"]["part"], 0) + 1
+    assert all(n == 1 for n in per_part.values()), per_part
+    # data unchanged, older snapshots intact
+    assert _rows(read_table(spark, tdir)) == before
+    assert _rows(read_table(spark, tdir, version=0)) == _rows(_state(spark, 9, "a"))
+    # already compact -> no new version
+    assert compact_table(spark, tdir, partition_cols=["part"]) == v
