@@ -235,6 +235,10 @@ def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = lim.filter(F.col("o_orderkey") % 97 == 0).select(
         F.col("o_orderkey").alias("pid")
     )
+    # seeded BFS, not component contraction: chains are diameter <= 9,
+    # so BFS pays ~9 cheap frontier joins while star contraction pays
+    # fewer rounds of far more shuffles (measured 3x slower at sf0.1 —
+    # see expand_family_components for when the trade flips)
     return expand_family(seeds, edges, seed_col="pid", max_iters=12, undirected=True)
 
 

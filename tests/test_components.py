@@ -62,3 +62,39 @@ def test_star_long_chain_few_rounds(spark):
     }
     assert set(got.values()) == {0}
     assert len(got) == 201
+
+
+def test_expand_family_components_equals_seeded_bfs(spark):
+    """The bulk component-join closure must produce exactly the BFS
+    (seed, member) pairs, including (seed, seed) singletons for seeds
+    absent from the edge set."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.closure import (
+        expand_family,
+        expand_family_components,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+    ]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    # seeds: some in the graph, 999 guaranteed absent (singleton)
+    seeds = spark.createDataFrame(
+        [(i,) for i in range(0, 120, 7)] + [(999,)], "pid long"
+    )
+    # expand_family expects the caller to have symmetrized the edges
+    # (as q_pid_family_closure does); expand_family_components
+    # symmetrizes internally
+    sym = edf.union(
+        edf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    bfs = expand_family(
+        seeds, sym, seed_col="pid", max_iters=30, undirected=True
+    )
+    comp = expand_family_components(seeds, edf, seed_col="pid")
+    got_b = sorted((r["seed"], r["member"]) for r in bfs.collect())
+    got_c = sorted((r["seed"], r["member"]) for r in comp.collect())
+    assert got_b == got_c
+    assert (999, 999) in got_c
