@@ -295,13 +295,48 @@ def frame_sample(
     )
 
 
+def wav_meta(data: bytes) -> tuple[int, int, int]:
+    """Parse a RIFF/WAVE header: (sample_rate, n_channels, n_frames).
+    Pure stdlib (`wave` over BytesIO); raises on a non-WAV payload.
+    This is the real decode for PCM WAV — no audio library required;
+    swap in soundfile/ffmpeg for MP3/FLAC/Opus on a real cluster."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
 def decode_audio(media: DataFrame, *, real: bool = False) -> DataFrame:
-    """Audio metadata decode: same seam/stub pattern as decode_image.
-    Fake: 16 kHz mono, duration proportional to payload bytes."""
+    """Audio metadata decode: same seam pattern as decode_image.
+
+    `real=True` parses actual PCM WAV payloads with the pure-stdlib
+    `wave` module (sample rate, channel-count-aware duration); other
+    codecs (MP3/FLAC) still need a library on a real cluster.  The
+    default deterministic fake (16 kHz mono, duration proportional to
+    payload bytes) keeps the plan oracle-checkable for synthetic
+    payloads."""
+
+    def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [wav_meta(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(
+                        [m[0] for m in metas], dtype="int32"
+                    ),
+                    "duration_ms": pd.Series(
+                        [m[2] * 1000 // max(m[0], 1) for m in metas],
+                        dtype="int64",
+                    ),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
     if real:
-        raise NotImplementedError(
-            "real audio decode requires soundfile/ffmpeg; not available in "
-            "this container — plug the library call into _decode_batch"
+        return media.select("media_id", "payload").mapInPandas(
+            _decode_real, schema=AUDIO_META_SCHEMA
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -54,9 +54,10 @@ def test_decode_real_seams(media):
     # not-a-PNG error rather than fake numbers
     with pytest.raises(Exception, match="not a PNG"):
         decode_image(media, real=True).collect()
-    # audio real decode remains a documented codec seam
-    with pytest.raises(NotImplementedError):
-        decode_audio(media, real=True)
+    # audio real=True decodes PCM WAV; non-WAV payloads fail at
+    # collect rather than returning fake numbers
+    with pytest.raises(Exception, match="(?i)riff|wave|file does not"):
+        decode_audio(media, real=True).collect()
 
 
 def test_resize_preserves_aspect_and_bounds(media):
@@ -193,3 +194,29 @@ def test_decode_image_real_rejects_non_png(spark):
     )
     with pytest.raises(Exception, match="not a PNG"):
         decode_image(media, real=True).collect()
+
+
+def test_decode_audio_real_wav_through_spark(spark, tmp_path):
+    """mm audio decode with real=True runs an ACTUAL PCM WAV (written
+    with the stdlib wave module) through the same mapInPandas plan as
+    the fake path."""
+    import io
+    import wave
+
+    from metrics_service_spark.operators.multimodal import decode_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 2 * 4000)  # 4000 frames = 500 ms
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = decode_audio(media, real=True).collect()
+    assert [
+        (r["media_id"], r["sample_rate"], r["duration_ms"], r["n_bytes"])
+        for r in rows
+    ] == [(7, 8000, 500, len(payload))]
