@@ -93,6 +93,46 @@ def cmd_request(path: str, events: str, identifiers: str, citations: str) -> int
     return 0
 
 
+def cmd_table(action: str, table_dir: str, version: int | None, limit: int | None) -> int:
+    """Operate on a manifest-committed table (sources/merge_table):
+    `read` prints a snapshot (newest or --version N — time travel),
+    `versions` lists committed versions, `compact` bin-packs
+    fragmented partitions, `vacuum` reclaims unreferenced files."""
+    import os
+
+    from metrics_service_spark.sources import merge_table as mt
+
+    if action == "versions":
+        cur = mt.current_version(table_dir)
+        if cur < 0:
+            print(f"no committed versions under {table_dir}", file=sys.stderr)
+            return 2
+        for v in range(cur + 1):
+            path = os.path.join(table_dir, "_manifests", f"v{v}.json")
+            if os.path.exists(path):
+                with open(path) as fh:
+                    n = len(json.load(fh)["files"])
+                print(json.dumps({"version": v, "files": n}))
+        return 0
+    if action == "read":
+        df = mt.read_table(_spark(), table_dir, version=version)
+        if limit is not None:
+            df = df.limit(limit)
+        for row in df.toJSON().toLocalIterator():
+            print(row)
+        return 0
+    if action == "compact":
+        v = mt.compact_table(_spark(), table_dir)
+        print(json.dumps({"compacted_to_version": v}))
+        return 0
+    if action == "vacuum":
+        removed = mt.vacuum(table_dir)
+        print(json.dumps({"files_removed": removed}))
+        return 0
+    print(f"unknown table action {action!r}", file=sys.stderr)
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="metrics_service_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -113,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--events", required=True)
     r.add_argument("--identifiers", required=True)
     r.add_argument("--citations", required=True)
+    t = sub.add_parser("table")
+    t.add_argument("action", choices=["read", "versions", "compact", "vacuum"])
+    t.add_argument("table_dir")
+    t.add_argument("--version", type=int, default=None, help="time-travel read")
+    t.add_argument("--limit", type=int, default=None)
     args = ap.parse_args(argv)
     if args.cmd == "list":
         return cmd_list()
@@ -120,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_query(args.name, args.sf_dir, args.limit, args.explain)
     if args.cmd == "sql":
         return cmd_sql(args.statement, args.sf_dir, args.limit)
+    if args.cmd == "table":
+        return cmd_table(args.action, args.table_dir, args.version, args.limit)
     return cmd_request(args.file, args.events, args.identifiers, args.citations)
 
 

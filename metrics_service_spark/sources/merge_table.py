@@ -227,12 +227,17 @@ def compact_table(
     problem).  Rewrites each partition held in >= min_files_per_
     partition files into a single coalesced file set and commits; data
     is unchanged, so readers of older versions are unaffected.  Run
-    vacuum afterwards to reclaim the replaced files."""
-    partition_cols = partition_cols or []
+    vacuum afterwards to reclaim the replaced files.
+
+    partition_cols defaults to the partition keys recorded in the
+    manifest (every commit writes them), so callers — e.g. the CLI —
+    need not repeat the table's layout."""
     base = current_version(table_dir)
     if base < 0:
         raise FileNotFoundError(f"no committed version under {table_dir}")
     entries = _load_manifest(table_dir, base)
+    if partition_cols is None:
+        partition_cols = sorted(entries[0]["partition"]) if entries else []
 
     by_part: dict[tuple, list[dict]] = {}
     for e in entries:

@@ -67,3 +67,53 @@ def test_sql_subcommand(capsys):
     assert rc == 0
     lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     assert {r["metrics_name"] for r in lines} == {"total_views", "total_downloads"}
+
+
+def test_table_subcommand_roundtrip(spark, tmp_path, capsys):
+    """table read/versions/compact/vacuum over a manifest table,
+    including a time-travel read of the pre-merge version."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.sources.merge_table import (
+        merge_table,
+        overwrite_table,
+    )
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("part"),
+        F.lit("a").alias("v"),
+    )
+    overwrite_table(df, tdir, partition_cols=["part"])
+    merge_table(
+        spark,
+        tdir,
+        df.filter(F.col("part") == 0).withColumn("v", F.lit("b")),
+        key_cols=["k"],
+        partition_cols=["part"],
+    )
+
+    assert main(["table", "versions", tdir]) == 0
+    vers = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert [v["version"] for v in vers] == [0, 1]
+
+    assert main(["table", "read", tdir]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert {r["v"] for r in rows if r["part"] == 0} == {"b"}
+
+    # time travel: version 0 still has the original values
+    assert main(["table", "read", tdir, "--version", "0"]) == 0
+    rows0 = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert {r["v"] for r in rows0} == {"a"}
+
+    # compact infers the partition layout from the manifest
+    assert main(["table", "compact", tdir]) == 0
+    assert json.loads(capsys.readouterr().out)["compacted_to_version"] == 2
+    assert main(["table", "vacuum", tdir]) == 0
+    assert json.loads(capsys.readouterr().out)["files_removed"] > 0
+    assert main(["table", "read", tdir]) == 0
+    rows2 = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert sorted((r["k"], r["v"]) for r in rows2) == sorted(
+        (r["k"], r["v"]) for r in rows
+    )
