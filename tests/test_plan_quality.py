@@ -150,3 +150,14 @@ def test_pid_family_closure_lineage_truncated(spark, sf_dir):
     assert "Scan parquet" not in plan  # lineage cut at the checkpoints
     assert "Join" not in plan  # per-round joins ran pre-checkpoint
     assert "Scan ExistingRDD" in plan
+
+
+def test_minhash_verify_stage_is_candidate_pruned(spark, sf_dir):
+    # the exact-Jaccard verify must tokenize only docs that appear in a
+    # candidate pair: both shingle re-attach sides are semi-join-pruned
+    # scans (2 parquet scans total), never a third corpus-wide
+    # tokenization pass, and the banding ran pre-checkpoint
+    plan = _plan(spark, sf_dir, "doc_minhash_dedup")
+    assert plan.count("Scan parquet") == 2
+    assert "LeftSemi" in plan
+    assert "Scan ExistingRDD" in plan  # materialized candidate pairs
