@@ -119,6 +119,53 @@ def changed_keys_upsert(
     return hashed.join(prior, [key, "state_hash"], "left_anti")
 
 
+def upsert_state_table(
+    spark,
+    table_dir: str,
+    new_state: DataFrame,
+    *,
+    key: str,
+    members_col: str,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """ST6 end-to-end against the transactional state table: hash-diff
+    the incoming family state against the CURRENT table snapshot
+    (changed_keys_upsert — unchanged keys never rewrite), then MERGE
+    only the changed rows as one atomic manifest commit
+    (sources/merge_table).  This is the reference's versioned ES bulk
+    upsert (es_eventlog_sync.py:485-547) as a Spark-side table: the
+    hash check skips unchanged families, the merge rewrites only
+    touched partitions, and a reader mid-refresh keeps its snapshot.
+
+    Returns the committed version.  Idempotent: replaying the same
+    batch finds every hash unchanged and commits nothing (returns the
+    current version).
+    """
+    from metrics_service_spark.sources.merge_table import (
+        current_version,
+        merge_table,
+        read_table,
+    )
+
+    prior = (
+        read_table(spark, table_dir)
+        if current_version(table_dir) >= 0
+        else None
+    )
+    changed = changed_keys_upsert(
+        new_state, prior, key=key, members_col=members_col
+    )
+    if prior is not None and changed.isEmpty():
+        return current_version(table_dir)
+    return merge_table(
+        spark,
+        table_dir,
+        changed,
+        key_cols=[key],
+        partition_cols=partition_cols,
+    )
+
+
 def live_sessions_at(
     events: DataFrame,
     mark,

@@ -192,3 +192,48 @@ def test_compact_bin_packs_fragmented_partitions(spark, tmp_path):
     assert _rows(read_table(spark, tdir, version=0)) == _rows(_state(spark, 9, "a"))
     # already compact -> no new version
     assert compact_table(spark, tdir, partition_cols=["part"]) == v
+
+
+def test_upsert_state_table_skips_unchanged_and_buckets(spark, tmp_path):
+    """ST6 end-to-end: hash-diff upsert into the manifest table —
+    replays commit nothing, changed families rewrite only their hash
+    bucket's files."""
+    from metrics_service_spark.streaming.sessions import upsert_state_table
+
+    tdir = str(tmp_path / "state")
+
+    def state(pairs):
+        df = spark.createDataFrame(pairs, "user_id long, family array<string>")
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("user_id"), F.lit(4)).cast("int")
+        )
+
+    b1 = state([(1, ["a", "b"]), (2, ["x"]), (3, ["q", "r"])])
+    v0 = upsert_state_table(
+        spark, tdir, b1, key="user_id", members_col="family",
+        partition_cols=["bucket"],
+    )
+    assert v0 == 0
+
+    # replay: every hash unchanged -> no new version
+    assert (
+        upsert_state_table(
+            spark, tdir, b1, key="user_id", members_col="family",
+            partition_cols=["bucket"],
+        )
+        == v0
+    )
+
+    # user 2's family changes -> exactly one new version; the table
+    # reflects the change and keeps the untouched families
+    b2 = state([(1, ["a", "b"]), (2, ["x", "y"]), (3, ["q", "r"])])
+    v1 = upsert_state_table(
+        spark, tdir, b2, key="user_id", members_col="family",
+        partition_cols=["bucket"],
+    )
+    assert v1 == v0 + 1
+    got = {
+        r["user_id"]: sorted(r["family"])
+        for r in read_table(spark, tdir).collect()
+    }
+    assert got == {1: ["a", "b"], 2: ["x", "y"], 3: ["q", "r"]}
