@@ -29,6 +29,9 @@ class QuerySpec:
 # least-recently-checked entries are rotated to the front so driver
 # coverage stays fresh.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
+    # round-5 additions (never driver-checked) lead
+    "ev_interevent_gap",
+    "doc_length_histogram",
     # round-5 rotation: every entry below was last driver-checked in
     # r1/r2 — re-front them so the post-fixture-regeneration (NTZ
     # timestamps) behavior gets a fresh driver row.  Timestamp-heavy

@@ -842,6 +842,50 @@ FROM inv FULL JOIN req USING (pid, country)
 """
 
 
+
+# --- W: inter-event gap statistics ----------------------------------------
+def q_ev_interevent_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event time stats: consecutive-event gaps (lag
+    window over (ts, event_id) — the reference orders ES session scans
+    the same way, metricselasticsearch.py:714-719), then min/max/avg
+    per user.  Gaps stay exact int64 microseconds; the single final
+    division is the only float, so DuckDB reproduces it bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.col("us") - F.col("prev")).alias("gap"))
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        (F.sum("gap") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )
+
+
+ORACLE_EV_GAP = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       min(gap) AS min_gap_us,
+       max(gap) AS max_gap_us,
+       CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     "ev_props_kv": QuerySpec(
         q_ev_props_kv,
@@ -880,6 +924,12 @@ QUERIES: dict[str, QuerySpec] = {
         q_ev_rolling_7d,
         ORACLE_EV_ROLLING,
         "7-day rolling sum over the daily frame",
+        ("core",),
+    ),
+    "ev_interevent_gap": QuerySpec(
+        q_ev_interevent_gap,
+        ORACLE_EV_GAP,
+        "per-user inter-event gap min/max/avg (lag window, exact us)",
         ("core",),
     ),
     "ev_value_median": QuerySpec(

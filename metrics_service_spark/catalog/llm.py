@@ -1217,6 +1217,35 @@ GROUP BY 1, 2
 """
 
 
+
+# --- corpus length histogram ----------------------------------------------
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape profile: doc counts and char mass per (lang,
+    log2-length bucket) — the first chart every training-data run
+    draws, and the same bucketing the exact-Jaccard blocker keys on
+    (operators/dedup.py), so this histogram directly predicts dedup
+    cell sizes.  floor(log2(n)) is exact in double for n < 2^53, and
+    both engines evaluate the identical expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    return (
+        docs.groupBy(F.col("lang"), bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLE_DOC_LENHIST = """
+SELECT lang,
+       CAST(floor(log2(greatest(n_chars, 1))) AS INT) AS len_bucket,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_exact_dedup": QuerySpec(
         q_doc_exact_dedup, ORACLE_EXACT_DEDUP, "exact dedup hash-groupBy", ("llm",)
@@ -1235,6 +1264,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_fingerprint": QuerySpec(
         q_doc_fingerprint, ORACLE_FINGERPRINT, "document fingerprinting", ("llm",)
+    ),
+    "doc_length_histogram": QuerySpec(
+        q_doc_length_histogram,
+        ORACLE_DOC_LENHIST,
+        "corpus profile: (lang, log2-length) doc counts + char mass",
+        ("llm",),
     ),
     "doc_jaccard_pairs": QuerySpec(
         q_doc_jaccard_pairs, ORACLE_JACCARD, "blocked n-gram Jaccard", ("llm",)
