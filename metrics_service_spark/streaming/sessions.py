@@ -139,31 +139,41 @@ def upsert_state_table(
 
     Returns the committed version.  Idempotent: replaying the same
     batch finds every hash unchanged and commits nothing (returns the
-    current version).
+    current version).  A commit conflict (another writer landed a
+    version first) triggers a bounded recompute-and-retry against the
+    fresh snapshot — the reference's `retry_on_conflict: 3`
+    (es_eventlog_sync.py:640-661) at table granularity.
     """
     from metrics_service_spark.sources.merge_table import (
+        ConflictError,
         current_version,
         merge_table,
         read_table,
     )
 
-    prior = (
-        read_table(spark, table_dir)
-        if current_version(table_dir) >= 0
-        else None
-    )
-    changed = changed_keys_upsert(
-        new_state, prior, key=key, members_col=members_col
-    )
-    if prior is not None and changed.isEmpty():
-        return current_version(table_dir)
-    return merge_table(
-        spark,
-        table_dir,
-        changed,
-        key_cols=[key],
-        partition_cols=partition_cols,
-    )
+    last: ConflictError | None = None
+    for _ in range(3):
+        prior = (
+            read_table(spark, table_dir)
+            if current_version(table_dir) >= 0
+            else None
+        )
+        changed = changed_keys_upsert(
+            new_state, prior, key=key, members_col=members_col
+        )
+        if prior is not None and changed.isEmpty():
+            return current_version(table_dir)
+        try:
+            return merge_table(
+                spark,
+                table_dir,
+                changed,
+                key_cols=[key],
+                partition_cols=partition_cols,
+            )
+        except ConflictError as ex:
+            last = ex  # recompute the diff against the new version
+    raise last
 
 
 def live_sessions_at(

@@ -237,3 +237,44 @@ def test_upsert_state_table_skips_unchanged_and_buckets(spark, tmp_path):
         for r in read_table(spark, tdir).collect()
     }
     assert got == {1: ["a", "b"], 2: ["x", "y"], 3: ["q", "r"]}
+
+
+def test_upsert_state_table_retries_on_conflict(spark, tmp_path, monkeypatch):
+    """A racing writer between snapshot read and commit triggers
+    ConflictError; the upsert recomputes against the fresh version and
+    lands — the reference's retry_on_conflict at table granularity."""
+    from metrics_service_spark.sources import merge_table as mt
+    from metrics_service_spark.streaming import sessions as ss
+
+    tdir = str(tmp_path / "state")
+    df1 = spark.createDataFrame(
+        [(1, ["a"]), (2, ["b"])], "user_id long, family array<string>"
+    )
+    ss.upsert_state_table(
+        spark, tdir, df1, key="user_id", members_col="family"
+    )
+
+    real_commit = mt._commit
+    raced = {"done": False}
+
+    def racing_commit(table_dir, files, version):
+        # a competing writer lands the contested version first, once
+        # (carrying the previous version's files, as a no-op merge would)
+        if not raced["done"]:
+            raced["done"] = True
+            real_commit(table_dir, mt._load_manifest(table_dir, version - 1), version)
+        return real_commit(table_dir, files, version)
+
+    monkeypatch.setattr(mt, "_commit", racing_commit)
+    df2 = spark.createDataFrame(
+        [(1, ["a", "z"]), (2, ["b"])], "user_id long, family array<string>"
+    )
+    v = ss.upsert_state_table(
+        spark, tdir, df2, key="user_id", members_col="family"
+    )
+    assert raced["done"] and v == 2  # v1 went to the racer, retry took v2
+    got = {
+        r["user_id"]: sorted(r["family"])
+        for r in read_table(spark, tdir).collect()
+    }
+    assert got == {1: ["a", "z"], 2: ["b"]}
