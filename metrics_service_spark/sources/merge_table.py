@@ -138,7 +138,10 @@ def _read_files(
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: commits may evolve the schema (Delta
+        # mergeSchema semantics) — rows from pre-evolution files read
+        # NULL for columns they predate
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -199,16 +202,15 @@ def merge_table(
     else:
         hit, carried = entries, []
 
-    pieces = [updates]
+    merged = updates
     if hit:
         old = _read_files(spark, table_dir, hit)
         keys = updates.select(*key_cols).distinct()
-        pieces.append(
-            old.join(F.broadcast(keys), key_cols, "left_anti").select(
-                *updates.columns
-            )
-        )
-    merged = pieces[0] if len(pieces) == 1 else pieces[0].unionByName(pieces[1])
+        kept = old.join(F.broadcast(keys), key_cols, "left_anti")
+        # allowMissingColumns = schema evolution (Delta mergeSchema):
+        # an update batch may add columns; surviving old rows read NULL
+        # for them
+        merged = updates.unionByName(kept, allowMissingColumns=True)
     new_files = _write_files(merged, table_dir, partition_cols)
     return _commit(table_dir, carried + new_files, base + 1)
 

@@ -278,3 +278,33 @@ def test_upsert_state_table_retries_on_conflict(spark, tmp_path, monkeypatch):
         for r in read_table(spark, tdir).collect()
     }
     assert got == {1: ["a", "z"], 2: ["b"]}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """An update batch may add columns (Delta mergeSchema semantics):
+    surviving old rows and carried-forward partitions read NULL for
+    the new column; old snapshots are untouched."""
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 6, "a"), tdir, partition_cols=["part"])
+    evolved = (
+        _state(spark, 6, "b")
+        .filter(F.col("part") == 0)
+        .withColumn("score", F.col("k") * 10)
+    )
+    merge_table(
+        spark, tdir, evolved, key_cols=["k"], partition_cols=["part"]
+    )
+    got = {
+        r["k"]: (r["v"], r["score"])
+        for r in read_table(spark, tdir).collect()
+    }
+    assert got == {
+        0: ("b", 0),
+        3: ("b", 30),
+        1: ("a", None),
+        4: ("a", None),
+        2: ("a", None),
+        5: ("a", None),
+    }
+    # time travel to the pre-evolution version still has the old schema
+    assert "score" not in read_table(spark, tdir, version=0).columns
