@@ -404,7 +404,7 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         num_hashes=16,
-        bands=4,
+        bands=8,  # mirrors the near-dup default geometry
         threshold=0.5,
     )
 
@@ -640,7 +640,7 @@ def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         num_hashes=16,
-        bands=4,
+        bands=8,  # s-curve midpoint 0.35 < threshold (see operator doc)
         threshold=0.5,
     )
 
@@ -648,7 +648,7 @@ def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle-replicable MinHash twin: md5 hash family (exists in
     DuckDB verbatim), so the FULL pipeline — shingle, 16 min-hashes,
-    4-band hashing, hot-bucket guard, candidate equi-join, exact
+    8-band hashing, hot-bucket guard, candidate equi-join, exact
     Jaccard verify — is replayed bit-for-bit by the oracle.  The
     xxhash64 variant stays the bench default (cheaper hash); same
     banding statistics."""
@@ -660,7 +660,7 @@ def q_doc_minhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         num_hashes=16,
-        bands=4,
+        bands=8,  # mirrors the xxhash default geometry
         threshold=0.5,
     )
 
@@ -1309,13 +1309,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "doc_minhash_dedup_md5": QuerySpec(
         q_doc_minhash_dedup_md5,
-        _oracle_minhash_md5(),
+        _oracle_minhash_md5(bands=8),
         "MinHash+LSH near-dup, md5 family — full pipeline oracle",
         ("llm",),
     ),
     "doc_incremental_dedup": QuerySpec(
         q_doc_incremental_dedup,
-        _oracle_incremental_md5(),
+        _oracle_incremental_md5(bands=8),
         "incremental near-dup: new batch vs existing corpus index",
         ("llm",),
     ),
