@@ -205,3 +205,42 @@ def test_jaccard_max_cell_guard_drops_overfull_cells(spark):
         df, "doc_id", "text", n=3, block_cols=["lang"], threshold=0.5, max_cell=100
     ).collect()
     assert len(uncapped) == 1 + 10  # fr pair + all C(5,2) en pairs
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """The 2-universal linear-permutation family must estimate Jaccard:
+    fraction of agreeing signature slots ~ true shingle Jaccard, within
+    binomial noise for 16 slots.  Guards the one-hash+permutation
+    construction against a correlated-permutation regression (e.g. all
+    slots derived from the same permutation would agree 0% or 100%)."""
+    from metrics_service_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_array,
+    )
+    from pyspark.sql import functions as F
+
+    rng = __import__("random").Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    base = [rng.choice(vocab) for _ in range(400)]
+    for i, keep in enumerate([1.0, 0.9, 0.7, 0.5, 0.3]):
+        words = [w if rng.random() < keep else rng.choice(vocab) for w in base]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs = {
+        r["__id"]: [r[f"h{i}"] for i in range(16)]
+        for r in minhash_signatures(df, "doc_id", "text").collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", shingle_array(F.split("text", " "), 3).alias("s")
+        ).collect()
+    }
+    for other in range(1, 5):
+        true_j = len(sh[0] & sh[other]) / len(sh[0] | sh[other])
+        est = sum(a == b for a, b in zip(sigs[0], sigs[other])) / 16
+        # binomial(16, J) noise: allow ~2.5 sigma
+        tol = 2.5 * (true_j * (1 - true_j) / 16) ** 0.5 + 1e-9
+        assert abs(est - true_j) <= max(tol, 0.28), (other, true_j, est)
