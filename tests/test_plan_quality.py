@@ -161,3 +161,20 @@ def test_minhash_verify_stage_is_candidate_pruned(spark, sf_dir):
     assert plan.count("Scan parquet") == 2
     assert "LeftSemi" in plan
     assert "Scan ExistingRDD" in plan  # materialized candidate pairs
+
+
+def test_interevent_gap_single_window(spark, sf_dir):
+    # per-user gaps: one lag window, then a partial-aggregable groupBy
+    # on the SAME key — the window's hash partitioning must be reused
+    # (no second exchange between window and aggregate)
+    plan = _plan(spark, sf_dir, "ev_interevent_gap")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_bench_headline_names_exist():
+    # bench.py's HEADLINE list must track catalog renames
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in CATALOG, name
