@@ -146,16 +146,39 @@ def _read_files(
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, *, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    partitions: dict[str, object] | None = None,
 ) -> DataFrame:
     """Read a snapshot (newest version by default).  The returned
     DataFrame stays valid while later versions commit — files are
-    immutable and vacuum only drops unreferenced ones."""
+    immutable and vacuum only drops unreferenced ones.
+
+    `partitions={"year": 2024, "month": 1}` prunes at the MANIFEST
+    level: files whose recorded partition values don't match are never
+    even listed to Spark (Delta-style file skipping — the scan plan
+    contains only the surviving files, no I/O or footer reads for the
+    rest).  Values compare as strings, matching the manifest encoding."""
     if version is None:
         version = current_version(table_dir)
     if version < 0:
         raise FileNotFoundError(f"no committed version under {table_dir}")
     entries = _load_manifest(table_dir, version)
+    if partitions:
+        entries = [
+            e
+            for e in entries
+            if all(
+                e["partition"].get(k) == str(v) for k, v in partitions.items()
+            )
+        ]
+        if not entries:
+            raise ValueError(
+                f"no files match partitions {partitions} in v{version} "
+                f"under {table_dir}"
+            )
     if not entries:
         raise ValueError(f"empty manifest v{version} under {table_dir}")
     return _read_files(spark, table_dir, entries)

@@ -308,3 +308,18 @@ def test_merge_schema_evolution(spark, tmp_path):
     }
     # time travel to the pre-evolution version still has the old schema
     assert "score" not in read_table(spark, tdir, version=0).columns
+
+
+def test_read_table_partition_pruning(spark, tmp_path):
+    """partitions= prunes at the manifest level: the scan plan lists
+    only the surviving files — file skipping without touching parquet
+    footers of other partitions."""
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 9, "a"), tdir, partition_cols=["part"])
+    df = read_table(spark, tdir, partitions={"part": 1})
+    assert sorted(r["k"] for r in df.collect()) == [1, 4, 7]
+    # the pruned scan's file list excludes the other partitions
+    files = df.inputFiles()
+    assert files and all("part=1" in f for f in files)
+    with pytest.raises(ValueError, match="no files match"):
+        read_table(spark, tdir, partitions={"part": 99})
