@@ -1241,7 +1241,7 @@ ORACLE_DOC_LENHIST = """
 SELECT lang,
        CAST(floor(log2(greatest(n_chars, 1))) AS INT) AS len_bucket,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """

@@ -23,6 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Shared LSH band geometry: b=8, r=2 over 16 minhashes puts the s-curve
+# midpoint (1/b)^(1/r) ~= 0.35 below the default 0.5 Jaccard threshold
+# (high recall at the threshold; extra candidates are discarded exactly
+# by the verify stage).  Every minhash-family entry point defaults to
+# these so the xxhash64 bench path and its md5 oracle twins always run
+# the same geometry.
+DEFAULT_BANDS = 8
+DEFAULT_ROWS_PER_BAND = 2
+
 
 def shingle_array(tokens: Column, n: int) -> Column:
     """Distinct n-word shingles from a token array (1-based slice)."""
@@ -217,8 +226,8 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
-    bands: int = 4,
-    rows_per_band: int = 4,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """LSH banding: equal band-hash in any band -> candidate pair.
@@ -281,7 +290,7 @@ def minhash_near_duplicates(
     *,
     n: int = 3,
     num_hashes: int = 16,
-    bands: int = 8,
+    bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection with exact Jaccard
@@ -484,7 +493,7 @@ def minhash_near_duplicates_md5(
     *,
     n: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     max_bucket: int = 1000,
 ) -> DataFrame:
@@ -643,7 +652,7 @@ def incremental_near_duplicates_md5(
     *,
     n: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
     max_bucket: int = 1000,
 ) -> DataFrame:

@@ -37,12 +37,26 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
+
+# Spark/Hive encode special chars in partition directory names as %XX
+# (escapePathName) and NULL as this sentinel.  Manifest entries store
+# the UNESCAPED value so `merge`/`read_table(partitions=...)` compare
+# against the caller's actual value, not the path encoding.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_ESCAPE_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _unescape_partition_value(raw: str) -> str:
+    """Invert Spark's escapePathName: %XX hex escapes -> the char."""
+    return _ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), raw)
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -88,7 +102,13 @@ def _write_files(
             for piece in os.path.relpath(root, stage).split(os.sep):
                 if "=" in piece:
                     k, v = piece.split("=", 1)
-                    part[k] = v
+                    if v == _HIVE_NULL:
+                        raise ValueError(
+                            f"NULL value in partition column {k!r}: manifest "
+                            "partition values must be non-null (filter or "
+                            "coalesce before writing)"
+                        )
+                    part[k] = _unescape_partition_value(v)
             entries.append({"path": rel, "partition": part})
     return entries
 
@@ -200,13 +220,33 @@ def merge_table(
     *,
     key_cols: list[str],
     partition_cols: list[str] | None = None,
+    partition_from_key: bool = False,
+    expected_base: int | None = None,
 ) -> int:
     """MERGE (upsert): rows matching `key_cols` are replaced by the
-    update rows, new keys are inserted.  Only the partitions present
-    in `updates` are rewritten; every other data file is carried into
-    the new manifest by reference.  Idempotent under replay."""
+    update rows, new keys are inserted.  Keys match GLOBALLY (Delta
+    MERGE semantics): if an existing key arrives with a NEW partition
+    value, its old row in the old partition is rewritten out, not
+    carried forward as a duplicate.  The partitions rewritten are the
+    union of (a) partitions present in `updates` and (b) partitions
+    currently holding any updated key — (b) is found with a
+    column-pruned key-probe of the remaining files (key + partition
+    columns only).  Pass `partition_from_key=True` when every
+    partition value is a deterministic function of the key (an updated
+    key can then only live in its update-batch partition) to skip the
+    probe — the common state-table layout.  Idempotent under replay.
+
+    `expected_base` pins the snapshot the caller computed `updates`
+    against: if another writer committed in between (current version
+    != expected_base), ConflictError is raised BEFORE any rewrite, so
+    read-modify-write callers can't silently lose the racer's update."""
     partition_cols = partition_cols or []
     base = current_version(table_dir)
+    if expected_base is not None and base != expected_base:
+        raise ConflictError(
+            f"expected base version {expected_base} but found {base} "
+            f"under {table_dir}"
+        )
     if base < 0:
         return overwrite_table(updates, table_dir, partition_cols=partition_cols)
 
@@ -222,6 +262,32 @@ def merge_table(
             if tuple(e["partition"].get(c) for c in partition_cols) in touched
         ]
         carried = [e for e in entries if e not in hit]
+        if carried and not partition_from_key:
+            # global key matching: probe the carried files for updated
+            # keys (column-pruned scan: key + partition columns only,
+            # the same touched-file scan Delta MERGE runs) and pull the
+            # partitions that hold one into the rewrite set
+            probe = (
+                _read_files(spark, table_dir, carried)
+                .join(
+                    F.broadcast(updates.select(*key_cols).distinct()),
+                    key_cols,
+                    "left_semi",
+                )
+                .select(*partition_cols)
+                .distinct()
+                .collect()
+            )
+            extra = {tuple(str(r[c]) for c in partition_cols) for r in probe}
+            if extra:
+                touched |= extra
+                hit = [
+                    e
+                    for e in entries
+                    if tuple(e["partition"].get(c) for c in partition_cols)
+                    in touched
+                ]
+                carried = [e for e in entries if e not in hit]
     else:
         hit, carried = entries, []
 
@@ -288,9 +354,17 @@ def compact_table(
     return _commit(table_dir, carried + new_files, base + 1)
 
 
-def vacuum(table_dir: str) -> int:
+def vacuum(table_dir: str, *, retention_seconds: float = 3600.0) -> int:
     """Delete data files unreferenced by the NEWEST manifest (breaks
-    older snapshots, like Delta VACUUM).  Returns files removed."""
+    older snapshots, like Delta VACUUM).  Returns files removed.
+
+    Files referenced by SOME older manifest are superseded commits and
+    always reclaimable.  Files referenced by NO manifest at all may be
+    the staged-but-uncommitted output of an IN-FLIGHT merge — deleting
+    them would corrupt that writer's commit — so they are only removed
+    once older than `retention_seconds` (Delta's retention-window
+    guard; an aborted stage is reclaimed on the next vacuum after the
+    window)."""
     version = current_version(table_dir)
     if version < 0:
         return 0
@@ -298,13 +372,25 @@ def vacuum(table_dir: str) -> int:
         os.path.normpath(os.path.join(table_dir, e["path"]))
         for e in _load_manifest(table_dir, version)
     }
+    ever_committed: set[str] = set()
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            for e in _load_manifest(table_dir, int(name[1:-5])):
+                ever_committed.add(
+                    os.path.normpath(os.path.join(table_dir, e["path"]))
+                )
+    cutoff = time.time() - retention_seconds
     removed = 0
     for root, _dirs, files in os.walk(table_dir):
         if _MANIFEST_DIR in root:
             continue
         for name in files:
             path = os.path.normpath(os.path.join(root, name))
-            if name.endswith(".parquet") and path not in live:
-                os.remove(path)
-                removed += 1
+            if not name.endswith(".parquet") or path in live:
+                continue
+            if path not in ever_committed and os.path.getmtime(path) > cutoff:
+                continue  # possibly an in-flight commit's staged data
+            os.remove(path)
+            removed += 1
     return removed

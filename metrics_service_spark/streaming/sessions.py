@@ -153,23 +153,25 @@ def upsert_state_table(
 
     last: ConflictError | None = None
     for _ in range(3):
-        prior = (
-            read_table(spark, table_dir)
-            if current_version(table_dir) >= 0
-            else None
-        )
+        observed = current_version(table_dir)
+        prior = read_table(spark, table_dir, version=observed) if observed >= 0 else None
         changed = changed_keys_upsert(
             new_state, prior, key=key, members_col=members_col
         )
         if prior is not None and changed.isEmpty():
-            return current_version(table_dir)
+            return observed
         try:
+            # expected_base pins the commit to the snapshot the diff was
+            # computed against: a racer landing between read_table and
+            # the commit raises ConflictError (never a silent lost
+            # update where a stale hash-match keeps the racer's value)
             return merge_table(
                 spark,
                 table_dir,
                 changed,
                 key_cols=[key],
                 partition_cols=partition_cols,
+                expected_base=observed,
             )
         except ConflictError as ex:
             last = ex  # recompute the diff against the new version

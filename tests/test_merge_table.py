@@ -323,3 +323,165 @@ def test_read_table_partition_pruning(spark, tmp_path):
     assert files and all("part=1" in f for f in files)
     with pytest.raises(ValueError, match="no files match"):
         read_table(spark, tdir, partitions={"part": 99})
+
+
+def test_merge_global_key_match_rewrites_moved_key(spark, tmp_path):
+    """Delta MERGE matches keys globally: when an updated key arrives
+    with a NEW partition value, its old row in the old partition is
+    rewritten out (key-probe of carried files), not duplicated."""
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 9, "a"), tdir, partition_cols=["part"])
+    # key 5 lived in part=2 (5 % 3); it moves to part=0
+    moved = spark.createDataFrame([(5, 0, "moved")], "k long, part int, v string")
+    merge_table(spark, tdir, moved, key_cols=["k"], partition_cols=["part"])
+    got = [(k, p, v) for k, p, v in _rows(read_table(spark, tdir)) if k == 5]
+    assert got == [(5, 0, "moved")]
+
+
+def test_merge_partition_from_key_contract(spark, tmp_path):
+    """partition_from_key=True skips the carried-file key probe — the
+    caller asserts partition values are a function of the key.  When
+    the key stays in its derived partition the merge is exact; the
+    probe-skip is the documented trade, not silent."""
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 9, "a"), tdir, partition_cols=["part"])
+    upd = _state(spark, 9, "b").filter(F.col("k") == 4)  # part = 4 % 3 = 1
+    merge_table(
+        spark, tdir, upd, key_cols=["k"], partition_cols=["part"],
+        partition_from_key=True,
+    )
+    got = [(k, p, v) for k, p, v in _rows(read_table(spark, tdir)) if k == 4]
+    assert got == [(4, 1, "b")]
+
+
+def test_merge_expected_base_detects_intervening_commit(spark, tmp_path):
+    """expected_base pins the snapshot a read-modify-write was computed
+    against: an intervening commit raises ConflictError before any
+    rewrite (no silent lost update)."""
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 6, "a"), tdir, partition_cols=["part"])
+    observed = current_version(tdir)
+    # a racer lands v1
+    merge_table(
+        spark, tdir, _state(spark, 6, "b").filter(F.col("part") == 0),
+        key_cols=["k"], partition_cols=["part"],
+    )
+    with pytest.raises(ConflictError, match="expected base"):
+        merge_table(
+            spark, tdir, _state(spark, 6, "c").filter(F.col("part") == 1),
+            key_cols=["k"], partition_cols=["part"], expected_base=observed,
+        )
+
+
+def test_vacuum_spares_inflight_stage_until_retention(spark, tmp_path):
+    """Files referenced by NO manifest may belong to an in-flight
+    merge that has staged data but not committed — vacuum must not
+    delete them inside the retention window (the concurrent writer's
+    commit would otherwise reference deleted files)."""
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 6, "a"), tdir, partition_cols=["part"])
+    merge_table(
+        spark, tdir, _state(spark, 6, "b").filter(F.col("part") == 0),
+        key_cols=["k"], partition_cols=["part"],
+    )
+    # simulate an in-flight writer: staged parquet, no manifest yet
+    from metrics_service_spark.sources.merge_table import _write_files
+
+    staged = _write_files(
+        _state(spark, 3, "inflight"), tdir, ["part"]
+    )
+    staged_paths = [os.path.join(tdir, e["path"]) for e in staged]
+
+    removed = vacuum(tdir)  # default 1h retention
+    assert removed > 0  # superseded v0 part=0 files reclaimed at once
+    assert all(os.path.exists(p) for p in staged_paths)  # stage spared
+
+    # past the retention window the aborted stage is reclaimable
+    assert vacuum(tdir, retention_seconds=0.0) == len(staged_paths)
+    assert not any(os.path.exists(p) for p in staged_paths)
+
+
+def test_partition_values_hive_escaped_roundtrip(spark, tmp_path):
+    """String partition values with chars Spark %XX-escapes in
+    directory names (space, '=', '/') still match in merge's
+    touched-set and read_table's partitions= filter — manifests store
+    the unescaped value."""
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us west", "a"), (2, "a=b", "a"), (3, "x/y", "a")],
+        "k long, region string, v string",
+    )
+    overwrite_table(df, tdir, partition_cols=["region"])
+    # update key 1 in the escaped partition: the stale row must be
+    # rewritten out, not carried forward as a duplicate
+    upd = spark.createDataFrame([(1, "us west", "b")], "k long, region string, v string")
+    merge_table(spark, tdir, upd, key_cols=["k"], partition_cols=["region"])
+    got = sorted((r["k"], r["region"], r["v"]) for r in read_table(spark, tdir).collect())
+    assert got == [(1, "us west", "b"), (2, "a=b", "a"), (3, "x/y", "a")]
+    pruned = read_table(spark, tdir, partitions={"region": "us west"})
+    assert [(r["k"], r["v"]) for r in pruned.collect()] == [(1, "b")]
+
+
+def test_null_partition_value_rejected(spark, tmp_path):
+    """NULL partition values (__HIVE_DEFAULT_PARTITION__) are not
+    representable in the manifest matching contract — fail fast."""
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, "a")], "k long, region string, v string"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        overwrite_table(df, tdir, partition_cols=["region"])
+
+
+def test_two_writer_race_real_conflict_then_linear_history(spark, tmp_path):
+    """A true two-writer race: both writers snapshot the SAME base
+    version (barrier), merge disjoint key sets, and commit — exactly
+    one wins the contested version, the loser sees a real
+    ConflictError and retries against the fresh snapshot.  Both
+    batches land; version history is linear (v0..v2, no gaps)."""
+    import threading
+
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 6, "base"), tdir, partition_cols=["part"])
+
+    barrier = threading.Barrier(2, timeout=60)
+    conflicts: list[str] = []
+    errors: list[BaseException] = []
+
+    def writer(tag: str, lo: int):
+        batch = spark.createDataFrame(
+            [(lo + i, (lo + i) % 3, tag) for i in range(3)],
+            "k long, part int, v string",
+        )
+        first = True
+        try:
+            for _ in range(5):
+                observed = current_version(tdir)
+                if first:
+                    barrier.wait()
+                    first = False
+                try:
+                    merge_table(
+                        spark, tdir, batch, key_cols=["k"],
+                        partition_cols=["part"], expected_base=observed,
+                    )
+                    return
+                except ConflictError:
+                    conflicts.append(tag)
+            raise AssertionError(f"writer {tag} never landed")
+        except BaseException as ex:  # surface thread failures to the test
+            errors.append(ex)
+
+    t1 = threading.Thread(target=writer, args=("w1", 100))
+    t2 = threading.Thread(target=writer, args=("w2", 200))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    assert conflicts, "race never produced a real ConflictError"
+
+    assert current_version(tdir) == 2  # linear: v0 + one commit each
+    got = _rows(read_table(spark, tdir))
+    w1 = [(k, p, v) for k, p, v in got if v == "w1"]
+    w2 = [(k, p, v) for k, p, v in got if v == "w2"]
+    assert len(w1) == 3 and len(w2) == 3
+    base_rows = [(k, p, v) for k, p, v in got if v == "base"]
+    assert len(base_rows) == 6
