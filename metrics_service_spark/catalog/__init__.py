@@ -24,79 +24,67 @@ class QuerySpec:
 
 
 # The external correctness driver checks the FIRST 50 entries of
-# all_queries() iteration order each round.  Rounds 1-4 jointly covered
-# all 111 entries (union of CORRECTNESS_r0{1..4}.json); each round the
-# least-recently-checked entries are rotated to the front so driver
-# coverage stays fresh.  See README "Driver-sample contract".
+# all_queries() iteration order each round.  Rounds 1-5 jointly covered
+# all catalog entries (union of CORRECTNESS_r0{1..5}.json).  Rotation
+# policy (round 6, per VERDICT r5): order by IMPLEMENTATION-CHANGED-
+# SINCE-LAST-CHECK first — a query whose code was rewritten after its
+# last driver row outranks one whose check is merely old — then by
+# least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # round-5 additions (never driver-checked) lead
-    "ev_interevent_gap",
-    "doc_length_histogram",
-    # round-5 rotation: every entry below was last driver-checked in
-    # r1/r2 — re-front them so the post-fixture-regeneration (NTZ
-    # timestamps) behavior gets a fresh driver row.  Timestamp-heavy
-    # ev_* queries lead; the no-oracle HLL entry parks last.
-    "ev_props_kv",
-    "ev_tag_membership",
-    "sushi_instances",
-    "ev_filter_project",
-    "ev_monthly_stats",
-    "ev_sessionize",
-    "ev_rolling_7d",
-    "ev_value_median",
-    "ev_asof_orders",
-    "ev_retention",
-    "ev_dau_stickiness",
-    "ev_funnel",
-    "ev_session_having",
-    "ev_sessionize_global",
-    "ev_sessionize_bucketed",
-    "ev_last_per_user",
-    "ev_top3_per_type",
-    "orders_rollup",
-    "ev_day_spine",
-    "ev_pivot_daily",
-    "counter_report",
-    "ev_value_tiers",
-    "ev_hash_sessions",
-    "semi_join_purchasers",
-    "anti_join_no_orders",
-    "theta_contains",
+    # -- implementation changed since last driver row --------------------
+    "mm_image_meta_real",        # new this round (real PNG roundtrip)
+    "doc_length_histogram",      # r5 red: oracle BIGINT cast fixed
+    "emb_cosine_neardup",        # last row r1; default now banded LSH
+    "doc_jaccard_pairs",         # last row r1; lossless length-bucket blocking
+    "doc_minhash_dedup",         # last row r1; shuffle-free signature rewrite
+    "doc_minhash_dedup_md5",     # last row r4; b=8 r=2 geometry (9a9e113)
+    "doc_simhash_md5",           # last row r4; md5 family alignment
+    "doc_simhash_neardup_md5",   # last row r4; md5 family alignment
+    "doc_incremental_dedup",     # last row r4; geometry + signature rewrite
+    "mm_image_meta",             # last row r4; multimodal changed (73ecb92)
+    "mm_frame_sample",
+    "mm_audio_meta",
+    "mm_image_features",
+    "mm_image_features_exact",
+    "pid_family_closure",        # closure.py lazy-BFS change this round
     "order_chains",
-    "full_outer_daily",
-    "union_distinct_ids",
-    "except_non_purchasers",
-    "pid_family_closure",
     "order_components",
-    "user_event_family",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q4",
-    "tpch_q18",
-    "tpch_q10",
-    "tpch_q19",
-    "doc_exact_dedup",
-    "doc_bpe_tokens",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_jaccard_pairs",
-    "doc_minhash_dedup",
+    # -- stale checks (last row r1/r2, implementation unchanged) ---------
     "doc_simhash",
     "doc_simhash_neardup",
     "doc_quality_filter",
     "emb_topk_bruteforce",
-    "emb_cosine_neardup",
     "emb_ann_ivf",
     "emb_ann_lsh",
     "emb_kmeans_step",
     "emb_centroids",
+    "doc_fingerprint",
     "ev_monthly_stats_approx",
+    # -- last row r4 -----------------------------------------------------
+    "ev_dau_stickiness_kmv",
+    "ev_dau_stickiness_approx_hll",
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "doc_dedup_clusters",
+    "doc_split",
+    "doc_pack",
+    "doc_contamination",
+    "doc_sample_stratified",
+    "doc_unigram_freq",
+    "doc_ngram_topk",
+    "doc_multi_signal_pairs",
+    "emb_random_projection",
+    "doc_quality_filter_exact",
 )
 
 

@@ -131,6 +131,35 @@ FROM h
 """
 
 
+def q_mm_image_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: deterministic dims from doc_id ->
+    encode a genuine spec-valid PNG per row (mapInPandas) ->
+    decode_image(real=True) parses the IHDR back with the pure-stdlib
+    parser.  The oracle recomputes the dims directly from doc_id, so a
+    driver row verifies the whole encode->decode roundtrip — the same
+    `real=True` seam a production cluster feeds with actual corpus
+    payloads (n_bytes is zlib-dependent, hence excluded)."""
+    from metrics_service_spark.operators.multimodal import synthesize_png
+
+    dims = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.pmod("doc_id", F.lit(13)) + 1).cast("int").alias("w"),
+        (F.pmod("doc_id", F.lit(7)) + 1).cast("int").alias("h"),
+    )
+    return decode_image(synthesize_png(dims), real=True).select(
+        "media_id", "width", "height", "channels"
+    )
+
+
+ORACLE_IMAGE_META_REAL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 13 + 1 AS INT) AS width,
+       CAST(doc_id % 7 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_image_meta": QuerySpec(
         q_mm_image_meta,
@@ -146,6 +175,12 @@ QUERIES = {
     ),
     "mm_audio_meta": QuerySpec(
         q_mm_audio_meta, ORACLE_AUDIO_META, "audio decode stub", ("multimodal",)
+    ),
+    "mm_image_meta_real": QuerySpec(
+        q_mm_image_meta_real,
+        ORACLE_IMAGE_META_REAL,
+        "REAL PNG encode->header-decode roundtrip, oracle-checked",
+        ("multimodal",),
     ),
     "mm_image_features": QuerySpec(
         q_mm_image_features, None, "byte-histogram feature extract", ("multimodal",)

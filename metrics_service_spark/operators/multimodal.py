@@ -172,20 +172,83 @@ def png_pixels(data: bytes):
     return out.reshape(h, w, channels)
 
 
+# JPEG frame-header (SOFn) markers that carry dimensions.  C4 (DHT),
+# C8 (JPG extension) and CC (DAC) share the Cx range but are not SOFs.
+_JPEG_SOF_MARKERS = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = {0x01, 0xD8} | set(range(0xD0, 0xD8))  # TEM, SOI, RSTn
+
+
+def jpeg_meta(data: bytes) -> tuple[int, int, int]:
+    """Parse JPEG segment markers to the first SOFn frame header:
+    (width, height, channels).  Pure stdlib (struct); raises ValueError
+    on a non-JPEG payload or a stream with no frame header."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF_MARKERS:
+            _precision, h, w, ncomp = struct.unpack(
+                ">BHHB", data[pos + 4 : pos + 10]
+            )
+            return w, h, ncomp
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG stream has no SOF frame header")
+
+
+def gif_meta(data: bytes) -> tuple[int, int, int]:
+    """Parse a GIF87a/89a logical screen descriptor: (width, height,
+    channels).  GIF pixels are palette-indexed RGB, so channels=3."""
+    import struct
+
+    if len(data) < 10 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", data[6:10])
+    return w, h, 3
+
+
+def image_meta(data: bytes) -> tuple[int, int, int]:
+    """Sniff the payload format and parse its header: (width, height,
+    channels).  PNG / JPEG / GIF are decoded with the pure-stdlib
+    parsers above; anything else (WebP/TIFF/...) raises — that is the
+    seam where a production cluster plugs in libvips/PIL."""
+    if data[:8] == _PNG_SIG:
+        return png_meta(data)
+    if data[:2] == b"\xff\xd8":
+        return jpeg_meta(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_meta(data)
+    raise ValueError("unrecognized image format (PNG/JPEG/GIF supported)")
+
+
 def decode_image(media: DataFrame, *, real: bool = False) -> DataFrame:
     """Decode the binary payload to image metadata via mapInPandas.
 
-    `real=True` decodes actual PNG payloads with the pure-stdlib parser
-    above (`png_meta` — header fields, validated against a full
-    `png_pixels` inflate+unfilter in tests); other formats (JPEG/WebP)
-    still need a codec library on a real cluster.  The default
-    deterministic fake keeps the Spark plan (Arrow batching, schema,
-    partitioning) oracle-checkable for synthetic payloads.
+    `real=True` decodes actual PNG / JPEG / GIF payloads with the
+    pure-stdlib header parsers above (PNG additionally validated
+    against a full `png_pixels` inflate+unfilter in tests); other
+    formats (WebP/TIFF) still need a codec library on a real cluster.
+    The default deterministic fake keeps the Spark plan (Arrow
+    batching, schema, partitioning) oracle-checkable for synthetic
+    payloads.
     """
 
     def _decode_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [png_meta(bytes(p)) for p in pdf["payload"]]
+            metas = [image_meta(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -211,6 +274,68 @@ def decode_image(media: DataFrame, *, real: bool = False) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         _decode_real if real else _decode_batch, schema=IMAGE_META_SCHEMA
+    )
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a real, spec-valid RGB PNG with deterministic pixel
+    content (pixel = f(x, y, seed), filter 0, one IDAT).  Pure stdlib
+    + numpy.  Used to synthesize genuine image payloads so the
+    `real=True` decode path can be driven (and oracle-checked) without
+    any media library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    y, x, c = np.ogrid[0:height, 0:width, 0:3]
+    px = ((x * 3 + y * 7 + c * 11 + seed) % 256).astype(np.uint8)
+    raw = b"".join(
+        b"\x00" + px[row].tobytes() for row in range(height)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(dims: DataFrame) -> DataFrame:
+    """(media_id, w, h) -> (media_id, payload) with payload a REAL PNG
+    encoded per-batch via mapInPandas (Arrow).  Test/bench scaffolding
+    for the real decode path — a production pipeline reads binary
+    parquet instead.  Repartitions by media id so encode (CPU-bound)
+    spreads across executors even from a single-file input."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encode_png(int(w), int(h), seed=int(m))
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["w"], pdf["h"]
+                        )
+                    ],
+                }
+            )
+
+    return (
+        dims.select("media_id", "w", "h")
+        .repartition(dims.sparkSession.sparkContext.defaultParallelism, "media_id")
+        .mapInPandas(_encode, schema="media_id long, payload binary")
     )
 
 

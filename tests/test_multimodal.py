@@ -49,10 +49,10 @@ def test_decode_image_fake_dims(media):
 
 
 def test_decode_real_seams(media):
-    # image real=True now decodes PNG (see the tests below); on the
-    # text-derived fixture payloads it fails at collect with a clear
-    # not-a-PNG error rather than fake numbers
-    with pytest.raises(Exception, match="not a PNG"):
+    # image real=True decodes PNG/JPEG/GIF (see the tests below); on
+    # the text-derived fixture payloads it fails at collect with a
+    # clear format error rather than fake numbers
+    with pytest.raises(Exception, match="unrecognized image format"):
         decode_image(media, real=True).collect()
     # audio real=True decodes PCM WAV; non-WAV payloads fail at
     # collect rather than returning fake numbers
@@ -192,7 +192,7 @@ def test_decode_image_real_rejects_non_png(spark):
         [(1, bytearray(b"not a png at all, just bytes"))],
         "media_id long, payload binary",
     )
-    with pytest.raises(Exception, match="not a PNG"):
+    with pytest.raises(Exception, match="unrecognized image format"):
         decode_image(media, real=True).collect()
 
 
@@ -220,3 +220,86 @@ def test_decode_audio_real_wav_through_spark(spark, tmp_path):
         (r["media_id"], r["sample_rate"], r["duration_ms"], r["n_bytes"])
         for r in rows
     ] == [(7, 8000, 500, len(payload))]
+
+
+# --- JPEG / GIF header decode + format dispatch -----------------------------
+def _minimal_jpeg(w, h, ncomp=3):
+    """Hand-built JPEG byte stream: SOI, an APP0 to exercise segment
+    skipping, a DQT, then SOF0 with the given dims."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp) + bytes(3 * ncomp)
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def _minimal_gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def test_jpeg_meta_parses_sof_after_skipped_segments():
+    from metrics_service_spark.operators.multimodal import jpeg_meta
+
+    assert jpeg_meta(_minimal_jpeg(640, 480)) == (640, 480, 3)
+    assert jpeg_meta(_minimal_jpeg(17, 9, ncomp=1)) == (17, 9, 1)
+    # progressive (SOF2) dims parse the same way
+    prog = _minimal_jpeg(33, 44).replace(b"\xff\xc0", b"\xff\xc2")
+    assert jpeg_meta(prog) == (33, 44, 3)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_meta(b"\x89PNG\r\n\x1a\n")
+    # DHT (C4) must NOT be mistaken for a SOF; with no SOF before SOS
+    # the parser reports the absence
+    import struct
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + bytes(3)
+    sos = b"\xff\xda" + struct.pack(">H", 2)
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_meta(b"\xff\xd8" + dht + sos)
+
+
+def test_gif_meta_and_dispatch():
+    from metrics_service_spark.operators.multimodal import gif_meta, image_meta
+
+    assert gif_meta(_minimal_gif(320, 200)) == (320, 200, 3)
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_meta(b"NOTGIF" + bytes(8))
+    # dispatch sniffs each signature
+    assert image_meta(_minimal_jpeg(5, 6)) == (5, 6, 3)
+    assert image_meta(_minimal_gif(7, 8)) == (7, 8, 3)
+    import numpy as np
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    assert image_meta(_encode_png(px)) == (4, 3, 3)
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_meta(b"RIFF....WEBP")
+
+
+def test_synthesize_png_roundtrip_through_spark(spark):
+    """encode_png output is a genuine PNG: the full pixel decoder
+    reproduces the deterministic pattern, and the Spark pipeline
+    (synthesize_png -> decode_image(real=True)) recovers the dims for
+    JPEG-free, library-free end-to-end driving of the real seam."""
+    import numpy as np
+
+    from metrics_service_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        png_pixels,
+        synthesize_png,
+    )
+
+    data = encode_png(5, 4, seed=9)
+    px = png_pixels(data)
+    y, x, c = np.ogrid[0:4, 0:5, 0:3]
+    assert (px == ((x * 3 + y * 7 + c * 11 + 9) % 256).astype(np.uint8)).all()
+
+    dims = spark.createDataFrame(
+        [(1, 3, 2), (2, 13, 7), (3, 1, 1)], "media_id long, w int, h int"
+    )
+    rows = {
+        r["media_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_image(synthesize_png(dims), real=True).collect()
+    }
+    assert rows == {1: (3, 2, 3), 2: (13, 7, 3), 3: (1, 1, 3)}
