@@ -41,7 +41,59 @@ HEADLINE = [
     "emb_topk_bruteforce",
     "emb_cosine_neardup",
     "mm_image_meta",
+    # round-5 surface (VERDICT r5 #4): regressions in the newest
+    # operators must show up in BENCH_r*.json
+    "ev_interevent_gap",
+    "order_components",
 ]
+
+
+def _micro_merge_upsert(spark, sf_dir):
+    """Manifest-table MERGE+read micro-bench: upsert one language's
+    documents into a lang-partitioned manifest table, then read the new
+    snapshot.  Setup (initial overwrite) runs OUTSIDE the timed region;
+    each rep re-merges the same batch (same rewrite work, idempotent
+    convergence).  Returns (run, cleanup)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.sources.merge_table import (
+        merge_table,
+        overwrite_table,
+        read_table,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    tdir = tempfile.mkdtemp(prefix="bench_merge_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    overwrite_table(docs, tdir, partition_cols=["lang"])
+    updates = docs.filter(F.col("lang") == "en").withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1)
+    )
+
+    def run() -> None:
+        merge_table(
+            spark,
+            tdir,
+            updates,
+            key_cols=["doc_id"],
+            partition_cols=["lang"],
+            partition_from_key=True,
+        )
+        read_table(spark, tdir).count()
+
+    return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
+
+#: Micro-benches: operators with no catalog entry (table mutations).
+#: Each value is a factory (spark, sf_dir) -> (run, cleanup).
+MICRO = {
+    "merge_table_upsert": _micro_merge_upsert,
+}
 
 
 def _warm(spark) -> None:
@@ -83,6 +135,18 @@ def main() -> None:
             df.collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    for name, factory in MICRO.items():
+        run, cleanup = factory(spark, sf_dir)
+        try:
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        finally:
+            cleanup()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -92,6 +92,7 @@ def expand_family(
     dst: str = "dst",
     max_iters: int = 20,
     undirected: bool = False,
+    hop: int = 1,
 ) -> DataFrame:
     """Transitive closure from seed ids over an edge set (J1
     `getResolvePIDs` fixpoint: resourceMap/documents/seriesId
@@ -103,12 +104,24 @@ def expand_family(
     one id at a time).
 
     `undirected=True` (edges symmetric, as in identifier families)
-    enables the BFS-distance optimization: a neighbor of a
-    distance-k node is at distance k-1, k, or k+1, so deduping the new
-    frontier against only the LAST TWO layers is exhaustive — per-round
-    join count stays constant instead of growing with depth.  Directed
-    graphs (back edges can reach any earlier layer) keep the full
-    chain.
+    enables the BFS-distance optimization: with per-round span h, a
+    node reachable within h hops of a layer-i node has BFS layer i-1
+    or i, so deduping the new frontier against only the LAST TWO
+    layers is exhaustive — per-round join count stays constant instead
+    of growing with depth.  Directed graphs (back edges can reach any
+    earlier layer) keep the full chain.
+
+    `hop=h` (h small, typically 2) composes the edge relation with
+    itself ONCE up front into the <=h-hop edge set, then runs
+    ceil(max_iters / h) BFS rounds instead of max_iters — each
+    driver-side round has fixed job-launch cost, so on a shallow graph
+    this halves the wall-clock of the loop.  The composed edge set
+    holds O(sum(deg^h)) rows: the right trade for bounded-degree
+    graphs (version chains, obsolescence graphs: deg <= 2), the WRONG
+    one for hub-heavy graphs — keep hop=1 there.  When max_iters is
+    not a multiple of h the effective depth cap rounds UP to the next
+    multiple (termination is still at fixpoint when the graph is
+    shallower).
     """
     # BFS by layers.  Each round's frontier is dedup'd against ALL
     # prior layers with a CHAIN of anti-joins (not one anti-join
@@ -125,6 +138,24 @@ def expand_family(
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
     ).localCheckpoint(eager=True)
+    if hop > 1:
+        # <=hop-hop edge set: union of path-length-1..hop relations,
+        # self-loops dropped (a u->...->u path adds nothing to BFS and
+        # would double the composed set on undirected graphs)
+        acc, exact = edges, edges
+        for _ in range(hop - 1):
+            exact = (
+                exact.alias("a")
+                .join(edges.alias("b"), F.col(f"a.{dst}") == F.col(f"b.{src}"))
+                .select(F.col(f"a.{src}").alias(src), F.col(f"b.{dst}").alias(dst))
+            )
+            acc = acc.unionByName(exact)
+        edges = (
+            acc.filter(F.col(src) != F.col(dst))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        max_iters = -(-max_iters // hop)
     frontier = (
         seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("member"))
         .distinct()
@@ -206,11 +237,20 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    hop: int = 1,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node
     repeatedly adopts the smallest component id among itself and its
     neighbors, to fixpoint.  Returns (node, component) with component =
     min node id in the component.
+
+    `hop=h` composes the symmetrized edge relation with itself once up
+    front (<=h-hop neighborhoods), so a label travels h steps per
+    round and the loop converges in ceil(diameter / h) rounds.
+    Composition only ever links nodes already in the same component,
+    so the fixpoint is identical.  O(sum(deg^h)) composed edges: for
+    bounded-degree graphs (version chains) only — keep hop=1 on
+    hub-heavy graphs.
 
     This is the seedless scale path for FULL-corpus identifier-family
     resolution (10^8 edges) where per-seed BFS (expand_family) would be
@@ -232,31 +272,52 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
+    if hop > 1:
+        acc, exact = sym, sym
+        for _ in range(hop - 1):
+            exact = (
+                exact.alias("x")
+                .join(sym.alias("y"), F.col("x.b") == F.col("y.a"))
+                .select(F.col("x.a").alias("a"), F.col("y.b").alias("b"))
+            )
+            acc = acc.unionByName(exact)
+        # keep `nodes` from the 1-hop set (composition drops no node);
+        # self-loops add nothing to a min-label step
+        sym = (
+            acc.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        max_iters = -(-max_iters // hop)
     labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
         eager=True
     )
     for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), F.col("component"))
-            .groupBy("node")
-            .agg(F.min("component").alias("n_min"))
+        # one join + ONE shuffle per round: neighbor labels and each
+        # node's own label ride the same union into a single min-agg
+        # (the own-label row doubles as the old value for convergence
+        # detection) — vs the naive join + agg + second join shape
+        neighbor = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"),
+            F.col("component"),
+            F.lit(None).cast(labels.schema["component"].dataType).alias("__own"),
         )
         updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("n_min"), F.col("component")) < F.col("component")).alias(
-                    "__changed"
-                ),
+            neighbor.unionByName(
+                labels.select(
+                    "node", "component", F.col("component").alias("__own")
+                )
             )
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__own").alias("__old"),
+            )
+            .withColumn("__changed", F.col("component") < F.col("__old"))
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("__changed")).count()
-        labels = updated.drop("__changed")
+        labels = updated.select("node", "component")
         if changed == 0:
             break
     return labels

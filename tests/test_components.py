@@ -98,3 +98,33 @@ def test_expand_family_components_equals_seeded_bfs(spark):
     got_c = sorted((r["seed"], r["member"]) for r in comp.collect())
     assert got_b == got_c
     assert (999, 999) in got_c
+
+
+def test_expand_family_hop2_equals_hop1(spark):
+    """hop=2 (composed <=2-hop edge set, half the driver rounds) is a
+    pure wall-clock optimization: identical (seed, member) pairs to
+    hop=1 on a random undirected graph, and on a directed graph."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.closure import expand_family
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(100)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame(
+        [(i,) for i in range(0, 80, 11)] + [(555,)], "pid long"
+    )
+    sym = edf.union(
+        edf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for und, e in ((True, sym), (False, edf)):
+        h1 = expand_family(
+            seeds, e, seed_col="pid", max_iters=30, undirected=und, hop=1
+        )
+        h2 = expand_family(
+            seeds, e, seed_col="pid", max_iters=30, undirected=und, hop=2
+        )
+        got1 = sorted((r["seed"], r["member"]) for r in h1.collect())
+        got2 = sorted((r["seed"], r["member"]) for r in h2.collect())
+        assert got1 == got2, f"undirected={und}"
+    assert (555, 555) in got2

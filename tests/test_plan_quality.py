@@ -173,8 +173,16 @@ def test_interevent_gap_single_window(spark, sf_dir):
 
 
 def test_bench_headline_names_exist():
-    # bench.py's HEADLINE list must track catalog renames
+    # bench.py's HEADLINE list must track catalog renames; the round-5
+    # surface must stay benched (VERDICT r5 #4)
     import bench
 
     for name in bench.HEADLINE:
         assert name in CATALOG, name
+    for required in ("ev_interevent_gap", "order_components"):
+        assert required in bench.HEADLINE, required
+    # micro-benches are non-catalog by definition (table mutations) —
+    # a name collision would shadow a catalog query's timing
+    assert "merge_table_upsert" in bench.MICRO
+    for name in bench.MICRO:
+        assert name not in CATALOG, name
