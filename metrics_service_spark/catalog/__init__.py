@@ -21,6 +21,11 @@ class QuerySpec:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: For rows-only entries (oracle=None): the catalog name of the
+    #: oracle-checked exact twin that hard-verifies the same pipeline
+    #: (e.g. the md5/int-quantized variant).  Every rows-only entry
+    #: must name one — enforced by tests/test_catalog_schemas.py.
+    exact_twin: str | None = None
 
 
 # The external correctness driver checks the FIRST 50 entries of

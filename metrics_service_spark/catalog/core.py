@@ -898,6 +898,7 @@ QUERIES: dict[str, QuerySpec] = {
         None,
         "A2 approx (HLL) unique counts, flagged variant",
         ("core",),
+        exact_twin="ev_monthly_stats",
     ),
     "ev_tag_membership": QuerySpec(
         q_ev_tag_membership,
@@ -1109,4 +1110,5 @@ QUERIES["ev_dau_stickiness_approx_hll"] = QuerySpec(
     None,
     "per-day HLL sketch merge trailing-28d MAU (rows-only; see KMV twin)",
     ("core", "sketch", "approx"),
+    exact_twin="ev_dau_stickiness_kmv",
 )

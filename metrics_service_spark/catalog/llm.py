@@ -1305,7 +1305,8 @@ QUERIES: dict[str, QuerySpec] = {
         ("llm",),
     ),
     "doc_minhash_dedup": QuerySpec(
-        q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",)
+        q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",),
+        exact_twin="doc_minhash_dedup_md5",
     ),
     "doc_minhash_dedup_md5": QuerySpec(
         q_doc_minhash_dedup_md5,
@@ -1343,12 +1344,16 @@ QUERIES: dict[str, QuerySpec] = {
         "integer-exact JL random projection to 8 components",
         ("llm",),
     ),
-    "doc_simhash": QuerySpec(q_doc_simhash, None, "64-bit SimHash", ("llm",)),
+    "doc_simhash": QuerySpec(
+        q_doc_simhash, None, "64-bit SimHash", ("llm",),
+        exact_twin="doc_simhash_md5",
+    ),
     "doc_simhash_neardup": QuerySpec(
         q_doc_simhash_neardup,
         None,
         "banded-hamming SimHash near-dup pairs",
         ("llm",),
+        exact_twin="doc_simhash_neardup_md5",
     ),
     "doc_simhash_md5": QuerySpec(
         q_doc_simhash_md5,
@@ -1394,6 +1399,7 @@ QUERIES: dict[str, QuerySpec] = {
         None,
         "IVF cell-probed approximate top-k",
         ("llm",),
+        exact_twin="emb_ann_ivf_int",
     ),
     "emb_ann_ivf_int": QuerySpec(
         q_emb_ann_ivf_int,
@@ -1402,7 +1408,8 @@ QUERIES: dict[str, QuerySpec] = {
         ("llm",),
     ),
     "emb_ann_lsh": QuerySpec(
-        q_emb_ann_lsh, None, "LSH-bucketed approximate k-NN", ("llm",)
+        q_emb_ann_lsh, None, "LSH-bucketed approximate k-NN", ("llm",),
+        exact_twin="emb_ann_lsh_int",
     ),
     "emb_ann_lsh_int": QuerySpec(
         q_emb_ann_lsh_int,

@@ -183,7 +183,8 @@ QUERIES = {
         ("multimodal",),
     ),
     "mm_image_features": QuerySpec(
-        q_mm_image_features, None, "byte-histogram feature extract", ("multimodal",)
+        q_mm_image_features, None, "byte-histogram feature extract", ("multimodal",),
+        exact_twin="mm_image_features_exact",
     ),
     "mm_image_features_exact": QuerySpec(
         q_mm_image_features_exact,

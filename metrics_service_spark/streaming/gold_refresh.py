@@ -85,6 +85,9 @@ def incremental_star_refresh(
                 star,
                 key_cols=["year", "month"],
                 partition_cols=["year", "month"],
+                # key == partition: an updated key can only live in its
+                # own partition, so skip the carried-file key probe
+                partition_from_key=True,
             )
             return
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

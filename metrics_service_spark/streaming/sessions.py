@@ -127,6 +127,7 @@ def upsert_state_table(
     key: str,
     members_col: str,
     partition_cols: list[str] | None = None,
+    partition_from_key: bool = False,
 ) -> int:
     """ST6 end-to-end against the transactional state table: hash-diff
     the incoming family state against the CURRENT table snapshot
@@ -171,6 +172,7 @@ def upsert_state_table(
                 changed,
                 key_cols=[key],
                 partition_cols=partition_cols,
+                partition_from_key=partition_from_key,
                 expected_base=observed,
             )
         except ConflictError as ex:

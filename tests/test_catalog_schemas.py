@@ -19,3 +19,20 @@ def test_all_outputs_scalar(spark, sf_dir):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert offenders == []
+
+
+def test_rows_only_entries_name_an_oracle_checked_twin():
+    """Every rows-only catalog entry (no DuckDB oracle — float/hash
+    family not SQL-replayable) must cite its exact twin: an
+    oracle-checked entry that hard-verifies the same pipeline.  Keeps
+    the driver report self-explaining (VERDICT r5 #8)."""
+    from metrics_service_spark.catalog import all_queries
+
+    cat = all_queries()
+    for name, spec in cat.items():
+        if spec.oracle:
+            continue
+        assert spec.exact_twin, f"{name} is rows-only with no exact_twin"
+        twin = cat.get(spec.exact_twin)
+        assert twin is not None, f"{name}: twin {spec.exact_twin} not in catalog"
+        assert twin.oracle, f"{name}: twin {spec.exact_twin} is not oracle-checked"
