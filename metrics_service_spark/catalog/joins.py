@@ -240,10 +240,11 @@ def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fewer rounds of far more shuffles (measured 3x slower at sf0.1 —
     # see expand_family_components for when the trade flips).  hop=2
     # composes the chain edges (deg <= 2, so the <=2-hop set stays
-    # linear) and halves the driver-loop round count: measured
-    # 3.85s -> ~2.3s at sf0.1.
+    # linear) and halves the driver-loop round count; max_iters=9 is
+    # exact (10-node chains by construction), so the loop never pays
+    # the final empty-frontier round.
     return expand_family(
-        seeds, edges, seed_col="pid", max_iters=12, undirected=True, hop=2
+        seeds, edges, seed_col="pid", max_iters=9, undirected=True, hop=2
     )
 
 
@@ -292,8 +293,10 @@ def q_order_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey").over(w2).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     # chain graph (deg <= 2): hop=2 composes the neighborhood once and
-    # halves the label-propagation rounds (diameter 9 -> 5 rounds)
-    return connected_components(edges, max_iters=12, hop=2)
+    # halves the label-propagation rounds; max_iters=9 is exact
+    # (10-node chains by construction: diameter <= 9), so the loop
+    # stops at the cap instead of paying a zero-change detection round
+    return connected_components(edges, max_iters=9, hop=2)
 
 
 # the chains are paths within one customer, so each component's min id
