@@ -264,30 +264,37 @@ def merge_table(
         carried = [e for e in entries if e not in hit]
         if carried and not partition_from_key:
             # global key matching: probe the carried files for updated
-            # keys (column-pruned scan: key + partition columns only,
-            # the same touched-file scan Delta MERGE runs) and pull the
-            # partitions that hold one into the rewrite set
+            # keys (column-pruned scan: key columns only — the same
+            # touched-file scan Delta MERGE runs) and pull exactly the
+            # FILES holding one into the rewrite set.  Matching by
+            # input_file_name, not partition value, sidesteps Hive
+            # partition-type inference (a string partition "01" reads
+            # back as int 1 and would never match its manifest string).
             probe = (
                 _read_files(spark, table_dir, carried)
+                .select(*key_cols, F.input_file_name().alias("__file"))
                 .join(
                     F.broadcast(updates.select(*key_cols).distinct()),
                     key_cols,
                     "left_semi",
                 )
-                .select(*partition_cols)
+                .select("__file")
                 .distinct()
                 .collect()
             )
-            extra = {tuple(str(r[c]) for c in partition_cols) for r in probe}
-            if extra:
-                touched |= extra
-                hit = [
+            # match by part-file BASENAME: Spark part files embed the
+            # write-job UUID, so basenames are unique table-wide and
+            # immune to the URI/Hive escaping layers a full-path
+            # comparison would have to invert
+            matched = {os.path.basename(r["__file"]) for r in probe}
+            if matched:
+                extra_hit = [
                     e
-                    for e in entries
-                    if tuple(e["partition"].get(c) for c in partition_cols)
-                    in touched
+                    for e in carried
+                    if os.path.basename(e["path"]) in matched
                 ]
-                carried = [e for e in entries if e not in hit]
+                hit += extra_hit
+                carried = [e for e in carried if e not in extra_hit]
     else:
         hit, carried = entries, []
 
