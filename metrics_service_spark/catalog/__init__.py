@@ -37,6 +37,8 @@ class QuerySpec:
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- implementation changed since last driver row --------------------
+    "doc_repetition",            # new this round (Gopher repetition filter)
+    "doc_pii_scrub",             # new this round (PII detect+redact)
     "mm_image_meta_real",        # new this round (real PNG roundtrip)
     "doc_length_histogram",      # r5 red: oracle BIGINT cast fixed
     "emb_cosine_neardup",        # last row r1; default now banded LSH

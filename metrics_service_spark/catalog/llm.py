@@ -1246,7 +1246,98 @@ FROM documents
 GROUP BY 1, 2
 """
 
+# --- repetition filter + PII scrub ----------------------------------------
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition metrics over 2-grams: the
+    dup-fraction and modal-gram-share filters every production corpus
+    run applies before training."""
+    from metrics_service_spark.operators.text import repetition_stats
+
+    return repetition_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    )
+
+
+ORACLE_DOC_REPETITION = """
+WITH g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+1], ' ')
+          FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), s AS (
+  SELECT doc_id,
+         CAST(len(grams) AS BIGINT) AS n_grams,
+         CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams,
+         CAST(list_max([len(list_filter(grams, x -> x = g))
+                        FOR g IN list_distinct(grams)]) AS BIGINT) AS top_n
+  FROM g
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       round(CAST(n_dup_grams AS DOUBLE) / n_grams, 4) AS dup_gram_fraction,
+       round(CAST(top_n AS DOUBLE) / n_grams, 4) AS top_gram_fraction
+FROM s
+"""
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub driven over synthetic-but-real matches: every doc gets
+    a deterministic doc_id-derived email + IPv4 appended (both engines
+    build the identical string), so the driver row verifies detection
+    counts AND the redacted-text hash, not just zeros."""
+    from metrics_service_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0.0."),
+            F.pmod("doc_id", F.lit(256)),
+        ).alias("text"),
+    )
+    return pii_scrub(docs, "doc_id", "text")
+
+
+ORACLE_DOC_PII = """
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact' || doc_id || '@example.com from 10.0.0.'
+              || (doc_id % 256) AS text
+  FROM documents
+), r AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS no_email
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(no_email,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT)
+           AS n_ips,
+       md5(regexp_replace(no_email,
+            '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+            '<IP>', 'g')) AS redacted_hash
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_repetition": QuerySpec(
+        q_doc_repetition,
+        ORACLE_DOC_REPETITION,
+        "Gopher-style dup-2-gram + modal-gram repetition filter",
+        ("llm",),
+    ),
+    "doc_pii_scrub": QuerySpec(
+        q_doc_pii_scrub,
+        ORACLE_DOC_PII,
+        "PII detect+redact (email/IPv4), synthetic injected matches",
+        ("llm",),
+    ),
     "doc_exact_dedup": QuerySpec(
         q_doc_exact_dedup, ORACLE_EXACT_DEDUP, "exact dedup hash-groupBy", ("llm",)
     ),

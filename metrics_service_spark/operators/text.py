@@ -132,3 +132,75 @@ def fingerprint(
         F.md5(headc).alias("head_hash"),
         mins.alias("min_window_hash"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText
+    repetition filters): fraction of n-gram occurrences that are
+    duplicates of an earlier one, and the share of the single most
+    frequent n-gram.  High values flag boilerplate/spam for removal
+    before training.  Pure column expressions over the token n-gram
+    array — exact integer counts, one rounded division each, so a SQL
+    oracle replays bit-for-bit."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    # count of the modal n-gram: for each distinct gram, how many times
+    # it appears; max over distincts — all inside one projection
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        (total - distinct).alias("n_dup_grams"),
+        F.round((total - distinct).cast("double") / total, 4).alias(
+            "dup_gram_fraction"
+        ),
+        F.round(top.cast("double") / total, 4).alias("top_gram_fraction"),
+    )
+
+
+#: PII patterns restricted to constructs with identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+#: repetition, \b word boundaries — no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction (the standard pre-training scrub
+    pass): count email / IPv4 matches and emit the redacted text's
+    hash (emails -> <EMAIL>, IPs -> <IP>; emails first so an address's
+    host part is never half-eaten by the IP pass).  regexp_replace and
+    regexp_extract_all are per-row codegen — zero shuffles, scales as
+    a pure scan projection."""
+    text = F.col(text_col)
+    n_emails = F.size(
+        F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))
+    ).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+    )
+    n_ips = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            F.lit(PII_IPV4),
+            F.lit(0),
+        )
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -1,0 +1,60 @@
+"""repetition_stats + pii_scrub unit tests with crafted content (the
+catalog oracle exercises them on corpus data; these pin the semantics
+on hand-built edge cases)."""
+
+from __future__ import annotations
+
+from metrics_service_spark.operators.text import (
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_counts_and_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            # 'a b' x3 + 'b a' x2: grams = [a b, b a, a b, b a, a b] ->
+            # 5 total, 2 distinct, 3 dup, top 'a b' = 3
+            (1, "a b a b a b"),
+            (2, "x y z w"),  # all distinct 2-grams
+            (3, "solo"),     # shorter than n: one degenerate gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_grams"], r["n_dup_grams"],
+            r["dup_gram_fraction"], r["top_gram_fraction"],
+        )
+        for r in repetition_stats(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[1] == (5, 3, 0.6, 0.6)
+    assert got[2] == (3, 0, 0.0, round(1 / 3, 4))
+    assert got[3] == (1, 0, 0.0, 1.0)
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org and x@y.io ip 192.168.0.1 ok"),
+            (2, "no pii here 1234.5 word"),
+            (3, "999.999.999.999 still matches the ipv4 shape"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["redacted_hash"])
+        for r in pii_scrub(df, "doc_id", "text").collect()
+    }
+    assert got[1][:2] == (2, 1)
+    assert got[2][:2] == (0, 0)
+    # the pattern is a shape detector, not a validator (by design —
+    # over-redaction is the safe side)
+    assert got[3][:2] == (0, 1)
+    want = hashlib.md5(
+        b"mail <EMAIL> and <EMAIL> ip <IP> ok"
+    ).hexdigest()
+    assert got[1][2] == want
+    assert got[2][2] == hashlib.md5(b"no pii here 1234.5 word").hexdigest()
