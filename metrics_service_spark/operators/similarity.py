@@ -316,18 +316,18 @@ def cosine_near_duplicates(
             ),
             "id_b",
         )
-        # pair dots on the codegen path too: explode the zipped vectors
-        # and hash-aggregate the products — exact int64, same values as
-        # the fold, ~an order of magnitude faster on wide candidate sets
-        zipped = pairs.select(
+        # pair dots as a zip_with/aggregate fold: one projection, no
+        # per-element hash-agg.  Measured on Spark 4.1 at 464k
+        # candidate pairs x 64 dims: fold 0.3s vs explode+groupBy 2.2s
+        # — the higher-order fold is codegen'd and the explode path
+        # pays 64x the hash probes (earlier Spark versions had the
+        # trade reversed; re-measure on engine upgrades)
+        scored = pairs.select(
             "id_a",
             "id_b",
             "__na",
             "__nb",
-            F.explode(F.arrays_zip("__va", "__vb")).alias("__z"),
-        )
-        scored = zipped.groupBy("id_a", "id_b", "__na", "__nb").agg(
-            F.sum(F.col("__z.__va") * F.col("__z.__vb")).alias("__dot")
+            dot_long(F.col("__va"), F.col("__vb")).alias("__dot"),
         )
     else:
         a = side.select(
@@ -835,13 +835,13 @@ def ann_topk_int(
             "__cv",
         )
     )
-    zipped = scored.select(
+    # zip_with/aggregate fold: codegen'd single projection — measured
+    # ~7x the explode+groupBy shape on Spark 4.1 (see
+    # cosine_near_duplicates)
+    dots = scored.select(
         "query_id",
         "neighbor_id",
-        F.explode(F.arrays_zip("__qv", "__cv")).alias("__z"),
-    )
-    dots = zipped.groupBy("query_id", "neighbor_id").agg(
-        F.sum(F.col("__z.__qv") * F.col("__z.__cv")).alias("dot_q")
+        dot_long(F.col("__qv"), F.col("__cv")).alias("dot_q"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot_q").desc(), F.col("neighbor_id").asc()
