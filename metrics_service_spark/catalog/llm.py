@@ -1325,7 +1325,47 @@ FROM r
 """
 
 
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level dedup stats (RefinedWeb/Dolma):
+    20-token chunks hashed and counted across ALL documents; per-doc
+    duplicated-paragraph fraction."""
+    from metrics_service_spark.operators.dedup import paragraph_dedup_stats
+
+    return paragraph_dedup_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=20
+    )
+
+
+ORACLE_DOC_PARAGRAPH = """
+WITH c AS (
+  SELECT doc_id,
+         [md5(array_to_string(toks[i*20+1:i*20+20], ' '))
+          FOR i IN range(0, greatest(CAST(ceil(len(toks) / 20.0) AS INT), 1))]
+             AS phs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), p AS (
+  SELECT doc_id, unnest(phs) AS ph FROM c
+), cnt AS (
+  SELECT ph, count(*) AS n FROM p GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_paragraphs,
+       CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_paragraphs,
+       round(CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_paragraph_fraction
+FROM p JOIN cnt USING (ph)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_paragraph_dedup": QuerySpec(
+        q_doc_paragraph_dedup,
+        ORACLE_DOC_PARAGRAPH,
+        "corpus-wide paragraph (token-chunk) dedup fractions",
+        ("llm",),
+    ),
     "doc_repetition": QuerySpec(
         q_doc_repetition,
         ORACLE_DOC_REPETITION,

@@ -705,3 +705,57 @@ def incremental_near_duplicates_md5(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Paragraph-level exact dedup across the CORPUS (the RefinedWeb/
+    Dolma paragraph filter): chunk each document into fixed token
+    windows (stand-in for newline paragraphs on corpora that have
+    them), hash each chunk, count corpus-wide occurrences of each
+    hash, and report per document how many of its paragraphs also
+    occur elsewhere.  High dup fractions flag boilerplate-heavy docs;
+    the per-paragraph counts are what a removal pass would key on.
+
+    Scale: one explode (paragraph rows carry only (id, hash) — 16 B),
+    one hash-groupBy with map-side combine (hot boilerplate hashes
+    collapse before the shuffle), one re-attach join on hash, one
+    per-doc agg.  No window over the hash key, so a paragraph shared
+    by 10^6 docs never lands on a single task."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    paras = df.select(
+        F.col(id_col).alias("__id"), F.explode(chunks).alias("__p")
+    ).select("__id", F.md5(F.col("__p")).alias("__ph"))
+    counts = paras.groupBy("__ph").agg(F.count(F.lit(1)).alias("__n"))
+    per_para = paras.join(counts, "__ph")
+    return (
+        per_para.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paragraphs"),
+            F.sum((F.col("__n") > 1).cast("long")).alias("n_dup_paragraphs"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_paragraphs",
+            "n_dup_paragraphs",
+            F.round(
+                F.col("n_dup_paragraphs").cast("double")
+                / F.col("n_paragraphs"),
+                4,
+            ).alias("dup_paragraph_fraction"),
+        )
+    )

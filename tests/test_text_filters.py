@@ -58,3 +58,25 @@ def test_pii_scrub_detects_and_redacts(spark):
     ).hexdigest()
     assert got[1][2] == want
     assert got[2][2] == hashlib.md5(b"no pii here 1234.5 word").hexdigest()
+
+
+def test_paragraph_dedup_stats_cross_doc_counts(spark):
+    from metrics_service_spark.operators.dedup import paragraph_dedup_stats
+
+    # chunk_tokens=2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [q]
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_paragraphs"], r["n_dup_paragraphs"],
+            r["dup_paragraph_fraction"],
+        )
+        for r in paragraph_dedup_stats(
+            df, "doc_id", "text", chunk_tokens=2
+        ).collect()
+    }
+    assert got[1] == (2, 1, 0.5)   # 'a b' shared with doc2
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)   # short doc: one degenerate chunk
