@@ -740,6 +740,12 @@ def paragraph_dedup_stats(
     paras = df.select(
         F.col(id_col).alias("__id"), F.explode(chunks).alias("__p")
     ).select("__id", F.md5(F.col("__p")).alias("__ph"))
+    # the paragraph rows feed BOTH the corpus-wide count and the
+    # re-attach join — materialize once (16 B/paragraph) instead of
+    # scanning + exploding the corpus twice (same discipline as the
+    # MinHash signature checkpoint; measured 2.3s -> 1.2s cold at 10x
+    # sf0.1)
+    paras = paras.localCheckpoint(eager=True)
     counts = paras.groupBy("__ph").agg(F.count(F.lit(1)).alias("__n"))
     per_para = paras.join(counts, "__ph")
     return (

@@ -517,3 +517,50 @@ def test_dedup_gate_state_survives_across_micro_batches(spark, tmp_path):
     # state must still be there to flag it as a duplicate
     assert rows["d1"].is_first and rows["d2"].is_first
     assert not rows["d3"].is_first and rows["d3"].n_dropped_so_far == 1
+
+
+def test_text_filter_ops_stream_compatible(spark, tmp_path):
+    """The LLM text-filter projections (pii_scrub, repetition_stats)
+    are stateless column expressions, so they run unchanged inside a
+    micro-batch stream — streamed results must equal the batch run.
+    (paragraph_dedup_stats aggregates corpus-wide, so its streaming
+    form is the foreachBatch/merge-table path, not a projection.)"""
+    from metrics_service_spark.operators.text import (
+        pii_scrub,
+        repetition_stats,
+    )
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a@b.io now now now now"),
+            (2, "plain text with 10.1.2.3 inside"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scrubbed = pii_scrub(stream, "doc_id", "text")
+    rep = repetition_stats(stream, "doc_id", "text", n=2)
+    q = (
+        scrubbed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["redacted_hash"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_emails"], r["n_ips"], r["redacted_hash"])
+        for r in pii_scrub(docs, "doc_id", "text").collect()
+    }
+    assert streamed == batch and len(streamed) == 2
+    # repetition_stats plans on a stream without error (projection-only)
+    assert rep.isStreaming

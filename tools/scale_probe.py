@@ -29,6 +29,11 @@ QUERIES = [
     "doc_exact_dedup",
     "doc_minhash_dedup",
     "doc_split",
+    # r6 additions: the paragraph hash-join pipeline and the two pure
+    # scan projections (expected ~1x — regression canaries)
+    "doc_paragraph_dedup",
+    "doc_repetition",
+    "doc_pii_scrub",
 ]
 
 
