@@ -248,6 +248,13 @@ def merge_table(
             f"under {table_dir}"
         )
     if base < 0:
+        if expected_base is not None:
+            # keep the pin through bootstrap: commit at exactly
+            # expected_base+1 instead of re-resolving, so a racer that
+            # created v0 in between gets ConflictError (O_EXCL), never
+            # a silent full replace of its commit
+            files = _write_files(updates, table_dir, partition_cols)
+            return _commit(table_dir, files, expected_base + 1)
         return overwrite_table(updates, table_dir, partition_cols=partition_cols)
 
     entries = _load_manifest(table_dir, base)
