@@ -1359,7 +1359,51 @@ GROUP BY 1
 """
 
 
+def q_doc_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style domain blocklist filter over deterministically
+    synthesized URLs (host = cdn.<source>.org, some with ports, so
+    the host regex and last-two-label domain heuristic are both
+    exercised); the broadcast anti-join drops blocklisted domains."""
+    from metrics_service_spark.operators.text import (
+        domain_filter,
+        registered_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://cdn."),
+            F.col("source"),
+            F.lit(".org"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.lit(":8080")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    block = spark.createDataFrame(
+        [("src0.org",), ("src7.org",), ("src13.org",)], "domain string"
+    )
+    return domain_filter(docs, "url", block).select(
+        "doc_id", registered_domain(F.col("url")).alias("domain")
+    )
+
+
+ORACLE_DOC_DOMAIN = """
+SELECT doc_id, source || '.org' AS domain
+FROM documents
+WHERE source NOT IN ('src0', 'src7', 'src13')
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_domain_filter": QuerySpec(
+        q_doc_domain_filter,
+        ORACLE_DOC_DOMAIN,
+        "domain-blocklist anti-join over synthesized URLs",
+        ("llm",),
+    ),
     "doc_paragraph_dedup": QuerySpec(
         q_doc_paragraph_dedup,
         ORACLE_DOC_PARAGRAPH,

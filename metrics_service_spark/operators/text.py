@@ -204,3 +204,43 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_ips.alias("n_ips"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+#: URL structure: scheme://host[:port]/path — host captured with the
+#: same character-class-only regex in Java regex and RE2.
+URL_HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([A-Za-z0-9.-]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Extract the host from a URL column (empty string on no match,
+    Spark regexp_extract semantics)."""
+    return F.regexp_extract(url, URL_HOST_PATTERN, 1)
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two labels of the URL host — the registered-domain
+    heuristic every web-corpus blocklist keys on (a full public-suffix
+    list is a data file, not logic; swap it in as a second broadcast
+    join at deploy time)."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    *,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """C4/RefinedWeb-style domain blocklist filter: drop rows whose
+    URL's registered domain appears in `blocklist` (a small table —
+    broadcast anti-join, zero shuffles of the corpus side)."""
+    keyed = df.withColumn("__dom", registered_domain(F.col(url_col)))
+    block = blocklist.select(F.col(domain_col).alias("__dom")).distinct()
+    return keyed.join(F.broadcast(block), "__dom", "left_anti").drop("__dom")

@@ -80,3 +80,52 @@ def test_paragraph_dedup_stats_cross_doc_counts(spark):
     assert got[1] == (2, 1, 0.5)   # 'a b' shared with doc2
     assert got[2] == (2, 1, 0.5)
     assert got[3] == (1, 0, 0.0)   # short doc: one degenerate chunk
+
+
+def test_url_host_and_registered_domain(spark):
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.text import (
+        registered_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://sub.deep.example.co/path?q=1"),
+            (2, "http://example.org:8080/x"),
+            (3, "ftp://HOST.NET/file"),
+            (4, "not a url"),
+            (5, "https://localhost/admin"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: (r["h"], r["d"])
+        for r in df.select(
+            "id",
+            url_host(F.col("url")).alias("h"),
+            registered_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert got[1] == ("sub.deep.example.co", "example.co")
+    assert got[2] == ("example.org", "example.org")  # port stripped
+    assert got[3] == ("HOST.NET", "HOST.NET")
+    assert got[4] == ("", "")          # no match -> empty, never null
+    assert got[5] == ("localhost", "localhost")  # single label kept
+
+
+def test_domain_filter_blocklist_anti_join(spark):
+    from metrics_service_spark.operators.text import domain_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.spam.site/x"),
+            (2, "https://b.good.org/y"),
+            (3, "https://spam.site:443/z"),
+        ],
+        "id long, url string",
+    )
+    block = spark.createDataFrame([("spam.site",)], "domain string")
+    kept = sorted(r["id"] for r in domain_filter(docs, "url", block).collect())
+    assert kept == [2]
