@@ -11,7 +11,7 @@ vs brute force).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
@@ -1397,7 +1397,78 @@ WHERE source NOT IN ('src0', 'src7', 'src13')
 """
 
 
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF-IDF — the
+    index-building / topic-labeling primitive.  The IDF uses the exact
+    rational tf * N / df instead of a float log (monotone in the
+    ranking, and a single int64 division compares bit-for-bit against
+    the oracle).  Shape: term-frequency groupBy, document-frequency
+    groupBy on its output, broadcast of the 1-row corpus count, then a
+    per-doc row_number window with deterministic ties (score desc,
+    term asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "dfreq",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("dfreq"),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "dfreq", "score", "rk")
+    )
+
+
+ORACLE_DOC_TFIDF = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2
+), dfq AS (
+  SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfq.dfreq,
+         round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.dfreq, 4) AS score
+  FROM tf JOIN dfq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(dfreq AS BIGINT) AS dfreq,
+       score, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, tok ASC) AS rk
+  FROM s
+)
+WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_tfidf_topk": QuerySpec(
+        q_doc_tfidf_topk,
+        ORACLE_DOC_TFIDF,
+        "per-doc top-3 TF-IDF terms, exact-rational IDF",
+        ("llm",),
+    ),
     "doc_domain_filter": QuerySpec(
         q_doc_domain_filter,
         ORACLE_DOC_DOMAIN,
