@@ -176,3 +176,45 @@ def duplicate_paragraph_fraction(
             ).alias("seen_fraction"),
         )
     )
+
+
+def incremental_paragraph_index_refresh(
+    spark: SparkSession,
+    docs_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    available_now: bool = True,
+):
+    """Stream documents -> paragraph index.  A file-source stream over
+    the documents directory sees only NEW files (checkpointed offsets
+    = exactly-once folding: a replayed batch is redelivered only if
+    its offset never committed, the same contract as
+    gold_refresh.incremental_star_refresh); each micro-batch folds its
+    paragraph counts into the manifest table atomically."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        update_paragraph_index(
+            spark,
+            table_dir,
+            batch,
+            id_col=id_col,
+            text_col=text_col,
+            chunk_tokens=chunk_tokens,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(fold)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

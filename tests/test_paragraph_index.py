@@ -84,3 +84,45 @@ def test_racing_writer_retries_without_lost_counts(spark, tmp_path, monkeypatch)
 
     got = {r["ph"]: r["n"] for r in read_table(spark, tdir).collect()}
     assert got[hashlib.md5(b"a b").hexdigest()] == 2  # 1 + 1, not 1 + 2
+
+
+def test_streaming_refresh_folds_batches_exactly_once(spark, tmp_path):
+    """File-source stream -> index: two file drops fold as two commits;
+    restarting the stream with the same checkpoint re-folds NOTHING
+    (offsets committed), so counts stay exact."""
+    import hashlib
+
+    from metrics_service_spark.streaming.paragraph_index import (
+        incremental_paragraph_index_refresh,
+    )
+
+    src = str(tmp_path / "docs")
+    tdir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    _docs(spark, [(1, "a b c d")]).write.mode("append").parquet(src)
+    q = incremental_paragraph_index_refresh(
+        spark, src, tdir, ckpt, chunk_tokens=2
+    )
+    q.awaitTermination(120)
+    got = {r["ph"]: r["n"] for r in read_table(spark, tdir).collect()}
+    assert got[h("a b")] == 1
+
+    _docs(spark, [(2, "a b x y")]).write.mode("append").parquet(src)
+    q = incremental_paragraph_index_refresh(
+        spark, src, tdir, ckpt, chunk_tokens=2
+    )
+    q.awaitTermination(120)
+    got = {r["ph"]: r["n"] for r in read_table(spark, tdir).collect()}
+    assert got[h("a b")] == 2 and got[h("x y")] == 1
+
+    # restart with nothing new: no re-fold, no new version
+    v = current_version(tdir)
+    q = incremental_paragraph_index_refresh(
+        spark, src, tdir, ckpt, chunk_tokens=2
+    )
+    q.awaitTermination(120)
+    assert current_version(tdir) == v
+    got = {r["ph"]: r["n"] for r in read_table(spark, tdir).collect()}
+    assert got[h("a b")] == 2
