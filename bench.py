@@ -45,6 +45,8 @@ HEADLINE = [
     # operators must show up in BENCH_r*.json
     "ev_interevent_gap",
     "order_components",
+    # round-6: the corpus-wide paragraph hash-join pipeline
+    "doc_paragraph_dedup",
 ]
 
 

@@ -186,3 +186,34 @@ def test_bench_headline_names_exist():
     assert "merge_table_upsert" in bench.MICRO
     for name in bench.MICRO:
         assert name not in CATALOG, name
+
+
+def test_paragraph_dedup_materializes_once_no_cartesian(spark, sf_dir):
+    # the paragraph rows feed the count AND the re-attach join from ONE
+    # materialization (checkpoint), never a second corpus explode; the
+    # count re-attach must be a hash join, not a cartesian
+    plan = _plan(spark, sf_dir, "doc_paragraph_dedup")
+    assert plan.count("Scan parquet") == 0  # both sides read the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_filter_is_broadcast_anti(spark, sf_dir):
+    # the blocklist broadcasts; the corpus side is one pass with no
+    # shuffle for the anti-join
+    plan = _plan(spark, sf_dir, "doc_domain_filter")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("\n", " ") or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_single_window_partial_aggs(spark, sf_dir):
+    # one per-doc ranking window; both aggregations run partial
+    # (map-side combine) before their exchanges
+    plan = _plan(spark, sf_dir, "doc_tfidf_topk")
+    # count the operator lines ("Window ["), not the string "Window",
+    # which also appears in projected window-expression references
+    assert plan.count("Window [") == 1
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
