@@ -16,11 +16,14 @@ Design:
   one pandas batch per call (batch size bounded by
   `spark.sql.execution.arrow.maxRecordsPerBatch`), and the UDF yields
   0..N output rows per input row (frame sampling is 1->N).
-- The actual codec call is STUBBED: this container has no PIL/ffmpeg,
-  so `real=True` raises NotImplementedError at the exact seam where a
-  production deployment plugs in the library, and the default path is
-  a DETERMINISTIC fake derived from the payload bytes — stable across
-  runs/machines, so it is oracle-checkable and testable.
+- `real=True` decodes REAL headers with pure-stdlib parsers — PNG
+  IHDR (plus a full pixel decoder for 8-bit non-palette PNGs), JPEG
+  SOFn, GIF logical screen, PCM WAV — no media library required;
+  full pixel decode for JPEG/WebP/video is the one remaining seam
+  where a production cluster plugs in libvips/ffmpeg.  The default
+  path stays a DETERMINISTIC fake derived from the payload bytes —
+  stable across runs/machines, so the mapInPandas plumbing is
+  oracle-checkable on synthetic payloads.
 
 Scale:
 - Payload batches are the memory unit: cap Arrow batch size rather
