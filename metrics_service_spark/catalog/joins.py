@@ -295,8 +295,8 @@ def q_order_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain graph (deg <= 2): hop=2 composes the neighborhood once and
     # halves the label-propagation rounds; max_iters=9 is exact
     # (10-node chains by construction: diameter <= 9), so the loop
-    # stops at the cap instead of paying a zero-change detection round
-    return connected_components(edges, max_iters=9, hop=2)
+    # runs exactly ceil(9/2)=5 rounds with no early-stop count jobs
+    return connected_components(edges, max_iters=9, hop=2, early_stop=False)
 
 
 # the chains are paths within one customer, so each component's min id

@@ -238,11 +238,17 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 25,
     hop: int = 1,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node
     repeatedly adopts the smallest component id among itself and its
     neighbors, to fixpoint.  Returns (node, component) with component =
     min node id in the component.
+
+    `early_stop=False` drops the per-round changed-count job AND the
+    old-label plumbing that feeds it — for callers whose `max_iters`
+    is an exact structural bound (hop * max_rounds >= graph diameter
+    by construction), every round's count is pure driver latency.
 
     `hop=h` composes the symmetrized edge relation with itself once up
     front (<=h-hop neighborhoods), so a label travels h steps per
@@ -297,6 +303,16 @@ def connected_components(
         # node's own label ride the same union into a single min-agg
         # (the own-label row doubles as the old value for convergence
         # detection) — vs the naive join + agg + second join shape
+        if not early_stop:
+            labels = (
+                sym.join(labels, sym.b == labels.node)
+                .select(F.col("a").alias("node"), F.col("component"))
+                .unionByName(labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+            continue
         neighbor = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"),
             F.col("component"),
