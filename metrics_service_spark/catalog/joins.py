@@ -244,7 +244,8 @@ def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact (10-node chains by construction), so the loop never pays
     # the final empty-frontier round.
     return expand_family(
-        seeds, edges, seed_col="pid", max_iters=9, undirected=True, hop=2
+        seeds, edges, seed_col="pid", max_iters=9, undirected=True, hop=2,
+        early_stop=False,
     )
 
 

@@ -93,6 +93,7 @@ def expand_family(
     max_iters: int = 20,
     undirected: bool = False,
     hop: int = 1,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Transitive closure from seed ids over an edge set (J1
     `getResolvePIDs` fixpoint: resourceMap/documents/seriesId
@@ -173,7 +174,10 @@ def expand_family(
         for seen in dedup_targets:
             grown = grown.join(seen, ["seed", "member"], "left_anti")
         frontier = grown.localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        # early_stop=False skips the per-round emptiness probe for
+        # callers whose max_iters is an exact structural bound (an
+        # accidentally-empty layer unions harmlessly)
+        if early_stop and frontier.isEmpty():
             break
         layers.append(frontier)
     out = layers[0]

@@ -128,3 +128,34 @@ def test_expand_family_hop2_equals_hop1(spark):
         got2 = sorted((r["seed"], r["member"]) for r in h2.collect())
         assert got1 == got2, f"undirected={und}"
     assert (555, 555) in got2
+
+
+def test_early_stop_off_equals_on_random_graph(spark):
+    """early_stop=False (no per-round probe/count jobs) is a pure
+    latency optimization: identical output to the default on a random
+    graph, for both the BFS closure and label propagation, provided
+    max_iters bounds the diameter."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.closure import (
+        connected_components,
+        expand_family,
+    )
+
+    rng = random.Random(29)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(70)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sym = edf.union(
+        edf.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(0, 60, 9)], "pid long")
+
+    bfs_on = expand_family(seeds, sym, seed_col="pid", max_iters=20, undirected=True)
+    bfs_off = expand_family(
+        seeds, sym, seed_col="pid", max_iters=20, undirected=True, early_stop=False
+    )
+    assert sorted(map(tuple, bfs_on.collect())) == sorted(map(tuple, bfs_off.collect()))
+
+    cc_on = connected_components(edf, max_iters=20)
+    cc_off = connected_components(edf, max_iters=20, early_stop=False)
+    assert sorted(map(tuple, cc_on.collect())) == sorted(map(tuple, cc_off.collect()))
