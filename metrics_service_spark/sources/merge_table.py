@@ -318,6 +318,59 @@ def merge_table(
     return _commit(table_dir, carried + new_files, base + 1)
 
 
+def delete_from_table(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    *,
+    key_cols: list[str],
+    expected_base: int | None = None,
+) -> int:
+    """DELETE by key (the GDPR-expunge primitive, Delta DELETE
+    semantics): rewrite exactly the data files holding a matching key
+    with those rows anti-joined out; every other file carries into the
+    new manifest by reference.  The touched-file set comes from the
+    same basename key-probe MERGE uses, so cost tracks the files
+    containing deleted keys, not the table.  Old versions still
+    contain the rows — run `vacuum` after the retention window to
+    physically reclaim them (the same two-step contract as Delta
+    DELETE + VACUUM).  Returns the new version (the current one if no
+    key matched)."""
+    base = current_version(table_dir)
+    if expected_base is not None and base != expected_base:
+        raise ConflictError(
+            f"expected base version {expected_base} but found {base} "
+            f"under {table_dir}"
+        )
+    if base < 0:
+        raise FileNotFoundError(f"no committed version under {table_dir}")
+    entries = _load_manifest(table_dir, base)
+    keyset = keys.select(*key_cols).distinct()
+    probe = (
+        _read_files(spark, table_dir, entries)
+        .select(*key_cols, F.input_file_name().alias("__file"))
+        .join(F.broadcast(keyset), key_cols, "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    matched = {os.path.basename(r["__file"]) for r in probe}
+    if not matched:
+        return base
+    hit = [e for e in entries if os.path.basename(e["path"]) in matched]
+    carried = [e for e in entries if e not in hit]
+    kept = _read_files(spark, table_dir, hit).join(
+        F.broadcast(keyset), key_cols, "left_anti"
+    )
+    partition_cols = sorted(hit[0]["partition"]) if hit[0]["partition"] else []
+    new_files = (
+        _write_files(kept, table_dir, partition_cols)
+        if not kept.isEmpty()
+        else []
+    )
+    return _commit(table_dir, carried + new_files, base + 1)
+
+
 def compact_table(
     spark: SparkSession,
     table_dir: str,

@@ -513,3 +513,43 @@ def test_merge_moved_key_numeric_string_partition(spark, tmp_path):
     ks = [k for k, _, _ in got]
     assert sorted(ks) == [1, 2, 3]
     assert [v for k, _, v in got if k == 3] == ["moved"]
+
+
+def test_delete_from_table_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE by key: rows vanish from the new snapshot; files without
+    a matching key carry by reference; old versions still time-travel
+    to the pre-delete state until vacuum."""
+    from metrics_service_spark.sources.merge_table import delete_from_table
+
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 9, "a"), tdir, partition_cols=["part"])
+    keys = spark.createDataFrame([(0,), (4,)], "k long")  # parts 0 and 1
+    v = delete_from_table(spark, tdir, keys, key_cols=["k"])
+    assert v == 1
+    got = sorted(k for k, _, _ in _rows(read_table(spark, tdir)))
+    assert got == [1, 2, 3, 5, 6, 7, 8]
+    # untouched partition (part=2) carries the same file paths
+    v0 = {e["path"] for e in json.load(open(os.path.join(tdir, "_manifests", "v0.json")))["files"] if e["partition"]["part"] == "2"}
+    v1 = {e["path"] for e in json.load(open(os.path.join(tdir, "_manifests", "v1.json")))["files"] if e["partition"]["part"] == "2"}
+    assert v0 == v1 and v0
+    # time travel still sees the deleted rows; no-match delete is a no-op
+    assert len(_rows(read_table(spark, tdir, version=0))) == 9
+    assert delete_from_table(
+        spark, tdir, spark.createDataFrame([(999,)], "k long"), key_cols=["k"]
+    ) == 1
+
+
+def test_delete_entire_table_contents(spark, tmp_path):
+    """Deleting every key leaves a valid committed version whose reads
+    fail loudly on the empty manifest (documented read_table contract)
+    while older versions stay readable."""
+    from metrics_service_spark.sources.merge_table import delete_from_table
+
+    tdir = str(tmp_path / "t")
+    overwrite_table(_state(spark, 3, "a"), tdir, partition_cols=["part"])
+    all_keys = spark.createDataFrame([(0,), (1,), (2,)], "k long")
+    v = delete_from_table(spark, tdir, all_keys, key_cols=["k"])
+    assert v == 1
+    with pytest.raises(ValueError, match="empty manifest"):
+        read_table(spark, tdir)
+    assert len(_rows(read_table(spark, tdir, version=0))) == 3
