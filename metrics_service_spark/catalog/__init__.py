@@ -37,6 +37,7 @@ class QuerySpec:
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- implementation changed since last driver row --------------------
+    "doc_mixture",               # new this round (domain-mixture reweighting)
     "doc_tfidf_topk",            # new this round (TF-IDF top terms)
     "doc_domain_filter",         # new this round (URL blocklist anti-join)
     "doc_paragraph_dedup",       # new this round (paragraph dedup stats)

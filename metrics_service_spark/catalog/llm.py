@@ -1462,7 +1462,69 @@ WHERE rk <= 3
 """
 
 
+#: domain-mixture targets (permille) for the reweighting query
+MIXTURE_TARGETS_PM = {"src0": 400, "src1": 300, "src2": 200, "src3": 100}
+MIXTURE_BUDGET = 20
+
+
+def q_doc_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi/Pile-style domain reweighting: per-source deterministic
+    sampling thresholds toward a target mixture, plus the kept counts
+    the thresholds actually produce — the audit table a mixture run
+    ships with.  All integer arithmetic + the repo's md5-prefix keep
+    rule, so the whole resample replays in SQL."""
+    from metrics_service_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = mixture_rates(
+        docs, "source", targets_pm=MIXTURE_TARGETS_PM, budget=MIXTURE_BUDGET
+    )
+    kept = mixture_sample(
+        docs, "doc_id", "source",
+        targets_pm=MIXTURE_TARGETS_PM, budget=MIXTURE_BUDGET,
+    )
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return rates.join(kc, "source", "left").select(
+        "source",
+        "n_docs",
+        "thr",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+
+
+ORACLE_DOC_MIXTURE = """
+WITH t(source, w) AS (
+  VALUES ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)
+), c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), r AS (
+  SELECT c.source, c.n_docs,
+         CAST(least(256, (t.w * 20 * 256) // (1000 * c.n_docs)) AS INT) AS thr
+  FROM c JOIN t USING (source)
+), k AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN r USING (source)
+  WHERE r.thr >= 256
+     OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        < printf('%02x', r.thr)
+  GROUP BY 1
+)
+SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.thr,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k USING (source)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_mixture": QuerySpec(
+        q_doc_mixture,
+        ORACLE_DOC_MIXTURE,
+        "domain-mixture reweighting: thresholds + kept counts",
+        ("llm",),
+    ),
     "doc_tfidf_topk": QuerySpec(
         q_doc_tfidf_topk,
         ORACLE_DOC_TFIDF,

@@ -75,3 +75,65 @@ def stratified_sample(
         .filter(h < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    *,
+    targets_pm: dict[str, int],
+    budget: int,
+) -> DataFrame:
+    """Per-stratum sampling thresholds to reshape the corpus toward a
+    target mixture (the DoReMi/Pile-style domain-reweighting step):
+    stratum s should contribute ~ targets_pm[s]/1000 of a `budget`-row
+    sample, so its keep-threshold over the 256-value hash space is
+
+        thr_s = min(256, (targets_pm[s] * budget * 256) div (1000 * n_s))
+
+    — all integer arithmetic (div), so Spark and a SQL oracle agree
+    bit-for-bit.  thr >= 256 means the stratum is under-represented
+    even kept whole (keep all; an upsampling pass is a separate
+    concern).  Strata absent from targets_pm are dropped (weight 0).
+    Returns (stratum, n_docs, thr)."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in targets_pm.items()],
+        f"{stratum_col} string, __w int",
+    )
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.join(F.broadcast(tgt), stratum_col).select(
+        stratum_col,
+        "n_docs",
+        F.least(
+            F.lit(256),
+            F.expr(f"div(__w * {int(budget)}L * 256, 1000 * n_docs)"),
+        )
+        .cast("int")
+        .alias("thr"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    *,
+    targets_pm: dict[str, int],
+    budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically resample the corpus toward the target mixture:
+    row kept iff its salted 2-hex hash is below its stratum's
+    `mixture_rates` threshold.  One tiny broadcast join + per-row
+    codegen predicate — zero corpus shuffles."""
+    rates = mixture_rates(
+        df, stratum_col, targets_pm=targets_pm, budget=budget
+    )
+    h = _hex2(F.col(id_col), f"{salt}:")
+    thr_hex = F.lpad(F.lower(F.hex(F.col("thr"))), 2, "0")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter((F.col("thr") >= 256) | (h < thr_hex))
+        .drop("n_docs", "thr")
+    )

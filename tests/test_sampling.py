@@ -48,3 +48,52 @@ def test_stratified_rates(spark):
     assert by_lang.get("de", 0) == 0  # rate 0 keeps nothing
     assert by_lang["xx"] == 1000  # default 1.0 keeps everything
     assert abs(by_lang["en"] / 1000 - 0.5) < 0.06
+
+
+def test_mixture_sample_thresholds_and_determinism(spark):
+    """Thresholds follow the integer formula; over-budget strata
+    downsample, under-represented strata keep everything; resampling
+    is deterministic (same rows on re-run)."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.sampling import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    targets = {"big": 500, "small": 500}  # 50/50 target
+    rates = {
+        r["source"]: (r["n_docs"], r["thr"])
+        for r in mixture_rates(
+            df, "source", targets_pm=targets, budget=20
+        ).collect()
+    }
+    # big: (500*20*256) div (1000*200) = 12; small: div by 5000 -> 256+
+    assert rates["big"] == (200, 12)
+    assert rates["small"][1] == 256
+    kept1 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "doc_id", "source", targets_pm=targets, budget=20
+        ).collect()
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "doc_id", "source", targets_pm=targets, budget=20
+        ).collect()
+    )
+    assert kept1 == kept2
+    # all 5 'small' docs kept; 'big' downsampled to ~200*12/256 ~ 9
+    small_kept = [k for k in kept1 if k >= 1000]
+    assert len(small_kept) == 5
+    big_kept = [k for k in kept1 if k < 1000]
+    assert 0 < len(big_kept) < 40
+    # strata absent from targets are dropped entirely
+    df2 = df.union(spark.createDataFrame([(5000, "other")], "doc_id long, source string"))
+    kept3 = mixture_sample(
+        df2, "doc_id", "source", targets_pm=targets, budget=20
+    )
+    assert kept3.filter(F.col("source") == "other").isEmpty()
