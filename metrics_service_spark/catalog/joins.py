@@ -236,15 +236,16 @@ def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("pid")
     )
     # seeded BFS, not component contraction: chains are diameter <= 9,
-    # so BFS pays ~5 cheap frontier joins while star contraction pays
-    # fewer rounds of far more shuffles (measured 3x slower at sf0.1 —
-    # see expand_family_components for when the trade flips).  hop=2
-    # composes the chain edges (deg <= 2, so the <=2-hop set stays
-    # linear) and halves the driver-loop round count; max_iters=9 is
-    # exact (10-node chains by construction), so the loop never pays
-    # the final empty-frontier round.
+    # so BFS pays ceil(9/hop) cheap frontier joins while star
+    # contraction pays fewer rounds of far more shuffles (measured 3x
+    # slower at sf0.1 — see expand_family_components for when the
+    # trade flips).  hop=3 composes the chain edges (deg <= 2, so the
+    # <=3-hop set stays linear) into 3 driver-loop rounds; max_iters=9
+    # is exact (10-node chains by construction), so there is no
+    # empty-frontier probe round either.  Measured at sf0.1: hop=1
+    # ~5.0s, hop=2 ~3.3s, hop=3 ~2.8s warm.
     return expand_family(
-        seeds, edges, seed_col="pid", max_iters=9, undirected=True, hop=2,
+        seeds, edges, seed_col="pid", max_iters=9, undirected=True, hop=3,
         early_stop=False,
     )
 
@@ -293,11 +294,12 @@ def q_order_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("src"),
         F.lag("o_orderkey").over(w2).alias("dst"),
     ).filter(F.col("dst").isNotNull())
-    # chain graph (deg <= 2): hop=2 composes the neighborhood once and
-    # halves the label-propagation rounds; max_iters=9 is exact
-    # (10-node chains by construction: diameter <= 9), so the loop
-    # runs exactly ceil(9/2)=5 rounds with no early-stop count jobs
-    return connected_components(edges, max_iters=9, hop=2, early_stop=False)
+    # chain graph (deg <= 2): hop=3 composes the neighborhood once
+    # into ceil(9/3)=3 label-propagation rounds; max_iters=9 is exact
+    # (10-node chains by construction: diameter <= 9), so there are no
+    # early-stop count jobs either.  Measured at sf0.1: hop=2 ~2.8s,
+    # hop=3 ~2.3s warm on the propagation loop.
+    return connected_components(edges, max_iters=9, hop=3, early_stop=False)
 
 
 # the chains are paths within one customer, so each component's min id
