@@ -91,10 +91,36 @@ def _micro_merge_upsert(spark, sf_dir):
     return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 
 
+def _micro_paragraph_index(spark, sf_dir):
+    """Incremental paragraph-index fold: bootstrap the index from the
+    corpus once (outside the timed region), then time folding a
+    re-derived batch in + scoring it against the index."""
+    import shutil
+    import tempfile
+
+    from metrics_service_spark.sources.tables import load_table
+    from metrics_service_spark.streaming.paragraph_index import (
+        duplicate_paragraph_fraction,
+        update_paragraph_index,
+    )
+
+    tdir = tempfile.mkdtemp(prefix="bench_pindex_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    update_paragraph_index(spark, tdir, docs)
+    batch = docs.limit(500)
+
+    def run() -> None:
+        update_paragraph_index(spark, tdir, batch)
+        duplicate_paragraph_fraction(spark, tdir, batch).count()
+
+    return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
+
 #: Micro-benches: operators with no catalog entry (table mutations).
 #: Each value is a factory (spark, sf_dir) -> (run, cleanup).
 MICRO = {
     "merge_table_upsert": _micro_merge_upsert,
+    "paragraph_index_fold": _micro_paragraph_index,
 }
 
 
