@@ -93,11 +93,20 @@ def cmd_request(path: str, events: str, identifiers: str, citations: str) -> int
     return 0
 
 
-def cmd_table(action: str, table_dir: str, version: int | None, limit: int | None) -> int:
+def cmd_table(
+    action: str,
+    table_dir: str,
+    version: int | None,
+    limit: int | None,
+    keys: str | None = None,
+    key_col: str | None = None,
+) -> int:
     """Operate on a manifest-committed table (sources/merge_table):
     `read` prints a snapshot (newest or --version N — time travel),
     `versions` lists committed versions, `compact` bin-packs
-    fragmented partitions, `vacuum` reclaims unreferenced files."""
+    fragmented partitions, `vacuum` reclaims unreferenced files,
+    `delete --key-col k --keys a,b` removes rows by key (GDPR expunge;
+    old versions keep the rows until vacuum)."""
     import os
 
     from metrics_service_spark.sources import merge_table as mt
@@ -129,6 +138,20 @@ def cmd_table(action: str, table_dir: str, version: int | None, limit: int | Non
         removed = mt.vacuum(table_dir)
         print(json.dumps({"files_removed": removed}))
         return 0
+    if action == "delete":
+        if not keys or not key_col:
+            print("delete requires --keys and --key-col", file=sys.stderr)
+            return 2
+        from pyspark.sql import functions as F
+
+        spark = _spark()
+        tbl = mt.read_table(spark, table_dir)
+        kdf = spark.createDataFrame(
+            [(v,) for v in keys.split(",") if v], f"{key_col} string"
+        ).select(F.col(key_col).cast(tbl.schema[key_col].dataType))
+        v = mt.delete_from_table(spark, table_dir, kdf, key_cols=[key_col])
+        print(json.dumps({"deleted_to_version": v}))
+        return 0
     print(f"unknown table action {action!r}", file=sys.stderr)
     return 2
 
@@ -154,10 +177,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--identifiers", required=True)
     r.add_argument("--citations", required=True)
     t = sub.add_parser("table")
-    t.add_argument("action", choices=["read", "versions", "compact", "vacuum"])
+    t.add_argument(
+        "action", choices=["read", "versions", "compact", "vacuum", "delete"]
+    )
     t.add_argument("table_dir")
     t.add_argument("--version", type=int, default=None, help="time-travel read")
     t.add_argument("--limit", type=int, default=None)
+    t.add_argument("--keys", default=None, help="comma-separated key values (delete)")
+    t.add_argument("--key-col", default=None, help="key column name (delete)")
     args = ap.parse_args(argv)
     if args.cmd == "list":
         return cmd_list()
@@ -166,7 +193,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "sql":
         return cmd_sql(args.statement, args.sf_dir, args.limit)
     if args.cmd == "table":
-        return cmd_table(args.action, args.table_dir, args.version, args.limit)
+        return cmd_table(
+            args.action, args.table_dir, args.version, args.limit,
+            args.keys, args.key_col,
+        )
     return cmd_request(args.file, args.events, args.identifiers, args.citations)
 
 

@@ -117,3 +117,33 @@ def test_table_subcommand_roundtrip(spark, tmp_path, capsys):
     assert sorted((r["k"], r["v"]) for r in rows2) == sorted(
         (r["k"], r["v"]) for r in rows
     )
+
+
+def test_table_delete_subcommand(spark, tmp_path, capsys):
+    """table delete: rows vanish from the new snapshot, survive in the
+    old one (until vacuum) — the CLI face of the GDPR expunge."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.sources.merge_table import overwrite_table
+
+    tdir = str(tmp_path / "t")
+    df = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("part"),
+        F.lit("a").alias("v"),
+    )
+    overwrite_table(df, tdir, partition_cols=["part"])
+
+    assert main(["table", "delete", tdir, "--key-col", "k", "--keys", "1,4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"deleted_to_version": 1}
+
+    assert main(["table", "read", tdir]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["k"] for r in rows) == [0, 2, 3, 5]
+    assert main(["table", "read", tdir, "--version", "0"]) == 0
+    rows0 = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows0) == 6
+
+    # missing args fail loudly
+    assert main(["table", "delete", tdir, "--key-col", "k"]) == 2
