@@ -47,6 +47,9 @@ HEADLINE = [
     "order_components",
     # round-6: the corpus-wide paragraph hash-join pipeline
     "doc_paragraph_dedup",
+    # round-6: SemDeDup (production float form; the int-exact twin is
+    # oracle-checked, this one is the deployment shape)
+    "emb_semdedup",
 ]
 
 

@@ -37,6 +37,8 @@ class QuerySpec:
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- implementation changed since last driver row --------------------
+    "emb_semdedup_int",          # new this round (SemDeDup, integer-exact)
+    "emb_semdedup",              # new this round (SemDeDup, production float)
     "doc_mixture",               # new this round (domain-mixture reweighting)
     "doc_tfidf_topk",            # new this round (TF-IDF top terms)
     "doc_domain_filter",         # new this round (URL blocklist anti-join)

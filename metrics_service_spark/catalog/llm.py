@@ -1217,6 +1217,69 @@ GROUP BY 1, 2
 """
 
 
+# --- semantic dedup (SemDeDup) -------------------------------------------
+def q_emb_semdedup_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision for every corpus vector, exact
+    integer arithmetic end to end (operators/similarity.py
+    semantic_dedup_int): md5-seeded cells, argmax quantized-dot
+    assignment, within-cell pair threshold cos >= 3/10 as a pure
+    int64 inequality, drop the larger id of each qualifying pair."""
+    from metrics_service_spark.operators.similarity import semantic_dedup_int
+
+    return semantic_dedup_int(
+        load_table(spark, sf_dir, "embeddings"), n_cells=16, tau_num=3, tau_den=10
+    )
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup (float cosine, xxhash64-seeded IVF cells) —
+    rows-only; exact twin emb_semdedup_int hard-verifies the same
+    cluster/pair/drop pipeline."""
+    from metrics_service_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_cells=16, tau=0.3
+    )
+
+
+ORACLE_SEMDEDUP = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), scored AS (
+  SELECT q.vec_id, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, v, cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))
+              AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+), pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS d,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT id_b FROM pr
+  WHERE d >= 0 AND 100 * d * d >= 9 * na2 * nb2
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, p.id_b IS NULL AS kept
+FROM assigned a LEFT JOIN dropped p ON a.vec_id = p.id_b
+"""
+
+
 
 # --- corpus length histogram ----------------------------------------------
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,5 +1796,18 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_centroids": QuerySpec(
         q_emb_centroids, ORACLE_CENTROIDS, "per-label centroid", ("llm",)
+    ),
+    "emb_semdedup_int": QuerySpec(
+        q_emb_semdedup_int,
+        ORACLE_SEMDEDUP,
+        "SemDeDup keep/drop, integer-exact — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_semdedup": QuerySpec(
+        q_emb_semdedup,
+        None,
+        "SemDeDup production form (float cosine, IVF cells)",
+        ("llm",),
+        exact_twin="emb_semdedup_int",
     ),
 }

@@ -886,3 +886,175 @@ def random_project_int(
         .agg(F.sum(F.col("qv") * F.col("w")).alias("proj_q"))
         .select(F.col(id_col), F.col("j").cast("int").alias("out_pos"), "proj_q")
     )
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+#: Quantization scale for the semantic-dedup integer path.  Coarser than
+#: QUANT_SCALE on purpose: the threshold test multiplies den^2 * dot^2,
+#: and at 1e3 the worst case (|x| < 2, dim 64) stays inside int64
+#: (dot <= 64 * (2e3)^2 = 2.6e8; den^2 * dot^2 <= 100 * 6.6e16 = 6.6e18
+#: < 2^63).  At QUANT_SCALE=1e4 the same product would overflow.
+SEM_QUANT = 1_000
+
+
+def quantize_at(vec: Column, scale: int) -> Column:
+    """array<float> -> array<long> at 1/scale resolution."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+
+
+def semantic_dedup_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau_num: int = 3,
+    tau_den: int = 10,
+) -> DataFrame:
+    """SemDeDup (semantic dedup over embeddings, after Abbas et al.
+    2023, arXiv:2303.09540) as a pure DataFrame pipeline with EXACT
+    integer arithmetic so a SQL oracle replays it bit-for-bit:
+
+    1. cluster: the `n_cells` corpus vectors with the smallest
+       md5(id) become centroids (deterministic, DuckDB-replayable —
+       same seeding as `kmeans_step`); every vector joins its argmax
+       quantized-dot centroid (ties -> lowest cell).
+    2. within-cell candidate pairs: self-equi-join on `cell`,
+       id_a < id_b — never a corpus cross product.
+    3. threshold: cos(a,b) >= tau tested as
+       dot >= 0 AND tau_den^2 * dot^2 >= tau_num^2 * |a|^2 * |b|^2,
+       all int64 (see SEM_QUANT bound note).
+    4. drop rule: a vector is dropped iff some qualifying neighbor
+       with a smaller id shares its cell; output is every corpus row
+       with (cell, kept).
+
+    Scale: the collected seed set is fixed-size (n_cells rows — the
+    same bounded driver collect as `ivf_assign`) and is inlined into
+    the assignment expression, so assignment is a PURE PROJECTION on
+    one corpus scan: an array of n_cells integer dots, argmax via
+    array_position(dots, array_max(dots)) whose first-match rule IS
+    the ties->lowest-cell contract.  No cross join, no per-vector
+    window — the only shuffle in the whole pipeline keys on `cell`.
+    On a real corpus n_cells grows ~N/target_cell_size so cells stay
+    bounded and the quadratic within-cell join stays linear overall —
+    the same contract as the paper's k-means sharding.  AQE splits any
+    hot cell.  The float production variant is `semantic_dedup`."""
+    seeds = (
+        embeddings.select(
+            quantize_at(F.col(vec_col), SEM_QUANT).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    v = F.col("__v")
+    dots = F.array(
+        *[
+            dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
+            for cv in cvecs
+        ]
+    )
+    # assigned feeds BOTH pair sides and the final keep-list join;
+    # materialize it once (same contract as dedup.py's signature
+    # checkpoint — on a cluster this is a persist/exchange reuse)
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+        )
+        .withColumn("__dots", dots)
+        .select(
+            "__vid",
+            "__v",
+            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
+            .cast("int")
+            .alias("cell"),
+            dot_long(v, v).alias("__n2"),
+        )
+    ).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("__vid").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("cell"),
+        F.col("__n2").alias("__na2"),
+    )
+    b = assigned.select(
+        F.col("__vid").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("cell"),
+        F.col("__n2").alias("__nb2"),
+    )
+    d = dot_long(F.col("__va"), F.col("__vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__d", d)
+        .filter(
+            (F.col("__d") >= 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("__d") * F.col("__d")
+                >= F.lit(tau_num * tau_num) * F.col("__na2") * F.col("__nb2")
+            )
+        )
+        .select(F.col("id_b").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned["__vid"] == dropped["__dropped"], "left"
+        )
+        .select(
+            F.col("__vid").alias(id_col),
+            "cell",
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.3,
+) -> DataFrame:
+    """Production SemDeDup: same pipeline as `semantic_dedup_int` but
+    clustering with `ivf_assign` (xxhash64 seeding) and a float cosine
+    threshold — the form you'd run when embeddings are unit-normalized
+    floats and exact replay doesn't matter.  Float accumulation order
+    makes near-tie pairs engine-dependent, so this variant is
+    rows-only checked; its oracle-exact twin is `semantic_dedup_int`
+    (catalog `emb_semdedup_int`)."""
+    _, assigned = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    )
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .select(F.col("id_b").alias("__dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["__dropped"], "left"
+        )
+        .select(
+            F.col(id_col),
+            "cell",
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )

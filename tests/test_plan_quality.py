@@ -217,3 +217,19 @@ def test_tfidf_single_window_partial_aggs(spark, sf_dir):
     assert plan.count("Window [") == 1
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_within_cell_join_is_equi(spark, sf_dir):
+    # SemDeDup's only allowed non-equi join is the bounded centroid
+    # broadcast (n_cells rows); the within-cell pair stage must be a
+    # real distributed equi-join on `cell`, never a corpus cross
+    # product or a Python map stage
+    for name in ("emb_semdedup_int", "emb_semdedup"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert (
+            "SortMergeJoin [cell" in plan
+            or "ShuffledHashJoin [cell" in plan
+            or "BroadcastHashJoin [cell" in plan
+        ), name
+        assert "MapInPandas" not in plan, name
