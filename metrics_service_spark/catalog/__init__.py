@@ -37,6 +37,7 @@ class QuerySpec:
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- implementation changed since last driver row --------------------
+    "bloom_semi_lineitem",       # new this round (Bloom-pruned semi-join)
     "emb_semdedup_int",          # new this round (SemDeDup, integer-exact)
     "emb_semdedup",              # new this round (SemDeDup, production float)
     "doc_mixture",               # new this round (domain-mixture reweighting)

@@ -332,6 +332,46 @@ GROUP BY user_id
 """
 
 
+# --- J3 at warehouse scale: Bloom-pruned semi-join -----------------------
+def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join the fact table to a selective dim through the
+    explicit Bloom prune (operators/bloom.py): the fact scan is
+    filtered by an inlined m-bit filter BEFORE the join shuffle, then
+    an ordinary left-semi join removes the false positives — so the
+    answer is bit-identical to the plain semi-join the oracle runs.
+    Dim here is one year of URGENT orders (~1% of lineitem matches);
+    at m=2^16, k=5 the prune passes a few percent of the fact."""
+    from metrics_service_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = bloom_semi_join(
+        li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=5
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+ORACLE_BLOOM_SEMI = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "semi_join_purchasers": QuerySpec(
         q_semi_join_purchasers, ORACLE_SEMI, "J3 left-semi join", ("joins",)
@@ -365,5 +405,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "user_event_family": QuerySpec(
         q_user_event_family, ORACLE_FAMILY, "U5/ST6 family hash", ("joins",)
+    ),
+    "bloom_semi_lineitem": QuerySpec(
+        q_bloom_semi_lineitem,
+        ORACLE_BLOOM_SEMI,
+        "Bloom-pruned fact semi-join (exact result, pre-shuffle prune)",
+        ("joins",),
     ),
 }

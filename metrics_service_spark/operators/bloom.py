@@ -1,0 +1,130 @@
+"""Bloom-filter semi-join pruning.
+
+The 100 TB problem this solves: a semi-join of a huge fact table
+against a selective dim normally shuffles the ENTIRE fact table on the
+join key before any row is eliminated.  Spark's own runtime bloom
+filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects
+exactly this rewrite, but its `bloom_filter_agg` / `might_contain`
+expressions are not SQL-registered in 4.1, and the injection only
+fires under cost heuristics a test can't pin.  This module builds the
+same structure explicitly from DataFrame ops:
+
+1. BUILD — one scan of the (already filtered) dim side folds every key
+   into an m-bit Bloom filter: k positions per key by double hashing
+   (Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod m), positions grouped
+   into 64-bit words, `bit_or` aggregated.  The shuffle moves at most
+   m/64 partial-word rows (map-side combined); the driver collects the
+   FIXED-SIZE word array (m_bits/64 longs — like the IVF seed collect,
+   bounded by a config constant, never by data volume).
+2. PROBE — the word array is inlined into a pure filter expression on
+   the fact scan: all k bits set => candidate.  Whole-stage codegen,
+   no Python, applied BEFORE the join shuffle, so only candidate fact
+   rows reach the exchange.
+3. EXACT JOIN — a normal left-semi join over the survivors.  A Bloom
+   filter has false positives but NEVER false negatives, so the final
+   result is bit-identical to the plain semi-join — the oracle for any
+   query through this operator is ordinary SQL.
+
+Sizing: false-positive rate ~= (1 - e^(-k*n/m))^k.  The default
+m=2^16 bits (1024 long literals in the plan) at k=5 holds ~3e-4 FP up
+to n ~= 5000 build keys; scale m with the DIM cardinality, not the
+fact.  For dims too large for literal inlining, raise m and switch the
+probe to a broadcast join against the word table — same plan shape,
+the literal form just maximizes codegen at test scale.
+
+Reference parity: the reference filters events against known-PID sets
+via ES terms lookups (SURVEY.md J3); at warehouse scale that shape is
+this prune + semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Second-hash salt for Kirsch-Mitzenmacher double hashing — any
+#: constant works; independence comes from xxhash64's avalanche.
+_SALT = 0x9E3779B9
+
+
+def _h1(key: Column, m_bits: int) -> Column:
+    # reduced mod m up front: ANSI mode (Spark 4 default) rejects the
+    # wrap-around of raw h1 + i*h2, and (h1 mod m, h2 mod m) is an
+    # equally valid double-hash family with bounded arithmetic
+    return F.pmod(F.xxhash64(key), F.lit(m_bits))
+
+
+def _h2(key: Column, m_bits: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(_SALT)), F.lit(m_bits))
+
+
+def build_bloom(
+    dim: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 5
+) -> list[int]:
+    """One dim-side scan -> the filter's m_bits/64 words as a Python
+    list (the bounded driver collect: size is the config constant
+    m_bits, independent of row count)."""
+    spark = dim.sparkSession
+    ks = F.broadcast(spark.range(k).select(F.col("id").alias("__i")))
+    key = F.col(key_col)
+    pos = F.pmod(
+        _h1(key, m_bits) + F.col("__i") * _h2(key, m_bits), F.lit(m_bits)
+    )
+    rows = (
+        dim.select(key_col)
+        .join(ks)
+        .select(
+            F.floor(pos / 64).cast("int").alias("__w"),
+            (pos % 64).cast("int").alias("__b"),
+        )
+        .selectExpr("__w", "shiftleft(1L, __b) AS __mask")
+        .groupBy("__w")
+        .agg(F.bit_or("__mask").alias("__word"))
+        .collect()
+    )
+    out = [0] * (m_bits // 64)
+    for r in rows:
+        out[r["__w"]] = r["__word"]
+    return out
+
+
+def bloom_contains(
+    key: Column, words: list[int], *, m_bits: int, k: int = 5
+) -> Column:
+    """Pure-codegen membership test: true iff all k bits are set.
+    `words` is inlined as an array<long> literal; the variable-amount
+    bit shifts go through the SQL `shiftleft`, which (unlike the
+    Python `F.shiftleft`) accepts a column shift amount."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    h1, h2 = _h1(key, m_bits), _h2(key, m_bits)
+    test = F.lit(True)
+    for i in range(k):
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        word = F.element_at(arr, F.floor(pos / 64).cast("int") + 1)
+        bit = (pos % 64).cast("int")
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), bit)
+        test = test & (word.bitwiseAND(mask) != 0)
+    return test
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Semi-join `fact` to `dim` with a Bloom pre-prune on the fact
+    side.  Result is EXACTLY the plain left-semi join: the prune only
+    admits false positives and the real join removes them."""
+    words = build_bloom(dim, dim_key, m_bits=m_bits, k=k)
+    pruned = fact.filter(
+        bloom_contains(F.col(fact_key), words, m_bits=m_bits, k=k)
+    )
+    return pruned.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )
