@@ -1217,6 +1217,75 @@ GROUP BY 1, 2
 """
 
 
+# --- iterative k-means training ------------------------------------------
+def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations (assign -> integer floor-div centroid
+    update -> re-assign) — the iterative loop of
+    operators/similarity.py kmeans_train, whole run replayed by the
+    SQL oracle including the centroid update between passes."""
+    from metrics_service_spark.operators.similarity import kmeans_train
+
+    return kmeans_train(
+        load_table(spark, sf_dir, "embeddings"), n_cells=16, iters=2
+    )
+
+
+ORACLE_KMEANS_TRAIN = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), s1 AS (
+  SELECT q.vec_id, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM s1
+  ) WHERE rk = 1
+), m1 AS (
+  SELECT cell, i AS pos, CAST(sum(v[i]) AS BIGINT) AS sum_q, count(*) AS n
+  FROM a1, range(1, 65) t(i)
+  GROUP BY 1, 2
+), c1v AS (
+  -- integer floor-division mean; %-then-divide matches Spark exactly
+  -- (both engines' % truncates toward zero; numerator divisible by n)
+  SELECT cell,
+         list(CAST((sum_q - ((sum_q % n + n) % n)) / n AS BIGINT)
+              ORDER BY pos) AS v
+  FROM m1 GROUP BY cell
+), c1 AS (
+  -- carry the seed centroid forward for any empty cell
+  SELECT s.cell, coalesce(c.v, s.v) AS v
+  FROM seeds s LEFT JOIN c1v c ON s.cell = c.cell
+), s2 AS (
+  SELECT q.vec_id, q.v, c.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM s2
+  ) WHERE rk = 1
+)
+SELECT cell, CAST(i AS BIGINT) AS pos,
+       CAST(sum(v[i]) AS BIGINT) AS sum_q,
+       count(*) AS n,
+       round(CAST(sum(v[i]) AS DOUBLE) / count(*), 4) AS mean_q
+FROM a2, range(1, 65) t(i)
+GROUP BY 1, 2
+"""
+
+
 # --- semantic dedup (SemDeDup) -------------------------------------------
 def q_emb_semdedup_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup keep/drop decision for every corpus vector, exact
@@ -1796,6 +1865,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_centroids": QuerySpec(
         q_emb_centroids, ORACLE_CENTROIDS, "per-label centroid", ("llm",)
+    ),
+    "emb_kmeans_train": QuerySpec(
+        q_emb_kmeans_train,
+        ORACLE_KMEANS_TRAIN,
+        "two Lloyd iterations incl. the centroid update — full oracle",
+        ("llm",),
     ),
     "emb_semdedup_int": QuerySpec(
         q_emb_semdedup_int,

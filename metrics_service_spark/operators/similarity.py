@@ -1058,3 +1058,99 @@ def semantic_dedup(
             F.col("__dropped").isNull().alias("kept"),
         )
     )
+
+
+def _floordiv_mean(sum_q: int, n: int) -> int:
+    """Exact floor(sum/n) in pure integer arithmetic — the centroid
+    update rule.  Expressed identically in the SQL oracle as
+    (s - ((s % n + n) % n)) / n: both Spark and DuckDB `%` truncate
+    toward zero, so the composite is engine-agnostic floor division
+    (a double `round(s/n)` would be HALF_UP in Spark vs banker's /
+    away-from-zero in DuckDB on .5 boundaries)."""
+    return (sum_q - ((sum_q % n + n) % n)) // n
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Full k-means training loop: `iters` assignment passes with a
+    floor-division integer centroid update between them — the
+    iterative generalization of `kmeans_step`, deterministic enough
+    that a SQL oracle replays the whole 2-iteration run bit-for-bit.
+
+    Per iteration: (1) assignment is a PURE PROJECTION — the current
+    centroids (k x dim ints, driver-held like the seed collect) are
+    inlined as literals and the argmax is array_position over the dot
+    array, ties to the lowest cell (first match); (2) re-centering is
+    one posexplode + hash aggregation whose output is k*dim rows — a
+    bounded driver collect (config-sized, never data-sized).  Empty
+    cells carry their previous centroid.  The corpus is scanned once
+    per iteration and NOTHING data-sized is ever shuffled or
+    collected: the only shuffle is the k*dim partial-sum exchange,
+    map-side combined.  Output: the final assignment's per-(cell,
+    pos) sum/count/mean in quantized space — `kmeans_step`'s schema,
+    so the two are drop-in comparable."""
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[int(x) for x in r["__sv"]] for r in seeds]
+    quant = embeddings.select(
+        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    )
+
+    def assign(cvecs: list[list[int]]) -> DataFrame:
+        v = F.col("__v")
+        dots = F.array(
+            *[
+                dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
+                for cv in cvecs
+            ]
+        )
+        return quant.withColumn("__dots", dots).select(
+            "__vid",
+            "__v",
+            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+
+    def recenter(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cell", F.posexplode("__v").alias("pos0", "qv"))
+            .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
+            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        )
+
+    for _ in range(iters - 1):
+        stats = recenter(assign(centroids)).collect()
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["sum_q"], r["n"])
+        centroids = [
+            [
+                _floordiv_mean(*by_cell[cell][pos + 1])
+                for pos in range(len(centroids[cell]))
+            ]
+            if cell in by_cell
+            else centroids[cell]
+            for cell in range(n_cells)
+        ]
+    return recenter(assign(centroids)).select(
+        "cell",
+        F.col("pos").cast("long").alias("pos"),
+        "sum_q",
+        "n",
+        F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+    )

@@ -233,3 +233,14 @@ def test_semdedup_within_cell_join_is_equi(spark, sf_dir):
             or "BroadcastHashJoin [cell" in plan
         ), name
         assert "MapInPandas" not in plan, name
+
+
+def test_kmeans_train_final_pass_is_projection(spark, sf_dir):
+    # every assignment pass inlines the driver-held centroids as
+    # literals: the final plan must contain NO per-vector window (the
+    # cross-join+row_number argmax shape) and no cartesian — just
+    # scan -> project -> posexplode -> hash aggregate
+    plan = _plan(spark, sf_dir, "emb_kmeans_train")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
