@@ -92,10 +92,14 @@ def bloom_contains(
     key: Column, words: list[int], *, m_bits: int, k: int = 5
 ) -> Column:
     """Pure-codegen membership test: true iff all k bits are set.
-    `words` is inlined as an array<long> literal; the variable-amount
-    bit shifts go through the SQL `shiftleft`, which (unlike the
-    Python `F.shiftleft`) accepts a column shift amount."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    `words` is inlined as ONE array<long> Literal — NOT
+    F.array(*[F.lit(w) ...]), whose m/64-child CreateArray tree made
+    analysis/codegen time quadratic-ish in m (measured: 54 s to plan
+    the m=2^20 probe as CreateArray vs sub-second as a Literal; warm
+    execution is 0.3 s/M rows either way).  The variable-amount bit
+    shifts go through the SQL `shiftleft`, which (unlike the Python
+    `F.shiftleft`) accepts a column shift amount."""
+    arr = F.lit([int(w) for w in words]).cast("array<bigint>")
     h1, h2 = _h1(key, m_bits), _h2(key, m_bits)
     test = F.lit(True)
     for i in range(k):

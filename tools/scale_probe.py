@@ -34,6 +34,17 @@ QUERIES = [
     "doc_paragraph_dedup",
     "doc_repetition",
     "doc_pii_scrub",
+    # r6 embedding operators: SemDeDup (cells grow k-fold under the
+    # rotation replication, within-cell pair structure per copy is
+    # EXACTLY the base's — rotation is an isometry) and the iterative
+    # Lloyd loop (two corpus scans + k*dim-row collects)
+    "emb_semdedup_int",
+    "emb_kmeans_train",
+    # r6 bloom semi-join: the catalog entry keeps m=2^16 while build
+    # keys grow k-fold, so this row measures filter SATURATION (FP
+    # rate -> prune weakens); the m-scaled row below is the sizing
+    # rule applied
+    "bloom_semi_lineitem",
 ]
 
 
@@ -95,10 +106,70 @@ def main() -> None:
     doc_copies.write.mode("overwrite").parquet(f"{scratch}/documents.parquet")
     print(f"replicated documents: {nd} x {k} -> {nd * k} rows", file=sys.stderr)
 
+    emb = load_table(spark, base, "embeddings")
+    ne = emb.count()
+    # rotate each copy's vectors by `copy` positions: an isometry, so
+    # every copy reproduces the base corpus's within-copy cosine/pair
+    # structure EXACTLY, while cross-copy pairs decorrelate (no
+    # fabricated quadratic near-dup clusters)
+    rot = F.pmod(F.col("__copy"), F.lit(64)).cast("int")
+    emb_copies = emb.crossJoin(
+        F.broadcast(spark.range(k).withColumnRenamed("id", "__copy"))
+    ).select(
+        (F.col("vec_id") + F.col("__copy") * 10_000_000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.slice(F.col("embedding"), rot + 1, F.lit(64) - rot),
+            F.slice(F.col("embedding"), F.lit(1), rot),
+        ).alias("embedding"),
+    )
+    emb_copies.write.mode("overwrite").parquet(f"{scratch}/embeddings.parquet")
+    print(f"replicated embeddings: {ne} x {k} -> {ne * k} rows", file=sys.stderr)
+
+    li = load_table(spark, base, "lineitem")
+    nl = li.count()
+    li_copies = li.crossJoin(
+        F.broadcast(spark.range(k).withColumnRenamed("id", "__copy"))
+    ).select(
+        (F.col("l_orderkey") + F.col("__copy") * 10_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    li_copies.write.mode("overwrite").parquet(f"{scratch}/lineitem.parquet")
+    orders = load_table(spark, base, "orders")
+    no = orders.count()
+    ord_copies = orders.crossJoin(
+        F.broadcast(spark.range(k).withColumnRenamed("id", "__copy"))
+    ).select(
+        (F.col("o_orderkey") + F.col("__copy") * 10_000_000).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    ord_copies.write.mode("overwrite").parquet(f"{scratch}/orders.parquet")
+    print(
+        f"replicated lineitem/orders: {nl}/{no} x {k}", file=sys.stderr
+    )
+
+    def bloom_semi_scaled(spark, sf_dir):
+        # the sizing rule applied: m grows with the dim key count
+        # (~10 bits/key), holding the FP rate — contrast with the
+        # fixed-m catalog row above
+        from metrics_service_spark.operators.bloom import bloom_semi_join
+
+        orders = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        return bloom_semi_join(
+            li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 20, k=5
+        ).groupBy("l_returnflag").count()
+
+    EXTRA = {"bloom_semi_m20": bloom_semi_scaled}
+
     cat = all_queries()
     out = {"k": k, "rows_base": n0, "queries": {}}
-    for name in QUERIES:
-        fn = cat[name].fn
+    for name in QUERIES + list(EXTRA):
+        fn = EXTRA[name] if name in EXTRA else cat[name].fn
         times = {}
         for label, sf_dir in (("base", base), (f"x{k}", scratch)):
             fn(spark, sf_dir).count()  # warm-up: codegen + broadcasts
