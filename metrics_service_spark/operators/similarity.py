@@ -1025,16 +1025,60 @@ def semantic_dedup(
     tau: float = 0.3,
 ) -> DataFrame:
     """Production SemDeDup: same pipeline as `semantic_dedup_int` but
-    clustering with `ivf_assign` (xxhash64 seeding) and a float cosine
-    threshold — the form you'd run when embeddings are unit-normalized
-    floats and exact replay doesn't matter.  Float accumulation order
-    makes near-tie pairs engine-dependent, so this variant is
-    rows-only checked; its oracle-exact twin is `semantic_dedup_int`
-    (catalog `emb_semdedup_int`)."""
-    _, assigned = ivf_assign(
-        embeddings, id_col=id_col, vec_col=vec_col, n_cells=n_cells
+    xxhash64 seeding and a float cosine threshold — the form you'd run
+    when embeddings are unit-normalized floats and exact replay
+    doesn't matter.  Float accumulation order makes near-tie pairs
+    engine-dependent, so this variant is rows-only checked; its
+    oracle-exact twin is `semantic_dedup_int` (catalog
+    `emb_semdedup_int`).
+
+    Assignment is the same pure-projection argmax as the int variant
+    (`ivf_assign`'s cross-join + per-vector window costs ~2x at
+    sf0.1): each collected seed centroid is PRE-DIVIDED by its norm
+    driver-side, so argmax over the inlined scaled-dot array equals
+    argmax over cosine (the query norm |v| is a common positive
+    factor across cells and cannot change the argmax)."""
+    seeds = (
+        embeddings.select(
+            F.col(vec_col).alias("__sv"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
     )
-    assigned = assigned.localCheckpoint(eager=True)
+    scaled = []
+    for r in seeds:
+        cv = [float(x) for x in r["__sv"]]
+        norm = sum(x * x for x in cv) ** 0.5 or 1.0
+        scaled.append([x / norm for x in cv])
+    v = F.col("__v")
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v, F.lit(cv).cast("array<double>"), lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cv in scaled
+        ]
+    )
+    assigned = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")
+        )
+        .withColumn("__dots", dots)
+        .select(
+            id_col,
+            vec_col,
+            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
     )
