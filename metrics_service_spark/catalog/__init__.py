@@ -39,6 +39,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- implementation changed since last driver row --------------------
     "bloom_semi_lineitem",       # new this round (Bloom-pruned semi-join)
     "emb_kmeans_train",          # new this round (iterative Lloyd, full oracle)
+    "emb_semdedup_incr",         # new this round (incremental SemDeDup)
     "emb_semdedup_int",          # new this round (SemDeDup, integer-exact)
     "emb_semdedup",              # new this round (SemDeDup, production float)
     "doc_mixture",               # new this round (domain-mixture reweighting)

@@ -1311,6 +1311,80 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_semdedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: the vec_id % 10 == 0 slice arrives as a
+    new batch against the index of the remaining corpus — batch rows
+    are admitted/dropped by within-cell integer cosine vs the INDEX
+    only (operators/similarity.py semantic_dedup_incremental_int);
+    cost scales with the batch, not the corpus pair count."""
+    from metrics_service_spark.operators.similarity import (
+        semantic_dedup_incremental_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return semantic_dedup_incremental_int(
+        index, batch, n_cells=16, tau_num=3, tau_den=10
+    )
+
+
+ORACLE_SEMDEDUP_INCR = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), idx AS (
+  SELECT * FROM q WHERE vec_id % 10 <> 0
+), bat AS (
+  SELECT * FROM q WHERE vec_id % 10 = 0
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM idx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), iscored AS (
+  SELECT i.vec_id, i.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> i.v[j] * s.v[j]))
+              AS BIGINT) AS dot
+  FROM idx i CROSS JOIN seeds s
+), iassigned AS (
+  SELECT vec_id, v, cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> v[j] * v[j]))
+              AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM iscored
+  ) WHERE rk = 1
+), bscored AS (
+  SELECT b.vec_id, b.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> b.v[j] * s.v[j]))
+              AS BIGINT) AS dot
+  FROM bat b CROSS JOIN seeds s
+), bassigned AS (
+  SELECT vec_id, v, cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> v[j] * v[j]))
+              AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM bscored
+  ) WHERE rk = 1
+), pr AS (
+  SELECT b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), j -> b.v[j] * i.v[j]))
+              AS BIGINT) AS d,
+         b.n2 AS nb2, i.n2 AS ni2
+  FROM bassigned b JOIN iassigned i ON b.cell = i.cell
+), dropped AS (
+  SELECT DISTINCT id_b FROM pr
+  WHERE d >= 0 AND 100 * d * d >= 9 * nb2 * ni2
+)
+SELECT b.vec_id, CAST(b.cell AS INT) AS cell, p.id_b IS NULL AS kept
+FROM bassigned b LEFT JOIN dropped p ON b.vec_id = p.id_b
+"""
+
+
 ORACLE_SEMDEDUP = """
 WITH q AS (
   SELECT vec_id,
@@ -1884,5 +1958,11 @@ QUERIES: dict[str, QuerySpec] = {
         "SemDeDup production form (float cosine, IVF cells)",
         ("llm",),
         exact_twin="emb_semdedup_int",
+    ),
+    "emb_semdedup_incr": QuerySpec(
+        q_emb_semdedup_incr,
+        ORACLE_SEMDEDUP_INCR,
+        "incremental SemDeDup: batch admitted vs corpus cell index",
+        ("llm",),
     ),
 }

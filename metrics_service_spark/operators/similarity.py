@@ -904,6 +904,55 @@ def quantize_at(vec: Column, scale: int) -> Column:
     )
 
 
+def _md5_seed_centroids(
+    embeddings: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[list[int]]:
+    """The n_cells quantized vectors with the smallest md5(id) —
+    deterministic, DuckDB-replayable seed selection (the bounded
+    driver collect shared by the SemDeDup family)."""
+    seeds = (
+        embeddings.select(
+            quantize_at(F.col(vec_col), SEM_QUANT).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[int(x) for x in r["__sv"]] for r in seeds]
+
+
+def _assign_int(
+    df: DataFrame, id_col: str, vec_col: str, cvecs: list[list[int]]
+) -> DataFrame:
+    """Pure-projection argmax assignment over inlined integer centroid
+    literals: (__vid, __v, cell, __n2).  array_position's first-match
+    rule IS the ties->lowest-cell contract."""
+    v = F.col("__v")
+    dots = F.array(
+        *[
+            dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
+            for cv in cvecs
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("__vid"),
+            quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+        )
+        .withColumn("__dots", dots)
+        .select(
+            "__vid",
+            "__v",
+            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
+            .cast("int")
+            .alias("cell"),
+            dot_long(v, v).alias("__n2"),
+        )
+    )
+
+
 def semantic_dedup_int(
     embeddings: DataFrame,
     *,
@@ -941,42 +990,13 @@ def semantic_dedup_int(
     bounded and the quadratic within-cell join stays linear overall —
     the same contract as the paper's k-means sharding.  AQE splits any
     hot cell.  The float production variant is `semantic_dedup`."""
-    seeds = (
-        embeddings.select(
-            quantize_at(F.col(vec_col), SEM_QUANT).alias("__sv"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_cells)
-        .collect()
-    )
-    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
-    v = F.col("__v")
-    dots = F.array(
-        *[
-            dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
-            for cv in cvecs
-        ]
-    )
+    cvecs = _md5_seed_centroids(embeddings, id_col, vec_col, n_cells)
     # assigned feeds BOTH pair sides and the final keep-list join;
     # materialize it once (same contract as dedup.py's signature
     # checkpoint — on a cluster this is a persist/exchange reuse)
-    assigned = (
-        embeddings.select(
-            F.col(id_col).alias("__vid"),
-            quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
-        )
-        .withColumn("__dots", dots)
-        .select(
-            "__vid",
-            "__v",
-            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
-            .cast("int")
-            .alias("cell"),
-            dot_long(v, v).alias("__n2"),
-        )
-    ).localCheckpoint(eager=True)
+    assigned = _assign_int(embeddings, id_col, vec_col, cvecs).localCheckpoint(
+        eager=True
+    )
     a = assigned.select(
         F.col("__vid").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -1197,4 +1217,56 @@ def kmeans_train(
         "sum_q",
         "n",
         F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+    )
+
+
+def semantic_dedup_incremental_int(
+    index: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau_num: int = 3,
+    tau_den: int = 10,
+) -> DataFrame:
+    """Incremental SemDeDup: admit a NEW BATCH against an existing
+    corpus index without re-pairing the corpus with itself — the
+    semantic analog of dedup.py's incremental_near_duplicates.
+
+    Centroids are seeded from the INDEX side (md5 order, so the cell
+    geometry is stable as batches arrive); both sides are assigned by
+    the same pure-projection argmax; each batch vector joins only its
+    cell's index vectors and is dropped iff some index neighbor passes
+    the integer cosine threshold.  Cost scales with |batch| plus the
+    index mass of the touched cells — never with the whole corpus
+    pair count.  Output: every batch row with (cell, kept)."""
+    cvecs = _md5_seed_centroids(index, id_col, vec_col, n_cells)
+    idx = _assign_int(index, id_col, vec_col, cvecs).select(
+        F.col("__vid").alias("__iid"),
+        F.col("__v").alias("__vi"),
+        "cell",
+        F.col("__n2").alias("__ni2"),
+    )
+    bat = _assign_int(batch, id_col, vec_col, cvecs).localCheckpoint(eager=True)
+    d = dot_long(F.col("__v"), F.col("__vi"))
+    dropped = (
+        bat.join(idx, "cell")
+        .withColumn("__d", d)
+        .filter(
+            (F.col("__d") >= 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("__d") * F.col("__d")
+                >= F.lit(tau_num * tau_num) * F.col("__n2") * F.col("__ni2")
+            )
+        )
+        .select(F.col("__vid").alias("__dropped"))
+        .distinct()
+    )
+    return bat.join(
+        dropped, bat["__vid"] == dropped["__dropped"], "left"
+    ).select(
+        F.col("__vid").alias(id_col),
+        "cell",
+        F.col("__dropped").isNull().alias("kept"),
     )
