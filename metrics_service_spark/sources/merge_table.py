@@ -180,19 +180,23 @@ def read_table(
     level: files whose recorded partition values don't match are never
     even listed to Spark (Delta-style file skipping — the scan plan
     contains only the surviving files, no I/O or footer reads for the
-    rest).  Values compare as strings, matching the manifest encoding."""
+    rest).  Values compare as strings, matching the manifest encoding;
+    a list/tuple/set value matches ANY of its members (IN-list
+    pruning, e.g. `partitions={"cell": touched_cells}`)."""
     if version is None:
         version = current_version(table_dir)
     if version < 0:
         raise FileNotFoundError(f"no committed version under {table_dir}")
     entries = _load_manifest(table_dir, version)
     if partitions:
+        allowed = {
+            k: {str(x) for x in (v if isinstance(v, (list, tuple, set)) else [v])}
+            for k, v in partitions.items()
+        }
         entries = [
             e
             for e in entries
-            if all(
-                e["partition"].get(k) == str(v) for k, v in partitions.items()
-            )
+            if all(e["partition"].get(k) in vs for k, vs in allowed.items())
         ]
         if not entries:
             raise ValueError(

@@ -80,8 +80,10 @@ def update_paragraph_index(
             buckets = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
             prior = None
             try:
-                prior = read_table(spark, table_dir).filter(
-                    F.col("bucket").isin(buckets)
+                # IN-list manifest pruning: only the touched buckets'
+                # files are ever listed to Spark
+                prior = read_table(
+                    spark, table_dir, partitions={"bucket": buckets}
                 )
             except ValueError:
                 prior = None  # no files in these buckets yet
