@@ -156,6 +156,21 @@ def cmd_table(
     return 2
 
 
+def cmd_admit(table_dir: str, batch_path: str, n_cells: int) -> int:
+    """Admit an embedding batch (parquet with vec_id, embedding)
+    against the semantic index at table_dir (streaming/semantic_gate):
+    prints one JSON verdict row per batch vector; admitted vectors are
+    committed before the verdicts print."""
+    from metrics_service_spark.streaming.semantic_gate import admit_batch
+
+    spark = _spark()
+    batch = spark.read.parquet(batch_path)
+    res = admit_batch(spark, table_dir, batch, n_cells=n_cells)
+    for row in res.toJSON().toLocalIterator():
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="metrics_service_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -185,6 +200,10 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--limit", type=int, default=None)
     t.add_argument("--keys", default=None, help="comma-separated key values (delete)")
     t.add_argument("--key-col", default=None, help="key column name (delete)")
+    a = sub.add_parser("admit")
+    a.add_argument("table_dir")
+    a.add_argument("--batch", required=True, help="parquet path: vec_id, embedding")
+    a.add_argument("--n-cells", type=int, default=16)
     args = ap.parse_args(argv)
     if args.cmd == "list":
         return cmd_list()
@@ -197,6 +216,8 @@ def main(argv: list[str] | None = None) -> int:
             args.action, args.table_dir, args.version, args.limit,
             args.keys, args.key_col,
         )
+    if args.cmd == "admit":
+        return cmd_admit(args.table_dir, args.batch, args.n_cells)
     return cmd_request(args.file, args.events, args.identifiers, args.citations)
 
 

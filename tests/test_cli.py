@@ -147,3 +147,26 @@ def test_table_delete_subcommand(spark, tmp_path, capsys):
 
     # missing args fail loudly
     assert main(["table", "delete", tdir, "--key-col", "k"]) == 2
+
+
+def test_admit_subcommand(spark, tmp_path, capsys):
+    batch1 = str(tmp_path / "b1")
+    batch2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(batch1)
+    spark.createDataFrame(
+        [(3, [0.99, 0.01, 0.0, 0.0]), (4, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(batch2)
+    tdir = str(tmp_path / "semidx")
+
+    assert main(["admit", tdir, "--batch", batch1, "--n-cells", "2"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert {r["vec_id"]: r["kept"] for r in rows} == {1: True, 2: True}
+
+    assert main(["admit", tdir, "--batch", batch2, "--n-cells", "2"]) == 0
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    # 3 near-dups vector 1 already in the index; 4 is new
+    assert {r["vec_id"]: r["kept"] for r in rows} == {3: False, 4: True}
