@@ -50,6 +50,11 @@ HEADLINE = [
     # round-6: SemDeDup (production float form; the int-exact twin is
     # oracle-checked, this one is the deployment shape)
     "emb_semdedup",
+    # round-6: Bloom-pruned semi-join, iterative Lloyd loop, and the
+    # batch-vs-index incremental SemDeDup admission
+    "bloom_semi_lineitem",
+    "emb_kmeans_train",
+    "emb_semdedup_incr",
 ]
 
 

@@ -1301,7 +1301,7 @@ def q_emb_semdedup_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production SemDeDup (float cosine, xxhash64-seeded IVF cells) —
+    """Production SemDeDup (float cosine, xxhash64-seeded cells) —
     rows-only; exact twin emb_semdedup_int hard-verifies the same
     cluster/pair/drop pipeline."""
     from metrics_service_spark.operators.similarity import semantic_dedup
@@ -1955,7 +1955,7 @@ QUERIES: dict[str, QuerySpec] = {
     "emb_semdedup": QuerySpec(
         q_emb_semdedup,
         None,
-        "SemDeDup production form (float cosine, IVF cells)",
+        "SemDeDup production form (float cosine, norm-scaled argmax cells)",
         ("llm",),
         exact_twin="emb_semdedup_int",
     ),
