@@ -889,6 +889,11 @@ def random_project_int(
 
 
 # --- semantic dedup (SemDeDup) ---------------------------------------------
+#: Above this many cells, semantic_dedup switches its argmax from
+#: inlined literals (analysis time grows with k — see the SCALE.md
+#: bloom planner-trap note) to a broadcast centroid join.
+_LITERAL_CELL_LIMIT = 64
+
 #: Quantization scale for the semantic-dedup integer path.  Coarser than
 #: QUANT_SCALE on purpose: the threshold test multiplies den^2 * dot^2,
 #: and at 1e3 the worst case (|x| < 2, dim 64) stays inside int64
@@ -1042,6 +1047,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_cells: int = 16,
+    target_cell_size: int | None = None,
     tau: float = 0.3,
 ) -> DataFrame:
     """Production SemDeDup: same pipeline as `semantic_dedup_int` but
@@ -1057,7 +1063,21 @@ def semantic_dedup(
     sf0.1): each collected seed centroid is PRE-DIVIDED by its norm
     driver-side, so argmax over the inlined scaled-dot array equals
     argmax over cosine (the query norm |v| is a common positive
-    factor across cells and cannot change the argmax)."""
+    factor across cells and cannot change the argmax).
+
+    THE SCALE KNOB: pass `target_cell_size` and n_cells grows with
+    the corpus (ceil(N/target)), keeping cell sizes — and therefore
+    the within-cell quadratic pair term — CONSTANT as data grows (the
+    SCALE.md 50x probe shows what happens when n_cells stays pinned).
+    Above `_LITERAL_CELL_LIMIT` cells the assignment switches from
+    inlined literals (analysis cost grows with k) to a broadcast
+    centroid join + per-vector window argmax: identical arithmetic,
+    identical ties rule (sim desc, cell asc), O(N*k) either way.  For
+    k beyond broadcast scale, compose with `random_project_int` /
+    hierarchical assignment upstream."""
+    if target_cell_size is not None:
+        n_rows = embeddings.count()
+        n_cells = max(n_cells, -(-n_rows // target_cell_size))
     seeds = (
         embeddings.select(
             F.col(vec_col).alias("__sv"),
@@ -1073,32 +1093,57 @@ def semantic_dedup(
         cv = [float(x) for x in r["__sv"]]
         norm = sum(x * x for x in cv) ** 0.5 or 1.0
         scaled.append([x / norm for x in cv])
-    v = F.col("__v")
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    v, F.lit(cv).cast("array<double>"), lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    if n_cells <= _LITERAL_CELL_LIMIT:
+        v = F.col("__v")
+        dots = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.lit(cv).cast("array<double>"),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cv in scaled
+            ]
+        )
+        assigned = (
+            embeddings.select(
+                F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")
             )
-            for cv in scaled
-        ]
-    )
-    assigned = (
-        embeddings.select(
-            F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")
+            .withColumn("__dots", dots)
+            .select(
+                id_col,
+                vec_col,
+                (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
+                .cast("int")
+                .alias("cell"),
+            )
         )
-        .withColumn("__dots", dots)
-        .select(
-            id_col,
-            vec_col,
-            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
-            .cast("int")
-            .alias("cell"),
+    else:
+        spark = embeddings.sparkSession
+        cdf = spark.createDataFrame(
+            [(i, cv) for i, cv in enumerate(scaled)], "cell int, cvec array<double>"
         )
-    ).localCheckpoint(eager=True)
+        sim = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), F.col("cvec"), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wbest = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cell"))
+        assigned = (
+            embeddings.select(id_col, vec_col)
+            .join(F.broadcast(cdf))
+            .select(id_col, vec_col, "cell", sim.alias("__sim"))
+            .withColumn("__rk", F.row_number().over(wbest))
+            .filter(F.col("__rk") == 1)
+            .select(id_col, vec_col, "cell")
+        )
+    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
     )

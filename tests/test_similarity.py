@@ -244,3 +244,43 @@ def test_minhash_signature_estimates_jaccard(spark):
         # binomial(16, J) noise: allow ~2.5 sigma
         tol = 2.5 * (true_j * (1 - true_j) / 16) ** 0.5 + 1e-9
         assert abs(est - true_j) <= max(tol, 0.28), (other, true_j, est)
+
+
+def test_semdedup_broadcast_path_matches_literal_path(spark, sf_dir, monkeypatch):
+    """The two assignment implementations (inlined literals vs
+    broadcast join + window) compute the same arithmetic with the same
+    ties rule, so keep-lists must be identical for the same n_cells."""
+    from metrics_service_spark.operators import similarity as sim
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit = {
+        (r.vec_id, r.cell, r.kept)
+        for r in sim.semantic_dedup(emb, n_cells=16).collect()
+    }
+    monkeypatch.setattr(sim, "_LITERAL_CELL_LIMIT", 1)
+    bcast = {
+        (r.vec_id, r.cell, r.kept)
+        for r in sim.semantic_dedup(emb, n_cells=16).collect()
+    }
+    assert lit == bcast
+
+
+def test_semdedup_target_cell_size_grows_cells(spark, sf_dir):
+    """The scale knob: target_cell_size grows n_cells with the corpus
+    so per-cell populations (the quadratic pair term) stay bounded."""
+    from metrics_service_spark.operators.similarity import semantic_dedup
+    from metrics_service_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = semantic_dedup(emb, n_cells=16, target_cell_size=5)
+    assert out.count() == n
+    sizes = (
+        out.groupBy("cell").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    assert len(sizes) > 16  # more cells than the floor
+    # hash seeding is not k-means; allow slack over the target but the
+    # biggest cell must stay FAR below the pinned-16 regime (~n/16)
+    assert max(r.c for r in sizes) < n / 16
