@@ -931,23 +931,26 @@ def _md5_seed_centroids(
 def _assign_int(
     df: DataFrame, id_col: str, vec_col: str, cvecs: list[list[int]]
 ) -> DataFrame:
-    """Pure-projection argmax assignment over inlined integer centroid
-    literals: (__vid, __v, cell, __n2).  array_position's first-match
-    rule IS the ties->lowest-cell contract."""
+    """Integer argmax assignment: (__vid, __v, cell, __n2).  Up to
+    `_LITERAL_CELL_LIMIT` cells the centroids are inlined as literals
+    (pure projection; array_position's first-match rule IS the
+    ties->lowest-cell contract); beyond that the same arithmetic runs
+    as a broadcast centroid join + per-vector window with the
+    identical ties rule (dot desc, cell asc) — per-k analysis cost
+    stays flat while assignment remains O(N*k)."""
     v = F.col("__v")
-    dots = F.array(
-        *[
-            dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
-            for cv in cvecs
-        ]
+    quant = df.select(
+        F.col(id_col).alias("__vid"),
+        quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
     )
-    return (
-        df.select(
-            F.col(id_col).alias("__vid"),
-            quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+    if len(cvecs) <= _LITERAL_CELL_LIMIT:
+        dots = F.array(
+            *[
+                dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
+                for cv in cvecs
+            ]
         )
-        .withColumn("__dots", dots)
-        .select(
+        return quant.withColumn("__dots", dots).select(
             "__vid",
             "__v",
             (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
@@ -955,6 +958,17 @@ def _assign_int(
             .alias("cell"),
             dot_long(v, v).alias("__n2"),
         )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, cv) for i, cv in enumerate(cvecs)], "cell int, cvec array<long>"
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__dot").desc(), F.col("cell").asc())
+    return (
+        quant.join(F.broadcast(cdf))
+        .select("__vid", "__v", "cell", dot_long(v, F.col("cvec")).alias("__dot"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("__vid", "__v", "cell", dot_long(v, v).alias("__n2"))
     )
 
 

@@ -284,3 +284,24 @@ def test_semdedup_target_cell_size_grows_cells(spark, sf_dir):
     # hash seeding is not k-means; allow slack over the target but the
     # biggest cell must stay FAR below the pinned-16 regime (~n/16)
     assert max(r.c for r in sizes) < n / 16
+
+
+def test_assign_int_broadcast_path_matches_literal_path(spark, sf_dir, monkeypatch):
+    """_assign_int's two implementations agree exactly (integer
+    arithmetic, same ties rule) — covers the int SemDeDup family and
+    the streaming gate's large-k regime."""
+    from metrics_service_spark.operators import similarity as sim
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cvecs = sim._md5_seed_centroids(emb, "vec_id", "embedding", 16)
+    lit = {
+        (r["__vid"], r["cell"], r["__n2"])
+        for r in sim._assign_int(emb, "vec_id", "embedding", cvecs).collect()
+    }
+    monkeypatch.setattr(sim, "_LITERAL_CELL_LIMIT", 1)
+    bcast = {
+        (r["__vid"], r["cell"], r["__n2"])
+        for r in sim._assign_int(emb, "vec_id", "embedding", cvecs).collect()
+    }
+    assert lit == bcast
