@@ -1217,7 +1217,12 @@ def kmeans_train(
     collected: the only shuffle is the k*dim partial-sum exchange,
     map-side combined.  Output: the final assignment's per-(cell,
     pos) sum/count/mean in quantized space — `kmeans_step`'s schema,
-    so the two are drop-in comparable."""
+    so the two are drop-in comparable.
+
+    Literal inlining caps practical k at a few hundred (per-k
+    analysis cost — see _LITERAL_CELL_LIMIT); for the large-k regime
+    use `_assign_int`'s broadcast fallback shape, or reduce dims with
+    `random_project_int` first."""
     seeds = (
         embeddings.select(
             quantize(F.col(vec_col)).alias("__sv"),
