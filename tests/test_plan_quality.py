@@ -244,3 +244,41 @@ def test_kmeans_train_final_pass_is_projection(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+#: The ONLY queries allowed a Pandas (Arrow) stage: the media-decode
+#: seam (binary payloads need Python codecs) and the max_rows-guarded
+#: numpy all-pairs baseline.  Everything else must stay JVM-side.
+PANDAS_WHITELIST = {
+    "mm_image_meta_real",
+    "mm_image_meta",
+    "mm_frame_sample",
+    "mm_audio_meta",
+    "mm_image_features",
+    "mm_image_features_exact",
+    "emb_cosine_neardup_allpairs",
+}
+
+
+def test_every_catalog_plan_free_of_global_antipatterns(spark, sf_dir):
+    """Repo-wide sweep: EVERY catalog query's physical plan — including
+    entries added after this test — must be free of cartesian products
+    and row-at-a-time Python UDFs, and may use Arrow/Pandas stages only
+    on the whitelist.  Per-query gates above pin specific shapes; this
+    is the default-deny backstop new entries inherit automatically."""
+    offenders = {}
+    for name, spec in CATALOG.items():
+        spark.catalog.clearCache()
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BatchEvalPython" in plan:
+            flags.append("python-udf")
+        if (
+            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        ) and name not in PANDAS_WHITELIST:
+            flags.append("pandas-stage")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
