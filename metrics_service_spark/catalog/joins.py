@@ -340,8 +340,15 @@ def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ordinary left-semi join removes the false positives — so the
     answer is bit-identical to the plain semi-join the oracle runs.
     Dim here is one year of URGENT orders (~1% of lineitem matches);
-    at m=2^16, k=5 the prune passes a few percent of the fact."""
-    from metrics_service_spark.operators.bloom import bloom_semi_join
+    m is SIZED from the dim count (sized_m_bits: next pow2 >=
+    10 bits/key — one cheap count on the filtered dim) so the benched
+    configuration is the one that stays flat as data grows: SCALE.md's
+    50x probe shows a pinned m saturating (FP -> 1, 6.9x wall) while
+    the sized filter holds 1.5x."""
+    from metrics_service_spark.operators.bloom import (
+        bloom_semi_join,
+        sized_m_bits,
+    )
 
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")
@@ -350,7 +357,12 @@ def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     matched = bloom_semi_join(
-        li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=5
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        m_bits=sized_m_bits(orders.count()),
+        k=5,
     )
     return matched.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

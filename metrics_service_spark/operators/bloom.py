@@ -55,7 +55,36 @@ def _h1(key: Column, m_bits: int) -> Column:
 
 
 def _h2(key: Column, m_bits: int) -> Column:
-    return F.pmod(F.xxhash64(key, F.lit(_SALT)), F.lit(m_bits))
+    # forced into [1, m_bits): an h2 of 0 would collapse all k probe
+    # positions onto h1, giving that key single-bit protection and a
+    # realized FP rate above the (1-e^{-kn/m})^k sizing formula (the
+    # standard Kirsch-Mitzenmacher requirement that h2 be nonzero mod m)
+    return F.pmod(F.xxhash64(key, F.lit(_SALT)), F.lit(m_bits - 1)) + 1
+
+
+def sized_m_bits(
+    n_keys: int,
+    *,
+    bits_per_key: int = 10,
+    min_bits: int = 1 << 13,
+    max_bits: int = 1 << 23,
+) -> int:
+    """Filter size for `n_keys` build keys: next power of two >=
+    bits_per_key * n_keys, clamped.  bits_per_key=10 at k=5 holds the
+    FP rate near 1% regardless of dim cardinality — the sizing rule
+    SCALE.md's 50x probe proves out (a PINNED m saturates: FP -> 1 and
+    the prune passes everything, 6.9x wall growth vs 1.5x sized).
+    n_keys is the DIM side count — one cheap aggregate on the already
+    filtered dim, or any upper bound (oversizing only costs m/64 plan
+    literals).  The clamp floor keeps tiny dims codegen-trivial; the
+    ceiling (2^23 bits = 1 MB as a single array<long> Literal — 8x the
+    largest analysis-profiled probe) marks where the probe should
+    switch to a broadcast word-table join instead (module docstring,
+    "dims too large for literal inlining")."""
+    m = min_bits
+    while m < bits_per_key * n_keys and m < max_bits:
+        m <<= 1
+    return m
 
 
 def build_bloom(

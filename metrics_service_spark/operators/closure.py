@@ -11,6 +11,14 @@ N client round-trips.
 Scale notes:
 - Frontier joins shrink each round; `localCheckpoint` every few rounds
   truncates the lineage so plan size stays O(1) instead of O(depth).
+- All checkpoints here are LAZY (eager=False): plan truncation happens
+  at call time either way (the logical plan becomes a LogicalRDD leaf
+  when localCheckpoint is invoked), but a lazy checkpoint materializes
+  inside the first downstream action instead of as its own
+  driver-blocking job — so a loop with no per-round probe
+  (early_stop=False) executes as ONE job end to end, each round's RDD
+  still computed exactly once.  r6 profiling showed these loops
+  dominated by sequential job-launch latency, not data volume.
 - Iterations are capped (the reference caps chain depth at 20); beyond
   that, GraphFrames connectedComponents (large-star/small-star, ~log n
   rounds) is the right tool for full family resolution of 10^8 edges.
@@ -51,7 +59,7 @@ def resolve_chains(
         F.coalesce(F.col(parent), F.col(child)).alias("ptr"),
         F.when(F.col(parent).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
         F.col(parent).isNull().alias("done"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Pointer jumping needs only ceil(log2(depth)) rounds, so for the
     # reference's depth cap (20 -> 5 rounds) the whole loop is planned
@@ -75,7 +83,7 @@ def resolve_chains(
             (F.col("done") | F.col("p_done")).alias("done"),
         )
         if rounds > 6 and (i + 1) % CHECKPOINT_EVERY == 0:
-            state = state.localCheckpoint(eager=True)
+            state = state.localCheckpoint(eager=False)
             if state.filter(~F.col("done")).isEmpty():
                 break
     return state.filter(F.col("done") & (F.col("depth") <= max_depth)).select(
@@ -138,7 +146,7 @@ def expand_family(
     # checkpoint amortizes over max_iters reads of the same relation)
     edges = edges.select(
         F.col(src).alias(src), F.col(dst).alias(dst)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if hop > 1:
         # <=hop-hop edge set: union of path-length-1..hop relations,
         # self-loops dropped (a u->...->u path adds nothing to BFS and
@@ -154,13 +162,13 @@ def expand_family(
         edges = (
             acc.filter(F.col(src) != F.col(dst))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         max_iters = -(-max_iters // hop)
     frontier = (
         seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("member"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     layers = [frontier]
     for _ in range(max_iters):
@@ -173,7 +181,7 @@ def expand_family(
         dedup_targets = layers[-2:] if undirected else layers
         for seen in dedup_targets:
             grown = grown.join(seen, ["seed", "member"], "left_anti")
-        frontier = grown.localCheckpoint(eager=True)
+        frontier = grown.localCheckpoint(eager=False)
         # early_stop=False skips the per-round emptiness probe for
         # callers whose max_iters is an exact structural bound (an
         # accidentally-empty layer unions harmlessly)
@@ -215,7 +223,7 @@ def expand_family_components(
     """
     comp = connected_components_star(
         edges, src=src, dst=dst, max_iters=max_iters
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     s = seeds.select(F.col(seed_col).alias("seed")).distinct()
     seed_comp = (
         s.join(comp, s.seed == comp.node, "left")
@@ -279,7 +287,7 @@ def connected_components(
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     if hop > 1:
@@ -296,27 +304,37 @@ def connected_components(
         sym = (
             acc.filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         max_iters = -(-max_iters // hop)
     labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
-        eager=True
+        eager=False
     )
+    if not early_stop:
+        # probe-free loop: self-loop edges make each node its own
+        # neighbor, so a round is ONE join + ONE min-agg and — key for
+        # the all-lazy checkpoint chain — each round's RDD is
+        # referenced exactly ONCE by the next (the former
+        # join+unionByName shape referenced it twice, which under a
+        # single deferred action serializes on the cache's per-block
+        # locks; measured +20% wall at sf0.1)
+        prop = sym.unionByName(
+            nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
+        ).localCheckpoint(eager=False)
+        for _ in range(max_iters):
+            labels = (
+                prop.join(labels, prop.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("component"))
+                .select(F.col("a").alias("node"), "component")
+                .localCheckpoint(eager=False)
+            )
+        return labels
     for _ in range(max_iters):
         # one join + ONE shuffle per round: neighbor labels and each
         # node's own label ride the same union into a single min-agg
         # (the own-label row doubles as the old value for convergence
         # detection) — vs the naive join + agg + second join shape
-        if not early_stop:
-            labels = (
-                sym.join(labels, sym.b == labels.node)
-                .select(F.col("a").alias("node"), F.col("component"))
-                .unionByName(labels)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint(eager=True)
-            )
-            continue
         neighbor = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"),
             F.col("component"),
@@ -334,7 +352,7 @@ def connected_components(
                 F.max("__own").alias("__old"),
             )
             .withColumn("__changed", F.col("component") < F.col("__old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.select("node", "component")
@@ -371,7 +389,7 @@ def connected_components_star(
 
     Returns (node, component), component = min node id.
     """
-    e = _symmetric(edges, src, dst).localCheckpoint(eager=True)
+    e = _symmetric(edges, src, dst).localCheckpoint(eager=False)
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         part = e.filter(F.col("v") > F.col("u")) if large else e.filter(
@@ -401,7 +419,7 @@ def connected_components_star(
 
     prev = fingerprint(e)
     for _ in range(max_iters):
-        e = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        e = star(star(e, large=True), large=False).localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
             break

@@ -889,10 +889,30 @@ def random_project_int(
 
 
 # --- semantic dedup (SemDeDup) ---------------------------------------------
-#: Above this many cells, semantic_dedup switches its argmax from
-#: inlined literals (analysis time grows with k — see the SCALE.md
-#: bloom planner-trap note) to a broadcast centroid join.
-_LITERAL_CELL_LIMIT = 64
+#: Above this many cells, the argmax switches from an inlined literal
+#: centroid MATRIX (one array<array<_>> parsed from a single SQL
+#: string — construction and analysis are near-flat in k, measured
+#: 1.4 s at k=512 vs 15 s for the per-element F.lit form it replaced)
+#: to a broadcast centroid join.  The limit is now a PLAN-SIZE bound
+#: (k x dim x 8B literal bytes shipped with every task binary), not an
+#: analysis-time bound: 4096 cells x 64 dims = 2 MB of plan literal.
+_LITERAL_CELL_LIMIT = 4096
+
+
+def _lit_matrix(rows: list[list[float]] | list[list[int]], sql_type: str) -> Column:
+    """k x dim constant matrix as ONE Catalyst literal, built by
+    parsing a single SQL string — avoiding the per-element py4j
+    `F.lit` calls that made large-k expression CONSTRUCTION (not
+    analysis) the bottleneck (measured: 32k elements = 15 s as nested
+    F.lit, 18 ms as one expr parse).  Values are ints or repr'd
+    floats (shortest-roundtrip, so the CAST back to double is
+    bit-exact); both engines-worth of callers keep their arithmetic
+    unchanged — this is purely a faster way to spell the same
+    Literal."""
+    body = ",".join(
+        "array(" + ",".join(repr(x) for x in cv) + ")" for cv in rows
+    )
+    return F.expr(f"cast(array({body}) as array<array<{sql_type}>>)")
 
 #: Quantization scale for the semantic-dedup integer path.  Coarser than
 #: QUANT_SCALE on purpose: the threshold test multiplies den^2 * dot^2,
@@ -914,7 +934,9 @@ def _md5_seed_centroids(
 ) -> list[list[int]]:
     """The n_cells quantized vectors with the smallest md5(id) —
     deterministic, DuckDB-replayable seed selection (the bounded
-    driver collect shared by the SemDeDup family)."""
+    driver collect shared by the SemDeDup family).  The collected
+    seeds are also where the SEM_QUANT int64 no-overflow contract is
+    validated (see _check_sem_bounds)."""
     seeds = (
         embeddings.select(
             quantize_at(F.col(vec_col), SEM_QUANT).alias("__sv"),
@@ -925,13 +947,48 @@ def _md5_seed_centroids(
         .limit(n_cells)
         .collect()
     )
-    return [[int(x) for x in r["__sv"]] for r in seeds]
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    _check_sem_bounds(cvecs)
+    return cvecs
 
 
-def _assign_int(
-    df: DataFrame, id_col: str, vec_col: str, cvecs: list[list[int]]
-) -> DataFrame:
-    """Integer argmax assignment: (__vid, __v, cell, __n2).  Up to
+#: The SEM_QUANT no-overflow proof (den^2 * dot^2 < 2^63, see the
+#: SEM_QUANT note) assumes dim <= 64 and |x| < 2.  The seed collect is
+#: the cheap place to enforce it: seeds are a uniform-by-md5 sample of
+#: the corpus, so a violating embedding family (wrong dim, or
+#: unnormalized vectors with |x| >> 2) is caught at driver time with a
+#: clear error instead of an ANSI arithmetic-overflow task failure (or,
+#: with ANSI off, silent wrong keep/drop verdicts).  The bound is on
+#: QUANTIZED values: 2 * SEM_QUANT = |x| <= 2.0.
+_SEM_MAX_DIM = 64
+_SEM_MAX_Q = 2 * SEM_QUANT
+
+
+def _check_sem_bounds(cvecs: list[list[int]]) -> None:
+    for cv in cvecs:
+        if len(cv) > _SEM_MAX_DIM:
+            raise ValueError(
+                f"SemDeDup integer path supports dim <= {_SEM_MAX_DIM} "
+                f"(got {len(cv)}): the int64 threshold arithmetic "
+                "den^2*dot^2 would overflow — reduce dims first "
+                "(random_project_int) or lower SEM_QUANT"
+            )
+        worst = max((abs(x) for x in cv), default=0)
+        if worst > _SEM_MAX_Q:
+            raise ValueError(
+                f"SemDeDup integer path requires |x| <= 2.0 (quantized "
+                f"|q| <= {_SEM_MAX_Q}, sampled seed has {worst}): "
+                "normalize embeddings to unit length (the sampled seeds "
+                "bound the corpus only if the same normalization is "
+                "applied everywhere)"
+            )
+
+
+def _argmax_cells(quant: DataFrame, cvecs: list[list[int]]) -> DataFrame:
+    """Shared integer argmax over pre-quantized vectors: input needs
+    columns (__vid, __v: array<long>); every OTHER input column is
+    carried through untouched (the fused incremental/streaming paths
+    ride a side tag on this); output adds `cell`.  Up to
     `_LITERAL_CELL_LIMIT` cells the centroids are inlined as literals
     (pure projection; array_position's first-match rule IS the
     ties->lowest-cell contract); beyond that the same arithmetic runs
@@ -939,36 +996,53 @@ def _assign_int(
     identical ties rule (dot desc, cell asc) — per-k analysis cost
     stays flat while assignment remains O(N*k)."""
     v = F.col("__v")
-    quant = df.select(
-        F.col(id_col).alias("__vid"),
-        quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
-    )
     if len(cvecs) <= _LITERAL_CELL_LIMIT:
-        dots = F.array(
-            *[
-                dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
-                for cv in cvecs
-            ]
+        dots = F.transform(
+            _lit_matrix(cvecs, "bigint"), lambda cv: dot_long(v, cv)
         )
-        return quant.withColumn("__dots", dots).select(
-            "__vid",
-            "__v",
-            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
-            .cast("int")
-            .alias("cell"),
-            dot_long(v, v).alias("__n2"),
+        return (
+            quant.withColumn("__dots", dots)
+            .withColumn(
+                "cell",
+                (
+                    F.array_position(F.col("__dots"), F.array_max(F.col("__dots")))
+                    - 1
+                ).cast("int"),
+            )
+            .drop("__dots")
         )
-    spark = df.sparkSession
+    spark = quant.sparkSession
     cdf = spark.createDataFrame(
         [(i, cv) for i, cv in enumerate(cvecs)], "cell int, cvec array<long>"
     )
     w = Window.partitionBy("__vid").orderBy(F.col("__dot").desc(), F.col("cell").asc())
+    carried = [c for c in quant.columns if c != "__vid"]
     return (
         quant.join(F.broadcast(cdf))
-        .select("__vid", "__v", "cell", dot_long(v, F.col("cvec")).alias("__dot"))
+        .withColumn("__dot", dot_long(v, F.col("cvec")))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .select("__vid", "__v", "cell", dot_long(v, v).alias("__n2"))
+        .select("__vid", *carried, "cell")
+    )
+
+
+def _assign_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cvecs: list[list[int]],
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Integer argmax assignment: (__vid, __v, cell, __n2) plus any
+    `extra_cols` carried through from df (e.g. the fused index/batch
+    side tag)."""
+    quant = df.select(
+        F.col(id_col).alias("__vid"),
+        quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+        *extra_cols,
+    )
+    return _argmax_cells(quant, cvecs).withColumn(
+        "__n2", dot_long(F.col("__v"), F.col("__v"))
     )
 
 
@@ -1012,9 +1086,13 @@ def semantic_dedup_int(
     cvecs = _md5_seed_centroids(embeddings, id_col, vec_col, n_cells)
     # assigned feeds BOTH pair sides and the final keep-list join;
     # materialize it once (same contract as dedup.py's signature
-    # checkpoint — on a cluster this is a persist/exchange reuse)
+    # checkpoint — on a cluster this is a persist/exchange reuse).
+    # LAZY: the checkpoint materializes inside the caller's first
+    # action instead of as its own driver-blocking job — same
+    # compute-once guarantee, one fewer sequential job (the r6 bench
+    # showed the SemDeDup family dominated by fixed job launches)
     assigned = _assign_int(embeddings, id_col, vec_col, cvecs).localCheckpoint(
-        eager=True
+        eager=False
     )
     a = assigned.select(
         F.col("__vid").alias("id_a"),
@@ -1107,34 +1185,42 @@ def semantic_dedup(
         cv = [float(x) for x in r["__sv"]]
         norm = sum(x * x for x in cv) ** 0.5 or 1.0
         scaled.append([x / norm for x in cv])
+    # the checkpointed assignment also carries the UNIT-NORMALIZED
+    # vector (__nv, one HOF pass per ROW): the within-cell pair test
+    # then needs a single dot per PAIR instead of cosine()'s
+    # dot + |a| + |b| (three interpreted HOF aggregates) — at the r6
+    # profile the pair filter was the dominant interpreted cost
+    norm = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.greatest(F.sqrt(F.col("__n")), F.lit(1e-30)),
+    )
     if n_cells <= _LITERAL_CELL_LIMIT:
-        v = F.col("__v")
-        dots = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.lit(cv).cast("array<double>"),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for cv in scaled
-            ]
+        v = F.col(vec_col)
+        dots = F.transform(
+            _lit_matrix(scaled, "double"),
+            lambda cv: F.aggregate(
+                F.zip_with(v, cv, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         assigned = (
-            embeddings.select(
-                F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")
-            )
+            embeddings.select(F.col(id_col), F.col(vec_col))
             .withColumn("__dots", dots)
-            .select(
-                id_col,
-                vec_col,
-                (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
-                .cast("int")
-                .alias("cell"),
+            .withColumn(
+                "cell",
+                (
+                    F.array_position(F.col("__dots"), F.array_max(F.col("__dots")))
+                    - 1
+                ).cast("int"),
             )
+            .withColumn("__n", norm)
+            .select(id_col, vec_col, "cell", nv.alias("__nv"))
         )
     else:
         spark = embeddings.sparkSession
@@ -1155,19 +1241,25 @@ def semantic_dedup(
             .select(id_col, vec_col, "cell", sim.alias("__sim"))
             .withColumn("__rk", F.row_number().over(wbest))
             .filter(F.col("__rk") == 1)
-            .select(id_col, vec_col, "cell")
+            .withColumn("__n", norm)
+            .select(id_col, vec_col, "cell", nv.alias("__nv"))
         )
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
+        F.col(id_col).alias("id_a"), F.col("__nv").alias("__na"), "cell"
     )
     b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell"
+        F.col(id_col).alias("id_b"), F.col("__nv").alias("__nb"), "cell"
+    )
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("__na"), F.col("__nb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .filter(pair_dot >= tau)
         .select(F.col("id_b").alias("__dropped"))
         .distinct()
     )
@@ -1219,10 +1311,12 @@ def kmeans_train(
     pos) sum/count/mean in quantized space — `kmeans_step`'s schema,
     so the two are drop-in comparable.
 
-    Literal inlining caps practical k at a few hundred (per-k
-    analysis cost — see _LITERAL_CELL_LIMIT); for the large-k regime
-    use `_assign_int`'s broadcast fallback shape, or reduce dims with
-    `random_project_int` first."""
+    Assignment routes through the shared `_argmax_cells`, so beyond
+    `_LITERAL_CELL_LIMIT` cells it switches automatically from inlined
+    literals to the broadcast-centroid-join argmax — identical
+    arithmetic and ties rule, flat per-k analysis cost — making the
+    k=1000s regime a real SemDeDup/IVF training run needs practical
+    (tests/test_similarity.py pins both paths bit-identical)."""
     seeds = (
         embeddings.select(
             quantize(F.col(vec_col)).alias("__sv"),
@@ -1234,25 +1328,15 @@ def kmeans_train(
         .collect()
     )
     centroids = [[int(x) for x in r["__sv"]] for r in seeds]
+    # a corpus smaller than n_cells yields fewer seeds; clamp so the
+    # centroid list and the cell id range agree
+    n_cells = len(centroids)
     quant = embeddings.select(
         F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
     )
 
     def assign(cvecs: list[list[int]]) -> DataFrame:
-        v = F.col("__v")
-        dots = F.array(
-            *[
-                dot_long(v, F.array(*[F.lit(c).cast("long") for c in cv]))
-                for cv in cvecs
-            ]
-        )
-        return quant.withColumn("__dots", dots).select(
-            "__vid",
-            "__v",
-            (F.array_position(F.col("__dots"), F.array_max(F.col("__dots"))) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
+        return _argmax_cells(quant, cvecs)
 
     def recenter(assigned: DataFrame) -> DataFrame:
         return (
@@ -1304,15 +1388,29 @@ def semantic_dedup_incremental_int(
     cell's index vectors and is dropped iff some index neighbor passes
     the integer cosine threshold.  Cost scales with |batch| plus the
     index mass of the touched cells — never with the whole corpus
-    pair count.  Output: every batch row with (cell, kept)."""
+    pair count.  Output: every batch row with (cell, kept).
+
+    Both sides are assigned in ONE fused pass (union with a side tag,
+    split after) so the argmax plan is built and analyzed once, and
+    the single LAZY checkpoint materializes inside the caller's
+    action — the r6 profile showed this operator's 6.95 s at sf0.1
+    was almost entirely sequential job-launch overhead on 2k rows."""
     cvecs = _md5_seed_centroids(index, id_col, vec_col, n_cells)
-    idx = _assign_int(index, id_col, vec_col, cvecs).select(
+    tagged = index.select(
+        F.col(id_col), F.col(vec_col), F.lit(False).alias("__bat")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(vec_col), F.lit(True).alias("__bat"))
+    )
+    assigned = _assign_int(
+        tagged, id_col, vec_col, cvecs, extra_cols=("__bat",)
+    ).localCheckpoint(eager=False)
+    idx = assigned.filter(~F.col("__bat")).select(
         F.col("__vid").alias("__iid"),
         F.col("__v").alias("__vi"),
         "cell",
         F.col("__n2").alias("__ni2"),
     )
-    bat = _assign_int(batch, id_col, vec_col, cvecs).localCheckpoint(eager=True)
+    bat = assigned.filter(F.col("__bat")).select("__vid", "__v", "cell", "__n2")
     d = dot_long(F.col("__v"), F.col("__vi"))
     dropped = (
         bat.join(idx, "cell")

@@ -61,24 +61,52 @@ def test_semi_join_equals_plain_semi_join(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def _walk(jnode):
+    """Yield every SparkPlan node of a JVM plan tree (pre-order),
+    descending through the AQE wrapper's current physical plan."""
+    yield jnode
+    if jnode.nodeName() == "AdaptiveSparkPlan":
+        yield from _walk(jnode.executedPlan())
+        return
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
 def test_prune_happens_before_join(spark, sf_dir):
     # the physical plan must show the bloom probe (variable-amount
-    # shiftleft over the inlined word array) as a Filter in the fact
-    # scan stage — i.e. fact rows are eliminated before the exchange
+    # shiftleft over the inlined word array) as a Filter INSIDE the
+    # fact-scan subtree BELOW the semi-join — i.e. fact rows are
+    # eliminated before the exchange.  Checked structurally on the JVM
+    # plan tree (a line-order scan of the string dump also matches a
+    # probe applied ABOVE the join, which is exactly the regression
+    # this test exists to catch).
     from metrics_service_spark.catalog import all_queries
 
     spark.catalog.clearCache()
     df = all_queries()["bloom_semi_lineitem"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "shiftleft" in plan
-    assert "CartesianProduct" not in plan
-    # the probe filter must sit below (be planned as part of) the scan
-    # side, not after the join: find the first Join operator line and
-    # assert a shiftleft Filter appears later in the tree dump (child
-    # operators print after their parents)
-    first_join = min(
-        i for i, ln in enumerate(plan.splitlines()) if "Join" in ln
-    )
-    assert any(
-        "shiftleft" in ln for ln in plan.splitlines()[first_join:]
-    ), "bloom probe filter not under the join"
+    plan = df._jdf.queryExecution().executedPlan()
+    assert "CartesianProduct" not in plan.toString()
+    joins = [
+        n
+        for n in _walk(plan)
+        if "Join" in n.nodeName() and "semi" in n.simpleString(10_000).lower()
+    ]
+    assert joins, "no semi-join in the physical plan"
+
+    def is_probe(n):
+        return n.nodeName() == "Filter" and "shiftleft" in n.simpleString(10_000)
+
+    under_ids = {
+        n.id()
+        for j in joins
+        for n in _walk(j)
+        if n.id() != j.id() and is_probe(n)
+    }
+    assert under_ids, "bloom probe Filter not in the semi-join's subtree"
+    # and the probe must NOT also appear above the join (redundant
+    # re-evaluation after the shuffle would be a planning regression)
+    above = [
+        n for n in _walk(plan) if is_probe(n) and n.id() not in under_ids
+    ]
+    assert not above, "bloom probe re-applied above the join"

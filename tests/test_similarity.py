@@ -305,3 +305,50 @@ def test_assign_int_broadcast_path_matches_literal_path(spark, sf_dir, monkeypat
         for r in sim._assign_int(emb, "vec_id", "embedding", cvecs).collect()
     }
     assert lit == bcast
+
+
+def test_kmeans_train_large_k_broadcast_path_identical(spark, sf_dir, monkeypatch):
+    """kmeans_train's inner assignment routes through the shared
+    _argmax_cells, so a genuine n_cells > _LITERAL_CELL_LIMIT run (the
+    broadcast-join argmax — flat analysis cost at large k) must be
+    bit-identical to the literal-inlined path run at a raised limit."""
+    from metrics_service_spark.operators import similarity as sim
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 80
+    monkeypatch.setattr(sim, "_LITERAL_CELL_LIMIT", 64)
+    bcast = sorted(
+        (r.cell, r.pos, r.sum_q, r.n, r.mean_q)
+        for r in sim.kmeans_train(emb, n_cells=k, iters=2).collect()
+    )
+    monkeypatch.setattr(sim, "_LITERAL_CELL_LIMIT", 10_000)
+    lit = sorted(
+        (r.cell, r.pos, r.sum_q, r.n, r.mean_q)
+        for r in sim.kmeans_train(emb, n_cells=k, iters=2).collect()
+    )
+    assert bcast == lit and len({c for c, *_ in bcast}) > 1
+
+
+def test_sem_quant_bounds_validated_at_seed_collect(spark):
+    """ADVICE r6: the SEM_QUANT int64 no-overflow proof assumes
+    dim <= 64 and |x| <= 2 — violating embedding families must fail
+    fast at the driver-side seed collect with a clear error, not as an
+    ANSI overflow in a task (or silent wrong verdicts with ANSI off)."""
+    import pytest as _pytest
+
+    from metrics_service_spark.operators import similarity as sim
+
+    big_mag = spark.createDataFrame(
+        [(i, [float(i + 100)] * 8) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="normalize"):
+        sim.semantic_dedup_int(big_mag, n_cells=4)
+
+    wide = spark.createDataFrame(
+        [(i, [0.1] * 80) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        sim.semantic_dedup_int(wide, n_cells=4)
