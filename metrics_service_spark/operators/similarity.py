@@ -1285,6 +1285,53 @@ def _floordiv_mean(sum_q: int, n: int) -> int:
     return (sum_q - ((sum_q % n + n) % n)) // n
 
 
+def lloyd_centroids(
+    quant: DataFrame, n_cells: int, iters: int
+) -> list[list[int]]:
+    """Driver-held Lloyd loop over a PRE-QUANTIZED (__vid, __v) frame,
+    scale-agnostic (works in QUANT_SCALE space for `kmeans_train` and
+    SEM_QUANT space for the streaming gate's centroid refresh).
+    Seeds are the n_cells vectors with the smallest md5(id) (clamped
+    to the corpus size); each of the iters-1 updates is one corpus
+    scan (argmax assignment as a projection) + a k*dim bounded stats
+    collect + the exact floor-division mean; empty cells carry their
+    previous centroid.  Returns the FINAL centroid list — the caller
+    decides what to compute with the last assignment."""
+    seeds = (
+        quant.select(
+            F.col("__v").alias("__sv"),
+            F.md5(F.col("__vid").cast("string")).alias("__h"),
+            F.col("__vid").alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[int(x) for x in r["__sv"]] for r in seeds]
+    n_cells = len(centroids)
+    for _ in range(iters - 1):
+        stats = (
+            _argmax_cells(quant, centroids)
+            .select("cell", F.posexplode("__v").alias("pos0", "qv"))
+            .groupBy("cell", "pos0")
+            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos0"]] = (r["sum_q"], r["n"])
+        centroids = [
+            [
+                _floordiv_mean(*by_cell[cell][pos])
+                for pos in range(len(centroids[cell]))
+            ]
+            if cell in by_cell
+            else centroids[cell]
+            for cell in range(n_cells)
+        ]
+    return centroids
+
+
 def kmeans_train(
     embeddings: DataFrame,
     *,
@@ -1317,54 +1364,25 @@ def kmeans_train(
     arithmetic and ties rule, flat per-k analysis cost — making the
     k=1000s regime a real SemDeDup/IVF training run needs practical
     (tests/test_similarity.py pins both paths bit-identical)."""
-    seeds = (
-        embeddings.select(
-            quantize(F.col(vec_col)).alias("__sv"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [[int(x) for x in r["__sv"]] for r in seeds]
-    # a corpus smaller than n_cells yields fewer seeds; clamp so the
-    # centroid list and the cell id range agree
-    n_cells = len(centroids)
     quant = embeddings.select(
         F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
     )
-
-    def assign(cvecs: list[list[int]]) -> DataFrame:
-        return _argmax_cells(quant, cvecs)
-
-    def recenter(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select("cell", F.posexplode("__v").alias("pos0", "qv"))
-            .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
-            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+    # the shared driver-held loop (also the streaming gate's refresh
+    # path); seeding, assignment and the floor-div update are the ones
+    # the SQL oracle replays
+    centroids = lloyd_centroids(quant, n_cells, iters)
+    return (
+        _argmax_cells(quant, centroids)
+        .select("cell", F.posexplode("__v").alias("pos0", "qv"))
+        .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            F.col("pos").cast("long").alias("pos"),
+            "sum_q",
+            "n",
+            F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
         )
-
-    for _ in range(iters - 1):
-        stats = recenter(assign(centroids)).collect()
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in stats:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["sum_q"], r["n"])
-        centroids = [
-            [
-                _floordiv_mean(*by_cell[cell][pos + 1])
-                for pos in range(len(centroids[cell]))
-            ]
-            if cell in by_cell
-            else centroids[cell]
-            for cell in range(n_cells)
-        ]
-    return recenter(assign(centroids)).select(
-        "cell",
-        F.col("pos").cast("long").alias("pos"),
-        "sum_q",
-        "n",
-        F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
     )
 
 

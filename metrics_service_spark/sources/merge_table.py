@@ -113,15 +113,34 @@ def _write_files(
     return entries
 
 
-def _commit(table_dir: str, files: list[dict], version: int) -> int:
+def _commit(
+    table_dir: str,
+    files: list[dict],
+    version: int,
+    meta: dict | None = None,
+) -> int:
     """Commit `files` at exactly `version` (the version the committer
     computed its rewrite against, +1).  O_EXCL create makes exactly one
     of two racing committers win; the loser gets ConflictError and must
-    recompute against the new current_version and retry."""
+    recompute against the new current_version and retry.
+
+    `meta` is small commit-scoped table metadata (Delta's
+    commitInfo/table-properties analog — e.g. the semantic gate's
+    centroid-file pointer).  When None, the PREVIOUS version's meta
+    carries forward, so ordinary upserts never drop table properties
+    set by an earlier commit; pass a dict (possibly {}) to replace."""
     os.makedirs(os.path.join(table_dir, _MANIFEST_DIR), exist_ok=True)
+    if meta is None and version > 0:
+        try:
+            with open(_manifest_path(table_dir, version - 1)) as fh:
+                meta = json.load(fh).get("meta", {})
+        except FileNotFoundError:
+            meta = {}
     try:
         with open(_manifest_path(table_dir, version), "x") as fh:
-            json.dump({"version": version, "files": files}, fh)
+            json.dump(
+                {"version": version, "files": files, "meta": meta or {}}, fh
+            )
         return version
     except FileExistsError:
         # lost the race; surface to the caller, whose rewrite was
@@ -129,6 +148,18 @@ def _commit(table_dir: str, files: list[dict], version: int) -> int:
         raise ConflictError(
             f"version {version} already committed under {table_dir}"
         ) from None
+
+
+def manifest_meta(table_dir: str, version: int | None = None) -> dict:
+    """Commit-scoped metadata of `version` (newest by default).
+    Versioned like the data: a reader that resolved version N reads
+    N's meta and stays consistent while N+1 lands."""
+    if version is None:
+        version = current_version(table_dir)
+    if version < 0:
+        return {}
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh).get("meta", {})
 
 
 class ConflictError(RuntimeError):
@@ -209,12 +240,26 @@ def read_table(
 
 
 def overwrite_table(
-    df: DataFrame, table_dir: str, *, partition_cols: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    *,
+    partition_cols: list[str] | None = None,
+    expected_base: int | None = None,
+    meta: dict | None = None,
 ) -> int:
-    """Full-table replace as a single atomic commit."""
+    """Full-table replace as a single atomic commit.  `expected_base`
+    pins the snapshot the replacement was computed from (ConflictError
+    before any write if another commit landed); `meta` replaces the
+    table metadata for this and subsequent versions (None = carry the
+    previous version's forward)."""
     base = current_version(table_dir)
+    if expected_base is not None and base != expected_base:
+        raise ConflictError(
+            f"expected base version {expected_base} but found {base} "
+            f"under {table_dir}"
+        )
     files = _write_files(df, table_dir, partition_cols or [])
-    return _commit(table_dir, files, base + 1)
+    return _commit(table_dir, files, base + 1, meta=meta)
 
 
 def merge_table(

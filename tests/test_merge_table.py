@@ -553,3 +553,29 @@ def test_delete_entire_table_contents(spark, tmp_path):
     with pytest.raises(ValueError, match="empty manifest"):
         read_table(spark, tdir)
     assert len(_rows(read_table(spark, tdir, version=0))) == 3
+
+
+def test_manifest_meta_set_inherit_replace(spark, tmp_path):
+    """Commit-scoped table metadata: set by one commit, inherited by
+    meta-less commits (ordinary upserts must not drop table
+    properties), replaced when passed explicitly, versioned with the
+    snapshot."""
+    from metrics_service_spark.sources.merge_table import (
+        manifest_meta,
+        merge_table,
+        overwrite_table,
+    )
+
+    tdir = str(tmp_path / "meta_t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    v0 = overwrite_table(df, tdir, partition_cols=["p"], meta={"gen": "g0"})
+    assert manifest_meta(tdir, v0) == {"gen": "g0"}
+
+    up = spark.createDataFrame([(2, "b")], "k long, p string")
+    v1 = merge_table(spark, tdir, up, key_cols=["k"], partition_cols=["p"])
+    assert manifest_meta(tdir, v1) == {"gen": "g0"}  # inherited
+    assert manifest_meta(tdir) == {"gen": "g0"}      # newest by default
+
+    v2 = overwrite_table(df, tdir, partition_cols=["p"], meta={"gen": "g1"})
+    assert manifest_meta(tdir, v2) == {"gen": "g1"}
+    assert manifest_meta(tdir, v0) == {"gen": "g0"}  # old version keeps its own

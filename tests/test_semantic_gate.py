@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from metrics_service_spark.sources.merge_table import current_version, read_table
 from metrics_service_spark.streaming.semantic_gate import (
-    _CENTROID_FILE,
+    _BOOT_FILE,
     admit_batch,
     incremental_semantic_gate_refresh,
 )
@@ -37,7 +37,7 @@ def test_bootstrap_then_reject_near_dup(spark, tmp_path):
     tdir = str(tmp_path / "semidx")
     got = _kept(admit_batch(spark, tdir, _batch(spark, [(1, V1), (2, V2)]), n_cells=2))
     assert got == {1: True, 2: True}
-    assert os.path.exists(os.path.join(tdir, _CENTROID_FILE))
+    assert os.path.exists(os.path.join(tdir, _BOOT_FILE))
     v_after_1 = current_version(tdir)
     assert v_after_1 >= 0
 
@@ -74,10 +74,10 @@ def test_replay_converges(spark, tmp_path):
 def test_centroids_pinned_across_batches(spark, tmp_path):
     tdir = str(tmp_path / "semidx")
     admit_batch(spark, tdir, _batch(spark, [(1, V1), (2, V2)]), n_cells=2)
-    with open(os.path.join(tdir, _CENTROID_FILE)) as f:
+    with open(os.path.join(tdir, _BOOT_FILE)) as f:
         before = json.load(f)
     admit_batch(spark, tdir, _batch(spark, [(7, V4)]), n_cells=2)
-    with open(os.path.join(tdir, _CENTROID_FILE)) as f:
+    with open(os.path.join(tdir, _BOOT_FILE)) as f:
         after = json.load(f)
     assert before == after
 
@@ -103,3 +103,149 @@ def test_streaming_fold_matches_sequential(spark, tmp_path):
     q2 = incremental_semantic_gate_refresh(spark, src, tdir, ckpt, n_cells=2)
     q2.awaitTermination(120)
     assert current_version(tdir) == v
+
+
+def test_atomic_centroid_write_loser_preserves_winner(tmp_path):
+    """ADVICE r6: the bootstrap race must be create-once ATOMIC — a
+    losing writer returns False and the winner's fully-written content
+    survives; no reader can observe a partial file (content is
+    hard-linked into place only after fsync)."""
+    from metrics_service_spark.streaming.semantic_gate import (
+        _load_centroids,
+        _write_centroids_atomic,
+    )
+
+    tdir = str(tmp_path / "t")
+    assert _write_centroids_atomic(tdir, "_c.json", [[1, 2]]) is True
+    assert _write_centroids_atomic(tdir, "_c.json", [[9, 9]]) is False
+    assert _load_centroids(tdir, "_c.json") == [[1, 2]]
+    # no temp droppings left behind
+    assert [f for f in os.listdir(tdir) if f.endswith(".tmp")] == []
+
+
+def test_admit_validates_max_retries(spark, tmp_path):
+    with pytest.raises(ValueError, match="max_retries"):
+        admit_batch(
+            spark,
+            str(tmp_path / "t"),
+            _batch(spark, [(1, V1)]),
+            n_cells=2,
+            max_retries=0,
+        )
+
+
+def test_admit_string_ids_bootstrap(spark, tmp_path):
+    """ADVICE r6: the empty-index rejection frame must use the batch's
+    own id type — string ids previously anti-joined a string __vid
+    against a hardcoded `long` column through an implicit cast."""
+    tdir = str(tmp_path / "semidx_str")
+    rows = [("a", V1), ("b", V2), ("a2", V3)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = {r.vec_id: r.kept for r in admit_batch(spark, tdir, df, n_cells=2).collect()}
+    # a2 near-dups a within the batch; 'a' < 'a2' so a survives
+    assert got == {"a": True, "b": True, "a2": False}
+    stored = {r.vec_id for r in read_table(spark, tdir).collect()}
+    assert stored == {"a", "b"}
+
+
+def _grow_rows(n, dim=4, start=100):
+    """n deterministic vectors pairwise separated by cos < 0.95: each
+    lives in one of the 12 ordered axis planes at one of three angle
+    rings (20/45/70 deg), keyed on the ABSOLUTE id so different-start
+    batches don't repeat directions (same plane+ring = same direction;
+    distinct rings are 25 deg apart; distinct planes share at most one
+    axis, bounding cos by cos(20deg)^2 ~ 0.88)."""
+    import itertools
+    import math as m
+
+    pairs = list(itertools.permutations(range(dim), 2))
+    rows = []
+    for i in range(n):
+        k = start + i
+        a, b = pairs[k % len(pairs)]
+        theta = m.radians(20 + 25 * ((k // len(pairs)) % 3))
+        v = [0.0] * dim
+        v[a] = round(m.cos(theta), 4)
+        v[b] = round(m.sin(theta), 4)
+        rows.append((k, v))
+    return rows
+
+
+def test_centroid_refresh_on_growth_versions_and_consistency(spark, tmp_path):
+    """VERDICT r6 #5: 3x corpus growth triggers a re-seed committed as
+    ONE pinned overwrite; admission is replay-idempotent across the
+    migration; readers of the pre-migration version keep a consistent
+    snapshot (their rows AND their geometry file)."""
+    from metrics_service_spark.sources.merge_table import manifest_meta
+    from metrics_service_spark.streaming.semantic_gate import (
+        _BOOT_FILE as BOOT,
+        refresh_centroids,
+    )
+
+    tdir = str(tmp_path / "semidx_grow")
+    tau = dict(tau_num=99, tau_den=100)  # only near-identical rejects
+    admit_batch(spark, tdir, _batch(spark, _grow_rows(8)), n_cells=2, **tau)
+    v0 = current_version(tdir)
+    assert manifest_meta(tdir, v0).get("centroid_file") is None  # boot gen
+
+    # no refresh while under budget
+    assert refresh_centroids(spark, tdir, target_cell_size=1000) is None
+
+    # grow the corpus ~3x, then refresh with a small budget
+    admit_batch(
+        spark, tdir, _batch(spark, _grow_rows(16, start=300)), n_cells=2, **tau
+    )
+    pre_rows = {(r.vec_id, r.cell) for r in read_table(spark, tdir).collect()}
+    pre_v = current_version(tdir)
+    newv = refresh_centroids(spark, tdir, target_cell_size=4)
+    assert newv == pre_v + 1
+    meta = manifest_meta(tdir, newv)
+    assert meta["centroid_file"] != BOOT and meta["n_cells"] > 2
+    assert os.path.exists(os.path.join(tdir, meta["centroid_file"]))
+
+    # old-version reader: identical snapshot, geometry file still there
+    old_rows = {(r.vec_id, r.cell) for r in read_table(spark, tdir, version=pre_v).collect()}
+    assert old_rows == pre_rows
+    assert os.path.exists(os.path.join(tdir, BOOT))
+
+    # same keys survive the migration (only cells move)
+    new_rows = {r.vec_id for r in read_table(spark, tdir).collect()}
+    assert new_rows == {k for k, _ in pre_rows}
+
+    # admission across the migration: a replayed batch (ids already
+    # admitted pre-migration) converges — merges onto its own keys
+    # under the NEW geometry, no duplicates, no self-rejection
+    replay = admit_batch(
+        spark, tdir, _batch(spark, _grow_rows(16, start=300)), n_cells=2, **tau
+    )
+    kept = {r.vec_id: r.kept for r in replay.collect()}
+    stored_after = sorted(r.vec_id for r in read_table(spark, tdir).collect())
+    assert stored_after == sorted(new_rows)  # replay added nothing new
+    assert all(kept[i] for i in kept if i in new_rows)
+
+    # and a NEW batch admits under the new geometry (cells beyond the
+    # boot range are reachable)
+    out = admit_batch(spark, tdir, _batch(spark, [(900, V4)]), n_cells=2, **tau)
+    assert {r.vec_id: r.kept for r in out.collect()}[900] in (True, False)
+
+
+def test_streaming_fold_runs_refresh(spark, tmp_path):
+    """target_cell_size on the streaming fold: once files push the
+    index past budget, the geometry migrates mid-stream and the
+    manifest meta names the new generation."""
+    from metrics_service_spark.sources.merge_table import manifest_meta
+
+    src = str(tmp_path / "emb_stream2")
+    _batch(spark, _grow_rows(6)).coalesce(1).write.mode("append").parquet(src)
+    _batch(spark, _grow_rows(18, start=500)).coalesce(1).write.mode("append").parquet(src)
+
+    tdir = str(tmp_path / "semidx_stream2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = incremental_semantic_gate_refresh(
+        spark, src, tdir, ckpt, n_cells=2, target_cell_size=4,
+        tau_num=99, tau_den=100,
+    )
+    q.awaitTermination(180)
+    meta = manifest_meta(tdir)
+    assert meta.get("centroid_file", "").startswith("_semantic_centroids_")
+    assert meta["n_cells"] > 2
