@@ -55,6 +55,10 @@ HEADLINE = [
     "bloom_semi_lineitem",
     "emb_kmeans_train",
     "emb_semdedup_incr",
+    # round-7: TF-IDF (oracle-checked since r6 but never benched) and
+    # the mixed-format real-image roundtrip
+    "doc_tfidf_topk",
+    "mm_image_meta_real_mixed",
 ]
 
 
@@ -124,11 +128,37 @@ def _micro_paragraph_index(spark, sf_dir):
     return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 
 
+def _micro_semantic_admit(spark, sf_dir):
+    """Streaming semantic gate: admit one batch against a WARM
+    persistent cell index.  Bootstrap (90% of the embeddings table)
+    runs outside the timed region; each rep re-admits the same 10%
+    batch — replay-idempotent key merges, so every rep does the same
+    assignment + touched-cell read + commit work."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.sources.tables import load_table
+    from metrics_service_spark.streaming.semantic_gate import admit_batch
+
+    tdir = tempfile.mkdtemp(prefix="bench_semgate_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    admit_batch(spark, tdir, emb.filter(F.col("vec_id") % 10 != 0), n_cells=16)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+
+    def run() -> None:
+        admit_batch(spark, tdir, batch, n_cells=16).collect()
+
+    return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
+
 #: Micro-benches: operators with no catalog entry (table mutations).
 #: Each value is a factory (spark, sf_dir) -> (run, cleanup).
 MICRO = {
     "merge_table_upsert": _micro_merge_upsert,
     "paragraph_index_fold": _micro_paragraph_index,
+    "semantic_gate_admit": _micro_semantic_admit,
 }
 
 

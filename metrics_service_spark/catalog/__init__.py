@@ -29,69 +29,31 @@ class QuerySpec:
 
 
 # The external correctness driver checks the FIRST 50 entries of
-# all_queries() iteration order each round.  Rounds 1-5 jointly covered
-# all catalog entries (union of CORRECTNESS_r0{1..5}.json).  Rotation
-# policy (round 6, per VERDICT r5): order by IMPLEMENTATION-CHANGED-
-# SINCE-LAST-CHECK first — a query whose code was rewritten after its
-# last driver row outranks one whose check is merely old — then by
+# all_queries() iteration order each round.  Rounds 1-6 jointly covered
+# all catalog entries (union of CORRECTNESS_r0{1..6}.json).  Rotation
+# policy (per README): order by IMPLEMENTATION-CHANGED-SINCE-LAST-CHECK
+# first — a query whose code was rewritten after its last driver row
+# outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- implementation changed since last driver row --------------------
-    "bloom_semi_lineitem",       # new this round (Bloom-pruned semi-join)
-    "emb_kmeans_train",          # new this round (iterative Lloyd, full oracle)
-    "emb_semdedup_incr",         # new this round (incremental SemDeDup)
-    "emb_semdedup_int",          # new this round (SemDeDup, integer-exact)
-    "emb_semdedup",              # new this round (SemDeDup, production float)
-    "doc_mixture",               # new this round (domain-mixture reweighting)
-    "doc_tfidf_topk",            # new this round (TF-IDF top terms)
-    "doc_domain_filter",         # new this round (URL blocklist anti-join)
-    "doc_paragraph_dedup",       # new this round (paragraph dedup stats)
-    "doc_repetition",            # new this round (Gopher repetition filter)
-    "doc_pii_scrub",             # new this round (PII detect+redact)
-    "mm_image_meta_real",        # new this round (real PNG roundtrip)
-    "doc_length_histogram",      # r5 red: oracle BIGINT cast fixed
-    "emb_cosine_neardup",        # last row r1; default now banded LSH
-    "doc_jaccard_pairs",         # last row r1; lossless length-bucket blocking
-    "doc_minhash_dedup",         # last row r1; shuffle-free signature rewrite
-    "doc_minhash_dedup_md5",     # last row r4; b=8 r=2 geometry (9a9e113)
-    "doc_simhash_md5",           # last row r4; md5 family alignment
-    "doc_simhash_neardup_md5",   # last row r4; md5 family alignment
-    "doc_incremental_dedup",     # last row r4; geometry + signature rewrite
-    "mm_image_meta",             # last row r4; multimodal changed (73ecb92)
-    "mm_frame_sample",
-    "mm_audio_meta",
-    "mm_image_features",
-    "mm_image_features_exact",
-    "pid_family_closure",        # closure.py lazy-BFS change this round
-    "order_chains",
-    "order_components",
-    # -- stale checks (last row r1/r2, implementation unchanged) ---------
-    "doc_simhash",
-    "doc_simhash_neardup",
-    "doc_quality_filter",
-    "emb_topk_bruteforce",
-    "emb_ann_ivf",
-    "emb_ann_lsh",
-    "emb_kmeans_step",
-    "emb_centroids",
-    "doc_fingerprint",
-    "ev_monthly_stats_approx",
-    # -- last row r4 -----------------------------------------------------
-    "ev_dau_stickiness_kmv",
-    "ev_dau_stickiness_approx_hll",
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
+    # -- implementation changed this round (r7) --------------------------
+    "mm_image_meta_real_mixed",  # NEW: PNG+JPEG+GIF real roundtrip
+    "emb_semdedup_int",          # literal-matrix argmax rewrite
+    "emb_semdedup_incr",         # fused index+batch assignment
+    "emb_semdedup",              # normalized pair filter + lazy ckpt
+    "emb_kmeans_train",          # shared lloyd_centroids + large-k path
+    "bloom_semi_lineitem",       # KM h2 fix + dim-sized m
+    "pid_family_closure",        # closure lazy-checkpoint fusion
+    "order_chains",              # closure lazy-checkpoint fusion
+    "order_components",          # self-loop single-ref propagation
+    "doc_dedup_clusters",        # connected_components changed; last row r4
+    "package_counts",            # resolve_chains changed; last row r4
+    # -- VERDICT r6 #7 named twins (last row r4) -------------------------
+    "emb_ann_lsh_int",
+    "emb_ann_ivf_int",
+    # -- least-recently-checked (last row r4) ----------------------------
     "tpch_q21",
     "tpch_q22",
-    "doc_dedup_clusters",
     "doc_split",
     "doc_pack",
     "doc_contamination",
@@ -101,6 +63,39 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_multi_signal_pairs",
     "emb_random_projection",
     "doc_quality_filter_exact",
+    "emb_cosine_neardup_allpairs",
+    "landing_page_daily",
+    "metrics_star",
+    "matview_routed_repo",
+    "matview_landingpage",
+    "matview_userprofilemetrics",
+    "matview_userprofilecharts",
+    "matview_repometrics",
+    "matview_repocharts",
+    "matview_awardmetrics",
+    "matview_awardcharts",
+    "func_scalar_suite",
+    "search_log_pipeline",
+    "search_sessions",
+    # -- last row r5 (buffer past the 50-entry sample line) --------------
+    "ev_props_kv",
+    "ev_tag_membership",
+    "sushi_instances",
+    "ev_filter_project",
+    "ev_monthly_stats",
+    "ev_sessionize",
+    "ev_rolling_7d",
+    "ev_interevent_gap",
+    "ev_value_median",
+    "ev_asof_orders",
+    "ev_retention",
+    "ev_dau_stickiness",
+    "ev_funnel",
+    "ev_session_having",
+    "ev_sessionize_global",
+    "ev_sessionize_bucketed",
+    "ev_last_per_user",
+    "ev_top3_per_type",
 )
 
 

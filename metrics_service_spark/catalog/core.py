@@ -118,7 +118,7 @@ def q_ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_days = (
         ev.select("user_id", F.to_date("ts").alias("day"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dau = u_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     contrib = u_days.select(
@@ -168,7 +168,7 @@ def q_ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
@@ -326,7 +326,7 @@ def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sess = sessionize(
         ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"]
-    ).select("user_id", "session_seq", "ts", "event_type").localCheckpoint(eager=True)
+    ).select("user_id", "session_seq", "ts", "event_type").localCheckpoint(eager=False)
     keys = ["user_id", "session_seq"]
     v = sess.groupBy(*keys).agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")

@@ -362,7 +362,7 @@ def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "o_orderkey",
         m_bits=sized_m_bits(orders.count()),
-        k=5,
+        k=3,
     )
     return matched.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),

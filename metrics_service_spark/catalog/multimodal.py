@@ -160,6 +160,43 @@ FROM documents
 """
 
 
+def q_mm_image_meta_real_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format REAL decode roundtrip: per doc_id the payload is a
+    genuine PNG, JPEG (SOF0 or SOF2, alternating) or GIF89a encoded
+    distributively (operators/multimodal.py synthesize_images), then
+    decoded back through `decode_image(real=True)`'s format-sniffing
+    stdlib parsers — so one driver row exercises all three header
+    decoders on the mapInPandas path (the r6 gap: JPEG/GIF were
+    unit-tested only).  The oracle recomputes dims + format tag from
+    doc_id."""
+    from metrics_service_spark.operators.multimodal import synthesize_images
+
+    dims = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.pmod("doc_id", F.lit(13)) + 1).cast("int").alias("w"),
+        (F.pmod("doc_id", F.lit(7)) + 1).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif")),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).alias("fmt"),
+    )
+    decoded = decode_image(synthesize_images(dims), real=True)
+    return decoded.join(
+        dims.select("media_id", "fmt"), "media_id"
+    ).select("media_id", "width", "height", "channels", "fmt")
+
+
+ORACLE_IMAGE_META_REAL_MIXED = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 13 + 1 AS INT) AS width,
+       CAST(doc_id % 7 + 1 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt
+FROM documents
+"""
+
+
 QUERIES = {
     "mm_image_meta": QuerySpec(
         q_mm_image_meta,
@@ -180,6 +217,12 @@ QUERIES = {
         q_mm_image_meta_real,
         ORACLE_IMAGE_META_REAL,
         "REAL PNG encode->header-decode roundtrip, oracle-checked",
+        ("multimodal",),
+    ),
+    "mm_image_meta_real_mixed": QuerySpec(
+        q_mm_image_meta_real_mixed,
+        ORACLE_IMAGE_META_REAL_MIXED,
+        "REAL PNG+JPEG(SOF0/SOF2)+GIF mixed roundtrip, oracle-checked",
         ("multimodal",),
     ),
     "mm_image_features": QuerySpec(

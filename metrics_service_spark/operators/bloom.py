@@ -25,12 +25,16 @@ same structure explicitly from DataFrame ops:
    result is bit-identical to the plain semi-join — the oracle for any
    query through this operator is ordinary SQL.
 
-Sizing: false-positive rate ~= (1 - e^(-k*n/m))^k.  The default
-m=2^16 bits (1024 long literals in the plan) at k=5 holds ~3e-4 FP up
-to n ~= 5000 build keys; scale m with the DIM cardinality, not the
-fact.  For dims too large for literal inlining, raise m and switch the
-probe to a broadcast join against the word table — same plan shape,
-the literal form just maximizes codegen at test scale.
+Sizing: false-positive rate ~= (1 - e^(-k*n/m))^k.  Size m from the
+DIM cardinality (`sized_m_bits`, ~10 bits/key), never the fact.  The
+default k=3 is deliberately BELOW the FP-optimal k ~= 7 at that load:
+the probe's cost is k hash-and-test rounds per FACT row (measured at
+30M rows on local[32]: k=5 -> 7.8 s, k=3 -> 3.1 s of pure
+whole-stage-codegen CPU), while FP only moves 1.7% -> 0.9% — and
+every false positive is removed by the trailing exact join anyway, so
+k buys CPU, not correctness.  For dims too large for literal
+inlining, raise m and switch the probe to a broadcast join against
+the word table — same plan shape.
 
 Reference parity: the reference filters events against known-PID sets
 via ES terms lookups (SURVEY.md J3); at warehouse scale that shape is
@@ -70,8 +74,8 @@ def sized_m_bits(
     max_bits: int = 1 << 23,
 ) -> int:
     """Filter size for `n_keys` build keys: next power of two >=
-    bits_per_key * n_keys, clamped.  bits_per_key=10 at k=5 holds the
-    FP rate near 1% regardless of dim cardinality — the sizing rule
+    bits_per_key * n_keys, clamped.  bits_per_key=10 at the default
+    k=3 holds the FP rate near 2% regardless of dim cardinality — the sizing rule
     SCALE.md's 50x probe proves out (a PINNED m saturates: FP -> 1 and
     the prune passes everything, 6.9x wall growth vs 1.5x sized).
     n_keys is the DIM side count — one cheap aggregate on the already
@@ -88,7 +92,7 @@ def sized_m_bits(
 
 
 def build_bloom(
-    dim: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 5
+    dim: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 3
 ) -> list[int]:
     """One dim-side scan -> the filter's m_bits/64 words as a Python
     list (the bounded driver collect: size is the config constant
@@ -118,17 +122,21 @@ def build_bloom(
 
 
 def bloom_contains(
-    key: Column, words: list[int], *, m_bits: int, k: int = 5
+    key: Column, words: list[int], *, m_bits: int, k: int = 3
 ) -> Column:
     """Pure-codegen membership test: true iff all k bits are set.
-    `words` is inlined as ONE array<long> Literal — NOT
-    F.array(*[F.lit(w) ...]), whose m/64-child CreateArray tree made
-    analysis/codegen time quadratic-ish in m (measured: 54 s to plan
-    the m=2^20 probe as CreateArray vs sub-second as a Literal; warm
-    execution is 0.3 s/M rows either way).  The variable-amount bit
-    shifts go through the SQL `shiftleft`, which (unlike the Python
-    `F.shiftleft`) accepts a column shift amount."""
-    arr = F.lit([int(w) for w in words]).cast("array<bigint>")
+    `words` is inlined as ONE array<long> literal parsed from a single
+    SQL string — NOT F.array(*[F.lit(w) ...]) (whose m/64-child
+    CreateArray tree made analysis quadratic-ish in m: 54 s to plan the
+    m=2^20 probe) and NOT F.lit(list) either (py4j converts that
+    per-element on the DRIVER: measured 5.9 s to construct the m=2^20
+    probe vs 20 ms as one parsed string; warm execution is identical).
+    The variable-amount bit shifts go through the SQL `shiftleft`,
+    which (unlike the Python `F.shiftleft`) accepts a column shift
+    amount."""
+    arr = F.expr(
+        "cast(array(" + ",".join(str(int(w)) for w in words) + ") as array<bigint>)"
+    )
     h1, h2 = _h1(key, m_bits), _h2(key, m_bits)
     test = F.lit(True)
     for i in range(k):
@@ -147,7 +155,7 @@ def bloom_semi_join(
     dim_key: str,
     *,
     m_bits: int = 1 << 16,
-    k: int = 5,
+    k: int = 3,
 ) -> DataFrame:
     """Semi-join `fact` to `dim` with a Bloom pre-prune on the fact
     side.  Result is EXACTLY the plain left-semi join: the prune only

@@ -106,15 +106,27 @@ def ngram_jaccard_pairs(
 
     block_cols = block_cols or []
     k = max(1, math.ceil(math.log2(1.0 / threshold) - 1e-9))
-    toks = F.split(F.col(text_col), " ")
-    sh = df.select(
+    # repartition the RAW rows first so the (interpreted, per-token)
+    # shingle transform runs above the exchange on all cores — below
+    # it, a single-file input computes every shingle in ONE scan task;
+    # this ordering alone was worth ~2s at sf0.1.  The id partitioning
+    # also drives probe-side parallelism for the join.
+    base = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
-        shingle_array(toks, n).alias("__sh"),
+        F.col(text_col).alias("__text"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    sh = base.select(
+        *[F.col(c) for c in block_cols],
+        "__id",
+        shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
     ).withColumn("__len", F.size("__sh"))
-    # the probe side's partitioning drives task parallelism under a
-    # broadcast join; a single-file input would otherwise run 1 task
-    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    # materialize the shingle arrays ONCE (lazy checkpoint): both
+    # self-join sides read the same computed rows instead of each
+    # re-running the shingle transform over the corpus — the measured
+    # dominant cost (the candidate join itself is milliseconds;
+    # shingling 5k docs twice was ~4s of the 4.7s wall)
+    sh = sh.localCheckpoint(eager=False)
     bkt = F.length(F.bin(F.col("__len")))
     if max_cell is not None:
         sh = sh.withColumn("__own_bkt", bkt)
@@ -155,14 +167,31 @@ def ngram_jaccard_pairs(
         / F.greatest(F.col("a.__len"), F.col("b.__len")).cast("double")
         >= F.lit(threshold)
     )
-    return (
-        a.join(b, cond)
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # threshold test INSIDE the join condition, appended LAST and in a
+    # one-intersection algebraic form: i/(|A|+|B|-i) >= t  <=>
+    # i*(1+t) >= t*(|A|+|B|).  Two reasons, both measured on the
+    # executed plan: (1) a post-join `.filter(jaccard >= t)` gets
+    # pushed into the join condition ANDed FIRST, so the expensive
+    # array_intersect ran before the cheap id</ratio prunes could
+    # short-circuit it (And.eval is left-to-right); (2) the division
+    # form computes array_intersect TWICE (numerator + denominator —
+    # the non-codegen join condition path has no subexpression reuse).
+    # Equivalence with the oracle's division test is exact: shingle
+    # counts are <= ~10^4, so the nearest rational gap around t
+    # (~1/(2*len^2) > 2^-30) dwarfs the few-ulp float error of either
+    # form — they decide every pair identically.  6.1s -> 1.5s warm at
+    # sf0.1 (lang-blocked, 5k docs).
+    inter = F.size(
+        F.array_intersect(F.col("a.__sh"), F.col("b.__sh"))
+    ).cast("double")
+    cond = cond & (
+        inter * F.lit(1.0 + threshold)
+        >= F.lit(threshold) * (F.col("a.__len") + F.col("b.__len")).cast("double")
+    )
+    return a.join(b, cond).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        jaccard(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
     )
 
 
@@ -242,7 +271,7 @@ def lsh_candidate_pairs(
     exactly once — signatures are 1 row x num_hashes longs per doc,
     tiny relative to the text they summarize.
     """
-    signatures = signatures.localCheckpoint(eager=True)
+    signatures = signatures.localCheckpoint(eager=False)
     # all band hashes in ONE pass over the signatures (a union of
     # per-band selects would recompute the minhash aggregation once per
     # band — `bands`x the work)
@@ -311,7 +340,7 @@ def minhash_near_duplicates(
     # recompute once per downstream reference
     cands = lsh_candidate_pairs(
         sigs, bands=bands, rows_per_band=rows_per_band
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ids = (
         cands.select(F.col("id_a").alias("__vid"))
         .union(cands.select(F.col("id_b").alias("__vid")))
@@ -503,7 +532,7 @@ def minhash_near_duplicates_md5(
     Jaccard verify), fully oracle-replicable."""
     sigs = minhash_signatures_md5(
         df, id_col, text_col, n=n, num_hashes=num_hashes
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     all_bands = md5_band_rows(sigs, "__id", num_hashes=num_hashes, bands=bands)
     counts = all_bands.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__n"))
     pruned = all_bands.join(
@@ -525,7 +554,7 @@ def minhash_near_duplicates_md5(
     sh = (
         df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return (
         cands.join(
@@ -608,7 +637,7 @@ def simhash_near_duplicates_md5(
         raise ValueError("need bands > max_hamming for full recall")
     sigs = simhash_md5_slices(
         df, id_col, text_col, bands=bands, width=width
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     melted = sigs.select(
         F.col(id_col).alias("__id"),
         *[F.col(f"slice{s}") for s in range(bands)],
@@ -675,7 +704,7 @@ def incremental_near_duplicates_md5(
         "corpus_id",
         num_hashes=num_hashes,
         bands=bands,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # hot-bucket guard on the CORPUS side (the side that can degenerate)
     counts = corpus_bands.groupBy("__band", "__bh").agg(
         F.count(F.lit(1)).alias("__n")
@@ -745,7 +774,7 @@ def paragraph_dedup_stats(
     # scanning + exploding the corpus twice (same discipline as the
     # MinHash signature checkpoint; measured 2.3s -> 1.2s cold at 10x
     # sf0.1)
-    paras = paras.localCheckpoint(eager=True)
+    paras = paras.localCheckpoint(eager=False)
     counts = paras.groupBy("__ph").agg(F.count(F.lit(1)).alias("__n"))
     per_para = paras.join(counts, "__ph")
     return (

@@ -62,7 +62,7 @@ def top_fraction(
     """
     scored = scored.select(id_col, score_col)
     if materialize:
-        scored = scored.localCheckpoint(eager=True)
+        scored = scored.localCheckpoint(eager=False)
     sc = F.col(score_col)
     hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
     tot = hist.agg(F.sum("__c").alias("__n"))

@@ -342,6 +342,92 @@ def synthesize_png(dims: DataFrame) -> DataFrame:
     )
 
 
+def encode_jpeg(width: int, height: int, *, progressive: bool = False) -> bytes:
+    """Build a minimal spec-valid JPEG marker stream (SOI, JFIF APP0,
+    DQT, SOF0 — or SOF2 when `progressive` — DHT, SOS, entropy stub,
+    EOI) carrying real frame dimensions, pure stdlib.  Pairs with
+    `jpeg_meta` so the `real=True` decode path can be driven and
+    oracle-checked distributively, like `encode_png` for PNG."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    dqt = b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    dht = b"\x00" + bytes([1] + [0] * 15) + b"\x00"  # one DC code: symbol 0
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC2 if progressive else 0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + b"\x00\x00"  # entropy stub
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """Build a minimal spec-valid GIF89a (logical screen descriptor
+    with real dims, 2-color global table, one image descriptor, LZW
+    stub, trailer), pure stdlib.  Pairs with `gif_meta`."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF0, 0x00, 0x00])  # GCT flag, 2 colors; bg 0; aspect 0
+        + bytes([0, 0, 0, 255, 255, 255])  # global color table
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # image descriptor, no local table
+        + bytes([2, 1, 0x44, 0])  # LZW min code 2, one data sub-block, end
+        + b"\x3b"  # trailer
+    )
+
+
+def synthesize_images(dims: DataFrame) -> DataFrame:
+    """(media_id, w, h, fmt in 'png'|'jpeg'|'gif') -> (media_id,
+    payload) with payload a REAL image in the named format, encoded
+    per-batch via mapInPandas — the mixed-format generalization of
+    `synthesize_png`, so one distributed roundtrip drives ALL THREE
+    stdlib header parsers through `decode_image(real=True)`'s sniffing
+    path.  Repartitions by media id so encode spreads across
+    executors even from a single-file input."""
+
+    encoders = {
+        "png": lambda w, h, m: encode_png(w, h, seed=m),
+        "jpeg": lambda w, h, m: encode_jpeg(w, h, progressive=m % 2 == 1),
+        "gif": lambda w, h, m: encode_gif(w, h),
+    }
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        encoders[f](int(w), int(h), int(m))
+                        for m, w, h, f in zip(
+                            pdf["media_id"], pdf["w"], pdf["h"], pdf["fmt"]
+                        )
+                    ],
+                }
+            )
+
+    return (
+        dims.select("media_id", "w", "h", "fmt")
+        .repartition(dims.sparkSession.sparkContext.defaultParallelism, "media_id")
+        .mapInPandas(_encode, schema="media_id long, payload binary")
+    )
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Byte-histogram feature vector (deterministic stand-in for a real
     embedding model): 8 buckets of byte-value counts, L1-normalized.

@@ -267,7 +267,7 @@ def cosine_near_duplicates(
         # candidate re-attach joins — materialize it once instead of
         # re-scanning + re-quantizing the source three times (same
         # discipline as the MinHash signature checkpoint)
-        side = side.localCheckpoint(eager=True)
+        side = side.localCheckpoint(eager=False)
         # melt to one row per (vector, table): the payload is shuffled
         # `tables`x, but each table join is a plain hash join on
         # (table, bucket) — the shape that survives a 1000-executor

@@ -71,7 +71,7 @@ def update_paragraph_index(
     partition pruning) and rewritten.  Returns the committed version."""
     batch = batch_paragraph_counts(
         docs, id_col, text_col, chunk_tokens=chunk_tokens
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     last: ConflictError | None = None
     for _ in range(3):

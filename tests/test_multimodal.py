@@ -303,3 +303,46 @@ def test_synthesize_png_roundtrip_through_spark(spark):
         for r in decode_image(synthesize_png(dims), real=True).collect()
     }
     assert rows == {1: (3, 2, 3), 2: (13, 7, 3), 3: (1, 1, 3)}
+
+
+def test_encode_jpeg_roundtrip_sof0_and_sof2():
+    from metrics_service_spark.operators.multimodal import encode_jpeg, jpeg_meta
+
+    assert jpeg_meta(encode_jpeg(13, 7)) == (13, 7, 3)
+    assert jpeg_meta(encode_jpeg(640, 480, progressive=True)) == (640, 480, 3)
+    # the stream is a well-formed marker sequence: image_meta sniffs it
+    from metrics_service_spark.operators.multimodal import image_meta
+
+    assert image_meta(encode_jpeg(5, 9)) == (5, 9, 3)
+
+
+def test_encode_gif_roundtrip():
+    from metrics_service_spark.operators.multimodal import (
+        encode_gif,
+        gif_meta,
+        image_meta,
+    )
+
+    assert gif_meta(encode_gif(21, 4)) == (21, 4, 3)
+    assert image_meta(encode_gif(300, 200)) == (300, 200, 3)
+
+
+def test_synthesize_images_mixed_distributed(spark):
+    """All three encoders through the distributed mapInPandas encode ->
+    sniff -> decode path."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.multimodal import (
+        decode_image,
+        synthesize_images,
+    )
+
+    dims = spark.createDataFrame(
+        [(i, 3 + i, 2 + i, ["png", "jpeg", "gif"][i % 3]) for i in range(9)],
+        "media_id long, w int, h int, fmt string",
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.channels)
+        for r in decode_image(synthesize_images(dims), real=True).collect()
+    }
+    assert got == {i: (3 + i, 2 + i, 3) for i in range(9)}

@@ -40,11 +40,15 @@ QUERIES = [
     # Lloyd loop (two corpus scans + k*dim-row collects)
     "emb_semdedup_int",
     "emb_kmeans_train",
-    # r6 bloom semi-join: the catalog entry keeps m=2^16 while build
-    # keys grow k-fold, so this row measures filter SATURATION (FP
-    # rate -> prune weakens); the m-scaled row below is the sizing
-    # rule applied
+    # bloom semi-join: since r7 the catalog entry SIZES m from the dim
+    # count (sized_m_bits, ~10 bits/key), so this row IS the sizing
+    # rule applied — the fixed-m EXTRA below shows the saturation the
+    # rule avoids
     "bloom_semi_lineitem",
+    # r7: fused incremental SemDeDup and the rewritten label
+    # propagation (self-loop single-reference rounds)
+    "emb_semdedup_incr",
+    "order_components",
 ]
 
 
@@ -148,10 +152,11 @@ def main() -> None:
         f"replicated lineitem/orders: {nl}/{no} x {k}", file=sys.stderr
     )
 
-    def bloom_semi_scaled(spark, sf_dir):
-        # the sizing rule applied: m grows with the dim key count
-        # (~10 bits/key), holding the FP rate — contrast with the
-        # fixed-m catalog row above
+    def bloom_semi_fixed(spark, sf_dir):
+        # the anti-pattern for contrast: m pinned at 2^16 while build
+        # keys grow k-fold -> FP rate rises, the prune saturates and
+        # the trailing exact join carries the load (the r6 catalog
+        # entry behaved like this; r7 switched it to sized_m_bits)
         from metrics_service_spark.operators.bloom import bloom_semi_join
 
         orders = load_table(spark, sf_dir, "orders").filter(
@@ -161,10 +166,10 @@ def main() -> None:
         )
         li = load_table(spark, sf_dir, "lineitem")
         return bloom_semi_join(
-            li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 20, k=5
+            li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=5
         ).groupBy("l_returnflag").count()
 
-    EXTRA = {"bloom_semi_m20": bloom_semi_scaled}
+    EXTRA = {"bloom_semi_fixed_m16": bloom_semi_fixed}
 
     cat = all_queries()
     out = {"k": k, "rows_base": n0, "queries": {}}
