@@ -156,7 +156,9 @@ def cmd_table(
     return 2
 
 
-def cmd_admit(table_dir: str, batch_path: str, n_cells: int) -> int:
+def cmd_admit(
+    table_dir: str, batch_path: str, n_cells: int, tau_num: int, tau_den: int
+) -> int:
     """Admit an embedding batch (parquet with vec_id, embedding)
     against the semantic index at table_dir (streaming/semantic_gate):
     prints one JSON verdict row per batch vector; admitted vectors are
@@ -165,9 +167,26 @@ def cmd_admit(table_dir: str, batch_path: str, n_cells: int) -> int:
 
     spark = _spark()
     batch = spark.read.parquet(batch_path)
-    res = admit_batch(spark, table_dir, batch, n_cells=n_cells)
+    res = admit_batch(
+        spark, table_dir, batch, n_cells=n_cells, tau_num=tau_num, tau_den=tau_den
+    )
     for row in res.toJSON().toLocalIterator():
         print(row)
+    return 0
+
+
+def cmd_refresh(table_dir: str, target_cell_size: int, iters: int) -> int:
+    """Maintenance: re-cluster the semantic index's cell geometry when
+    the corpus has outgrown it (streaming/semantic_gate
+    refresh_centroids) — reassigned rows + new centroid pointer land
+    as one pinned commit; prints the new version (null = not needed)."""
+    from metrics_service_spark.streaming.semantic_gate import refresh_centroids
+
+    spark = _spark()
+    v = refresh_centroids(
+        spark, table_dir, target_cell_size=target_cell_size, iters=iters
+    )
+    print(json.dumps({"refreshed_to_version": v}))
     return 0
 
 
@@ -204,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("table_dir")
     a.add_argument("--batch", required=True, help="parquet path: vec_id, embedding")
     a.add_argument("--n-cells", type=int, default=16)
+    a.add_argument("--tau-num", type=int, default=3)
+    a.add_argument("--tau-den", type=int, default=10)
+    rf = sub.add_parser("refresh")
+    rf.add_argument("table_dir")
+    rf.add_argument("--target-cell-size", type=int, default=1000)
+    rf.add_argument("--iters", type=int, default=2)
     args = ap.parse_args(argv)
     if args.cmd == "list":
         return cmd_list()
@@ -217,7 +242,11 @@ def main(argv: list[str] | None = None) -> int:
             args.keys, args.key_col,
         )
     if args.cmd == "admit":
-        return cmd_admit(args.table_dir, args.batch, args.n_cells)
+        return cmd_admit(
+            args.table_dir, args.batch, args.n_cells, args.tau_num, args.tau_den
+        )
+    if args.cmd == "refresh":
+        return cmd_refresh(args.table_dir, args.target_cell_size, args.iters)
     return cmd_request(args.file, args.events, args.identifiers, args.citations)
 
 

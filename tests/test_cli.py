@@ -170,3 +170,37 @@ def test_admit_subcommand(spark, tmp_path, capsys):
     rows = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
     # 3 near-dups vector 1 already in the index; 4 is new
     assert {r["vec_id"]: r["kept"] for r in rows} == {3: False, 4: True}
+
+
+def test_refresh_subcommand(spark, tmp_path, capsys):
+    import itertools
+    import math as m
+
+    pairs = list(itertools.permutations(range(4), 2))
+    rows = []
+    for kk in range(24):
+        a, b = pairs[kk % len(pairs)]
+        th = m.radians(20 + 25 * ((kk // len(pairs)) % 3))
+        v = [0.0] * 4
+        v[a] = round(m.cos(th), 4)
+        v[b] = round(m.sin(th), 4)
+        rows.append((kk, v))
+    batch = str(tmp_path / "b")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(batch)
+    tdir = str(tmp_path / "semidx")
+    assert main(
+        ["admit", tdir, "--batch", batch, "--n-cells", "2",
+         "--tau-num", "99", "--tau-den", "100"]
+    ) == 0
+    capsys.readouterr()
+
+    # under budget: no-op (null version)
+    assert main(["refresh", tdir, "--target-cell-size", "1000"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["refreshed_to_version"] is None
+
+    # over budget: migrates to a new version with more cells
+    assert main(["refresh", tdir, "--target-cell-size", "4"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert isinstance(out["refreshed_to_version"], int)

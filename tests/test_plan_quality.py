@@ -257,6 +257,7 @@ def test_kmeans_train_final_pass_is_projection(spark, sf_dir):
 #: numpy all-pairs baseline.  Everything else must stay JVM-side.
 PANDAS_WHITELIST = {
     "mm_image_meta_real",
+    "mm_image_meta_real_mixed",
     "mm_image_meta",
     "mm_frame_sample",
     "mm_audio_meta",
