@@ -12,13 +12,16 @@ Scale notes:
 - Frontier joins shrink each round; `localCheckpoint` every few rounds
   truncates the lineage so plan size stays O(1) instead of O(depth).
 - All checkpoints here are LAZY (eager=False): plan truncation happens
-  at call time either way (the logical plan becomes a LogicalRDD leaf
-  when localCheckpoint is invoked), but a lazy checkpoint materializes
-  inside the first downstream action instead of as its own
-  driver-blocking job — so a loop with no per-round probe
-  (early_stop=False) executes as ONE job end to end, each round's RDD
-  still computed exactly once.  r6 profiling showed these loops
-  dominated by sequential job-launch latency, not data volume.
+  at call time either way (the logical plan becomes a LogicalRDD
+  leaf), and the eager=True variant's extra `rdd.count()` job is
+  skipped.  Under AQE the call is still not free — toRdd materializes
+  the subplan's shuffle stages synchronously while AQE picks the final
+  plan — but AQE's tiny-shuffle coalescing more than pays for that
+  (measured: building these loops with AQE off is ~70% slower).  The
+  r7 lever that actually moved the needle was FEWER materialization
+  barriers where rounds are single-reference (connected_components
+  checkpoints every CHECKPOINT_EVERY rounds) and fewer separate
+  actions (no per-round probes when max_iters is structural).
 - Iterations are capped (the reference caps chain depth at 20); beyond
   that, GraphFrames connectedComponents (large-star/small-star, ~log n
   rounds) is the right tool for full family resolution of 10^8 edges.
@@ -181,6 +184,16 @@ def expand_family(
         dedup_targets = layers[-2:] if undirected else layers
         for seen in dedup_targets:
             grown = grown.join(seen, ["seed", "member"], "left_anti")
+        # NOTE on the per-layer checkpoint under AQE: localCheckpoint's
+        # toRdd materializes the subplan's query stages synchronously
+        # (AQE runs stages to pick the final plan), so each call is a
+        # small blocking job, not just planning.  Measured alternatives
+        # at sf0.1: skipping alternate layers is NEUTRAL (the skipped
+        # checkpoint's work re-runs ~3x in the successors), and
+        # building with AQE disabled is ~70% WORSE (static 32-partition
+        # shuffles lose more to stage scheduling than AQE's synchronous
+        # materialization costs).  Per-layer checkpoints + AQE
+        # coalescing is the measured local optimum.
         frontier = grown.localCheckpoint(eager=False)
         # early_stop=False skips the per-round emptiness probe for
         # callers whose max_iters is an exact structural bound (an

@@ -211,22 +211,35 @@ def admit_batch(
             .select(F.col("__vid").alias("__rej"))
             .distinct()
         )
-        admitted = vs_index.join(
-            hit_batch, vs_index["__vid"] == hit_batch["__rej"], "left_anti"
-        ).select(
-            F.col("__vid").alias(id_col),
-            F.col("__v").alias("qv"),
-            "cell",
-            F.col("__n2").alias("n2"),
+        admitted = (
+            vs_index.join(
+                hit_batch, vs_index["__vid"] == hit_batch["__rej"], "left_anti"
+            )
+            .select(
+                F.col("__vid").alias(id_col),
+                F.col("__v").alias("qv"),
+                "cell",
+                F.col("__n2").alias("n2"),
+            )
+            # three consumers (emptiness probe, merge, verdict join)
+            # otherwise re-run the whole index-join pipeline each
+            .localCheckpoint(eager=False)
         )
         try:
             if admitted.limit(1).count() > 0:
+                # partition_from_key: a row's cell is a deterministic
+                # function of (vector, centroid generation), and the
+                # only commit that changes the generation rewrites the
+                # WHOLE table in the same commit (refresh_centroids) —
+                # so an updated key can only live in its update-batch
+                # partition and the global key-probe scan is skipped
                 merge_table(
                     spark,
                     table_dir,
                     admitted,
                     key_cols=[id_col],
                     partition_cols=["cell"],
+                    partition_from_key=True,
                     expected_base=observed,
                 )
             adm_ids = admitted.select(
