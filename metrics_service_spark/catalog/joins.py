@@ -223,6 +223,9 @@ def q_pid_family_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("o_orderkey", "o_custkey", "rn")
+        # edges AND seeds derive from this window — materialize it once
+        # instead of running the row_number sort twice
+        .localCheckpoint(eager=False)
     )
     w2 = Window.partitionBy("o_custkey").orderBy("rn")
     e1 = lim.select(

