@@ -273,6 +273,10 @@ def cosine_near_duplicates(
         # (table, bucket) — the shape that survives a 1000-executor
         # shuffle, unlike a non-equi self-join.  Signatures come from
         # the codegen batch variant (identical to lsh_bucket_int).
+        # the signature frame feeds the bucket-count guard AND both
+        # candidate self-join sides — without a checkpoint the whole
+        # posexplode+agg signature pipeline appears FOUR times in the
+        # physical plan (seen in the executed plan; the r7 fix)
         buckets = lsh_buckets_int_batch(
             side,
             "id",
@@ -280,7 +284,7 @@ def cosine_near_duplicates(
             planes=prefilter_planes,
             tables=prefilter_tables,
             dim=dim,
-        )
+        ).localCheckpoint(eager=False)
         # degenerate-bucket guard (a constant/duplicated embedding at
         # corpus scale would make one bucket quadratic): drop buckets
         # above max_bucket, the same recall-for-survival trade as the
