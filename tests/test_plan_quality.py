@@ -272,7 +272,18 @@ def test_every_catalog_plan_free_of_global_antipatterns(spark, sf_dir):
     entries added after this test — must be free of cartesian products
     and row-at-a-time Python UDFs, and may use Arrow/Pandas stages only
     on the whitelist.  Per-query gates above pin specific shapes; this
-    is the default-deny backstop new entries inherit automatically."""
+    is the default-deny backstop new entries inherit automatically.
+
+    It also catches MULTI-REFERENCE RECOMPUTE blowups: a frame consumed
+    by several downstream branches without a checkpoint re-expands its
+    whole subtree per reference (the pre-r7 cosine_near_duplicates plan
+    computed the LSH signature pipeline FOUR times).  Detected as the
+    same Generate (explode) expression appearing more than once, or the
+    same parquet file scanned more than twice, after normalizing
+    expression ids."""
+    import re
+    from collections import Counter
+
     offenders = {}
     for name, spec in CATALOG.items():
         spark.catalog.clearCache()
@@ -286,6 +297,20 @@ def test_every_catalog_plan_free_of_global_antipatterns(spark, sf_dir):
             "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
         ) and name not in PANDAS_WHITELIST:
             flags.append("pandas-stage")
+        gens = Counter(
+            re.sub(r"#\d+", "#", ln.strip()[:120])
+            for ln in plan.splitlines()
+            if "Generate " in ln
+        )
+        if any(c > 1 for c in gens.values()):
+            flags.append("duplicate-generate-subtree")
+        scans = Counter(
+            re.sub(r"#\d+", "#", ln.strip()[:120])
+            for ln in plan.splitlines()
+            if "FileScan parquet" in ln
+        )
+        if any(c > 2 for c in scans.values()):
+            flags.append("triple-scan-same-file")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
