@@ -303,14 +303,17 @@ def connected_components(
     state is checkpointed per round (O(1) lineage); termination checks
     piggyback on the aggregate's count.
     """
-    # checkpoint the symmetrized edges FIRST: nodes/labels derive from
-    # them, so ordering the checkpoint after would evaluate the (possibly
-    # expensive — e.g. near-dup pair generation) edge input twice
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=False)
-    )
+    # checkpoint the INPUT edges before symmetrizing: the union below
+    # references `edges` twice, so an un-materialized input (window
+    # derivation, near-dup pair generation) would be computed twice —
+    # one leaf read each instead.  The symmetrized frame keeps its own
+    # checkpoint too: nodes and every propagation round re-read it.
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
     nodes = sym.select(F.col("a").alias("node")).distinct()
     if hop > 1:
         acc, exact = sym, sym
@@ -391,8 +394,12 @@ def connected_components(
 
 
 def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
+    # checkpoint before the union: it references `e` twice, and the
+    # caller's edge derivation may be expensive (see connected_components)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=False)
     )
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
 
