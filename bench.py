@@ -59,6 +59,7 @@ HEADLINE = [
     # the mixed-format real-image roundtrip
     "doc_tfidf_topk",
     "mm_image_meta_real_mixed",
+    "emb_contamination",
 ]
 
 

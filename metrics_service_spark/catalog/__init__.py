@@ -37,6 +37,8 @@ class QuerySpec:
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- implementation changed this round (r7) --------------------------
+    "doc_split_leakage_safe",    # NEW: cluster-keyed leakage-safe split
+    "emb_contamination",         # NEW: semantic decontamination scan
     "mm_image_meta_real_mixed",  # NEW: PNG+JPEG+GIF real roundtrip
     "emb_semdedup_int",          # literal-matrix argmax rewrite
     "emb_semdedup_incr",         # fused index+batch assignment

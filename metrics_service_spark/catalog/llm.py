@@ -237,7 +237,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # recursive CTE with UNION (not UNION ALL) dedups rows globally, so the
 # walk terminates on cycles; component = min reachable id incl. self
-ORACLE_DEDUP_CLUSTERS = f"""
+_CLUSTERS_CTE = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, lang,
          list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -261,12 +261,30 @@ WITH RECURSIVE sh AS (
   SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
 ), comp AS (
   SELECT node, least(node, min(reach)) AS cluster FROM walk GROUP BY node
-)
-SELECT d.doc_id,
-       coalesce(c.cluster, d.doc_id) AS cluster,
-       d.doc_id = coalesce(c.cluster, d.doc_id) AS is_canonical
-FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)"""
+
+ORACLE_DEDUP_CLUSTERS = (
+    _CLUSTERS_CTE
+    + """
+SELECT doc_id, cluster, doc_id = cluster AS is_canonical FROM assigned
 """
+)
+
+ORACLE_SPLIT_LEAKAGE_SAFE = (
+    _CLUSTERS_CTE
+    + """
+SELECT doc_id, cluster,
+       CASE WHEN substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train'
+            WHEN substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+"""
+)
 
 
 # --- multi-signal near-dup agreement ---------------------------------------
@@ -601,6 +619,19 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def q_doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment keys on the
+    near-dup CLUSTER id (doc_dedup_clusters' connected components),
+    so every member of a near-duplicate cluster lands in the SAME
+    split — a plain per-doc hash split (doc_split) can leak a test
+    document's near-copy into train.  Singletons key on their own id,
+    making this a strict refinement of the per-doc split."""
+    from metrics_service_spark.operators.sampling import hash_split
+
+    cc = q_doc_dedup_clusters(spark, sf_dir)
+    return hash_split(cc.select("doc_id", "cluster"), "cluster")
 
 
 def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1329,6 +1360,81 @@ def q_emb_semdedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination scan: the vec_id % 7 == 0 slice plays
+    the benchmark/test set; every remaining corpus vector is flagged
+    iff a benchmark vector in its cell passes the integer cosine
+    threshold (operators/similarity.py semantic_contamination_int) —
+    the embedding-space complement of doc_contamination's n-gram scan,
+    catching paraphrased leakage that surface n-grams miss."""
+    from metrics_service_spark.operators.similarity import (
+        semantic_contamination_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    benchmark = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    return semantic_contamination_int(
+        corpus, benchmark, n_cells=16, tau_num=3, tau_den=10
+    )
+
+
+ORACLE_EMB_CONTAMINATION = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), idx AS (
+  SELECT * FROM q WHERE vec_id % 7 = 0
+), bat AS (
+  SELECT * FROM q WHERE vec_id % 7 <> 0
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM idx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), iscored AS (
+  SELECT i.vec_id, i.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> i.v[j] * s.v[j]))
+              AS BIGINT) AS dot
+  FROM idx i CROSS JOIN seeds s
+), iassigned AS (
+  SELECT vec_id, v, cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> v[j] * v[j]))
+              AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM iscored
+  ) WHERE rk = 1
+), bscored AS (
+  SELECT b.vec_id, b.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> b.v[j] * s.v[j]))
+              AS BIGINT) AS dot
+  FROM bat b CROSS JOIN seeds s
+), bassigned AS (
+  SELECT vec_id, v, cell,
+         CAST(list_sum(list_transform(range(1, 65), j -> v[j] * v[j]))
+              AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM bscored
+  ) WHERE rk = 1
+), pr AS (
+  SELECT b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), j -> b.v[j] * i.v[j]))
+              AS BIGINT) AS d,
+         b.n2 AS nb2, i.n2 AS ni2
+  FROM bassigned b JOIN iassigned i ON b.cell = i.cell
+), hit AS (
+  SELECT DISTINCT id_b FROM pr
+  WHERE d >= 0 AND 100 * d * d >= 9 * nb2 * ni2
+)
+SELECT b.vec_id, CAST(b.cell AS INT) AS cell, p.id_b IS NOT NULL AS contaminated
+FROM bassigned b LEFT JOIN hit p ON b.vec_id = p.id_b
+"""
+
+
 ORACLE_SEMDEDUP_INCR = """
 WITH q AS (
   SELECT vec_id,
@@ -1792,6 +1898,18 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_dedup_clusters,
         ORACLE_DEDUP_CLUSTERS,
         "near-dup pairs -> connected components -> canonical keep-list",
+        ("llm",),
+    ),
+    "doc_split_leakage_safe": QuerySpec(
+        q_doc_split_leakage_safe,
+        ORACLE_SPLIT_LEAKAGE_SAFE,
+        "train/val/test split keyed on near-dup cluster (no cross-split leakage)",
+        ("llm",),
+    ),
+    "emb_contamination": QuerySpec(
+        q_emb_contamination,
+        ORACLE_EMB_CONTAMINATION,
+        "semantic decontamination vs benchmark embeddings (cell-blocked int cosine)",
         ("llm",),
     ),
     "doc_split": QuerySpec(

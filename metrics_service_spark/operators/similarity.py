@@ -1390,6 +1390,43 @@ def kmeans_train(
     )
 
 
+def semantic_contamination_int(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau_num: int = 3,
+    tau_den: int = 10,
+) -> DataFrame:
+    """Semantic decontamination: flag every corpus vector that is
+    embedding-near a BENCHMARK vector (cos >= tau in the exact integer
+    arithmetic of the SemDeDup family) — the semantic complement of
+    the n-gram `benchmark_contamination` scan, catching paraphrased or
+    re-tokenized test-set leakage that surface n-grams miss.
+
+    Cells are seeded from the benchmark side (md5 order, stable as the
+    corpus grows); both sides assign by the shared pure-projection
+    argmax; each corpus vector meets only its cell's benchmark
+    vectors.  Exactly `semantic_dedup_incremental_int` with the roles
+    reversed and no admission semantics: corpus rows are never
+    compared with each other.  Output: every corpus row with
+    (cell, contaminated)."""
+    res = semantic_dedup_incremental_int(
+        benchmark,
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        tau_num=tau_num,
+        tau_den=tau_den,
+    )
+    return res.select(
+        F.col(id_col), "cell", (~F.col("kept")).alias("contaminated")
+    )
+
+
 def semantic_dedup_incremental_int(
     index: DataFrame,
     batch: DataFrame,
