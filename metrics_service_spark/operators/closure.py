@@ -314,7 +314,15 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
-    nodes = sym.select(F.col("a").alias("node")).distinct()
+    # nodes has TWO consumers (the initial labels and the self-loop
+    # rows of `prop`) — checkpointing it runs the distinct once;
+    # `labels` itself is a projection over this leaf and needs no
+    # barrier of its own
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if hop > 1:
         acc, exact = sym, sym
         for _ in range(hop - 1):
@@ -332,9 +340,7 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         max_iters = -(-max_iters // hop)
-    labels = nodes.select("node", F.col("node").alias("component")).localCheckpoint(
-        eager=False
-    )
+    labels = nodes.select("node", F.col("node").alias("component"))
     if not early_stop:
         # probe-free loop: self-loop edges make each node its own
         # neighbor, so a round is ONE join + ONE min-agg and — key for
