@@ -149,12 +149,13 @@ def test_admit_string_ids_bootstrap(spark, tmp_path):
 
 
 def _grow_rows(n, dim=4, start=100):
-    """n deterministic vectors pairwise separated by cos < 0.95: each
-    lives in one of the 12 ordered axis planes at one of three angle
-    rings (20/45/70 deg), keyed on the ABSOLUTE id so different-start
-    batches don't repeat directions (same plane+ring = same direction;
-    distinct rings are 25 deg apart; distinct planes share at most one
-    axis, bounding cos by cos(20deg)^2 ~ 0.88)."""
+    """n deterministic vectors pairwise separated by cos <= 0.985:
+    each lives in one of the 12 ordered axis planes at one of three
+    angle rings (12/40/68 deg), keyed on the ABSOLUTE id so
+    different-start batches don't repeat directions.  Ring angles stay
+    away from 45 deg because the MIRRORED plane (b,a) at angle t has
+    cos = sin(2t) against (a,b) — at 45 deg they are the same
+    direction; the worst surviving pair here is sin(80deg) ~ 0.985."""
     import itertools
     import math as m
 
@@ -163,7 +164,7 @@ def _grow_rows(n, dim=4, start=100):
     for i in range(n):
         k = start + i
         a, b = pairs[k % len(pairs)]
-        theta = m.radians(20 + 25 * ((k // len(pairs)) % 3))
+        theta = m.radians(12 + 28 * ((k // len(pairs)) % 3))
         v = [0.0] * dim
         v[a] = round(m.cos(theta), 4)
         v[b] = round(m.sin(theta), 4)
@@ -249,3 +250,81 @@ def test_streaming_fold_runs_refresh(spark, tmp_path):
     meta = manifest_meta(tdir)
     assert meta.get("centroid_file", "").startswith("_semantic_centroids_")
     assert meta["n_cells"] > 2
+
+
+def test_admit_racing_migration_retries_under_new_geometry(spark, tmp_path, monkeypatch):
+    """Deterministic interleaving of the admit-vs-refresh race: a
+    centroid migration commits BETWEEN the admitter's snapshot read
+    and its merge.  The admitter's first merge must fail on the pinned
+    base, and the retry must re-resolve the NEW geometry (different
+    centroid file), re-assign its batch and converge — verdicts
+    consistent, no duplicate keys, cells valid under the migrated
+    generation."""
+    from metrics_service_spark.sources.merge_table import manifest_meta
+    from metrics_service_spark.streaming import semantic_gate as sg
+
+    tau = dict(tau_num=99, tau_den=100)
+    tdir = str(tmp_path / "semidx_race")
+    admit_batch(spark, tdir, _batch(spark, _grow_rows(12)), n_cells=2, **tau)
+
+    real_merge = sg.merge_table
+    fired = {"n": 0}
+
+    def racing_merge(spark_, table_dir_, updates, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the racer: corpus outgrew the geometry; migration commits
+            # first, bumping the version and the centroid pointer
+            newv = sg.refresh_centroids(spark_, table_dir_, target_cell_size=4)
+            assert newv is not None
+        return real_merge(spark_, table_dir_, updates, **kw)
+
+    monkeypatch.setattr(sg, "merge_table", racing_merge)
+    out = admit_batch(
+        spark, tdir, _batch(spark, _grow_rows(8, start=700)), n_cells=2, **tau
+    )
+    kept = {r.vec_id: (r.kept, r.cell) for r in out.collect()}
+    assert fired["n"] == 1  # the race actually happened
+    assert all(k for k, _ in kept.values())  # distinct directions admit
+
+    meta = manifest_meta(tdir)
+    n_cells_new = meta["n_cells"]
+    assert n_cells_new > 2
+    rows = read_table(spark, tdir).collect()
+    ids = sorted(r.vec_id for r in rows)
+    assert ids == sorted(set(ids))  # no duplicate keys
+    # admitted rows landed with cells of the NEW geometry
+    for r in rows:
+        assert 0 <= r.cell < n_cells_new
+    for vid, (_, cell) in kept.items():
+        assert 0 <= cell < n_cells_new
+
+
+def test_refresh_losing_race_cleans_up_orphan_centroids(spark, tmp_path, monkeypatch):
+    """The inverse race: an admit commits between refresh's snapshot
+    read and its pinned overwrite.  refresh_centroids must surface
+    ConflictError and unlink the centroid generation it staged."""
+    from metrics_service_spark.sources.merge_table import ConflictError
+    from metrics_service_spark.streaming import semantic_gate as sg
+
+    tau = dict(tau_num=99, tau_den=100)
+    tdir = str(tmp_path / "semidx_race2")
+    admit_batch(spark, tdir, _batch(spark, _grow_rows(12)), n_cells=2, **tau)
+
+    real_overwrite = sg.overwrite_table
+
+    def racing_overwrite(df, table_dir_, **kw):
+        # the racer admits just before the migration's commit
+        admit_batch(
+            spark, tdir, _batch(spark, _grow_rows(4, start=800)), n_cells=2, **tau
+        )
+        return real_overwrite(df, table_dir_, **kw)
+
+    monkeypatch.setattr(sg, "overwrite_table", racing_overwrite)
+    before = set(os.listdir(tdir))
+    with pytest.raises(ConflictError):
+        sg.refresh_centroids(spark, tdir, target_cell_size=4)
+    after = set(os.listdir(tdir))
+    # no orphaned centroid generation left behind (boot file persists)
+    new_files = {f for f in after - before if f.startswith("_semantic_centroids_")}
+    assert new_files == set()
