@@ -50,6 +50,18 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "order_components",          # self-loop single-ref propagation
     "doc_dedup_clusters",        # connected_components changed; last row r4
     "package_counts",            # resolve_chains changed; last row r4
+    # -- implementation also changed in r7 (dedup/gate/core/similarity
+    #    lazy checkpoints, jaccard conjunct rewrite, signature ckpt) ------
+    "emb_cosine_neardup",
+    "doc_jaccard_pairs",
+    "doc_multi_signal_pairs",
+    "doc_minhash_dedup",
+    "doc_minhash_dedup_md5",
+    "doc_incremental_dedup",
+    "doc_paragraph_dedup",
+    "doc_quality_filter",
+    "ev_dau_stickiness",
+    "ev_retention",
     # -- VERDICT r6 #7 named twins (last row r4) -------------------------
     "emb_ann_lsh_int",
     "emb_ann_ivf_int",
@@ -62,7 +74,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_sample_stratified",
     "doc_unigram_freq",
     "doc_ngram_topk",
-    "doc_multi_signal_pairs",
     "emb_random_projection",
     "doc_quality_filter_exact",
     "emb_cosine_neardup_allpairs",
@@ -90,8 +101,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_interevent_gap",
     "ev_value_median",
     "ev_asof_orders",
-    "ev_retention",
-    "ev_dau_stickiness",
     "ev_funnel",
     "ev_session_having",
     "ev_sessionize_global",
