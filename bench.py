@@ -185,33 +185,46 @@ def _warm(spark) -> None:
     _ = pd  # imported on workers via mapInPandas closure
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Median-of-3 per query (VERDICT r7 #1): a single sample on this
+    # box swings up to 2.3x run-to-run (the recorded r7 tpch_q1/q3
+    # outliers) which makes the 2x contract un-auditable.  The median
+    # is the number of record; min/max are kept so the spread itself
+    # is auditable from the artifact.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("msspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark)
 
     catalog = all_queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+
+    def _time(name: str, run) -> None:
+        samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            df = catalog[name].fn(spark, sf_dir)
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            run()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(_median(samples), 3)
+        lo[name] = round(min(samples), 3)
+        hi[name] = round(max(samples), 3)
+
+    for name in HEADLINE:
+        _time(name, lambda: catalog[name].fn(spark, sf_dir).collect())
 
     for name, factory in MICRO.items():
         run, cleanup = factory(spark, sf_dir)
         try:
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                run()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+            _time(name, run)
         finally:
             cleanup()
 
@@ -223,6 +236,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": lo,
+                "queries_max": hi,
+                "reps": reps,
                 "sf": sf_dir,
             }
         )

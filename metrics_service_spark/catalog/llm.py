@@ -226,13 +226,14 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncapped form at 39.8x wall growth (cells grow with the corpus).
     # The cap is the operator's documented linearity guard (docs in
     # overfull cells become singletons — at THAT density the exact
-    # baseline defers to MinHash-LSH clustering anyway).  It cannot
-    # fire at oracle scales (a cell can't exceed the corpus: <=500
-    # docs at sf0.01), so the cap-free SQL oracle stays exact there
-    # while replicated measurement runs stay linear.
+    # baseline defers to MinHash-LSH clustering anyway).  The oracle
+    # CTE mirrors the SAME deterministic drop rule (r7 ADVICE: a
+    # Spark-only cap would silently diverge from the oracle at any
+    # scale where a cell exceeds the cap), so both sides stay exact
+    # at every scale, including replicated probe runs.
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, block_cols=["lang"],
-        threshold=JACCARD_THRESHOLD, max_cell=1000,
+        threshold=JACCARD_THRESHOLD, max_cell=CLUSTERS_MAX_CELL,
     ).select("id_a", "id_b")
     cc = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
@@ -247,13 +248,26 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # recursive CTE with UNION (not UNION ALL) dedups rows globally, so the
-# walk terminates on cycles; component = min reachable id incl. self
+# walk terminates on cycles; component = min reachable id incl. self.
+# The sh0->cells->sh prologue mirrors the Spark side's max_cell
+# linearity guard (same deterministic drop rule as ORACLE_JACCARD, at
+# the clustering entries' own cap) so Spark and oracle stay identical
+# at EVERY scale, including replicated probe runs where the cap fires.
+CLUSTERS_MAX_CELL = 1_000
+
 _CLUSTERS_CTE = f"""
-WITH RECURSIVE sh AS (
+WITH RECURSIVE sh0 AS (
   SELECT doc_id, lang,
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+), cells AS (
+  SELECT lang, length(bin(len(s))) AS bkt, count(*) AS cell_n
+  FROM sh0 GROUP BY 1, 2
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN cells ON cells.lang = sh0.lang AND cells.bkt = length(bin(len(sh0.s)))
+  WHERE cells.cell_n <= {CLUSTERS_MAX_CELL}
 ), pairs AS (
   SELECT id_a, id_b FROM (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -21,6 +21,7 @@ an equi-join on bucket signature before ranking.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -988,6 +989,34 @@ def _check_sem_bounds(cvecs: list[list[int]]) -> None:
             )
 
 
+def check_tau_bounds(tau_num: int, tau_den: int) -> None:
+    """Validate a cosine threshold against the int64 no-overflow
+    contract.  The threshold test multiplies den^2*dot^2 and
+    num^2*|a|^2*|b|^2 where dot, |a|^2, |b|^2 are each bounded by
+    _SEM_MAX_DIM * _SEM_MAX_Q^2 (the _check_sem_bounds envelope); with
+    ANSI off, a tau outside this bound silently WRAPS and flips
+    keep/drop verdicts (the r7-ADVICE finding: e.g. tau 99/100 at
+    dim 64, |q|=2000).  Permitted: max(|num|, den) <= 11 at the
+    default envelope."""
+    if tau_den <= 0:
+        raise ValueError(f"tau_den must be positive, got {tau_den}")
+    if tau_num < 0:
+        raise ValueError(
+            f"tau_num must be non-negative (cos threshold), got {tau_num}"
+        )
+    worst = _SEM_MAX_DIM * _SEM_MAX_Q * _SEM_MAX_Q  # max dot / |v|^2
+    limit = (2**63 - 1) // (worst * worst)  # max allowed num^2 / den^2
+    for side, v in (("tau_num", tau_num), ("tau_den", tau_den)):
+        if v * v > limit:
+            raise ValueError(
+                f"{side}={v} overflows the int64 threshold arithmetic: "
+                f"{side}^2 * (dim*maxq^2)^2 exceeds 2^63-1 at the "
+                f"permitted envelope dim={_SEM_MAX_DIM}, |q|<={_SEM_MAX_Q} "
+                f"— use a coarser ratio (max {math.isqrt(limit)}, e.g. "
+                "9/10 instead of 99/100) or reduce dim/SEM_QUANT"
+            )
+
+
 def _argmax_cells(quant: DataFrame, cvecs: list[list[int]]) -> DataFrame:
     """Shared integer argmax over pre-quantized vectors: input needs
     columns (__vid, __v: array<long>); every OTHER input column is
@@ -1087,6 +1116,7 @@ def semantic_dedup_int(
     bounded and the quadratic within-cell join stays linear overall —
     the same contract as the paper's k-means sharding.  AQE splits any
     hot cell.  The float production variant is `semantic_dedup`."""
+    check_tau_bounds(tau_num, tau_den)
     cvecs = _md5_seed_centroids(embeddings, id_col, vec_col, n_cells)
     # assigned feeds BOTH pair sides and the final keep-list join;
     # materialize it once (same contract as dedup.py's signature
@@ -1454,6 +1484,7 @@ def semantic_dedup_incremental_int(
     the single LAZY checkpoint materializes inside the caller's
     action — the r6 profile showed this operator's 6.95 s at sf0.1
     was almost entirely sequential job-launch overhead on 2k rows."""
+    check_tau_bounds(tau_num, tau_den)
     cvecs = _md5_seed_centroids(index, id_col, vec_col, n_cells)
     tagged = index.select(
         F.col(id_col), F.col(vec_col), F.lit(False).alias("__bat")

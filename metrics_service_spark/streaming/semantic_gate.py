@@ -48,6 +48,7 @@ from metrics_service_spark.operators.similarity import (
     _assign_int,
     _check_sem_bounds,
     _md5_seed_centroids,
+    check_tau_bounds,
     dot_long,
     lloyd_centroids,
 )
@@ -113,10 +114,16 @@ def _load_or_init_centroids(
     fname = _centroid_fname(table_dir, version) if version >= 0 else _BOOT_FILE
     path = os.path.join(table_dir, fname)
     if not os.path.exists(path):
-        if version >= 0 and fname != _BOOT_FILE:
+        if version >= 0:
+            # a COMMITTED table always implies its centroid file was
+            # written (the boot file included — admission writes it
+            # before the first commit): a missing file is corruption.
+            # Re-seeding from the CURRENT batch would silently leave
+            # every stored row's `cell` inconsistent with the new
+            # geometry (wrong pruning and verdicts) — r7 ADVICE.
             raise FileNotFoundError(
-                f"centroid file {fname} named by v{version} meta is missing "
-                f"under {table_dir}"
+                f"centroid file {fname} named by v{version} is missing "
+                f"under {table_dir} — committed table, refusing to re-seed"
             )
         cvecs = _md5_seed_centroids(batch, id_col, vec_col, n_cells)
         _write_centroids_atomic(table_dir, fname, cvecs)
@@ -134,6 +141,7 @@ def admit_batch(
     tau_num: int = 3,
     tau_den: int = 10,
     max_retries: int = 3,
+    immutable_ids: bool = True,
 ) -> DataFrame:
     """Admit one embedding batch.  Returns every batch row with
     (cell, kept); kept rows are already committed to the index when
@@ -143,9 +151,24 @@ def admit_batch(
     batch vector (the within-batch SemDeDup drop rule).  Each retry
     re-resolves the snapshot AND its centroid geometry, so admitters
     racing a `refresh_centroids` migration re-assign under the new
-    cells and converge."""
+    cells and converge.
+
+    CONTRACT (default `immutable_ids=True`): (id, embedding) pairs are
+    immutable — re-delivering a batch is fine (replay converges), but
+    re-admitting an EXISTING id with a different embedding is not: its
+    new cell may differ from the stored one, and the fast merge path
+    (partition_from_key) skips the global key probe that would rewrite
+    the stale row out of its old partition, leaving a duplicate key.
+    If your source can re-emit an id with changed content, pass
+    `immutable_ids=False`: the merge then runs the global key-probe
+    MERGE (moved keys are rewritten out of their old cell) at the cost
+    of a column-pruned scan of the remaining files per commit."""
     if max_retries < 1:
         raise ValueError(f"max_retries must be >= 1, got {max_retries}")
+    # CLI-reachable threshold: validate against the int64 envelope
+    # BEFORE building any plan (e.g. tau 99/100 silently wraps the
+    # den^2*d^2 product at the permitted dim/|q| bounds — r7 ADVICE)
+    check_tau_bounds(tau_num, tau_den)
     num2, den2 = tau_num * tau_num, tau_den * tau_den
 
     def near(d, na2, nb2):
@@ -227,19 +250,21 @@ def admit_batch(
         )
         try:
             if admitted.limit(1).count() > 0:
-                # partition_from_key: a row's cell is a deterministic
-                # function of (vector, centroid generation), and the
-                # only commit that changes the generation rewrites the
-                # WHOLE table in the same commit (refresh_centroids) —
-                # so an updated key can only live in its update-batch
-                # partition and the global key-probe scan is skipped
+                # immutable_ids -> partition_from_key: a row's cell is
+                # a deterministic function of (vector, centroid
+                # generation), the only commit that changes the
+                # generation rewrites the WHOLE table in the same
+                # commit (refresh_centroids), and the immutability
+                # contract pins vector per id — so an updated key can
+                # only live in its update-batch partition and the
+                # global key-probe scan is skipped
                 merge_table(
                     spark,
                     table_dir,
                     admitted,
                     key_cols=[id_col],
                     partition_cols=["cell"],
-                    partition_from_key=True,
+                    partition_from_key=immutable_ids,
                     expected_base=observed,
                 )
             adm_ids = admitted.select(

@@ -190,9 +190,12 @@ def test_refresh_subcommand(spark, tmp_path, capsys):
         rows, "vec_id long, embedding array<float>"
     ).write.parquet(batch)
     tdir = str(tmp_path / "semidx")
+    # 10/11 = 0.909 admits everything here (max pairwise cos ~0.906)
+    # while staying inside the int64 tau envelope — 99/100 would raise
+    # (see test_admit_tau_out_of_bounds)
     assert main(
         ["admit", tdir, "--batch", batch, "--n-cells", "2",
-         "--tau-num", "99", "--tau-den", "100"]
+         "--tau-num", "10", "--tau-den", "11"]
     ) == 0
     capsys.readouterr()
 

@@ -134,6 +134,57 @@ def test_admit_validates_max_retries(spark, tmp_path):
         )
 
 
+def test_admit_tau_out_of_bounds(spark, tmp_path):
+    """ADVICE r7: CLI-reachable tau must be validated against the
+    int64 envelope — 99/100 silently wraps den^2*d^2 at the permitted
+    dim/|q| bounds and flips verdicts with ANSI off."""
+    with pytest.raises(ValueError, match="tau_num=99"):
+        admit_batch(
+            spark,
+            str(tmp_path / "t"),
+            _batch(spark, [(1, V1)]),
+            n_cells=2,
+            tau_num=99,
+            tau_den=100,
+        )
+
+
+def test_missing_boot_centroids_on_committed_table_raises(spark, tmp_path):
+    """ADVICE r7: a committed table whose (boot) centroid file was
+    deleted is CORRUPTION — silently re-seeding from the current batch
+    would leave stored rows' cells inconsistent with the new geometry."""
+    tdir = str(tmp_path / "semidx")
+    admit_batch(spark, tdir, _batch(spark, [(1, V1), (2, V2)]), n_cells=2)
+    os.unlink(os.path.join(tdir, _BOOT_FILE))
+    with pytest.raises(FileNotFoundError, match="refusing to re-seed"):
+        admit_batch(spark, tdir, _batch(spark, [(4, V4)]), n_cells=2)
+
+
+def test_mutable_ids_rewrite_moved_key_out_of_old_cell(spark, tmp_path):
+    """ADVICE r7: re-admitting an existing id with a DIFFERENT
+    embedding can assign it a new cell; the default fast path
+    (immutable_ids=True) documents that as out of contract, and
+    immutable_ids=False runs the global key-probe MERGE so the stale
+    row is rewritten out of its old partition — exactly one row per
+    key afterwards."""
+    tdir = str(tmp_path / "semidx")
+    admit_batch(spark, tdir, _batch(spark, [(1, V1), (2, V2)]), n_cells=2)
+    cells0 = {r.vec_id: r.cell for r in read_table(spark, tdir).collect()}
+    # re-admit id 2 with V4 (orthogonal to everything: admitted, and
+    # with 2 cells seeded from (V1, V2) it lands in a different cell
+    # than the stored V2 row for the guard to be exercised)
+    out = _kept(
+        admit_batch(
+            spark, tdir, _batch(spark, [(2, V4)]), n_cells=2, immutable_ids=False
+        )
+    )
+    assert out == {2: True}
+    rows = read_table(spark, tdir).collect()
+    assert sorted(r.vec_id for r in rows) == [1, 2]  # no duplicate key
+    new_cell = {r.vec_id: r.cell for r in rows}[2]
+    assert new_cell != cells0[2]  # the key genuinely moved partitions
+
+
 def test_admit_string_ids_bootstrap(spark, tmp_path):
     """ADVICE r6: the empty-index rejection frame must use the batch's
     own id type — string ids previously anti-joined a string __vid

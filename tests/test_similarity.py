@@ -352,3 +352,35 @@ def test_sem_quant_bounds_validated_at_seed_collect(spark):
     )
     with _pytest.raises(ValueError, match="dim"):
         sim.semantic_dedup_int(wide, n_cells=4)
+
+
+def test_tau_bounds_validated(spark):
+    """ADVICE r7: tau outside the int64 envelope (max 11 at the
+    default dim/|q| bounds) must raise at plan-build time — num^2 or
+    den^2 times (dim*maxq^2)^2 would exceed 2^63-1 and silently wrap
+    with ANSI off, flipping keep/drop verdicts."""
+    import pytest as _pytest
+
+    from metrics_service_spark.operators.similarity import check_tau_bounds
+
+    check_tau_bounds(3, 10)
+    check_tau_bounds(11, 11)  # the boundary ratio is still valid
+    check_tau_bounds(0, 1)
+    with _pytest.raises(ValueError, match="tau_den=100"):
+        check_tau_bounds(9, 100)
+    with _pytest.raises(ValueError, match="tau_num=99"):
+        check_tau_bounds(99, 100)
+    with _pytest.raises(ValueError, match="positive"):
+        check_tau_bounds(3, 0)
+    with _pytest.raises(ValueError, match="non-negative"):
+        check_tau_bounds(-1, 10)
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    from metrics_service_spark.operators import similarity as sim
+
+    with _pytest.raises(ValueError, match="overflows"):
+        sim.semantic_dedup_int(df, n_cells=2, tau_num=99, tau_den=100)
+    with _pytest.raises(ValueError, match="overflows"):
+        sim.semantic_dedup_incremental_int(df, df, n_cells=2, tau_num=99, tau_den=100)
