@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
 from metrics_service_spark.operators.closure import expand_family, resolve_chains
-from metrics_service_spark.sources.tables import load_table
+from metrics_service_spark.sources.tables import load_table, rowcount_bound
 
 
 # --- J3: left-semi join (identifier-family expansion analog) -------------
@@ -343,11 +343,17 @@ def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ordinary left-semi join removes the false positives — so the
     answer is bit-identical to the plain semi-join the oracle runs.
     Dim here is one year of URGENT orders (~1% of lineitem matches);
-    m is SIZED from the dim count (sized_m_bits: next pow2 >=
-    10 bits/key — one cheap count on the filtered dim) so the benched
-    configuration is the one that stays flat as data grows: SCALE.md's
-    50x probe shows a pinned m saturating (FP -> 1, 6.9x wall) while
-    the sized filter holds 1.5x."""
+    m is SIZED from a JOBLESS statistics bound (r8, VERDICT r7 #7):
+    `rowcount_bound` reads the parquet footer's row-group min/max
+    stats driver-side — no dedicated `orders.count()` action per
+    build, which at 100x dim scale is a real job whose only output is
+    one integer the manifest already knows.  sized_m_bits documents
+    that any upper bound is valid (oversizing costs only m/64 plan
+    literals, clamped at 2^23); the sizing still tracks data growth,
+    so SCALE.md's pinned-m saturation (FP -> 1, 6.9x wall) cannot
+    happen."""
+    import datetime
+
     from metrics_service_spark.operators.bloom import (
         bloom_semi_join,
         sized_m_bits,
@@ -358,13 +364,24 @@ def q_bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
     )
+    bound = rowcount_bound(
+        sf_dir,
+        "orders",
+        {
+            "o_orderpriority": ("1-URGENT", "1-URGENT"),
+            "o_orderdate": (
+                datetime.datetime(1995, 1, 1),
+                datetime.datetime(1996, 1, 1),
+            ),
+        },
+    )
     li = load_table(spark, sf_dir, "lineitem")
     matched = bloom_semi_join(
         li,
         orders,
         "l_orderkey",
         "o_orderkey",
-        m_bits=sized_m_bits(orders.count()),
+        m_bits=sized_m_bits(bound),
         k=3,
     )
     return matched.groupBy("l_returnflag").agg(

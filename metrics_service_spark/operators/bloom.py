@@ -50,6 +50,13 @@ from pyspark.sql import functions as F
 #: constant works; independence comes from xxhash64's avalanche.
 _SALT = 0x9E3779B9
 
+#: Largest filter inlined as a single array<long> literal.  Above this
+#: the probe switches to broadcast word-table joins: measured at
+#: m=2^21 (sf0.1 lineitem probe) the literal path costs ~3.4 s of
+#: analysis/codegen on the 32k-element constant plus ~2x probe
+#: execution, while the joined path stays at the m=2^16 wall.
+INLINE_LIMIT_BITS = 1 << 19
+
 
 def _h1(key: Column, m_bits: int) -> Column:
     # reduced mod m up front: ANSI mode (Spark 4 default) rejects the
@@ -159,13 +166,87 @@ def bloom_semi_join(
 ) -> DataFrame:
     """Semi-join `fact` to `dim` with a Bloom pre-prune on the fact
     side.  Result is EXACTLY the plain left-semi join: the prune only
-    admits false positives and the real join removes them."""
-    words = build_bloom(dim, dim_key, m_bits=m_bits, k=k)
-    pruned = fact.filter(
-        bloom_contains(F.col(fact_key), words, m_bits=m_bits, k=k)
-    )
+    admits false positives and the real join removes them.
+
+    Two probe shapes, picked by m (the module docstring's "dims too
+    large for literal inlining" seam, now implemented): up to
+    `INLINE_LIMIT_BITS` the word array is collected and inlined as one
+    literal (pure codegen filter, zero joins); above it the words STAY
+    DISTRIBUTED as an m/64-row frame and the probe is k broadcast hash
+    joins on the word index — no driver materialization at all, and no
+    multi-hundred-KB literal for analysis/codegen to chew (measured at
+    m=2^21, sf0.1: literal probe 4.5 s wall vs 1.4 s joined)."""
+    if m_bits <= INLINE_LIMIT_BITS:
+        words = build_bloom(dim, dim_key, m_bits=m_bits, k=k)
+        pruned = fact.filter(
+            bloom_contains(F.col(fact_key), words, m_bits=m_bits, k=k)
+        )
+    else:
+        pruned = _bloom_prune_join(fact, dim, fact_key, dim_key, m_bits, k)
     return pruned.join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(),
         fact_key,
         "left_semi",
     )
+
+
+def _bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int,
+    k: int,
+) -> DataFrame:
+    """Probe via k broadcast hash joins against the distributed word
+    frame (same bit arithmetic as `bloom_contains`).  The word frame is
+    one dim-side scan + bit_or agg — identical to `build_bloom` minus
+    the collect — lazily checkpointed so the k joins share ONE
+    materialization; at most m/64 rows broadcast.  Each join keeps a
+    fact row only if its word has the probed bit set, so after k joins
+    exactly the all-k-bits-set candidates remain — the same survivor
+    set the literal filter admits."""
+    spark = dim.sparkSession
+    ks = F.broadcast(spark.range(k).select(F.col("id").alias("__i")))
+    key = F.col(dim_key)
+    pos = F.pmod(
+        _h1(key, m_bits) + F.col("__i") * _h2(key, m_bits), F.lit(m_bits)
+    )
+    words = (
+        dim.select(dim_key)
+        .join(ks)
+        .select(
+            F.floor(pos / 64).cast("int").alias("__w"),
+            (pos % 64).cast("int").alias("__b"),
+        )
+        .selectExpr("__w", "shiftleft(1L, __b) AS __mask")
+        .groupBy("__w")
+        .agg(F.bit_or("__mask").alias("__word"))
+        .localCheckpoint(eager=False)
+    )
+    fkey = F.col(fact_key)
+    h1, h2 = _h1(fkey, m_bits), _h2(fkey, m_bits)
+    pruned = fact
+    for i in range(k):
+        p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        wi, mi = f"__bw{i}", f"__bm{i}"
+        pruned = (
+            pruned.withColumn(wi, F.floor(p / 64).cast("int"))
+            .withColumn(
+                mi,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                ),
+            )
+            .join(
+                F.broadcast(
+                    words.select(
+                        F.col("__w").alias(wi), F.col("__word").alias(f"__wv{i}")
+                    )
+                ),
+                wi,
+            )
+            .filter(F.col(f"__wv{i}").bitwiseAND(F.col(mi)) != 0)
+            .drop(wi, mi, f"__wv{i}")
+        )
+    return pruned

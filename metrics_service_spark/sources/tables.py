@@ -60,6 +60,52 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     )
 
 
+def rowcount_bound(
+    sf_dir: str,
+    name: str,
+    ranges: dict[str, tuple[object, object]] | None = None,
+) -> int:
+    """Driver-side UPPER BOUND on the rows of `name` matching
+    conjunctive range predicates, read from the parquet footer's
+    row-group statistics — zero Spark jobs (the footer read is a few
+    KB of metadata).  `ranges` maps column -> (lo, hi) inclusive
+    bounds (either side None = unbounded); a row group counts toward
+    the bound unless its min/max stats PROVE no row can match.
+
+    This is the statistics feed for structures sized from a dim
+    cardinality (e.g. `bloom.sized_m_bits`, which documents that any
+    upper bound is valid — oversizing only costs plan literals): at
+    warehouse scale the manifest/footer already knows the count, so a
+    dedicated `dim.count()` job per build is pure added latency.  On a
+    single-row-group file the bound degrades to the table row count —
+    still correct, still jobless."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    md = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col in ranges or ():
+        if col not in names:
+            raise KeyError(f"no column {col!r} in {name}")
+    total = 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        include = True
+        for col, (lo, hi) in (ranges or {}).items():
+            st = rg.column(names[col]).statistics
+            if st is None or not st.has_min_max:
+                continue  # no stats -> cannot exclude
+            if (hi is not None and st.min > hi) or (
+                lo is not None and st.max < lo
+            ):
+                include = False
+                break
+        if include:
+            total += rg.num_rows
+    return total
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -110,3 +110,42 @@ def test_prune_happens_before_join(spark, sf_dir):
         n for n in _walk(plan) if is_probe(n) and n.id() not in under_ids
     ]
     assert not above, "bloom probe re-applied above the join"
+
+
+def test_joined_probe_equals_literal_probe(spark, sf_dir):
+    """Above INLINE_LIMIT_BITS the probe switches from the inlined
+    literal filter to k broadcast word-table joins (the jobless
+    statistics-bound sizing can legitimately oversize m) — both shapes
+    must admit the identical survivor set, and the joined path must be
+    genuine broadcast hash joins with no giant array literal."""
+    from metrics_service_spark.operators.bloom import (
+        INLINE_LIMIT_BITS,
+        _bloom_prune_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    big_m = INLINE_LIMIT_BITS << 2
+    joined = _bloom_prune_join(li, orders, "l_orderkey", "o_orderkey", big_m, 3)
+    words = build_bloom(orders, "o_orderkey", m_bits=big_m, k=3)
+    literal = li.filter(
+        bloom_contains(F.col("l_orderkey"), words, m_bits=big_m, k=3)
+    )
+    got = sorted(r.l_orderkey for r in joined.select("l_orderkey").collect())
+    want = sorted(r.l_orderkey for r in literal.select("l_orderkey").collect())
+    assert got == want and len(got) > 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # end-to-end: the big-m semi join still equals the plain semi join
+    a = bloom_semi_join(
+        li, orders, "l_orderkey", "o_orderkey", m_bits=big_m, k=3
+    )
+    b = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
