@@ -60,6 +60,8 @@ HEADLINE = [
     "doc_tfidf_topk",
     "mm_image_meta_real_mixed",
     "emb_contamination",
+    # round-8: product-quantization ANN (train + encode + ADC search)
+    "emb_pq_topk_int",
 ]
 
 

@@ -36,77 +36,75 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- implementation changed this round (r7) --------------------------
-    "doc_split_leakage_safe",    # NEW: cluster-keyed leakage-safe split
-    "emb_contamination",         # NEW: semantic decontamination scan
-    "mm_image_meta_real_mixed",  # NEW: PNG+JPEG+GIF real roundtrip
-    "emb_semdedup_int",          # literal-matrix argmax rewrite
-    "emb_semdedup_incr",         # fused index+batch assignment
-    "emb_semdedup",              # normalized pair filter + lazy ckpt
-    "emb_kmeans_train",          # shared lloyd_centroids + large-k path
-    "bloom_semi_lineitem",       # KM h2 fix + dim-sized m
-    "pid_family_closure",        # closure lazy-checkpoint fusion
-    "order_chains",              # closure lazy-checkpoint fusion
-    "order_components",          # self-loop single-ref propagation
-    "doc_dedup_clusters",        # connected_components changed; last row r4
-    "package_counts",            # resolve_chains changed; last row r4
-    # -- implementation also changed in r7 (dedup/gate/core/similarity
-    #    lazy checkpoints, jaccard conjunct rewrite, signature ckpt) ------
-    "emb_cosine_neardup",
-    "doc_jaccard_pairs",
-    "doc_multi_signal_pairs",
-    "doc_minhash_dedup",
+    # -- r7-changed but never driver-sampled since (VERDICT r7 #2:
+    #    the changed-first policy breach to repair FIRST) ---------------
+    "ev_funnel",                 # r7 eager->lazy sessionize ckpt; last row r5
+    # -- implementation changed this round (r8) --------------------------
+    "bloom_semi_lineitem",       # jobless footer-stats sizing + joined probe
+    "pid_family_closure",        # probe-free BFS barrier trim
+    "user_event_family",         # expand_family changed (r8); last row r5
+    "doc_dedup_clusters",        # oracle CTE now mirrors max_cell (r8)
+    "doc_split_leakage_safe",    # same oracle CTE change
+    "emb_pq_topk_int",           # NEW r8: product-quantization ANN
+    # emb_semdedup_incr/emb_contamination sample the r8 tau-validation
+    # line through the changed semantic_dedup_incremental_int;
+    # emb_semdedup_int shares the identical one-line delta (green r7,
+    # full differential suite still covers it) and yields its window
+    # slot to the new PQ entry so the whole r5-stale block stays in
+    "emb_semdedup_incr",
+    "emb_contamination",
+    # -- least-recently-checked: the full r5-stale block -----------------
+    "anti_join_no_orders",
+    "counter_report",
+    "doc_bpe_tokens",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "doc_quality",
+    "doc_token_stats",
+    "ev_asof_orders",
+    "ev_day_spine",
+    "ev_filter_project",
+    "ev_hash_sessions",
+    "ev_interevent_gap",
+    "ev_last_per_user",
+    "ev_monthly_stats",
+    "ev_pivot_daily",
+    "ev_rolling_7d",
+    "ev_session_having",
+    "ev_sessionize",
+    "ev_sessionize_bucketed",
+    "ev_sessionize_global",
+    "ev_tag_membership",
+    "ev_top3_per_type",
+    "ev_value_median",
+    "ev_value_tiers",
+    "except_non_purchasers",
+    "full_outer_daily",
+    "orders_rollup",
+    "semi_join_purchasers",
+    "sushi_instances",
+    "theta_contains",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "union_distinct_ids",
+    # -- buffer past the 50-entry sample line (r6-stale next) ------------
+    "ev_props_kv",
     "doc_minhash_dedup_md5",
     "doc_incremental_dedup",
     "doc_paragraph_dedup",
     "doc_quality_filter",
-    "ev_dau_stickiness",
-    "ev_retention",
-    # -- VERDICT r6 #7 named twins (last row r4) -------------------------
-    "emb_ann_lsh_int",
-    "emb_ann_ivf_int",
-    # -- least-recently-checked (last row r4) ----------------------------
-    "tpch_q21",
-    "tpch_q22",
-    "doc_split",
-    "doc_pack",
-    "doc_contamination",
-    "doc_sample_stratified",
-    "doc_unigram_freq",
-    "doc_ngram_topk",
-    "emb_random_projection",
-    "doc_quality_filter_exact",
-    "emb_cosine_neardup_allpairs",
-    "landing_page_daily",
-    "metrics_star",
-    "matview_routed_repo",
-    "matview_landingpage",
-    "matview_userprofilemetrics",
-    "matview_userprofilecharts",
-    "matview_repometrics",
-    "matview_repocharts",
-    "matview_awardmetrics",
-    "matview_awardcharts",
-    "func_scalar_suite",
-    "search_log_pipeline",
-    "search_sessions",
-    # -- last row r5 (buffer past the 50-entry sample line) --------------
-    "ev_props_kv",
-    "ev_tag_membership",
-    "sushi_instances",
-    "ev_filter_project",
-    "ev_monthly_stats",
-    "ev_sessionize",
-    "ev_rolling_7d",
-    "ev_interevent_gap",
-    "ev_value_median",
-    "ev_asof_orders",
-    "ev_funnel",
-    "ev_session_having",
-    "ev_sessionize_global",
-    "ev_sessionize_bucketed",
-    "ev_last_per_user",
-    "ev_top3_per_type",
+    "emb_kmeans_train",
+    "order_chains",
+    "order_components",
+    "package_counts",
 )
 
 

@@ -1084,6 +1084,99 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM (
 """
 
 
+def q_emb_pq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, the FAISS IVF-PQ
+    family), integer-exact end to end: per-subspace codebooks trained
+    with a fused 2-iteration Lloyd (md5 seeding, argmax(2x.c-|c|^2)
+    assignment == argmin L2, floor-div updates), the corpus encoded to
+    m=8 small codes per vector (32x smaller than the float column),
+    and ADC search — per query ONE m*k integer LUT, each corpus row
+    scored by m lookups + adds, never a 64-wide multiply.  The oracle
+    replays train -> encode -> search bit-for-bit."""
+    from metrics_service_spark.operators.similarity import (
+        pq_topk_int,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k_codes=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return pq_topk_int(emb, queries, cb, k=TOPK)
+
+
+# the full PQ pipeline in SQL: seed codebooks (md5 order, per-subspace
+# slices), one Lloyd update (assign per (vector, subspace) by
+# 2*dot-|c|^2, floor-div re-center, empty codes carry their seed),
+# final encode, then ADC scoring — sum over subspaces of the
+# (query-subvector . codebook-vector) dots of each neighbor's codes.
+ORACLE_PQ_TOPK_INT = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), s1 AS (
+  SELECT q.vec_id, q.v, t.j, s.code,
+         2 * CAST(list_sum(list_transform(range(1, 9),
+                 p -> q.v[t.j*8+p] * s.v[t.j*8+p])) AS BIGINT)
+           - CAST(list_sum(list_transform(range(1, 9),
+                 p -> s.v[t.j*8+p] * s.v[t.j*8+p])) AS BIGINT) AS score
+  FROM q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(j)
+), a1 AS (
+  SELECT vec_id, v, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY score DESC, code ASC) AS rk
+    FROM s1
+  ) WHERE rk = 1
+), m1 AS (
+  SELECT j, code, p, CAST(sum(v[j*8+p]) AS BIGINT) AS sum_q, count(*) AS n
+  FROM a1, range(1, 9) t(p)
+  GROUP BY 1, 2, 3
+), c1v AS (
+  SELECT j, code,
+         list(CAST((sum_q - ((sum_q % n + n) % n)) / n AS BIGINT)
+              ORDER BY p) AS cv
+  FROM m1 GROUP BY 1, 2
+), c1 AS (
+  SELECT jj.j, s.code, coalesce(c.cv, s.v[jj.j*8+1 : jj.j*8+8]) AS cv
+  FROM seeds s CROSS JOIN range(0, 8) jj(j)
+  LEFT JOIN c1v c ON c.j = jj.j AND c.code = s.code
+), s2 AS (
+  SELECT q.vec_id, c.j, c.code,
+         2 * CAST(list_sum(list_transform(range(1, 9),
+                 p -> q.v[c.j*8+p] * c.cv[p])) AS BIGINT)
+           - CAST(list_sum(list_transform(range(1, 9),
+                 p -> c.cv[p] * c.cv[p])) AS BIGINT) AS score
+  FROM q CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY score DESC, code ASC) AS rk
+    FROM s2
+  ) WHERE rk = 1
+), qs AS (
+  SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT qs.query_id, a.vec_id AS neighbor_id,
+         CAST(sum(CAST(list_sum(list_transform(range(1, 9),
+                 p -> qs.qv[c.j*8+p] * c.cv[p])) AS BIGINT)) AS BIGINT)
+             AS score_q
+  FROM qs CROSS JOIN a2 a
+  JOIN c1 c ON c.j = a.j AND c.code = a.code
+  WHERE a.vec_id != qs.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 NEARDUP_PLANES = 4
 NEARDUP_TABLES = 4
 
@@ -2062,6 +2155,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_emb_ann_ivf_int,
         ORACLE_ANN_IVF_INT,
         "IVF top-k, integer-exact index+search — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_pq_topk_int": QuerySpec(
+        q_emb_pq_topk_int,
+        ORACLE_PQ_TOPK_INT,
+        "product-quantization ANN: Lloyd-trained codebooks, m-byte "
+        "codes, integer LUT/ADC search — full pipeline oracle",
         ("llm",),
     ),
     "emb_ann_lsh": QuerySpec(

@@ -1522,3 +1522,221 @@ def semantic_dedup_incremental_int(
         "cell",
         F.col("__dropped").isNull().alias("kept"),
     )
+
+
+# --- Product quantization (PQ) ANN ----------------------------------------
+#
+# The production-scale path for billion-vector similarity search
+# (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 — the FAISS IVF-PQ family): each dim-D vector is split
+# into m subspaces of D/m components; each subspace gets its own
+# k_codes-entry codebook (per-subspace Lloyd); a vector is stored as m
+# small code ids (m bytes at k_codes<=256 — 32x smaller than float32
+# D=64), and query scoring is Asymmetric Distance Computation (ADC):
+# per query ONE m*k_codes lookup table of subspace dots, then each
+# corpus vector's approximate dot is m table lookups + adds, never a
+# D-wide multiply.  At 100 TB this is what makes exhaustive rescoring
+# feasible: the scan reads m-byte codes instead of 256-byte vectors
+# (I/O bound drops ~30x) and the LUT lives in registers.
+#
+# Everything below is EXACT integer arithmetic over quantized vectors
+# (QUANT_SCALE space, same as the ANN int twins) so a DuckDB oracle
+# replays train -> encode -> search bit-for-bit: md5-ordered seeding,
+# argmax of (2*x.c - |c|^2) assignment (== argmin L2, ties -> lowest
+# code), floor-division centroid updates, integer LUT scoring.
+
+
+def _pq_codes_expr(
+    vec: Column, codebooks: list[list[list[int]]]
+) -> Column:
+    """codes array<int> (length m) for a quantized vector: per
+    subspace j the argmax over its k codes of 2*sub.c - |c|^2 — a
+    PURE PROJECTION over two literals (the flat (m*k) x d_sub code
+    matrix and the m*k norm array), first-match array_position giving
+    the ties->lowest-code contract."""
+    m, k = len(codebooks), len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    flat = [cv for book in codebooks for cv in book]
+    codes_lit = _lit_matrix(flat, "bigint")
+    norms = [sum(x * x for x in cv) for cv in flat]
+    norms_lit = F.expr(
+        "cast(array(" + ",".join(str(n) for n in norms) + ") as array<bigint>)"
+    )
+    def scores(j: Column) -> Column:
+        return F.transform(
+            F.sequence(j * k, j * k + (k - 1)),
+            lambda i: F.lit(2)
+            * dot_long(
+                F.slice(vec, j * d_sub + 1, d_sub),
+                F.element_at(codes_lit, i + 1),
+            )
+            - F.element_at(norms_lit, i + 1),
+        )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: (
+            F.array_position(scores(j), F.array_max(scores(j))) - 1
+        ).cast("int"),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+) -> list[list[list[int]]]:
+    """Train per-subspace codebooks: codebooks[j][c] is the d_sub-int
+    code vector c of subspace j.  Seeds are the k_codes corpus vectors
+    with the smallest md5(id), sliced per subspace (deterministic,
+    oracle-replayable — the SemDeDup/IVF seeding rule); each update
+    round is ONE fused corpus pass (encode projection + posexplode +
+    (j, code, pos) hash agg) whose collect is m*k*d_sub ints — bounded
+    by config, never by data.  Empty codes carry their previous
+    vector; means are exact floor division (`_floordiv_mean`)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(k_codes)
+        .collect()
+    )
+    codebooks = [
+        [
+            [int(x) for x in r["__sv"][j * d_sub : (j + 1) * d_sub]]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    quant = embeddings.select(
+        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    )
+    k = len(codebooks[0])
+    for _ in range(iters - 1):
+        stats = (
+            quant.select(
+                _pq_codes_expr(F.col("__v"), codebooks).alias("__codes"),
+                F.posexplode("__v").alias("pos0", "qv"),
+            )
+            .select(
+                F.floor(F.col("pos0") / d_sub).cast("int").alias("__j"),
+                F.element_at(
+                    F.col("__codes"),
+                    F.floor(F.col("pos0") / d_sub).cast("int") + 1,
+                ).alias("__code"),
+                (F.col("pos0") % d_sub).alias("__p"),
+                "qv",
+            )
+            .groupBy("__j", "__code", "__p")
+            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            upd.setdefault((r["__j"], r["__code"]), {})[r["__p"]] = (
+                r["sum_q"],
+                r["n"],
+            )
+        codebooks = [
+            [
+                [
+                    _floordiv_mean(*upd[(j, c)][p])
+                    for p in range(d_sub)
+                ]
+                if (j, c) in upd
+                else codebooks[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the m-byte compressed corpus — one scan,
+    pure projection, no shuffle at all."""
+    return embeddings.select(
+        F.col(id_col),
+        _pq_codes_expr(quantize(F.col(vec_col)), codebooks).alias("codes"),
+    )
+
+
+def pq_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: every query builds its m*k_codes integer LUT
+    (lut[j*k+c] = q_sub_j . codebook[j][c], one projection over the
+    code-matrix literal), the tiny query frame is broadcast, and each
+    corpus row's approximate dot is m element_at lookups summed — the
+    corpus side never touches a D-wide multiply or the raw vectors
+    (it reads the m-int code column only).  Ranking: score desc, id
+    asc, self excluded — the ANN-twin output contract
+    (query_id, neighbor_id, rank, score_q)."""
+    mm, kc = len(codebooks), len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    flat = [cv for book in codebooks for cv in book]
+    codes_lit = _lit_matrix(flat, "bigint")
+    qv = quantize(F.col(vec_col))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(mm * kc - 1)),
+        lambda i: dot_long(
+            F.slice(
+                qv, F.floor(i / kc).cast("int") * d_sub + 1, d_sub
+            ),
+            F.element_at(codes_lit, i + 1),
+        ),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), lut.alias("__lut")
+    )
+    coded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    scored = (
+        coded.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(mm - 1)),
+                    lambda c, j: F.element_at(
+                        F.col("__lut"), j * kc + c + 1
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )

@@ -142,14 +142,18 @@ def test_dau_stickiness_no_nested_loop(spark, sf_dir):
 
 
 def test_pid_family_closure_lineage_truncated(spark, sf_dir):
-    # the BFS closure localCheckpoints every round: the final plan must
-    # be a union of checkpointed layers (Scan ExistingRDD), not a replay
-    # of the accumulated join lineage (which would grow per round and
-    # recompute the whole BFS on every downstream action)
+    # the BFS closure localCheckpoints every MID-LOOP round (RDD-leaf
+    # layers) but since r8 leaves the FINAL round lazy (single
+    # consumer, the output union — its checkpoint was a pure extra
+    # barrier job): the plan may contain exactly ONE round's worth of
+    # joins (frontier x composed-edges + two anti-join dedups), all
+    # over checkpointed leaves, and never a parquet replay of the
+    # accumulated lineage
     plan = _plan(spark, sf_dir, "pid_family_closure")
     assert "Scan parquet" not in plan  # lineage cut at the checkpoints
-    assert "Join" not in plan  # per-round joins ran pre-checkpoint
     assert "Scan ExistingRDD" in plan
+    n_joins = sum(1 for ln in plan.splitlines() if "Join" in ln)
+    assert n_joins <= 3, f"more than one round's joins inlined: {n_joins}"
 
 
 def test_minhash_verify_stage_is_candidate_pruned(spark, sf_dir):

@@ -384,3 +384,56 @@ def test_tau_bounds_validated(spark):
         sim.semantic_dedup_int(df, n_cells=2, tau_num=99, tau_den=100)
     with _pytest.raises(ValueError, match="overflows"):
         sim.semantic_dedup_incremental_int(df, df, n_cells=2, tau_num=99, tau_den=100)
+
+
+def test_pq_recall_and_structure(spark, sf_dir):
+    """Product quantization: (1) encode emits exactly m codes in
+    [0, k_codes); (2) ADC top-k recall@5 vs the exact brute-force
+    integer dots is well above chance on the test corpus; (3) the
+    codebook shape is (m, k, dim/m) with integer entries."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk_int,
+        pq_train,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k_codes=16, iters=2)
+    assert len(cb) == 8 and all(len(b) == 16 for b in cb)
+    assert all(len(cv) == 8 for b in cb for cv in b)
+    assert all(isinstance(x, int) for b in cb for cv in b for x in cv)
+
+    coded = pq_encode(emb, cb)
+    bad = coded.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+
+    queries = emb.filter(F.col("vec_id") % 211 == 0)
+    approx = pq_topk_int(emb, queries, cb, k=5)
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    nq = queries.count()
+    assert nq > 0 and len(a) == 5 * nq
+    recall = len(a & e) / len(e)
+    # 16 codes x 8 subspaces on random-ish test vectors: recall is
+    # limited but must beat chance (5/N ~ 1%) by a wide margin
+    assert recall >= 0.2, recall
+
+
+def test_pq_requires_divisible_dim(spark):
+    import pytest as _pytest
+
+    from metrics_service_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=7)

@@ -175,9 +175,78 @@ def main() -> None:
 
     EXTRA = {"bloom_semi_fixed_m16": bloom_semi_fixed}
 
+    def micro_semantic_admit(spark, sf_dir):
+        """Streaming gate at k-fold INDEX mass: bootstrap the whole
+        replicated corpus (minus a fixed copy-0 batch) into the
+        persistent cell index with the geometry SCALED to the corpus
+        (the operator's target_cell_size contract), then time
+        re-admitting the constant-size batch.  The claim under test:
+        IN-list cell pruning + scaled geometry keep admit cost a
+        function of the BATCH (touched-cell mass ~ batch size x
+        constant cell size), not of the corpus."""
+        import tempfile
+
+        from metrics_service_spark.streaming.semantic_gate import admit_batch
+
+        tdir = tempfile.mkdtemp(prefix="probe_semgate_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(
+            ~((F.col("vec_id") < 10_000_000) & (F.col("vec_id") % 100 == 0))
+        )
+        n = corpus.count()
+        # geometry scaled to the corpus (constant ~30-vector cells) and
+        # a batch SMALLER than the cell count: touched-cell mass is
+        # then ~|batch| x 30 at every scale — the flatness under test
+        n_cells = max(16, -(-n // 30))
+        admit_batch(spark, tdir, corpus, n_cells=n_cells)
+        batch = emb.filter(
+            (F.col("vec_id") < 10_000_000) & (F.col("vec_id") % 100 == 0)
+        )
+
+        def run():
+            admit_batch(spark, tdir, batch, n_cells=n_cells).count()
+
+        return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
+    def micro_paragraph_fold(spark, sf_dir):
+        """Paragraph-index fold at k-fold BATCH (and corpus) mass:
+        bootstrap the index from the replicated corpus, then time
+        folding a re-derived k-fold batch in + scoring it — expected
+        linear in the batch, independent of index size beyond the
+        touched hash partitions."""
+        import tempfile
+
+        from metrics_service_spark.streaming.paragraph_index import (
+            duplicate_paragraph_fraction,
+            update_paragraph_index,
+        )
+
+        tdir = tempfile.mkdtemp(prefix="probe_pindex_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        update_paragraph_index(spark, tdir, docs)
+        batch = docs.limit(500 * max(1, k if sf_dir != base else 1))
+
+        def run():
+            update_paragraph_index(spark, tdir, batch)
+            duplicate_paragraph_fraction(spark, tdir, batch).count()
+
+        return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
+    MICRO = {
+        "semantic_gate_admit": micro_semantic_admit,
+        "paragraph_index_fold": micro_paragraph_fold,
+    }
+
+    only = None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
+
     cat = all_queries()
     out = {"k": k, "rows_base": n0, "queries": {}}
     for name in QUERIES + list(EXTRA):
+        if only is not None and name not in only:
+            continue
         fn = EXTRA[name] if name in EXTRA else cat[name].fn
         times = {}
         for label, sf_dir in (("base", base), (f"x{k}", scratch)):
@@ -185,6 +254,22 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()  # steady-state, the reported time
             times[label] = round(time.time() - t0, 2)
+        times["ratio"] = round(times[f"x{k}"] / max(times["base"], 1e-9), 1)
+        out["queries"][name] = times
+        print(f"{name}: {times}", file=sys.stderr)
+    for name, factory in MICRO.items():
+        if only is not None and name not in only:
+            continue
+        times = {}
+        for label, sf_dir in (("base", base), (f"x{k}", scratch)):
+            run, cleanup = factory(spark, sf_dir)
+            try:
+                run()  # warm-up rep (replay-idempotent)
+                t0 = time.time()
+                run()
+                times[label] = round(time.time() - t0, 2)
+            finally:
+                cleanup()
         times["ratio"] = round(times[f"x{k}"] / max(times["base"], 1e-9), 1)
         out["queries"][name] = times
         print(f"{name}: {times}", file=sys.stderr)
