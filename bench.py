@@ -61,7 +61,9 @@ HEADLINE = [
     "mm_image_meta_real_mixed",
     "emb_contamination",
     # round-8: product-quantization ANN (train + encode + ADC search)
+    # and the IVF-PQ combo (coarse cells + residual PQ)
     "emb_pq_topk_int",
+    "emb_ivfpq_topk_int",
 ]
 
 

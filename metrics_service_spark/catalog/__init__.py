@@ -46,13 +46,14 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_dedup_clusters",        # oracle CTE now mirrors max_cell (r8)
     "doc_split_leakage_safe",    # same oracle CTE change
     "emb_pq_topk_int",           # NEW r8: product-quantization ANN
-    # emb_semdedup_incr/emb_contamination sample the r8 tau-validation
-    # line through the changed semantic_dedup_incremental_int;
-    # emb_semdedup_int shares the identical one-line delta (green r7,
-    # full differential suite still covers it) and yields its window
-    # slot to the new PQ entry so the whole r5-stale block stays in
+    "emb_ivfpq_topk_int",        # NEW r8: IVF-PQ (residual ADC)
+    # emb_semdedup_incr samples the r8 tau-validation line through the
+    # changed semantic_dedup_incremental_int; emb_semdedup_int and
+    # emb_contamination share the IDENTICAL one-line delta on the same
+    # code path (both green r7, full differential pytest still covers
+    # them) and yield their window slots to the two new PQ entries so
+    # the whole r5-stale block stays in
     "emb_semdedup_incr",
-    "emb_contamination",
     # -- least-recently-checked: the full r5-stale block -----------------
     "anti_join_no_orders",
     "counter_report",

@@ -1177,6 +1177,128 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score_q FROM (
 """
 
 
+def q_emb_ivfpq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS IVF-PQ shape: coarse md5-seeded cells prune the
+    search to nprobe=4 of 16 cells per query; within them,
+    Lloyd-trained product-quantization codebooks over the RESIDUAL
+    vectors give each candidate an m=8-lookup ADC score
+    (q.centroid + sum_j q_sub.code) — at 100 TB the scan reads a
+    (cell, 8 codes) index ~32x smaller than the float column and only
+    nprobe/n_cells of it per query.  Integer-exact end to end; the
+    oracle replays coarse-assign -> residual-PQ-train -> encode ->
+    probe -> ADC bit-for-bit."""
+    from metrics_service_spark.operators.similarity import ivfpq_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivfpq_topk_int(
+        emb, queries, n_cells=16, nprobe=4, m=8, k_codes=16, iters=2, k=TOPK
+    )
+
+
+def _oracle_ivfpq() -> str:
+    # the coarse-quantizer CTEs mirror ORACLE_ANN_IVF_INT; the PQ-train
+    # CTEs mirror ORACLE_PQ_TOPK_INT but run over the RESIDUALS
+    # (v - cell centroid); scoring adds the per-cell q.centroid dot to
+    # the m LUT lookups of each candidate's codes.
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), cseeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), ascored AS (
+  SELECT q.vec_id, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN cseeds s
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+), res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.v[i] - s.v[i]) AS r
+  FROM assigned a JOIN cseeds s ON s.cell = a.cell
+), pseeds AS (
+  SELECT r, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM res ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), s1 AS (
+  SELECT e.vec_id, e.r, t.j, s.code,
+         2 * CAST(list_sum(list_transform(range(1, 9),
+                 p -> e.r[t.j*8+p] * s.r[t.j*8+p])) AS BIGINT)
+           - CAST(list_sum(list_transform(range(1, 9),
+                 p -> s.r[t.j*8+p] * s.r[t.j*8+p])) AS BIGINT) AS score
+  FROM res e CROSS JOIN pseeds s CROSS JOIN range(0, 8) t(j)
+), a1 AS (
+  SELECT vec_id, r, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY score DESC, code ASC) AS rk
+    FROM s1
+  ) WHERE rk = 1
+), m1 AS (
+  SELECT j, code, p, CAST(sum(r[j*8+p]) AS BIGINT) AS sum_q, count(*) AS n
+  FROM a1, range(1, 9) t(p)
+  GROUP BY 1, 2, 3
+), c1v AS (
+  SELECT j, code,
+         list(CAST((sum_q - ((sum_q % n + n) % n)) / n AS BIGINT)
+              ORDER BY p) AS cv
+  FROM m1 GROUP BY 1, 2
+), c1 AS (
+  SELECT jj.j, s.code, coalesce(c.cv, s.r[jj.j*8+1 : jj.j*8+8]) AS cv
+  FROM pseeds s CROSS JOIN range(0, 8) jj(j)
+  LEFT JOIN c1v c ON c.j = jj.j AND c.code = s.code
+), s2 AS (
+  SELECT e.vec_id, c.j, c.code,
+         2 * CAST(list_sum(list_transform(range(1, 9),
+                 p -> e.r[c.j*8+p] * c.cv[p])) AS BIGINT)
+           - CAST(list_sum(list_transform(range(1, 9),
+                 p -> c.cv[p] * c.cv[p])) AS BIGINT) AS score
+  FROM res e CROSS JOIN c1 c
+), a2 AS (
+  SELECT vec_id, j, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY score DESC, code ASC) AS rk
+    FROM s2
+  ) WHERE rk = 1
+), qs AS (
+  SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < {N_QUERY_VECS}
+), pscored AS (
+  SELECT query_id, qv, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * s.v[i]))
+              AS BIGINT) AS cdot
+  FROM qs CROSS JOIN cseeds s
+), probes AS (
+  SELECT query_id, qv, cell, cdot FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cdot DESC, cell ASC) AS rk
+    FROM pscored
+  ) WHERE rk <= 4
+), scored AS (
+  SELECT p.query_id, av.vec_id AS neighbor_id,
+         p.cdot + CAST(sum(CAST(list_sum(list_transform(range(1, 9),
+                 pp -> p.qv[c.j*8+pp] * c.cv[pp])) AS BIGINT)) AS BIGINT)
+             AS score_q
+  FROM probes p
+  JOIN assigned av ON av.cell = p.cell AND av.vec_id != p.query_id
+  JOIN a2 a ON a.vec_id = av.vec_id
+  JOIN c1 c ON c.j = a.j AND c.code = a.code
+  GROUP BY p.query_id, av.vec_id, p.cdot
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 NEARDUP_PLANES = 4
 NEARDUP_TABLES = 4
 
@@ -2162,6 +2284,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_PQ_TOPK_INT,
         "product-quantization ANN: Lloyd-trained codebooks, m-byte "
         "codes, integer LUT/ADC search — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_ivfpq_topk_int": QuerySpec(
+        q_emb_ivfpq_topk_int,
+        _oracle_ivfpq(),
+        "IVF-PQ: coarse cell pruning + residual product quantization "
+        "+ ADC — the FAISS billion-vector shape, full pipeline oracle",
         ("llm",),
     ),
     "emb_ann_lsh": QuerySpec(

@@ -1598,14 +1598,30 @@ def pq_train(
     (j, code, pos) hash agg) whose collect is m*k*d_sub ints — bounded
     by config, never by data.  Empty codes carry their previous
     vector; means are exact floor division (`_floordiv_mean`)."""
+    quant = embeddings.select(
+        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    )
+    return _pq_train_quant(quant, dim=dim, m=m, k_codes=k_codes, iters=iters)
+
+
+def _pq_train_quant(
+    quant: DataFrame,
+    *,
+    dim: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+) -> list[list[list[int]]]:
+    """pq_train over a PRE-QUANTIZED (__vid, __v: array<long>) frame —
+    the shared core, also fed residual vectors by `ivfpq_topk_int`."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     d_sub = dim // m
     seeds = (
-        embeddings.select(
-            quantize(F.col(vec_col)).alias("__sv"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col).alias("__sid"),
+        quant.select(
+            F.col("__v").alias("__sv"),
+            F.md5(F.col("__vid").cast("string")).alias("__h"),
+            F.col("__vid").alias("__sid"),
         )
         .orderBy("__h", "__sid")
         .limit(k_codes)
@@ -1618,9 +1634,6 @@ def pq_train(
         ]
         for j in range(m)
     ]
-    quant = embeddings.select(
-        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
-    )
     k = len(codebooks[0])
     for _ in range(iters - 1):
         stats = (
@@ -1737,6 +1750,153 @@ def pq_topk_int(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )
+
+
+def ivfpq_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """The full FAISS IVF-PQ shape, integer-exact: a coarse quantizer
+    (md5-seeded cells, argmax-dot assignment — `ivf_topk_int`'s index)
+    prunes the search to `nprobe` cells per query, and within them the
+    RESIDUAL vectors (x - centroid[cell]) are product-quantized, so a
+    candidate's approximate dot decomposes exactly as
+
+        q . x^  =  q . centroid[cell]  +  sum_j q_sub_j . codebook[j][code_j]
+
+    — one precomputed dot per probed cell plus m LUT lookups per
+    candidate.  The scan reads (cell, m codes) per vector: at 100 TB
+    the index is ~32x smaller than the float column AND only
+    nprobe/n_cells of it is touched per query.  Residual codebooks are
+    trained by the shared fused Lloyd (`_pq_train_quant`) over ONE
+    residual frame; every step (seeding, assignment ties, floor-div
+    updates, LUT sums) is the deterministic integer arithmetic the
+    DuckDB oracle replays bit-for-bit."""
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    cells_lit = _lit_matrix(cvecs, "bigint")
+    quant = embeddings.select(
+        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    )
+    # coarse assignment + residuals, materialized ONCE (train pass +
+    # encode pass both consume it)
+    assigned = (
+        _argmax_cells(quant, cvecs)
+        .select(
+            "__vid",
+            "cell",
+            F.zip_with(
+                F.col("__v"),
+                F.element_at(cells_lit, F.col("cell") + 1),
+                lambda x, c: x - c,
+            ).alias("__r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    codebooks = _pq_train_quant(
+        assigned.select("__vid", F.col("__r").alias("__v")),
+        dim=dim,
+        m=m,
+        k_codes=k_codes,
+        iters=iters,
+    )
+    coded = assigned.select(
+        F.col("__vid").alias("neighbor_id"),
+        "cell",
+        _pq_codes_expr(F.col("__r"), codebooks).alias("__codes"),
+    )
+    # query side: probe the nprobe best cells by q.centroid (the same
+    # dots double as the per-cell score term), and build the m*k LUT.
+    # k comes from the TRAINED books: a corpus smaller than k_codes
+    # clamps the seed collect, so indexing by the parameter would walk
+    # off the flat literal (caught by the lossless-limit test).
+    d_sub = dim // m
+    kc = len(codebooks[0])
+    flat = [cv for book in codebooks for cv in book]
+    codes_lit = _lit_matrix(flat, "bigint")
+    qv = quantize(F.col(vec_col))
+    cell_dots = F.transform(
+        cells_lit, lambda cv: dot_long(qv, cv)
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * kc - 1)),
+        lambda i: dot_long(
+            F.slice(qv, F.floor(i / kc).cast("int") * d_sub + 1, d_sub),
+            F.element_at(codes_lit, i + 1),
+        ),
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            cell_dots.alias("__cd"),
+            lut.alias("__lut"),
+        )
+        .select(
+            "query_id",
+            "__lut",
+            F.posexplode("__cd").alias("cell0", "__cdot"),
+        )
+        .select(
+            "query_id", "__lut", F.col("cell0").alias("cell"), "__cdot"
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("__cdot").desc(), F.col("cell").asc()
+    )
+    probes = (
+        probes.withColumn("__rk", F.row_number().over(wprobe))
+        .filter(F.col("__rk") <= nprobe)
+        .drop("__rk")
+    )
+    cand = coded.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("__cdot")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("__codes"),
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda c, j: F.element_at(
+                            F.col("__lut"), j * kc + c + 1
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score_q")
     )

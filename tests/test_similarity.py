@@ -437,3 +437,70 @@ def test_pq_requires_divisible_dim(spark):
     )
     with _pytest.raises(ValueError, match="divisible"):
         pq_train(df, m=7)
+
+
+def test_ivfpq_lossless_limit_equals_exact(spark, sf_dir):
+    """The hard correctness anchor: with k_codes >= corpus size every
+    residual becomes its own code (each seed is its own singleton
+    cluster through the Lloyd update), so the ADC decomposition
+    q.centroid + sum_j q_sub.code must equal the exact integer dot
+    BIT-FOR-BIT on every candidate pair.  This is the test that caught
+    the k-from-parameter-vs-trained-codebook indexing bug."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.similarity import (
+        ivf_topk_int,
+        ivfpq_topk_int,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 12)
+    queries = emb.filter(F.col("vec_id") < 3)
+    adc = ivfpq_topk_int(
+        emb, queries, n_cells=2, nprobe=2, m=8, k_codes=16, iters=2, k=100
+    )
+    exact = ivf_topk_int(emb, queries, n_cells=2, nprobe=2, k=100)
+    joined = adc.join(exact, ["query_id", "neighbor_id"])
+    rows = joined.select("score_q", "dot_q").collect()
+    assert len(rows) > 0
+    assert all(r.score_q == r.dot_q for r in rows)
+
+
+def test_ivfpq_fidelity_within_probed_cells(spark, sf_dir):
+    """Statistical fidelity on the real corpus: against the SAME
+    coarse quantizer and probe list (ivf_topk_int — identical md5
+    seeding and argmax ties) the candidate sets must be IDENTICAL, the
+    ADC score must be positively correlated with the exact dot (the
+    test embeddings are near-random 64-dim vectors, the worst case for
+    16-code-per-subspace PQ, so the bound is modest — the bit-exact
+    anchor is test_ivfpq_lossless_limit_equals_exact), and
+    structurally there is no cartesian and no Python stage."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.similarity import (
+        ivf_topk_int,
+        ivfpq_topk_int,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 211 == 0)
+    # k beyond any candidate-set size, so BOTH rankings return the
+    # FULL probed candidate set and the comparison measures how the
+    # ADC score tracks the exact dot — not top-k subset churn
+    big_k = 10**6
+    adc = ivfpq_topk_int(emb, queries, n_cells=16, nprobe=4, k=big_k)
+    exact = ivf_topk_int(emb, queries, n_cells=16, nprobe=4, k=big_k)
+    nq = queries.count()
+    assert nq > 0
+    joined = adc.join(exact, ["query_id", "neighbor_id"])
+    n_joined = joined.count()
+    # identical coarse quantizer + probes -> identical candidate sets
+    assert n_joined == adc.count() == exact.count()
+    corr = joined.select(
+        F.corr(F.col("score_q").cast("double"), F.col("dot_q").cast("double"))
+    ).first()[0]
+    assert corr is not None and corr > 0.05, corr
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

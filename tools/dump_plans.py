@@ -47,6 +47,8 @@ COMMENTARY = {
     "doc_dedup_clusters": "jaccard pair shape as above; min-label propagation over the 79-pair graph via self-loop single-reference rounds",
     "doc_split_leakage_safe": "documents parquet scanned at most TWICE across the whole pipeline (shingle derivation + final per-doc join; checkpointed subplans included) and the max_cell<=1000 cell-population cap-filter is present — the r7 probe-caught quadratic's linearity guard, mirrored in the oracle CTE; gated by test_split_leakage_safe_bounded_scans_and_cap_filter",
     "emb_contamination": "ONE fused assignment pass for corpus+benchmark (the literal-matrix argmax projection appears in exactly one subplan via the tagged union); the only data-mass join keys on cell; verdict joins move only the tiny dropped-id set; no shuffle on a raw vector column; gated by test_emb_contamination_fused_assignment_cell_keyed",
+    "emb_pq_topk_int": "train is iters fused corpus passes with bounded m*k*d_sub collects; encode is a pure projection over two literals (flat code matrix + norms); search broadcasts the per-query integer LUT and scores each corpus row with m element_at lookups — no dim-wide multiply on the corpus side, no cartesian (query join is broadcast), one top-k window",
+    "emb_ivfpq_topk_int": "coarse argmax assignment + residuals checkpointed ONCE (train + encode both consume it); candidates from a broadcast equi-join on cell (nprobe cells per query); ADC score = per-cell centroid dot + m LUT lookups; bit-exact lossless-limit test pins the decomposition",
 }
 
 
