@@ -1093,15 +1093,13 @@ def q_emb_pq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ADC search — per query ONE m*k integer LUT, each corpus row
     scored by m lookups + adds, never a 64-wide multiply.  The oracle
     replays train -> encode -> search bit-for-bit."""
-    from metrics_service_spark.operators.similarity import (
-        pq_topk_int,
-        pq_train,
-    )
+    from metrics_service_spark.operators.similarity import pq_topk_int
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_train(emb, m=8, k_codes=16, iters=2)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return pq_topk_int(emb, queries, cb, k=TOPK)
+    # codebooks=None -> train/encode/search share ONE quantized-corpus
+    # checkpoint instead of re-scanning the parquet per phase
+    return pq_topk_int(emb, queries, m=8, k_codes=16, iters=2, k=TOPK)
 
 
 # the full PQ pipeline in SQL: seed codebooks (md5 order, per-subspace

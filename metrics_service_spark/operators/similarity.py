@@ -1546,6 +1546,19 @@ def semantic_dedup_incremental_int(
 # code), floor-division centroid updates, integer LUT scoring.
 
 
+def _bind1(col: Column, f) -> Column:
+    """Evaluate `col` ONCE and pass it to `f` as a bound higher-order
+    lambda variable (the single-element-array transform idiom).
+    Catalyst's interpreted lambda eval has no common-subexpression
+    elimination — every syntactic occurrence of a subtree re-runs —
+    and CollapseProject inlines single-use aliases straight through a
+    Generate, re-evaluating them once per EXPLODED row.  Any non-cheap
+    array expression that is consumed twice, or consumed above an
+    explode, must be bound with this instead of repeated (measured on
+    the PQ stats pass: 49 s -> ~1 s at sf0.1)."""
+    return F.element_at(F.transform(F.array(col), f), 1)
+
+
 def _pq_codes_expr(
     vec: Column, codebooks: list[list[list[int]]]
 ) -> Column:
@@ -1553,7 +1566,10 @@ def _pq_codes_expr(
     subspace j the argmax over its k codes of 2*sub.c - |c|^2 — a
     PURE PROJECTION over two literals (the flat (m*k) x d_sub code
     matrix and the m*k norm array), first-match array_position giving
-    the ties->lowest-code contract."""
+    the ties->lowest-code contract.  The per-subspace slice and score
+    array are `_bind1`-bound so each is evaluated exactly once per
+    row (the naive spelling re-ran the k dot products for both
+    array_position and array_max, and re-sliced per code)."""
     m, k = len(codebooks), len(codebooks[0])
     d_sub = len(codebooks[0][0])
     flat = [cv for book in codebooks for cv in book]
@@ -1562,22 +1578,24 @@ def _pq_codes_expr(
     norms_lit = F.expr(
         "cast(array(" + ",".join(str(n) for n in norms) + ") as array<bigint>)"
     )
-    def scores(j: Column) -> Column:
-        return F.transform(
-            F.sequence(j * k, j * k + (k - 1)),
-            lambda i: F.lit(2)
-            * dot_long(
-                F.slice(vec, j * d_sub + 1, d_sub),
-                F.element_at(codes_lit, i + 1),
+    def best(j: Column) -> Column:
+        def scores(sub: Column) -> Column:
+            return F.transform(
+                F.sequence(j * k, j * k + (k - 1)),
+                lambda i: F.lit(2)
+                * dot_long(sub, F.element_at(codes_lit, i + 1))
+                - F.element_at(norms_lit, i + 1),
             )
-            - F.element_at(norms_lit, i + 1),
+        return _bind1(
+            F.slice(vec, j * d_sub + 1, d_sub),
+            lambda sub: _bind1(
+                scores(sub),
+                lambda s: (
+                    F.array_position(s, F.array_max(s)) - 1
+                ).cast("int"),
+            ),
         )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: (
-            F.array_position(scores(j), F.array_max(scores(j))) - 1
-        ).cast("int"),
-    )
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best)
 
 
 def pq_train(
@@ -1636,22 +1654,39 @@ def _pq_train_quant(
     ]
     k = len(codebooks[0])
     for _ in range(iters - 1):
+        # (j, code, p, qv) tuples per vector, built as ONE bound array
+        # so the assignment expression runs once per row — exploding
+        # codes alongside posexplode(__v) lets CollapseProject inline
+        # the assignment into the post-Generate projection, re-running
+        # it per exploded element (dim x per row; measured 49 s vs
+        # ~1 s at sf0.1)
+        pairs = _bind1(
+            _pq_codes_expr(F.col("__v"), codebooks),
+            lambda codes: F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda pos: F.struct(
+                    F.floor(pos / d_sub).cast("int").alias("__j"),
+                    F.element_at(
+                        codes, F.floor(pos / d_sub).cast("int") + 1
+                    ).alias("__code"),
+                    (pos % d_sub).cast("int").alias("__p"),
+                    F.element_at(F.col("__v"), (pos + 1).cast("int")).alias(
+                        "qv"
+                    ),
+                ),
+            ),
+        )
         stats = (
-            quant.select(
-                _pq_codes_expr(F.col("__v"), codebooks).alias("__codes"),
-                F.posexplode("__v").alias("pos0", "qv"),
+            quant.select(F.explode(pairs).alias("__e"))
+            .groupBy(
+                F.col("__e.__j").alias("__j"),
+                F.col("__e.__code").alias("__code"),
+                F.col("__e.__p").alias("__p"),
             )
-            .select(
-                F.floor(F.col("pos0") / d_sub).cast("int").alias("__j"),
-                F.element_at(
-                    F.col("__codes"),
-                    F.floor(F.col("pos0") / d_sub).cast("int") + 1,
-                ).alias("__code"),
-                (F.col("pos0") % d_sub).alias("__p"),
-                "qv",
+            .agg(
+                F.sum("__e.qv").alias("sum_q"),
+                F.count(F.lit(1)).alias("n"),
             )
-            .groupBy("__j", "__code", "__p")
-            .agg(F.sum("qv").alias("sum_q"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         upd: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
@@ -1690,13 +1725,46 @@ def pq_encode(
     )
 
 
+def _quant_corpus_frame(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared (__vid, __v) quantized-corpus frame for the multi-pass
+    PQ pipelines (train stats + encode + search consume it), lazily
+    checkpointed so the corpus is scanned and quantized ONCE.  When
+    the source scan has fewer splits than the cluster's parallelism
+    (the local tiny-parquet case: one row group -> one task, which
+    serializes the interpreted-HOF assignment) it is repartitioned
+    first; a well-partitioned 100 TB scan skips the shuffle."""
+    return _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__v"),
+        )
+    ).localCheckpoint(eager=False)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism ONLY when
+    the plan currently has fewer partitions (the local one-row-group
+    parquet case that would serialize per-row lambda eval on a single
+    task); a well-partitioned large scan passes through untouched."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def pq_topk_int(
     embeddings: DataFrame,
     queries: DataFrame,
-    codebooks: list[list[list[int]]],
+    codebooks: list[list[list[int]]] | None = None,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
     k: int = 5,
 ) -> DataFrame:
     """ADC top-k: every query builds its m*k_codes integer LUT
@@ -1706,7 +1774,28 @@ def pq_topk_int(
     corpus side never touches a D-wide multiply or the raw vectors
     (it reads the m-int code column only).  Ranking: score desc, id
     asc, self excluded — the ANN-twin output contract
-    (query_id, neighbor_id, rank, score_q)."""
+    (query_id, neighbor_id, rank, score_q).
+
+    With `codebooks=None` the full pipeline runs internally over ONE
+    shared quantized-corpus checkpoint (`_quant_corpus_frame`): the
+    train stats pass, the encode, and the search all reuse the same
+    materialized frame instead of re-scanning/re-quantizing the
+    parquet per phase — the same internalized shape `ivfpq_topk_int`
+    uses.  Passing pre-trained codebooks keeps the old train/encode/
+    search split for callers that manage their own index lifecycle."""
+    if codebooks is None:
+        quant = _quant_corpus_frame(embeddings, id_col, vec_col)
+        codebooks = _pq_train_quant(
+            quant, dim=dim, m=m, k_codes=k_codes, iters=iters
+        )
+        coded = quant.select(
+            F.col("__vid").alias(id_col),
+            _pq_codes_expr(F.col("__v"), codebooks).alias("codes"),
+        )
+    else:
+        coded = pq_encode(
+            embeddings, codebooks, id_col=id_col, vec_col=vec_col
+        )
     mm, kc = len(codebooks), len(codebooks[0])
     d_sub = len(codebooks[0][0])
     flat = [cv for book in codebooks for cv in book]
@@ -1724,7 +1813,6 @@ def pq_topk_int(
     qs = queries.select(
         F.col(id_col).alias("query_id"), lut.alias("__lut")
     )
-    coded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
     scored = (
         coded.select(F.col(id_col).alias("neighbor_id"), "codes")
         .join(F.broadcast(qs))
@@ -1798,8 +1886,11 @@ def ivfpq_topk_int(
     )
     cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
     cells_lit = _lit_matrix(cvecs, "bigint")
-    quant = embeddings.select(
-        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__v"),
+        )
     )
     # coarse assignment + residuals, materialized ONCE (train pass +
     # encode pass both consume it)

@@ -53,6 +53,11 @@ QUERIES = [
     # the cluster-keyed leakage-safe split (jaccard pairs + CC + hash)
     "emb_contamination",
     "doc_split_leakage_safe",
+    # r8 additions: product-quantization ANN and the IVF-PQ combo —
+    # train/encode are corpus-linear fused passes, search is a
+    # broadcast LUT join; expected linear-at-worst
+    "emb_pq_topk_int",
+    "emb_ivfpq_topk_int",
 ]
 
 
