@@ -47,6 +47,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_split_leakage_safe",    # same oracle CTE change
     "emb_pq_topk_int",           # NEW r8: product-quantization ANN
     "emb_ivfpq_topk_int",        # NEW r8: IVF-PQ (residual ADC)
+    "emb_sq8_topk_int",          # NEW r8: scalar-quantization ANN
+    "emb_cluster_sample",        # NEW r8: cluster-balanced curation draw
+    "doc_bigram_coherence",      # NEW r8: bigram-frequency fluency signal
+    "doc_ccnet_bucket",          # NEW r8: head/middle/tail percentile split
     # emb_semdedup_incr samples the r8 tau-validation line through the
     # changed semantic_dedup_incremental_int; emb_semdedup_int and
     # emb_contamination share the IDENTICAL one-line delta on the same
@@ -87,16 +91,22 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "theta_contains",
     "tpch_q1",
     "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q19",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "union_distinct_ids",
-    # -- buffer past the 50-entry sample line (r6-stale next) ------------
+    # -- buffer past the 50-entry sample line --------------------------------
+    # The four NEW r8 entries above displace these four r5-stale tpch
+    # queries (changed/new-first beats least-recently-checked, the
+    # repo's own rotation rule): their code is the static built-in-SQL
+    # tier untouched since r2, every one is green r5 AND differentially
+    # pytest-checked each session; they lead the r9 rotation.
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    # -- (r6-stale next) -----------------------------------------------------
     "ev_props_kv",
     "doc_minhash_dedup_md5",
     "doc_incremental_dedup",

@@ -2068,6 +2068,222 @@ FROM r LEFT JOIN k USING (source)
 """
 
 
+# --- scalar-quantization ANN (SQ8) -----------------------------------------
+def q_emb_sq8_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-SQ8-shaped ANN: per-dimension corpus [min,max] ranges
+    (one 2*dim-cell aggregate) map every component to a byte code;
+    search ranks by the 255-scaled reconstruction dot — at 100 TB the
+    scan reads an 8x-smaller byte column (SQ's win is I/O, not
+    FLOPs).  Completes the index family: flat / LSH / IVF / PQ /
+    IVF-PQ / SQ8.  Integer-exact; the oracle replays range-stats ->
+    encode -> score bit-for-bit."""
+    from metrics_service_spark.operators.similarity import sq8_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return sq8_topk_int(emb, queries, k=TOPK)
+
+
+ORACLE_SQ8_TOPK_INT = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT unnest(range(1, 65)) AS i
+), stats AS (
+  SELECT i, min(v[i]) AS mn, greatest(max(v[i]) - min(v[i]), 1) AS sp
+  FROM q CROSS JOIN dims GROUP BY i
+), rng AS (
+  SELECT list(mn ORDER BY i) AS mins, list(sp ORDER BY i) AS spans FROM stats
+), coded AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(range(1, 65),
+             i -> CAST(floor(CAST((v[i] - mins[i]) * 255 AS DOUBLE) / spans[i])
+                       AS BIGINT)) AS codes
+  FROM q CROSS JOIN rng
+), qs AS (
+  SELECT vec_id AS query_id,
+         255 * CAST(list_sum(list_transform(range(1, 65), i -> v[i] * mins[i]))
+                    AS BIGINT) AS qbase,
+         list_transform(range(1, 65), i -> v[i] * spans[i]) AS qspan
+  FROM q CROSS JOIN rng WHERE vec_id < {N_QUERY_VECS}
+), cand AS (
+  SELECT query_id, neighbor_id,
+         qbase + CAST(list_sum(list_transform(range(1, 65),
+                     i -> codes[i] * qspan[i])) AS BIGINT) AS score_q
+  FROM coded CROSS JOIN qs WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOPK}
+"""
+
+
+# --- cluster-balanced curation sampling ------------------------------------
+SAMPLE_PER_CELL = 8
+
+
+def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling (the DataComp-style curation draw):
+    md5-seeded cells, integer argmax assignment, then a fixed
+    per-cell quota chosen by md5(id) — semantic spread preserved
+    instead of dense clusters dominating.  Cell-keyed shuffle only;
+    the per-cell top-k is WindowGroupLimit-pushed map-side."""
+    from metrics_service_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, n_cells=16, per_cell=SAMPLE_PER_CELL
+    )
+
+
+ORACLE_CLUSTER_SAMPLE = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), ascored AS (
+  SELECT q.vec_id, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM assigned
+) WHERE rk <= {SAMPLE_PER_CELL}
+"""
+
+
+# --- corpus bigram-coherence scoring ----------------------------------------
+def q_doc_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order corpus-statistics quality signal: mean corpus
+    frequency of a document's BIGRAMS.  A doc whose unigrams are
+    common but whose bigrams are rare has unusual token ORDER — the
+    fluency complement of `doc_unigram_freq` (shuffled or
+    word-salad text scores low here while passing unigram checks).
+    Exact integer counts + one final rounded division keep it
+    oracle-safe; the vocabulary join is the same big-vocab
+    shuffle-join pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    bgs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("t") - 1, F.lit(1))
+                ),
+                lambda i: F.array_join(
+                    F.slice("t", i, 2), " "
+                ),
+            )
+        ).alias("bg"),
+    )
+    counts = bgs.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bgs.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_bg_freq"),
+        )
+    )
+
+
+ORACLE_BIGRAM_COHERENCE = """
+WITH bgs AS (
+  SELECT doc_id,
+         unnest([array_to_string(toks[i:i+1], ' ')
+                 FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)]) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), counts AS (
+  SELECT bg, count(*) AS cnt FROM bgs GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS mean_bg_freq
+FROM bgs JOIN counts USING (bg)
+GROUP BY 1
+"""
+
+
+# --- CCNet-style percentile quality bucketing -------------------------------
+def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split: every document labeled by
+    which global percentile band of the corpus-frequency quality
+    score it falls in (top third = head, next third = middle, rest =
+    tail).  NO global sort at any scale: `percentile_buckets` derives
+    the band cutoffs from the bounded-cardinality score histogram and
+    joins the corpus against the broadcast cutoffs; only rows tied AT
+    a cutoff value enter a (bounded) tie-rank window.  Bit-identical
+    to the `row_number() <= floor((n-1)*frac)+1` window twin the
+    oracle runs."""
+    from metrics_service_spark.operators.gate import percentile_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
+            ).alias("score")
+        )
+    )
+    return percentile_buckets(
+        scored, score_col="score", id_col="doc_id", fracs=(1 / 3, 2 / 3)
+    )
+
+
+ORACLE_CCNET_BUCKET = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+), scored AS (
+  SELECT doc_id, round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS score
+  FROM toks JOIN counts USING (tok)
+  GROUP BY 1
+), ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC NULLS LAST, doc_id ASC) AS r,
+         count(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, score,
+       CASE WHEN r <= floor((n - 1) * (1.0 / 3.0)) + 1 THEN 'head'
+            WHEN r <= floor((n - 1) * (2.0 / 3.0)) + 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_mixture": QuerySpec(
         q_doc_mixture,
@@ -2333,6 +2549,34 @@ QUERIES: dict[str, QuerySpec] = {
         q_emb_semdedup_incr,
         ORACLE_SEMDEDUP_INCR,
         "incremental SemDeDup: batch admitted vs corpus cell index",
+        ("llm",),
+    ),
+    "emb_sq8_topk_int": QuerySpec(
+        q_emb_sq8_topk_int,
+        ORACLE_SQ8_TOPK_INT,
+        "scalar-quantization (SQ8) ANN: per-dim byte codes, "
+        "255-scaled reconstruction ranking — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_cluster_sample": QuerySpec(
+        q_emb_cluster_sample,
+        ORACLE_CLUSTER_SAMPLE,
+        "cluster-balanced curation sampling: md5-seeded cells, "
+        "per-cell md5 quota draw — full pipeline oracle",
+        ("llm",),
+    ),
+    "doc_bigram_coherence": QuerySpec(
+        q_doc_bigram_coherence,
+        ORACLE_BIGRAM_COHERENCE,
+        "mean corpus bigram frequency per doc — token-order fluency "
+        "complement of doc_unigram_freq",
+        ("llm",),
+    ),
+    "doc_ccnet_bucket": QuerySpec(
+        q_doc_ccnet_bucket,
+        ORACLE_CCNET_BUCKET,
+        "CCNet head/middle/tail percentile bucketing with no global "
+        "sort (histogram cutoffs + broadcast join)",
         ("llm",),
     ),
 }

@@ -163,3 +163,87 @@ def top_fraction_approx(
     has bounded cardinality and exactness matters."""
     (cut,) = scored.approxQuantile(score_col, [1.0 - frac], relative_error)
     return scored.filter(F.col(score_col) >= F.lit(cut)).select(id_col)
+
+
+def percentile_buckets(
+    scored: DataFrame,
+    *,
+    score_col: str,
+    id_col: str,
+    fracs: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    materialize: bool = True,
+) -> DataFrame:
+    """CCNet-style quality bucketing: label every row by which global
+    score percentile band it falls in — ``labels[i]`` for rows ranked
+    (score DESC, id ASC) within the top ``fracs[i]`` fraction, the
+    last label for the rest.  Bit-identical to the window twin
+
+        CASE WHEN row_number() <= floor((n-1)*frac_i)+1 THEN label_i ...
+
+    but with NO global sort: the same bounded-cardinality histogram as
+    ``top_fraction`` yields one (cut value, boundary quota) row per
+    frac; the corpus is then joined against the broadcast cutoffs, and
+    only rows tied AT a cutoff value need a (score-partitioned) tie
+    rank.  Returns (id, score, bucket).
+    """
+    if len(labels) != len(fracs) + 1:
+        raise ValueError("need exactly one more label than fracs")
+    scored = scored.select(id_col, score_col)
+    if materialize:
+        scored = scored.localCheckpoint(eager=False)
+    sc = F.col(score_col)
+    hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    wcum = Window.orderBy(sc.desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .localCheckpoint(eager=False)  # one tiny frame, len(fracs) consumers
+    )
+    cuts = None
+    for i, frac in enumerate(fracs):
+        cut_i = (
+            cum.withColumn(
+                "__k",
+                (F.floor((F.col("__n") - 1) * F.lit(frac)) + 1).cast("long"),
+            )
+            .filter(F.col("__cum") >= F.col("__k"))
+            .orderBy(sc.desc())
+            .limit(1)
+            .select(
+                F.lit(i).alias("__b"),
+                sc.alias("__cut"),
+                (F.col("__k") - (F.col("__cum") - F.col("__c"))).alias("__m"),
+            )
+        )
+        cuts = cut_i if cuts is None else cuts.unionByName(cut_i)
+    above = (
+        scored.crossJoin(F.broadcast(cuts))
+        .filter(
+            F.when(F.col("__cut").isNull(), sc.isNotNull()).otherwise(
+                sc > F.col("__cut")
+            )
+        )
+        .select(id_col, "__b")
+    )
+    # only rows tied AT a cutoff value enter the tie-rank window — the
+    # per-score groups are bounded, the corpus is never globally sorted
+    wtie = Window.partitionBy(score_col, "__b").orderBy(F.col(id_col).asc())
+    boundary = (
+        scored.join(F.broadcast(cuts), sc.eqNullSafe(F.col("__cut")))
+        .withColumn("__r", F.row_number().over(wtie))
+        .filter(F.col("__r") <= F.col("__m"))
+        .select(id_col, "__b")
+    )
+    admitted = (
+        above.unionByName(boundary).groupBy(id_col).agg(F.min("__b").alias("__b"))
+    )
+    label_expr = F.element_at(
+        F.array(*[F.lit(x) for x in labels]),
+        (F.coalesce(F.col("__b"), F.lit(len(fracs))) + 1).cast("int"),
+    )
+    return (
+        scored.join(admitted, id_col, "left")
+        .select(id_col, score_col, label_expr.alias("bucket"))
+    )

@@ -1991,3 +1991,135 @@ def ivfpq_topk_int(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score_q")
     )
+
+
+def sq8_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Scalar-quantization ANN (the FAISS SQ8 index): per-dimension
+    corpus [min, max] ranges map each quantized component to a byte
+    code ``floor((x - min) * 255 / span)``, an 8x-smaller column than
+    the float vector — at 100 TB the search scan reads bytes, which is
+    the whole point of SQ (the FLOP count per pair stays dim-wide,
+    unlike PQ's m lookups; the win is I/O, not arithmetic).
+
+    Integer-exact end to end: ranking uses the 255-scaled
+    reconstruction dot
+
+        score255 = 255 * (q . min)  +  sum_i q_i * code_i * span_i
+
+    (the common /255 factor of the dequantized ``min_i + code_i *
+    span_i / 255`` is dropped — monotone, so the ranking is the true
+    reconstruction ranking), all in int64 with no overflow at the
+    engine's |x|<2, dim<=64 quantization contract.  The range stats
+    are ONE map-side-combined aggregate (2*dim cells — never a
+    data-sized collect); corpus quantize+encode+search share a single
+    checkpointed frame.  Ties: score desc, id asc; self excluded."""
+    quant = _quant_corpus_frame(embeddings, id_col, vec_col)
+    v = F.col("__v")
+    # per-dim ranges via posexplode + groupBy(pos): the partial agg
+    # collapses each partition to dim rows map-side, and the plan
+    # stays tiny — a flat 2*dim-expression aggregate spends seconds
+    # in analysis/codegen for the same answer
+    stats_rows = (
+        quant.select(F.posexplode(v).alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(F.min("__x").alias("mn"), F.max("__x").alias("mx"))
+        .collect()
+    )
+    mins, spans = [0] * dim, [1] * dim
+    for r in stats_rows:
+        mins[r["__p"]] = int(r["mn"])
+        spans[r["__p"]] = max(1, int(r["mx"]) - int(r["mn"]))
+    mins_lit = F.expr(
+        "cast(array(" + ",".join(str(x) for x in mins) + ") as array<bigint>)"
+    )
+    spans_lit = F.expr(
+        "cast(array(" + ",".join(str(x) for x in spans) + ") as array<bigint>)"
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.floor(
+            (F.element_at(v, (i + 1).cast("int")) - F.element_at(mins_lit, i + 1))
+            * 255
+            / F.element_at(spans_lit, i + 1)
+        ),
+    )
+    coded = quant.select(
+        F.col("__vid").alias("neighbor_id"), codes.alias("__codes")
+    )
+    qv = quantize(F.col(vec_col))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        (F.lit(255) * dot_long(qv, mins_lit)).alias("__qbase"),
+        F.zip_with(qv, spans_lit, lambda a, b: a * b).alias("__qspan"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        coded.join(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__qbase") + dot_long(F.col("__codes"), F.col("__qspan"))).alias(
+                "score_q"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score_q")
+    )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    per_cell: int = 8,
+) -> DataFrame:
+    """Cluster-balanced curation sampling (the DataComp / SemDeDup
+    companion step): assign every vector to its nearest md5-seeded
+    cell (the shared integer argmax — ties to the lowest cell), then
+    keep a fixed per-cell quota chosen by md5(id) — a deterministic
+    uniform-within-cluster draw that preserves the corpus's semantic
+    spread instead of letting dense clusters dominate the sample.
+
+    Plan shape at scale: one bounded seed collect (n_cells rows), a
+    cell-keyed window whose per-cell top-k is WindowGroupLimit-pushed
+    map-side, and nothing driver-bound growing with data.  Output:
+    (id, cell, rk) for the kept rows."""
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    quant = embeddings.select(
+        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("__vid").cast("string")).asc(), F.col("__vid").asc()
+    )
+    return (
+        _argmax_cells(quant, cvecs)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_cell)
+        .select(
+            F.col("__vid").alias(id_col), "cell", F.col("rk").cast("int").alias("rk")
+        )
+    )

@@ -131,3 +131,57 @@ def test_group_quantile_disc_nulls_last(spark):
     }
     assert got["g"] == 2.0  # k = floor(2*0.5)+1 = 2 -> second value
     assert got["h"] is None
+
+
+def test_percentile_buckets_matches_window_twin(spark):
+    """percentile_buckets must be bit-identical to the global-sort
+    window CASE over (score DESC, id ASC) — including boundary groups
+    whose score value is tied across the cutoff."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.gate import percentile_buckets
+
+    # heavy ties on purpose: score = id // 3 gives 3-row tie groups
+    df = spark.createDataFrame(
+        [(i, float(i // 3)) for i in range(40)], "doc_id long, score double"
+    )
+    got = {
+        (r.doc_id, r.score): r.bucket
+        for r in percentile_buckets(
+            df, score_col="score", id_col="doc_id", fracs=(1 / 3, 2 / 3)
+        ).collect()
+    }
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    n = df.count()
+    twin = {
+        (r.doc_id, r.score): r.bucket
+        for r in df.withColumn("r", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "score",
+            F.when(
+                F.col("r") <= F.floor(F.lit((n - 1) * (1 / 3))) + 1, "head"
+            )
+            .when(
+                F.col("r") <= F.floor(F.lit((n - 1) * (2 / 3))) + 1, "middle"
+            )
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .collect()
+    }
+    assert got == twin
+
+
+def test_percentile_buckets_label_arity(spark):
+    import pytest as _pytest
+
+    from metrics_service_spark.operators.gate import percentile_buckets
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with _pytest.raises(ValueError, match="one more label"):
+        percentile_buckets(
+            df, score_col="score", id_col="doc_id",
+            fracs=(0.5,), labels=("a", "b", "c"),
+        )

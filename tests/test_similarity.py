@@ -504,3 +504,59 @@ def test_ivfpq_fidelity_within_probed_cells(spark, sf_dir):
     plan = adc._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sq8_lossless_span_equals_exact_dot(spark):
+    """Hard anchor for SQ8: when every dimension's corpus span is
+    EXACTLY 255 quantized units, the byte code is x - min verbatim, so
+    score_q must equal 255 * the exact integer dot on every pair and
+    the ranking must match the exact index bit-for-bit (ivf with one
+    cell and one probe ranks by the exact dot)."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.similarity import (
+        ivf_topk_int,
+        sq8_topk_int,
+    )
+
+    rows = [
+        (i, [0.0255 if (i * 7 + j) % 3 == 0 else 0.0 for j in range(64)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    sq = sq8_topk_int(emb, queries, k=100)
+    exact = ivf_topk_int(emb, queries, n_cells=1, nprobe=1, k=100)
+    joined = sq.select(
+        "query_id", "neighbor_id", F.col("rank").alias("rk_sq"), "score_q"
+    ).join(exact, ["query_id", "neighbor_id"])
+    got = joined.collect()
+    assert len(got) == 27  # 3 queries x 9 non-self neighbors
+    assert all(r.score_q == 255 * r.dot_q for r in got)
+    assert all(r.rk_sq == r.rank for r in got)
+
+
+def test_cluster_sample_quota_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(emb, n_cells=8, per_cell=5)
+    rows = out.collect()
+    per_cell = {}
+    for r in rows:
+        per_cell.setdefault(r.cell, []).append(r.rk)
+    assert all(len(v) <= 5 for v in per_cell.values())
+    # ranks are 1..k contiguous within each cell
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_cell.values())
+    # deterministic: a rerun yields the identical sample
+    again = sorted(map(tuple, cluster_balanced_sample(
+        emb, n_cells=8, per_cell=5).collect()))
+    assert sorted(map(tuple, rows)) == again
+    # ids are unique (each vector sampled at most once)
+    ids = [r[0] for r in rows]
+    assert len(ids) == len(set(ids))
