@@ -64,6 +64,12 @@ HEADLINE = [
     # and the IVF-PQ combo (coarse cells + residual PQ)
     "emb_pq_topk_int",
     "emb_ivfpq_topk_int",
+    # round-8: scalar-quantization ANN, cluster-balanced curation
+    # sampling, and the no-global-sort CCNet percentile bucketing
+    "emb_sq8_topk_int",
+    "emb_cluster_sample",
+    "doc_ccnet_bucket",
+    "doc_dup_spans",
 ]
 
 

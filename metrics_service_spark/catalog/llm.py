@@ -2284,6 +2284,69 @@ FROM ranked
 """
 
 
+# --- exact duplicate-span fraction ------------------------------------------
+SPAN_WINDOW = 8
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication signal (Lee et al. 2021):
+    fraction of each doc's OVERLAPPING 8-token windows that occur
+    more than once corpus-wide — catches copied spans at any
+    alignment, where the non-overlapping paragraph chunks only catch
+    aligned boilerplate.  Span rows carry (id, hash) only; hot spans
+    collapse map-side before the count shuffle."""
+    from metrics_service_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(
+        docs, "doc_id", "text", window_tokens=SPAN_WINDOW
+    )
+
+
+ORACLE_DUP_SPANS = f"""
+WITH spans AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(toks[i:i+{SPAN_WINDOW - 1}], ' '))
+                 FOR i IN range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)]) AS wh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), counts AS (
+  SELECT wh, count(*) AS n FROM spans GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_windows,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_windows,
+       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_frac
+FROM spans JOIN counts USING (wh)
+GROUP BY 1
+"""
+
+
+# --- per-source quota capping -----------------------------------------------
+SOURCE_QUOTA = 10
+
+
+def q_doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balancing pass (the Common-Crawl per-domain cap): keep
+    at most 10 docs per source by the deterministic md5(id) draw, so
+    no source dominates the training mix regardless of raw mass.  One
+    source-keyed shuffle; per-group top-k pushed map-side by
+    WindowGroupLimit."""
+    from metrics_service_spark.operators.sampling import per_group_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    return per_group_quota(docs, "source", "doc_id", quota=SOURCE_QUOTA)
+
+
+ORACLE_SOURCE_QUOTA = f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {SOURCE_QUOTA}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_mixture": QuerySpec(
         q_doc_mixture,
@@ -2577,6 +2640,20 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_CCNET_BUCKET,
         "CCNet head/middle/tail percentile bucketing with no global "
         "sort (histogram cutoffs + broadcast join)",
+        ("llm",),
+    ),
+    "doc_dup_spans": QuerySpec(
+        q_doc_dup_spans,
+        ORACLE_DUP_SPANS,
+        "overlapping-window exact duplicate-span fraction per doc "
+        "(Lee et al. 2021 substring dedup signal)",
+        ("llm",),
+    ),
+    "doc_source_quota": QuerySpec(
+        q_doc_source_quota,
+        ORACLE_SOURCE_QUOTA,
+        "per-source quota capping (domain balancing) by deterministic "
+        "md5 draw",
         ("llm",),
     ),
 }

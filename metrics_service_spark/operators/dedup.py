@@ -794,3 +794,66 @@ def paragraph_dedup_stats(
             ).alias("dup_paragraph_fraction"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the Lee et al. 2021 "Dedup
+    Training Data" signal): fingerprint every OVERLAPPING
+    `window_tokens`-token window (stride 1 — unlike the non-overlapping
+    `paragraph_dedup_stats` chunks, this catches duplicated spans at
+    ANY alignment), count corpus-wide occurrences, and report per doc
+    the fraction of its windows that occur more than once anywhere in
+    the corpus (including twice within the same doc).  High dup_frac =
+    boilerplate/templated text; the per-window hits are what a span
+    REMOVAL pass would key on.
+
+    Scale: the span rows carry only (id, 32-B hash); one explode, one
+    map-side-combined hash groupBy (hot boilerplate collapses before
+    the shuffle), one re-attach join, one per-doc agg — no window
+    function over the hash key, so a span shared by 10^6 docs never
+    lands on one task.  Docs shorter than the window contribute their
+    whole text as one window (the shingle convention)."""
+    toks = F.col("__toks")
+    n_win = F.greatest(F.size(toks) - window_tokens + 1, F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, window_tokens)),
+    )
+    # repartition the RAW tokenized rows first so the window build +
+    # md5 (the CPU bulk, ~|doc| string copies per doc) runs ABOVE the
+    # exchange on all cores even off a one-row-group parquet scan —
+    # the same shingle-above-exchange discipline as the jaccard path
+    spread = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    spans = (
+        spread.select("__id", F.explode(wins).alias("__w"))
+        .select("__id", F.md5(F.col("__w")).alias("__wh"))
+        # feeds the corpus-wide count AND the re-attach join
+        .localCheckpoint(eager=False)
+    )
+    counts = spans.groupBy("__wh").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        spans.join(counts, "__wh")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).alias(
+                "dup_windows"
+            ),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows").cast("double") / F.col("n_windows"), 4
+            ).alias("dup_frac"),
+        )
+    )

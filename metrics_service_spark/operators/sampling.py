@@ -17,7 +17,7 @@ operators); determinism mirrors the repo-wide no-RNG policy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: (upper-exclusive 2-hex-char threshold, name) — contiguous ranges of
@@ -136,4 +136,29 @@ def mixture_sample(
         df.join(F.broadcast(rates), stratum_col)
         .filter((F.col("thr") >= 256) | (h < thr_hex))
         .drop("n_docs", "thr")
+    )
+
+
+def per_group_quota(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    quota: int,
+) -> DataFrame:
+    """Per-group quota capping (the Common-Crawl domain-balancing
+    pass): keep at most `quota` rows per group, chosen by the
+    deterministic md5(id) draw — no group may dominate the corpus
+    regardless of its raw mass.  One cell-keyed shuffle; the per-group
+    top-k is WindowGroupLimit-pushed map-side, so a 10^8-row group
+    costs its partitions only a streaming top-quota pass.  Output:
+    (id, group, rk)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota)
+        .select(id_col, group_col, F.col("rk").cast("int").alias("rk"))
     )

@@ -97,3 +97,22 @@ def test_mixture_sample_thresholds_and_determinism(spark):
         df2, "doc_id", "source", targets_pm=targets, budget=20
     )
     assert kept3.filter(F.col("source") == "other").isEmpty()
+
+
+def test_per_group_quota_caps_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.sampling import per_group_quota
+    from metrics_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = per_group_quota(docs, "source", "doc_id", quota=7)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rk)
+    assert all(len(v) == 7 for v in per_src.values())  # every source has >=7 docs
+    assert all(sorted(v) == list(range(1, 8)) for v in per_src.values())
+    again = sorted(map(tuple, per_group_quota(
+        docs, "source", "doc_id", quota=7).collect()))
+    assert sorted(map(tuple, rows)) == again

@@ -129,3 +129,28 @@ def test_domain_filter_blocklist_anti_join(spark):
     block = spark.createDataFrame([("spam.site",)], "domain string")
     kept = sorted(r["id"] for r in domain_filter(docs, "url", block).collect())
     assert kept == [2]
+
+
+def test_duplicate_span_stats_flags_copied_span(spark):
+    """A doc that copies an 8-token span from another doc gets exactly
+    its overlapping windows inside the copied region flagged; a doc
+    with unique text has dup_frac 0."""
+    from metrics_service_spark.operators.dedup import duplicate_span_stats
+
+    tok = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, tok(8, "a") + " " + shared + " " + tok(8, "b")),  # 24 tokens
+        (2, tok(8, "c") + " " + shared),                      # 16 tokens
+        (3, tok(20, "u")),                                    # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicate_span_stats(
+        df, "doc_id", "text", window_tokens=8).collect()}
+    # doc 1: 17 windows, exactly ONE (the aligned copy of `shared`,
+    # positions 9..16) also occurs in doc 2's windows
+    assert got[1].n_windows == 17 and got[1].dup_windows == 1
+    # doc 2: 9 windows, its window at position 9 is the shared span
+    assert got[2].n_windows == 9 and got[2].dup_windows == 1
+    assert got[3].dup_windows == 0 and got[3].dup_frac == 0.0
+    assert got[1].dup_frac == round(1 / 17, 4)
