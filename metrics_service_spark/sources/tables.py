@@ -79,30 +79,42 @@ def rowcount_bound(
     dedicated `dim.count()` job per build is pure added latency.  On a
     single-row-group file the bound degrades to the table row count —
     still correct, still jobless."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    md = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata
-    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    for col in ranges or ():
-        if col not in names:
-            raise KeyError(f"no column {col!r} in {name}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # the fixture tables are single files; a Spark-written table (e.g.
+    # the scale-probe scratch dirs) is a DIRECTORY of part files whose
+    # footers sum the same way
+    paths = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
     total = 0
-    for g in range(md.num_row_groups):
-        rg = md.row_group(g)
-        include = True
-        for col, (lo, hi) in (ranges or {}).items():
-            st = rg.column(names[col]).statistics
-            if st is None or not st.has_min_max:
-                continue  # no stats -> cannot exclude
-            if (hi is not None and st.min > hi) or (
-                lo is not None and st.max < lo
-            ):
-                include = False
-                break
-        if include:
-            total += rg.num_rows
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in ranges or ():
+            if col not in names:
+                raise KeyError(f"no column {col!r} in {name}")
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            include = True
+            for col, (lo, hi) in (ranges or {}).items():
+                st = rg.column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats -> cannot exclude
+                if (hi is not None and st.min > hi) or (
+                    lo is not None and st.max < lo
+                ):
+                    include = False
+                    break
+            if include:
+                total += rg.num_rows
     return total
 
 

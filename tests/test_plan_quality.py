@@ -395,3 +395,46 @@ def test_emb_contamination_fused_assignment_cell_keyed(
     # no exchange keyed on the quantized vector itself
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", joined):
         assert "__v#" not in m.group(1), m.group(0)
+
+
+def test_ccnet_bucket_no_global_sort(spark, sf_dir, monkeypatch):
+    """PLANS.md 'doc_ccnet_bucket' keeps: the corpus is never globally
+    sorted — any unpartitioned window (row_number over an empty
+    partition spec) runs only over the bounded score HISTOGRAM, never
+    over per-doc rows; cutoffs reach the corpus via broadcast joins;
+    no cartesian blow-up (the cutoff cross join is a broadcast of a
+    <=|fracs|-row frame)."""
+    import re
+
+    plans = _plans_incl_checkpoints(spark, sf_dir, "doc_ccnet_bucket", monkeypatch)
+    joined = "\n".join(plans)
+    assert "CartesianProduct" not in joined
+    # GLOBAL sorts (SortExec global=true — rendered "Sort [...], true,")
+    # may only appear in the histogram/cutoff subplans, which aggregate
+    # BEFORE sorting: every global Sort must sit above a HashAggregate
+    # (or a checkpointed histogram leaf) in the same subplan.  Local
+    # window-partition sorts ("..., false,") over the boundary groups
+    # are the design.
+    for p in plans:
+        lines = p.splitlines()
+        for i, ln in enumerate(lines):
+            if re.search(r"Sort \[.*\], true,", ln):
+                below = "\n".join(lines[i:])
+                assert "HashAggregate" in below or "Scan ExistingRDD" in below, (
+                    "global sort over raw corpus rows:\n" + ln
+                )
+
+
+def test_sq8_reads_codes_from_shared_checkpoint(spark, sf_dir, monkeypatch):
+    """PLANS.md 'emb_sq8_topk_int' keeps: range stats + encode + search
+    all consume ONE checkpointed quantized frame (the embeddings
+    parquet is scanned at most twice total — corpus once, query side
+    once), the query side reaches the corpus through a broadcast, and
+    there is no cartesian product."""
+    plans = _plans_incl_checkpoints(spark, sf_dir, "emb_sq8_topk_int", monkeypatch)
+    joined = "\n".join(plans)
+    assert joined.count("embeddings.parquet") <= 2, joined.count(
+        "embeddings.parquet"
+    )
+    assert "CartesianProduct" not in joined
+    assert "BroadcastNestedLoopJoin" in joined or "BroadcastHashJoin" in joined

@@ -58,6 +58,16 @@ QUERIES = [
     # broadcast LUT join; expected linear-at-worst
     "emb_pq_topk_int",
     "emb_ivfpq_topk_int",
+    # r8 additions: SQ8 (range stats + byte-code projection), the
+    # overlapping duplicate-span pipeline (token-disjoint copies keep
+    # per-copy duplicate structure identical to the base; span mass
+    # grows linearly), bigram vocabulary join, and the no-global-sort
+    # percentile bucketing (the histogram is value-bounded: its size
+    # stays FLAT under replication)
+    "emb_sq8_topk_int",
+    "doc_dup_spans",
+    "doc_bigram_coherence",
+    "doc_ccnet_bucket",
 ]
 
 
