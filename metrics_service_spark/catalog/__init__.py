@@ -53,6 +53,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_ccnet_bucket",          # NEW r8: head/middle/tail percentile split
     "doc_dup_spans",             # NEW r8: overlapping duplicate-span fraction
     "doc_source_quota",          # NEW r8: per-source (domain) quota cap
+    "emb_knn_graph",             # NEW r8: corpus k-NN graph (cell equi-join)
     # emb_semdedup_incr samples the r8 tau-validation line through the
     # changed semantic_dedup_incremental_int; emb_semdedup_int and
     # emb_contamination share the IDENTICAL one-line delta on the same
@@ -94,14 +95,14 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q10",
     "tpch_q3",
-    "tpch_q4",
     "union_distinct_ids",
     # -- buffer past the 50-entry sample line --------------------------------
-    # The six NEW r8 entries above displace these six r5-stale tpch
+    # The seven NEW r8 entries above displace these seven r5-stale tpch
     # queries (changed/new-first beats least-recently-checked, the
     # repo's own rotation rule): their code is the static built-in-SQL
     # tier untouched since r2, every one is green r5 AND differentially
     # pytest-checked each session; they lead the r9 rotation.
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q12",

@@ -2347,6 +2347,60 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 """
 
 
+# --- corpus k-NN graph ------------------------------------------------------
+KNN_K = 3
+
+
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-NN graph: every vector's top-3 within-cell neighbors
+    by exact integer dot — the input structure for graph-based
+    curation (cluster pruning, CC semantic dedup, diversity scores).
+    Corpus x corpus, so the join is a cell equi-join (never a
+    broadcast); per-cell candidate mass is bounded by the n_cells
+    geometry."""
+    from metrics_service_spark.operators.similarity import knn_graph_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_int(emb, n_cells=16, k=KNN_K)
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), ascored AS (
+  SELECT q.vec_id, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS dot_q
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+)
+SELECT src_id, dst_id, CAST(rank AS INT) AS rank, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY dot_q DESC, dst_id) AS rank
+  FROM pairs
+) WHERE rank <= {KNN_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_mixture": QuerySpec(
         q_doc_mixture,
@@ -2654,6 +2708,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SOURCE_QUOTA,
         "per-source quota capping (domain balancing) by deterministic "
         "md5 draw",
+        ("llm",),
+    ),
+    "emb_knn_graph": QuerySpec(
+        q_emb_knn_graph,
+        ORACLE_KNN_GRAPH,
+        "corpus k-NN graph: within-cell top-k neighbors by exact "
+        "integer dot — graph-curation input, full pipeline oracle",
         ("llm",),
     ),
 }

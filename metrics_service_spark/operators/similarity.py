@@ -2123,3 +2123,66 @@ def cluster_balanced_sample(
             F.col("__vid").alias(id_col), "cell", F.col("rk").cast("int").alias("rk")
         )
     )
+
+
+def knn_graph_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Corpus k-NN GRAPH (every vector's top-k neighbors, the input
+    structure for graph-based curation — SemDeDup-style cluster
+    pruning, connected-component semantic dedup, diversity scoring):
+    md5-seeded cells bound the candidate set (neighbors are found
+    within a vector's own cell — the IVF approximation), within-cell
+    pairs score by the exact integer dot, and a per-source window
+    keeps the top k (dot desc, id asc).
+
+    This differs from the broadcast-query ANN searches: BOTH sides
+    are the corpus, so the join must be a cell equi-join (never a
+    broadcast), and the quadratic term is bounded per cell by the
+    n_cells geometry knob — exactly the SemDeDup cell discipline.
+    Output: (src_id, dst_id, rank, dot_q)."""
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__v"),
+        )
+    )
+    # assignment feeds BOTH self-join sides
+    assigned = _argmax_cells(quant, cvecs).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("__vid").alias("src_id"), F.col("__v").alias("__va"), "cell"
+    )
+    b = assigned.select(
+        F.col("__vid").alias("dst_id"), F.col("__v").alias("__vb"), "cell"
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("dot_q").desc(), F.col("dst_id").asc()
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            dot_long(F.col("__va"), F.col("__vb")).alias("dot_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", F.col("rank").cast("int").alias("rank"), "dot_q")
+    )

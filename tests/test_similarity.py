@@ -560,3 +560,38 @@ def test_cluster_sample_quota_and_determinism(spark, sf_dir):
     # ids are unique (each vector sampled at most once)
     ids = [r[0] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_knn_graph_topk_contract(spark, sf_dir):
+    """Every vector gets at most k neighbors, ranks are contiguous
+    from 1, neighbors share the vector's cell geometry (never self),
+    and the reported dot is the exact integer dot."""
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.operators.similarity import (
+        knn_graph_int,
+        quantize,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_int(emb, n_cells=8, k=3)
+    rows = g.collect()
+    per_src = {}
+    for r in rows:
+        assert r.src_id != r.dst_id
+        per_src.setdefault(r.src_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+    assert max(len(v) for v in per_src.values()) <= 3
+    # exact-dot spot check on the top edge of the smallest src id
+    src = min(per_src)
+    edge = next(r for r in rows if r.src_id == src and r.rank == 1)
+    vecs = {
+        r["vec_id"]: r["q"]
+        for r in emb.filter(F.col("vec_id").isin(src, edge.dst_id))
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .collect()
+    }
+    assert edge.dot_q == sum(
+        a * b for a, b in zip(vecs[src], vecs[edge.dst_id])
+    )
