@@ -70,6 +70,7 @@ HEADLINE = [
     "emb_cluster_sample",
     "doc_ccnet_bucket",
     "doc_dup_spans",
+    "emb_knn_graph",
 ]
 
 

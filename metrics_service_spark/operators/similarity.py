@@ -1068,11 +1068,19 @@ def _assign_int(
 ) -> DataFrame:
     """Integer argmax assignment: (__vid, __v, cell, __n2) plus any
     `extra_cols` carried through from df (e.g. the fused index/batch
-    side tag)."""
-    quant = df.select(
-        F.col(id_col).alias("__vid"),
-        quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
-        *extra_cols,
+    side tag).  The input is `_spread` first: the O(rows x cells x
+    dim) assignment arithmetic must run on all cores — a bootstrap
+    admit of a one-row-group parquet batch otherwise serializes the
+    whole corpus assignment onto a single task (the r8 50x gate probe
+    hung for >30 min exactly there; a cluster's batches arrive
+    pre-partitioned, so the conditional exchange is a no-op at
+    scale)."""
+    quant = _spread(
+        df.select(
+            F.col(id_col).alias("__vid"),
+            quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+            *extra_cols,
+        )
     )
     return _argmax_cells(quant, cvecs).withColumn(
         "__n2", dot_long(F.col("__v"), F.col("__v"))

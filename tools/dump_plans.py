@@ -53,6 +53,9 @@ COMMENTARY = {
     "emb_cluster_sample": "bounded seed collect; assignment is the shared literal-matrix argmax projection; the ONLY shuffle keys on cell and the per-cell quota is a WindowGroupLimit-pushed top-k — no global sort, no driver collect growing with data",
     "doc_bigram_coherence": "bigram derivation is a pure projection+explode (no window for adjacency); vocabulary groupBy + big-vocab shuffle join back — same shape as doc_unigram_freq with AQE handling stop-bigram skew",
     "doc_ccnet_bucket": "corpus is NEVER globally sorted: bounded-cardinality score histogram -> per-frac (cut, quota) rows -> broadcast cutoff join; tie-rank windows run only on rows tied AT a cutoff value; bit-identical to the row_number window twin",
+    "doc_dup_spans": "window build + md5 ABOVE the doc-keyed exchange (all cores off a one-row-group scan); span rows carry (id, hash) only; one map-side-combined count groupBy + one re-attach join — no window over the hash key, so a 10^6-copy span never lands on one task",
+    "doc_source_quota": "one source-keyed exchange; the per-group quota is a WindowGroupLimit-pushed top-k (map-side partial limit before the shuffle)",
+    "emb_knn_graph": "ONE checkpointed assignment frame feeds both self-join sides; the join is a cell equi-join (corpus x corpus — never broadcast); per-src top-k is WindowGroupLimit-pushed; candidate mass bounded per cell by the n_cells geometry",
 }
 
 
