@@ -258,17 +258,27 @@ def cosine_near_duplicates(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # exact-dim contract enforced INLINE on every row during the pass
+    # that quantizes anyway (assert_true is codegen, costs a size
+    # check) instead of `lsh_buckets_int_batch`'s limit-1 probe job —
+    # stronger (all rows, not a sample) and one fewer Spark job
+    guard = F.assert_true(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim),
+        F.lit(f"cosine_near_duplicates: vector size != {dim} or NULL"),
+    )
     side = embeddings.select(
         F.col(id_col).alias("id"),
-        qvec.alias("__v"),
+        F.when(guard.isNull(), qvec).alias("__v"),
         norm2.alias("__n2"),
     )
     if prefilter_planes is not None:
         # the quantized side feeds the signature batch AND both
         # candidate re-attach joins — materialize it once instead of
         # re-scanning + re-quantizing the source three times (same
-        # discipline as the MinHash signature checkpoint)
-        side = side.localCheckpoint(eager=False)
+        # discipline as the MinHash signature checkpoint), spread
+        # first so the signature explode and the pair-dot folds run
+        # on all cores even off a one-row-group scan
+        side = _spread(side).localCheckpoint(eager=False)
         # melt to one row per (vector, table): the payload is shuffled
         # `tables`x, but each table join is a plain hash join on
         # (table, bucket) — the shape that survives a 1000-executor
@@ -285,6 +295,9 @@ def cosine_near_duplicates(
             planes=prefilter_planes,
             tables=prefilter_tables,
             dim=dim,
+            # the side projection's inline assert_true already enforces
+            # the exact-dim contract on EVERY row
+            validate=False,
         ).localCheckpoint(eager=False)
         # degenerate-bucket guard (a constant/duplicated embedding at
         # corpus scale would make one bucket quadratic): drop buckets
