@@ -54,12 +54,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_dup_spans",             # NEW r8: overlapping duplicate-span fraction
     "doc_source_quota",          # NEW r8: per-source (domain) quota cap
     "emb_knn_graph",             # NEW r8: corpus k-NN graph (cell equi-join)
-    # emb_semdedup_incr samples the r8 tau-validation line through the
-    # changed semantic_dedup_incremental_int; emb_semdedup_int and
-    # emb_contamination share the IDENTICAL one-line delta on the same
-    # code path (both green r7, full differential pytest still covers
-    # them) and yield their window slots to the two new PQ entries so
-    # the whole r5-stale block stays in
+    "doc_curation_pipeline",     # NEW r8: composed gate -> quota flow
+    # emb_semdedup_incr samples the r8 tau-validation + _assign_int
+    # _spread lines through the changed semantic_dedup_incremental_int;
+    # emb_semdedup_int and emb_contamination share the IDENTICAL deltas
+    # on the same code path (both green r7, full differential pytest
+    # still covers them) and yield their window slots to the new
+    # entries so most of the r5-stale block stays in
     "emb_semdedup_incr",
     # -- least-recently-checked: the full r5-stale block -----------------
     "anti_join_no_orders",
@@ -94,14 +95,14 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "theta_contains",
     "tpch_q1",
     "tpch_q10",
-    "tpch_q3",
     "union_distinct_ids",
     # -- buffer past the 50-entry sample line --------------------------------
-    # The seven NEW r8 entries above displace these seven r5-stale tpch
+    # The eight NEW r8 entries above displace these eight r5-stale tpch
     # queries (changed/new-first beats least-recently-checked, the
     # repo's own rotation rule): their code is the static built-in-SQL
     # tier untouched since r2, every one is green r5 AND differentially
     # pytest-checked each session; they lead the r9 rotation.
+    "tpch_q3",
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",

@@ -2401,6 +2401,52 @@ SELECT src_id, dst_id, CAST(rank AS INT) AS rank, dot_q FROM (
 """
 
 
+# --- composed curation pipeline ---------------------------------------------
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation flow composed from the gate + balancing
+    operators in ONE plan: quality-score every doc, keep the top half
+    (histogram-cutoff `top_fraction` — no global sort), then cap each
+    source at its quota over the SURVIVORS (domain balancing after
+    filtering, the order real pipelines use).  Demonstrates that the
+    operators compose as DataFrame transforms — one job, no
+    intermediate materialization beyond the gate's checkpoint."""
+    from metrics_service_spark.operators.gate import top_fraction
+    from metrics_service_spark.operators.sampling import per_group_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = top_fraction(
+        _quality_scored(spark, sf_dir),
+        score_col="q",
+        id_col="doc_id",
+        frac=0.5,
+    )
+    survivors = docs.join(kept, "doc_id").select("doc_id", "source")
+    return per_group_quota(survivors, "source", "doc_id", quota=SOURCE_QUOTA)
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH q AS ({{quality}}),
+kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           percent_rank() OVER (
+               ORDER BY (stopword_ratio + type_token_ratio) DESC, doc_id ASC
+           ) AS pr
+    FROM q
+  ) WHERE pr <= 0.5
+),
+survivors AS (
+  SELECT d.doc_id, d.source FROM documents d JOIN kept USING (doc_id)
+)
+SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM survivors
+) WHERE rk <= {SOURCE_QUOTA}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_mixture": QuerySpec(
         q_doc_mixture,
@@ -2715,6 +2761,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_KNN_GRAPH,
         "corpus k-NN graph: within-cell top-k neighbors by exact "
         "integer dot — graph-curation input, full pipeline oracle",
+        ("llm",),
+    ),
+    "doc_curation_pipeline": QuerySpec(
+        q_doc_curation_pipeline,
+        ORACLE_CURATION_PIPELINE.format(quality=ORACLE_QUALITY),
+        "composed curation flow: quality gate (histogram cutoff) -> "
+        "per-source quota over survivors, one plan",
         ("llm",),
     ),
 }
