@@ -71,6 +71,7 @@ HEADLINE = [
     "doc_ccnet_bucket",
     "doc_dup_spans",
     "emb_knn_graph",
+    "doc_curation_pipeline",
 ]
 
 

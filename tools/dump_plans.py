@@ -56,6 +56,7 @@ COMMENTARY = {
     "doc_dup_spans": "window build + md5 ABOVE the doc-keyed exchange (all cores off a one-row-group scan); span rows carry (id, hash) only; one map-side-combined count groupBy + one re-attach join — no window over the hash key, so a 10^6-copy span never lands on one task",
     "doc_source_quota": "one source-keyed exchange; the per-group quota is a WindowGroupLimit-pushed top-k (map-side partial limit before the shuffle)",
     "emb_knn_graph": "ONE checkpointed assignment frame feeds both self-join sides; the join is a cell equi-join (corpus x corpus — never broadcast); per-src top-k is WindowGroupLimit-pushed; candidate mass bounded per cell by the n_cells geometry",
+    "doc_curation_pipeline": "gate + quota compose in ONE plan: histogram-cutoff keep-list (corpus filtered, never globally sorted) joins back broadcast, then the per-source quota window over survivors only — the checkpointed (id, score) projection is the only materialization",
 }
 
 
