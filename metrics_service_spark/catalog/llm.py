@@ -2349,6 +2349,11 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 
 # --- corpus k-NN graph ------------------------------------------------------
 KNN_K = 3
+#: target within-cell population: within-cell pairs are the quadratic
+#: term, so cells MUST scale with the corpus (fixed n_cells would grow
+#: candidate pairs as corpus^2/n_cells).  At the driver scales
+#: (<=2000 vectors) this derives the same 16 cells as before.
+KNN_CELL_TARGET = 125
 
 
 def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2356,12 +2361,20 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     by exact integer dot — the input structure for graph-based
     curation (cluster pruning, CC semantic dedup, diversity scores).
     Corpus x corpus, so the join is a cell equi-join (never a
-    broadcast); per-cell candidate mass is bounded by the n_cells
-    geometry."""
+    broadcast), and the cell COUNT is derived from the corpus row
+    count (jobless, from the parquet footer via `rowcount_bound`) so
+    within-cell pair mass stays ~KNN_CELL_TARGET^2 per cell at any
+    scale — the same geometry-scales-with-data contract as the
+    semantic gate.  The oracle mirrors the derivation with a scalar
+    subquery."""
+    import math
+
     from metrics_service_spark.operators.similarity import knn_graph_int
+    from metrics_service_spark.sources.tables import rowcount_bound
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph_int(emb, n_cells=16, k=KNN_K)
+    n_cells = max(16, math.ceil(rowcount_bound(sf_dir, "embeddings") / KNN_CELL_TARGET))
+    return knn_graph_int(emb, n_cells=n_cells, k=KNN_K)
 
 
 ORACLE_KNN_GRAPH = f"""
@@ -2371,10 +2384,12 @@ WITH q AS (
              x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
   FROM embeddings
 ), seeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM q
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= (SELECT greatest(16,
+                     CAST(ceil(count(*) / {KNN_CELL_TARGET}.0) AS BIGINT)) FROM q)
 ), ascored AS (
   SELECT q.vec_id, q.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))

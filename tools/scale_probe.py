@@ -68,6 +68,10 @@ QUERIES = [
     "doc_dup_spans",
     "doc_bigram_coherence",
     "doc_ccnet_bucket",
+    # r8: corpus k-NN graph — n_cells derives from the footer row
+    # count (KNN_CELL_TARGET), so within-cell pair mass is constant
+    # per cell and total candidates grow linearly
+    "emb_knn_graph",
 ]
 
 
