@@ -71,7 +71,12 @@ HEADLINE = [
     "doc_ccnet_bucket",
     "doc_dup_spans",
     "emb_knn_graph",
+    # doc_curation_pipeline composes the quality gate with the
+    # per-source quota, so a doc_source_quota regression shows up here
+    # (quota is its second stage); bigram has no such proxy and gets
+    # its own row (VERDICT r8 #5)
     "doc_curation_pipeline",
+    "doc_bigram_coherence",
 ]
 
 
@@ -241,6 +246,25 @@ def main() -> None:
             cleanup()
 
     total = round(sum(timings.values()), 3)
+    # The driver records the TAIL of stdout: BENCH_r08.json came back
+    # `parsed: null` because the one fat JSON line (3 x 39-entry dicts)
+    # outgrew the captured window and lost its head.  So: per-rep
+    # min/max detail goes to a FILE (and an earlier stdout line for
+    # humans), and the LAST line is the compact machine-readable
+    # record — total + per-query medians only (VERDICT r8 #2).
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries_min": lo,
+        "queries_max": hi,
+        "reps": reps,
+        "sf": sf_dir,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -248,8 +272,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_min": lo,
-                "queries_max": hi,
                 "reps": reps,
                 "sf": sf_dir,
             }

@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.functions.stable import (
+    round_frac,
+    round_frac_int,
+    sql_round_frac,
+    sql_round_frac_int,
+)
 from metrics_service_spark.operators.counter import counter_report
 from metrics_service_spark.operators.iprange import range_join
 from metrics_service_spark.operators.sessionize import (
@@ -132,11 +138,11 @@ def q_ev_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dau",
         "mau28",
-        F.round(F.col("dau").cast("double") / F.col("mau28"), 4).alias("stickiness"),
+        round_frac(F.col("dau"), F.col("mau28"), 4).alias("stickiness"),
     )
 
 
-ORACLE_EV_DAU = """
+ORACLE_EV_DAU = f"""
 WITH u_days AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 ), dau AS (
@@ -148,7 +154,7 @@ WITH u_days AS (
   SELECT day, count(DISTINCT user_id) AS mau28 FROM contrib GROUP BY 1
 )
 SELECT dau.day, dau.dau, mau.mau28,
-       round(CAST(dau.dau AS DOUBLE) / mau.mau28, 4) AS stickiness
+       {sql_round_frac("dau.dau", "mau.mau28", 4)} AS stickiness
 FROM dau JOIN mau USING (day)
 """
 
@@ -1029,22 +1035,28 @@ def q_ev_dau_stickiness_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 27))).alias("day"),
     )
+    # the 1/p = 256/192 = 4/3 scale-up and the downstream stickiness
+    # ratio both run in exact integer arithmetic (functions/stable.py):
+    # est_x10k is round_half_up(10^4 * 4*count/3) as a BIGINT, so the
+    # emitted doubles are single exact-int divisions on both engines
     mau = contrib.groupBy("day").agg(
-        F.round(
-            F.countDistinct("user_id").cast("double") * (256.0 / 192.0), 4
-        ).alias("mau28_est")
+        round_frac_int(
+            F.countDistinct("user_id") * F.lit(4), F.lit(3), 4
+        ).alias("est_x10k")
     )
     return dau.join(mau, "day").select(
         "day",
         "dau",
-        "mau28_est",
-        F.round(
-            F.col("dau").cast("double") / F.nullif(F.col("mau28_est"), F.lit(0.0)), 4
+        (F.col("est_x10k").cast("double") / F.lit(10000.0)).alias("mau28_est"),
+        round_frac(
+            F.col("dau") * F.lit(10000),
+            F.nullif(F.col("est_x10k"), F.lit(0)),
+            4,
         ).alias("stickiness_est"),
     )
 
 
-ORACLE_EV_DAU_KMV = """
+ORACLE_EV_DAU_KMV = f"""
 WITH u_days AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 ), dau AS (
@@ -1056,13 +1068,14 @@ WITH u_days AS (
   SELECT user_id, day + CAST(i AS INTEGER) AS day
   FROM sampled, range(0, 28) t(i)
 ), mau AS (
-  SELECT day, round(CAST(count(DISTINCT user_id) AS DOUBLE) * (256.0/192.0), 4)
-              AS mau28_est
+  SELECT day,
+         {sql_round_frac_int("count(DISTINCT user_id) * 4", "3", 4)} AS est_x10k
   FROM contrib GROUP BY 1
 )
-SELECT dau.day, dau.dau, mau.mau28_est,
-       round(CAST(dau.dau AS DOUBLE) / nullif(mau.mau28_est, 0.0), 4)
-       AS stickiness_est
+SELECT dau.day, dau.dau,
+       CAST(mau.est_x10k AS DOUBLE) / 10000.0 AS mau28_est,
+       {sql_round_frac("dau.dau * 10000", "nullif(mau.est_x10k, 0)", 4)}
+           AS stickiness_est
 FROM dau JOIN mau USING (day)
 """
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.functions.stable import round_frac, sql_round_frac
 from metrics_service_spark.operators.dedup import (
     exact_dedup,
     minhash_near_duplicates,
@@ -108,9 +109,9 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
-       round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS mean_token_len,
-       round(CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS stopword_ratio,
-       round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS type_token_ratio
+       {sql_round_frac("n_chars - (n_tokens - 1)", "n_tokens", 4)} AS mean_token_len,
+       {sql_round_frac("stop_hits", "n_tokens", 4)} AS stopword_ratio,
+       {sql_round_frac("n_distinct", "n_tokens", 4)} AS type_token_ratio
 FROM t
 """
 
@@ -406,21 +407,21 @@ def q_doc_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
-            ).alias("mean_tok_freq"),
+            round_frac(F.sum("cnt"), F.count(F.lit(1)), 4).alias(
+                "mean_tok_freq"
+            ),
         )
     )
 
 
-ORACLE_UNIGRAM_FREQ = """
+ORACLE_UNIGRAM_FREQ = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), counts AS (
   SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
 )
 SELECT doc_id, count(*) AS n_tokens,
-       round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS mean_tok_freq
+       {sql_round_frac("sum(cnt)", "count(*)", 4)} AS mean_tok_freq
 FROM toks JOIN counts USING (tok)
 GROUP BY 1
 """
@@ -1419,7 +1420,7 @@ def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(load_table(spark, sf_dir, "embeddings"), n_cells=16)
 
 
-ORACLE_KMEANS_STEP = """
+ORACLE_KMEANS_STEP = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1445,7 +1446,7 @@ WITH q AS (
 SELECT cell, CAST(i AS BIGINT) AS pos,
        CAST(sum(v[i]) AS BIGINT) AS sum_q,
        count(*) AS n,
-       round(CAST(sum(v[i]) AS DOUBLE) / count(*), 4) AS mean_q
+       {sql_round_frac("sum(v[i])", "count(*)", 4)} AS mean_q
 FROM assigned, range(1, 65) t(i)
 GROUP BY 1, 2
 """
@@ -1471,14 +1472,14 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("long").alias("pos"),
             "sum_q",
             "n",
-            F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+            round_frac(F.col("sum_q"), F.col("n"), 4).alias("mean_q"),
         )
     )
 
 
-ORACLE_CENTROIDS = """
+ORACLE_CENTROIDS = f"""
 SELECT label, i AS pos, CAST(sum(q) AS BIGINT) AS sum_q, count(*) AS n,
-       round(CAST(sum(q) AS DOUBLE) / count(*), 4) AS mean_q
+       {sql_round_frac("sum(q)", "count(*)", 4)} AS mean_q
 FROM (SELECT label, i,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 10000, 0) AS BIGINT) AS q
       FROM embeddings, range(1, 65) t(i))
@@ -1499,7 +1500,7 @@ def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KMEANS_TRAIN = """
+ORACLE_KMEANS_TRAIN = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1549,7 +1550,7 @@ WITH q AS (
 SELECT cell, CAST(i AS BIGINT) AS pos,
        CAST(sum(v[i]) AS BIGINT) AS sum_q,
        count(*) AS n,
-       round(CAST(sum(v[i]) AS DOUBLE) / count(*), 4) AS mean_q
+       {sql_round_frac("sum(v[i])", "count(*)", 4)} AS mean_q
 FROM a2, range(1, 65) t(i)
 GROUP BY 1, 2
 """
@@ -1808,7 +1809,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_REPETITION = """
+ORACLE_DOC_REPETITION = f"""
 WITH g AS (
   SELECT doc_id,
          [array_to_string(toks[i:i+1], ' ')
@@ -1823,8 +1824,8 @@ WITH g AS (
   FROM g
 )
 SELECT doc_id, n_grams, n_dup_grams,
-       round(CAST(n_dup_grams AS DOUBLE) / n_grams, 4) AS dup_gram_fraction,
-       round(CAST(top_n AS DOUBLE) / n_grams, 4) AS top_gram_fraction
+       {sql_round_frac("n_dup_grams", "n_grams", 4)} AS dup_gram_fraction,
+       {sql_round_frac("top_n", "n_grams", 4)} AS top_gram_fraction
 FROM s
 """
 
@@ -1886,7 +1887,7 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_PARAGRAPH = """
+ORACLE_DOC_PARAGRAPH = f"""
 WITH c AS (
   SELECT doc_id,
          [md5(array_to_string(toks[i*20+1:i*20+20], ' '))
@@ -1902,8 +1903,8 @@ SELECT p.doc_id,
        CAST(count(*) AS BIGINT) AS n_paragraphs,
        CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_dup_paragraphs,
-       round(CAST(sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS dup_paragraph_fraction
+       {sql_round_frac("sum(CASE WHEN cnt.n > 1 THEN 1 ELSE 0 END)", "count(*)", 4)}
+           AS dup_paragraph_fraction
 FROM p JOIN cnt USING (ph)
 GROUP BY 1
 """
@@ -1971,10 +1972,9 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             "tf",
             "dfreq",
-            F.round(
-                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("dfreq"),
-                4,
-            ).alias("score"),
+            round_frac(F.col("tf") * F.col("n_docs"), F.col("dfreq"), 4).alias(
+                "score"
+            ),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -1987,7 +1987,7 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DOC_TFIDF = """
+ORACLE_DOC_TFIDF = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), tf AS (
@@ -1998,7 +1998,7 @@ WITH t AS (
   SELECT count(*) AS n_docs FROM documents
 ), s AS (
   SELECT tf.doc_id, tf.tok, tf.tf, dfq.dfreq,
-         round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfq.dfreq, 4) AS score
+         {sql_round_frac("tf.tf * n.n_docs", "dfq.dfreq", 4)} AS score
   FROM tf JOIN dfq USING (tok) CROSS JOIN n
 )
 SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(dfreq AS BIGINT) AS dfreq,
@@ -2206,14 +2206,14 @@ def q_doc_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
-            ).alias("mean_bg_freq"),
+            round_frac(F.sum("cnt"), F.count(F.lit(1)), 4).alias(
+                "mean_bg_freq"
+            ),
         )
     )
 
 
-ORACLE_BIGRAM_COHERENCE = """
+ORACLE_BIGRAM_COHERENCE = f"""
 WITH bgs AS (
   SELECT doc_id,
          unnest([array_to_string(toks[i:i+1], ' ')
@@ -2223,7 +2223,7 @@ WITH bgs AS (
   SELECT bg, count(*) AS cnt FROM bgs GROUP BY 1
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS mean_bg_freq
+       {sql_round_frac("sum(cnt)", "count(*)", 4)} AS mean_bg_freq
 FROM bgs JOIN counts USING (bg)
 GROUP BY 1
 """
@@ -2251,9 +2251,7 @@ def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(counts, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
-            ).alias("score")
+            round_frac(F.sum("cnt"), F.count(F.lit(1)), 4).alias("score")
         )
     )
     return percentile_buckets(
@@ -2261,13 +2259,13 @@ def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CCNET_BUCKET = """
+ORACLE_CCNET_BUCKET = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ), counts AS (
   SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
 ), scored AS (
-  SELECT doc_id, round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS score
+  SELECT doc_id, {sql_round_frac("sum(cnt)", "count(*)", 4)} AS score
   FROM toks JOIN counts USING (tok)
   GROUP BY 1
 ), ranked AS (
@@ -2314,8 +2312,8 @@ WITH spans AS (
 )
 SELECT doc_id, count(*) AS n_windows,
        sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_windows,
-       round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 4) AS dup_frac
+       {sql_round_frac("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)", 4)}
+           AS dup_frac
 FROM spans JOIN counts USING (wh)
 GROUP BY 1
 """

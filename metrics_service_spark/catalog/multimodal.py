@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.functions.stable import round_frac, sql_round_frac
 from metrics_service_spark.operators.multimodal import (
     attach_payload,
     decode_audio,
@@ -105,11 +106,11 @@ def q_mm_image_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         "hist0",
-        F.round(F.col("hist0").cast("double") / F.col("total"), 6).alias("f0"),
+        round_frac(F.col("hist0"), F.col("total"), 6).alias("f0"),
     )
 
 
-ORACLE_IMAGE_FEATURES_EXACT = """
+ORACLE_IMAGE_FEATURES_EXACT = f"""
 WITH d AS (
   SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
   FROM documents
@@ -126,7 +127,7 @@ WITH d AS (
   FROM d LEFT JOIN ex USING (media_id) GROUP BY 1, 2
 )
 SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, hist0,
-       round(CAST(hist0 AS DOUBLE) / total, 6) AS f0
+       {sql_round_frac("hist0", "total", 6)} AS f0
 FROM h
 """
 

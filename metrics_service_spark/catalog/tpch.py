@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
+from metrics_service_spark.functions.stable import round_frac, sql_round_frac
 from metrics_service_spark.sources.tables import load_table
 
 
@@ -37,23 +38,26 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
             F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 4).alias("avg_qty"),
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 4).alias("avg_price"),
-            F.round(F.sum(_dec("l_discount")).cast("double") / n, 4).alias("avg_disc"),
+            # exact-integer rounding (functions/stable.py): DECIMAL sums
+            # x100 are integers, so the 4-dp rounding never touches a
+            # double half-boundary on either engine
+            round_frac(F.sum(_dec("l_quantity")) * 100, n * 100, 4).alias("avg_qty"),
+            round_frac(F.sum(_dec("l_extendedprice")) * 100, n * 100, 4).alias("avg_price"),
+            round_frac(F.sum(_dec("l_discount")) * 100, n * 100, 4).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
 
 
-ORACLE_Q1 = """
+ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
-  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+  {sql_round_frac("sum(CAST(l_quantity AS DECIMAL(18,2))) * 100", "count(*) * 100", 4)} AS avg_qty,
+  {sql_round_frac("sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100", "count(*) * 100", 4)} AS avg_price,
+  {sql_round_frac("sum(CAST(l_discount AS DECIMAL(18,2))) * 100", "count(*) * 100", 4)} AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -249,25 +253,15 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(disc_price).cast("double"),
-                4,
+            round_frac(
+                F.sum(promo) * 1000000, F.sum(disc_price) * 10000, 4
             ).alias("promo_revenue_pct")
         )
     )
 
 
-ORACLE_Q14 = """
-SELECT round(100.0 *
-         CAST(sum(CASE WHEN p_type = 'PROMO'
-                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-                            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-       4) AS promo_revenue_pct
+ORACLE_Q14 = f"""
+SELECT {sql_round_frac("sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) * 1000000", "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000", 4)} AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -639,22 +633,16 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(target).cast("double") / F.sum(vol).cast("double"), 6
+            round_frac(
+                F.sum(target) * 10000, F.sum(vol) * 10000, 6
             ).alias("mkt_share")
         )
     )
 
 
-ORACLE_Q8 = """
+ORACLE_Q8 = f"""
 SELECT strftime(o_orderdate, '%Y') AS o_year,
-       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
-                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-                           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-             6) AS mkt_share
+       {sql_round_frac("sum(CASE WHEN sn.n_name = 'NATION_2' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000", "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000", 6)} AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -941,14 +929,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("aq_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
-            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2).alias(
+            round_frac(F.sum(_dec("l_extendedprice")) * 100, F.lit(700), 2).alias(
                 "avg_yearly"
             )
         )
     )
 
 
-ORACLE_Q17 = """
+ORACLE_Q17 = f"""
 WITH joined AS (
   SELECT l_partkey, l_quantity, l_extendedprice
   FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -959,7 +947,7 @@ aq AS (
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
   FROM joined GROUP BY 1
 )
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+SELECT {sql_round_frac("sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100", "700", 2)}
        AS avg_yearly
 FROM joined JOIN aq ON l_partkey = aq_partkey
 WHERE l_quantity < 0.2 * avg_qty

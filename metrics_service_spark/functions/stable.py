@@ -1,0 +1,94 @@
+"""Comparison-stable rounding: exact integer arithmetic on both engines.
+
+Why this module exists (the r8 driver-red row): ``round()`` on a DOUBLE
+is engine/build dependent exactly at representable half-boundaries.
+``doc_dup_spans`` went hash-red with rows+schema green because one doc
+had dup_frac = 31/32 = 0.96875 — a dyadic rational that is EXACTLY half
+at 4 decimals — and Spark (BigDecimal HALF_UP over the double's exact
+decimal expansion) vs the driver's DuckDB build (``x * 10^s`` then a
+libm-rounded ``round``) resolved the tie in opposite directions.  Any
+rounded ratio-of-integers emitted into a hash-compared column is one
+fixture re-roll away from the same red: ratios of counts land on dyadic
+half-boundaries all the time (1/2, 3/16, 31/32 ...).
+
+Fix: never round a double.  Round-half-up of ``num/den`` at ``scale``
+decimals is computed in exact integer arithmetic
+
+    q     = (2 * 10^s * num + den)  div  (2 * den)      -- exact ints
+    value = q / 10^s                                    -- ONE correctly
+                                                        -- rounded IEEE
+                                                        -- division
+
+``q`` is exact on both engines; the final division of the same two
+integers is bit-identical under IEEE-754, so the emitted double is
+bit-identical everywhere.  The intermediate runs in DECIMAL(38,0) on
+Spark and HUGEINT (int128) in the DuckDB oracle so ``2*10^s*num``
+cannot overflow int64 even for 100 TB-scale decimal sums.
+
+Negative numerators are handled by computing on ``abs(num)`` and
+re-applying the sign (round-half-AWAY, matching both engines' positive
+half-up), because DuckDB's ``//`` truncates toward zero while Spark's
+``a - pmod(a, b)`` floors — they only agree on non-negative operands.
+
+Contract: ``num`` integral (BIGINT or an integral-valued DECIMAL, e.g.
+a DECIMAL(18,2) sum pre-multiplied by 100), ``den > 0`` integral, and
+the true quotient ``q = round(10^s * |num|/den)`` below 2^53 (i.e. the
+rounded VALUE below ~9e11 at scale 4) so the final double is exact.
+NULL num/den propagate to NULL on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["round_frac", "round_frac_int", "sql_round_frac", "sql_round_frac_int"]
+
+
+def round_frac(num: Column, den: Column, scale: int = 4) -> Column:
+    """Deterministic round-half-up of ``num/den`` at ``scale`` decimals
+    as a DOUBLE, computed in exact DECIMAL(38,0) integer arithmetic.
+    Pair every use with :func:`sql_round_frac` on the oracle side."""
+    p = 10**scale
+    n = num.cast("decimal(38,0)")
+    a = F.abs(n) * F.lit(2 * p) + den.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)") * F.lit(2)
+    # (a - a mod b) / b is the exact integer quotient; Spark's decimal
+    # division rounds to a fixed positive result scale, which is exact
+    # here because the true quotient is integral.
+    q = (a - F.pmod(a, b)) / b
+    mag = q.cast("double") / F.lit(float(p))
+    return F.when(n < 0, -mag).otherwise(mag)
+
+
+def round_frac_int(num: Column, den: Column, scale: int = 4) -> Column:
+    """The exact integer ``q = round_half_up(10^scale * num/den)`` as a
+    BIGINT (non-negative inputs only).  Useful when the scaled value
+    feeds FURTHER exact arithmetic (e.g. a downstream ratio against the
+    rounded estimate) instead of being emitted directly."""
+    p = 10**scale
+    a = num.cast("decimal(38,0)") * F.lit(2 * p) + den.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)") * F.lit(2)
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def sql_round_frac_int(num: str, den: str, scale: int = 4) -> str:
+    """DuckDB SQL twin of :func:`round_frac_int`."""
+    p = 10**scale
+    return (
+        f"CAST((({2 * p} * CAST(({num}) AS HUGEINT) + CAST(({den}) AS HUGEINT))"
+        f" // (2 * CAST(({den}) AS HUGEINT))) AS BIGINT)"
+    )
+
+
+def sql_round_frac(num: str, den: str, scale: int = 4) -> str:
+    """DuckDB SQL twin of :func:`round_frac`: identical integer
+    arithmetic in HUGEINT, identical final IEEE division.  ``num`` /
+    ``den`` are SQL expressions (parenthesized by the caller if they
+    contain low-precedence operators)."""
+    p = 10**scale
+    mag = (
+        f"(CAST((({2 * p} * abs(CAST(({num}) AS HUGEINT)) + CAST(({den}) AS HUGEINT))"
+        f" // (2 * CAST(({den}) AS HUGEINT))) AS DOUBLE) / {float(p)})"
+    )
+    return f"(CASE WHEN ({num}) < 0 THEN -{mag} ELSE {mag} END)"

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from metrics_service_spark.functions.stable import round_frac
+
 # Shared LSH band geometry: b=8, r=2 over 16 minhashes puts the s-curve
 # midpoint (1/b)^(1/r) ~= 0.35 below the default 0.5 Jaccard threshold
 # (high recall at the threshold; extra candidates are discarded exactly
@@ -787,10 +789,8 @@ def paragraph_dedup_stats(
             F.col("__id").alias(id_col),
             "n_paragraphs",
             "n_dup_paragraphs",
-            F.round(
-                F.col("n_dup_paragraphs").cast("double")
-                / F.col("n_paragraphs"),
-                4,
+            round_frac(
+                F.col("n_dup_paragraphs"), F.col("n_paragraphs"), 4
             ).alias("dup_paragraph_fraction"),
         )
     )
@@ -852,8 +852,11 @@ def duplicate_span_stats(
             F.col("__id").alias(id_col),
             "n_windows",
             "dup_windows",
-            F.round(
-                F.col("dup_windows").cast("double") / F.col("n_windows"), 4
-            ).alias("dup_frac"),
+            # exact-integer rounding (functions/stable.py): 31/32 docs
+            # land EXACTLY on the 4-dp half-boundary and round() on a
+            # double resolves it per-engine-build (the r8 driver red)
+            round_frac(F.col("dup_windows"), F.col("n_windows"), 4).alias(
+                "dup_frac"
+            ),
         )
     )

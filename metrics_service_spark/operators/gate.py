@@ -173,6 +173,7 @@ def percentile_buckets(
     fracs: tuple[float, ...] = (1 / 3, 2 / 3),
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     materialize: bool = True,
+    max_distinct_scores: int | None = 100_000,
 ) -> DataFrame:
     """CCNet-style quality bucketing: label every row by which global
     score percentile band it falls in — ``labels[i]`` for rows ranked
@@ -186,6 +187,16 @@ def percentile_buckets(
     frac; the corpus is then joined against the broadcast cutoffs, and
     only rows tied AT a cutoff value need a (score-partitioned) tie
     rank.  Returns (id, score, bucket).
+
+    Contract: the cumulative window runs over the score HISTOGRAM on
+    ONE task, so it is safe only while the score column has bounded
+    cardinality (rounded/quantized scores — the CCNet entry rounds to
+    4 dp, <= 10^4 distinct values per unit range).  Feeding raw
+    continuous scores would silently build a corpus-sized single-task
+    window; ``max_distinct_scores`` (same discipline as the
+    ``max_cell``/``max_bucket`` guards) makes that an ERROR instead:
+    an inline ``assert_true`` fused into the histogram window fails
+    fast at row cap+1 with no extra Spark job.  ``None`` disables.
     """
     if len(labels) != len(fracs) + 1:
         raise ValueError("need exactly one more label than fracs")
@@ -196,8 +207,24 @@ def percentile_buckets(
     hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
     tot = hist.agg(F.sum("__c").alias("__n"))
     wcum = Window.orderBy(sc.desc()).rowsBetween(Window.unboundedPreceding, 0)
+    cum_col = F.sum("__c").over(wcum)
+    if max_distinct_scores is not None:
+        # jobless cardinality guard: both window functions share one
+        # Window node; the assert trips while the (single) partition
+        # streams, before the oversized histogram is fully buffered
+        rank = F.row_number().over(Window.orderBy(sc.desc()))
+        guard = F.assert_true(
+            rank <= F.lit(max_distinct_scores),
+            F.lit(
+                "percentile_buckets: score cardinality exceeds "
+                f"max_distinct_scores={max_distinct_scores}; round or "
+                "quantize the score column (the single-task histogram "
+                "window is only safe at bounded cardinality)"
+            ),
+        )
+        cum_col = F.when(guard.isNull(), cum_col)
     cum = (
-        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        hist.withColumn("__cum", cum_col)
         .crossJoin(F.broadcast(tot))
         .localCheckpoint(eager=False)  # one tiny frame, len(fracs) consumers
     )

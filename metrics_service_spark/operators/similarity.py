@@ -26,6 +26,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from metrics_service_spark.functions.stable import round_frac
+
 QUANT_SCALE = 10_000
 
 
@@ -620,7 +622,7 @@ def kmeans_step(
             F.col("pos").cast("long").alias("pos"),
             "sum_q",
             "n",
-            F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+            round_frac(F.col("sum_q"), F.col("n"), 4).alias("mean_q"),
         )
     )
 
@@ -1436,7 +1438,7 @@ def kmeans_train(
             F.col("pos").cast("long").alias("pos"),
             "sum_q",
             "n",
-            F.round(F.col("sum_q").cast("double") / F.col("n"), 4).alias("mean_q"),
+            round_frac(F.col("sum_q"), F.col("n"), 4).alias("mean_q"),
         )
     )
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from metrics_service_spark.functions.stable import round_frac
+
 # marker words per language for the stopword-hit language heuristic;
 # fixed priority order breaks ties deterministically
 LANG_MARKERS: dict[str, list[str]] = {
@@ -76,15 +78,14 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-        F.round((n_chars - (n_tokens - 1)).cast("double") / n_tokens.cast("double"), 4).alias(
+        # exact-integer rounding (functions/stable.py): these ratios of
+        # small counts land on dyadic 4-dp half-boundaries (31/32 ...)
+        # where round() on a double is engine-build dependent
+        round_frac(n_chars - (n_tokens - 1), n_tokens, 4).alias(
             "mean_token_len"
         ),
-        F.round(stop_hits.cast("double") / n_tokens.cast("double"), 4).alias(
-            "stopword_ratio"
-        ),
-        F.round(n_distinct.cast("double") / n_tokens.cast("double"), 4).alias(
-            "type_token_ratio"
-        ),
+        round_frac(stop_hits, n_tokens, 4).alias("stopword_ratio"),
+        round_frac(n_distinct, n_tokens, 4).alias("type_token_ratio"),
     )
 
 
@@ -163,10 +164,8 @@ def repetition_stats(
         F.col(id_col),
         total.alias("n_grams"),
         (total - distinct).alias("n_dup_grams"),
-        F.round((total - distinct).cast("double") / total, 4).alias(
-            "dup_gram_fraction"
-        ),
-        F.round(top.cast("double") / total, 4).alias("top_gram_fraction"),
+        round_frac(total - distinct, total, 4).alias("dup_gram_fraction"),
+        round_frac(top, total, 4).alias("top_gram_fraction"),
     )
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from metrics_service_spark.functions.stable import round_frac
+
 from metrics_service_spark.sources.merge_table import (
     ConflictError,
     current_version,
@@ -171,10 +173,8 @@ def duplicate_paragraph_fraction(
             F.col("__id").alias(id_col),
             "n_paragraphs",
             "n_seen_paragraphs",
-            F.round(
-                F.col("n_seen_paragraphs").cast("double")
-                / F.col("n_paragraphs"),
-                4,
+            round_frac(
+                F.col("n_seen_paragraphs"), F.col("n_paragraphs"), 4
             ).alias("seen_fraction"),
         )
     )

@@ -185,3 +185,24 @@ def test_percentile_buckets_label_arity(spark):
             df, score_col="score", id_col="doc_id",
             fracs=(0.5,), labels=("a", "b", "c"),
         )
+
+
+def test_percentile_buckets_cardinality_guard(spark):
+    """Raw continuous scores must ERROR (fail-fast inline assert), not
+    silently build a corpus-sized single-task histogram window; under
+    the cap the same frame bucketizes fine (VERDICT r8 #7)."""
+    import pytest as _pytest
+
+    from metrics_service_spark.operators.gate import percentile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i) + 0.123) for i in range(50)], "doc_id long, score double"
+    )
+    with _pytest.raises(Exception, match="max_distinct_scores"):
+        percentile_buckets(
+            df, score_col="score", id_col="doc_id", max_distinct_scores=10
+        ).collect()
+    out = percentile_buckets(
+        df, score_col="score", id_col="doc_id", max_distinct_scores=50
+    ).collect()
+    assert len(out) == 50

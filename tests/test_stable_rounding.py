@@ -1,0 +1,227 @@
+"""Comparison-stable rounding: helper correctness + repo-wide sweep.
+
+The r8 driver red (`doc_dup_spans`) was a rounded DOUBLE in the hash
+surface: dup_frac = 31/32 is EXACTLY half at 4 decimals, and Spark vs
+the driver's DuckDB build resolve that tie differently.  The fix is
+`functions/stable.py` (rounding performed in exact integer
+arithmetic).  These tests (a) prove the helpers bit-identical across
+engines including every knife-edge class, and (b) sweep the source so
+no NEW rounded-double ratio can enter an oracle-compared column.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_service_spark.functions.stable import (
+    round_frac,
+    round_frac_int,
+    sql_round_frac,
+    sql_round_frac_int,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "metrics_service_spark")
+
+
+# --- helper correctness: Spark vs DuckDB, bitwise ------------------------
+
+CASES = [
+    # dyadic half-boundaries (the r8 red class): round-half-up on both
+    (31, 32),  # 0.96875 -> 9687.5 at 4dp: the doc 152 knife-edge
+    (1, 2),
+    (3, 4096),
+    (7, 8),
+    (1, 32),
+    (5, 16),
+    # negatives (mean_q class): DuckDB // truncates, Spark pmod floors;
+    # the helpers must agree via the abs/sign form
+    (-31, 32),
+    (-1, 3),
+    (-123456789, 97),
+    # plain ratios
+    (0, 7),
+    (1, 3),
+    (2, 3),
+    (999999, 1000000),
+    (123456789, 97),
+    (1, 1),
+    # big numerators (decimal-sum x100 territory)
+    (381426281, 150),
+    (10**14, 7),
+]
+
+
+def test_round_frac_bitwise_matches_duckdb(spark):
+    df = spark.createDataFrame(CASES, "num long, den long").select(
+        "num",
+        "den",
+        round_frac(F.col("num"), F.col("den"), 4).alias("r4"),
+        round_frac(F.col("num"), F.col("den"), 6).alias("r6"),
+        round_frac_int(F.abs(F.col("num")), F.col("den"), 4).alias("q4"),
+    )
+    got = {(r.num, r.den): (r.r4, r.r6, r.q4) for r in df.collect()}
+    con = duckdb.connect()
+    for n, d in CASES:
+        r4 = con.execute(f"SELECT {sql_round_frac(str(n), str(d), 4)}").fetchone()[0]
+        r6 = con.execute(f"SELECT {sql_round_frac(str(n), str(d), 6)}").fetchone()[0]
+        q4 = con.execute(
+            f"SELECT {sql_round_frac_int(str(abs(n)), str(d), 4)}"
+        ).fetchone()[0]
+        s4, s6, sq4 = got[(n, d)]
+        assert s4.hex() == r4.hex(), (n, d, s4, r4)
+        assert s6.hex() == r6.hex(), (n, d, s6, r6)
+        assert sq4 == q4, (n, d, sq4, q4)
+    con.close()
+
+
+def test_round_frac_half_up_values(spark):
+    # 31/32 must round UP to 0.9688 (not 0.9687) on the Spark side —
+    # the exact value the r8 driver environment disagreed about
+    row = (
+        spark.range(1)
+        .select(
+            round_frac(F.lit(31), F.lit(32), 4).alias("a"),
+            round_frac(F.lit(-31), F.lit(32), 4).alias("b"),
+            round_frac(F.lit(1), F.lit(2), 0).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert row.a == 0.9688
+    assert row.b == -0.9688  # half-away, sign-symmetric
+    assert row.c == 1.0
+
+
+def test_round_frac_null_propagation(spark):
+    row = (
+        spark.range(1)
+        .select(
+            round_frac(F.lit(None).cast("long"), F.lit(3), 4).alias("a"),
+            round_frac(F.lit(3), F.nullif(F.lit(0), F.lit(0)), 4).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert row.a is None and row.b is None
+    con = duckdb.connect()
+    a = con.execute(f"SELECT {sql_round_frac('NULL', '3', 4)}").fetchone()[0]
+    b = con.execute(f"SELECT {sql_round_frac('3', 'nullif(0, 0)', 4)}").fetchone()[0]
+    con.close()
+    assert a is None and b is None
+
+
+def test_round_frac_decimal_sum_path(spark):
+    # DECIMAL(18,2) sums x100 are the tpch avg_* inputs
+    df = spark.createDataFrame([("123.45",), ("0.05",)], "x string").agg(
+        round_frac(
+            F.sum(F.col("x").cast("decimal(18,2)")) * 100, F.lit(16) * 100, 4
+        ).alias("v")
+    )
+    v = df.collect()[0].v
+    con = duckdb.connect()
+    o = con.execute(
+        "SELECT "
+        + sql_round_frac(
+            "sum(CAST(x AS DECIMAL(18,2))) * 100",
+            "16 * 100",
+            4,
+        )
+        + " FROM (VALUES ('123.45'), ('0.05')) t(x)"
+    ).fetchone()[0]
+    con.close()
+    assert v.hex() == o.hex()
+
+
+# --- repo sweep: no new rounded-double ratios --------------------------------
+
+
+def _extract_call(text: str, start: int) -> str:
+    """Return the argument text of a call whose '(' is at `start`."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    raise AssertionError("unbalanced parens")
+
+
+#: F.round sites allowed to round a double at scale > 0: rows-only
+#: entries whose oracle-checked exact twin carries the hash surface.
+ALLOWED_DOUBLE_ROUND = {
+    ("catalog/multimodal.py", 'F.element_at("feature", 1)'),  # rows-only twin
+    ("catalog/core.py", "mau28_est"),  # HLL sketch estimate, rows-only twin
+}
+
+
+def _is_quantizer(arg: str) -> bool:
+    # class B: round(x * 10^k, 0) -> integer column; both engines use
+    # round-half-away on positives/negatives identically at scale 0
+    return bool(re.search(r",\s*0\s*$", arg))
+
+
+def _is_double_free(arg: str) -> bool:
+    # class C: round applied to an exact (integer/DECIMAL) expression —
+    # the tpch decimal sums.  The hazard shape always manufactures a
+    # double INSIDE the round: a cast, a division, or a float literal.
+    return (
+        '.cast("double")' not in arg
+        and "/" not in arg
+        and not re.search(r"\d+\.\d", arg)
+    )
+
+
+def test_no_unstable_f_round_in_source():
+    offenders = []
+    for dirpath, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, PKG)
+            text = open(path).read()
+            for m in re.finditer(r"F\.round\(", text):
+                arg = _extract_call(text, m.end() - 1)
+                if _is_quantizer(arg) or _is_double_free(arg):
+                    continue
+                if any(
+                    rel.endswith(f) and marker in arg
+                    for f, marker in ALLOWED_DOUBLE_ROUND
+                ):
+                    continue
+                line = text[: m.start()].count("\n") + 1
+                offenders.append(f"{rel}:{line}: F.round({arg[:80]}...)")
+    assert not offenders, (
+        "F.round over a double ratio is comparison-UNSTABLE at dyadic "
+        "half-boundaries (the r8 doc_dup_spans red).  Use "
+        "metrics_service_spark.functions.stable.round_frac (Spark) + "
+        "sql_round_frac (oracle) instead:\n" + "\n".join(offenders)
+    )
+
+
+def test_no_unstable_round_in_oracle_sql():
+    from metrics_service_spark.catalog import all_queries
+
+    offenders = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        text = spec.oracle
+        for m in re.finditer(r"\bround\(", text):
+            arg = _extract_call(text, m.end() - 1)
+            if re.search(r",\s*0\s*\)?\s*$", arg):  # class B quantizer
+                continue
+            if "AS DOUBLE" not in arg and "/" not in arg:  # class C decimal
+                continue
+            offenders.append(f"{name}: round({arg[:100]}...)")
+    assert not offenders, (
+        "oracle SQL rounds a DOUBLE at scale > 0 — engine-build "
+        "dependent at half-boundaries.  Use sql_round_frac:\n"
+        + "\n".join(offenders)
+    )
