@@ -36,90 +36,84 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r7-changed but never driver-sampled since (VERDICT r7 #2:
-    #    the changed-first policy breach to repair FIRST) ---------------
-    "ev_funnel",                 # r7 eager->lazy sessionize ckpt; last row r5
-    # -- implementation changed this round (r8) --------------------------
-    "bloom_semi_lineitem",       # jobless footer-stats sizing + joined probe
-    "pid_family_closure",        # probe-free BFS barrier trim
-    "user_event_family",         # expand_family changed (r8); last row r5
-    "doc_dedup_clusters",        # oracle CTE now mirrors max_cell (r8)
-    "doc_split_leakage_safe",    # same oracle CTE change
-    "emb_pq_topk_int",           # NEW r8: product-quantization ANN
-    "emb_ivfpq_topk_int",        # NEW r8: IVF-PQ (residual ADC)
-    "emb_sq8_topk_int",          # NEW r8: scalar-quantization ANN
-    "emb_cluster_sample",        # NEW r8: cluster-balanced curation draw
-    "doc_bigram_coherence",      # NEW r8: bigram-frequency fluency signal
-    "doc_ccnet_bucket",          # NEW r8: head/middle/tail percentile split
-    "doc_dup_spans",             # NEW r8: overlapping duplicate-span fraction
-    "doc_source_quota",          # NEW r8: per-source (domain) quota cap
-    "emb_knn_graph",             # NEW r8: corpus k-NN graph (cell equi-join)
-    "doc_curation_pipeline",     # NEW r8: composed gate -> quota flow
-    # emb_semdedup_incr samples the r8 tau-validation + _assign_int
-    # _spread lines through the changed semantic_dedup_incremental_int;
-    # emb_semdedup_int and emb_contamination share the IDENTICAL deltas
-    # on the same code path (both green r7, full differential pytest
-    # still covers them) and yield their window slots to the new
-    # entries so most of the r5-stale block stays in
-    "emb_semdedup_incr",
-    # -- least-recently-checked: the full r5-stale block -----------------
-    "anti_join_no_orders",
-    "counter_report",
-    "doc_bpe_tokens",
-    "doc_exact_dedup",
-    "doc_lang_id",
+    # -- r8-changed but never driver-sampled since (VERDICT r8 #3: the
+    #    changed-first breach to repair FIRST — commit 2d3c48c's inline
+    #    assert + _spread changes had no in-window proxy) ----------------
+    "emb_cosine_neardup",
+    # -- implementation/oracle changed this round (r9) --------------------
+    # the r8 driver-red row, now comparison-stable (exact-integer
+    # rounding on both sides — functions/stable.py)
+    "doc_dup_spans",
+    # rounded-ratio sweep: every entry whose Spark fn or oracle swapped
+    # round(double) for round_frac/sql_round_frac
+    "doc_paragraph_dedup",
+    "doc_repetition",
     "doc_quality",
-    "doc_token_stats",
-    "ev_asof_orders",
-    "ev_day_spine",
-    "ev_filter_project",
-    "ev_hash_sessions",
-    "ev_interevent_gap",
-    "ev_last_per_user",
-    "ev_monthly_stats",
-    "ev_pivot_daily",
-    "ev_rolling_7d",
-    "ev_session_having",
-    "ev_sessionize",
-    "ev_sessionize_bucketed",
-    "ev_sessionize_global",
-    "ev_tag_membership",
-    "ev_top3_per_type",
-    "ev_value_median",
-    "ev_value_tiers",
-    "except_non_purchasers",
-    "full_outer_daily",
-    "orders_rollup",
-    "semi_join_purchasers",
-    "sushi_instances",
-    "theta_contains",
+    "doc_quality_filter",
+    "doc_quality_filter_exact",
+    "doc_unigram_freq",
+    "doc_tfidf_topk",
+    "doc_bigram_coherence",
+    "doc_ccnet_bucket",
+    "doc_curation_pipeline",
+    "ev_dau_stickiness",
+    "ev_dau_stickiness_kmv",
+    "mm_image_features_exact",
     "tpch_q1",
-    "tpch_q10",
-    "union_distinct_ids",
-    # -- buffer past the 50-entry sample line --------------------------------
-    # The eight NEW r8 entries above displace these eight r5-stale tpch
-    # queries (changed/new-first beats least-recently-checked, the
-    # repo's own rotation rule): their code is the static built-in-SQL
-    # tier untouched since r2, every one is green r5 AND differentially
-    # pytest-checked each session; they lead the r9 rotation.
+    "tpch_q8",
+    "tpch_q14",
+    "tpch_q17",
+    "emb_kmeans_step",
+    "emb_centroids",
+    # footer-derived cell geometry (VERDICT r8 #4): n_cells now scales
+    # with the corpus row count in every cell-blocked entry
+    "emb_kmeans_train",
+    "emb_ivfpq_topk_int",
+    "emb_semdedup_int",
+    "emb_semdedup",
+    "emb_semdedup_incr",
+    "emb_contamination",
+    "emb_cluster_sample",
+    "emb_knn_graph",
+    # -- least-recently-checked: the r5-stale tpch block the r8 buffer
+    #    comment promised would lead this rotation ------------------------
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q12",
-    "tpch_q14",
     "tpch_q18",
     "tpch_q19",
-    # -- (r6-stale next) -----------------------------------------------------
-    "ev_props_kv",
-    "doc_minhash_dedup_md5",
-    "doc_incremental_dedup",
-    "doc_paragraph_dedup",
-    "doc_quality_filter",
-    "emb_kmeans_train",
-    "order_chains",
-    "order_components",
-    "package_counts",
+    # -- r6-stale fill to the 50-entry sample line ------------------------
+    "doc_domain_filter",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "doc_mixture",
+    "doc_pii_scrub",
+    "doc_simhash",
+    "doc_simhash_md5",
+    "doc_simhash_neardup",
+    "doc_simhash_neardup_md5",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    "emb_topk_bruteforce",
+    "ev_dau_stickiness_approx_hll",
+    "ev_monthly_stats_approx",
+    # -- buffer past the 50-entry sample line (next-most-stale r6 block;
+    #    all differentially pytest-checked every session) -----------------
+    "mm_audio_meta",
+    "mm_frame_sample",
+    "mm_image_features",
+    "mm_image_meta",
+    "mm_image_meta_real",
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
 )
 
 

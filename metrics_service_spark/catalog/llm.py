@@ -39,6 +39,43 @@ from metrics_service_spark.operators.text import (
 )
 from metrics_service_spark.sources.tables import load_table
 
+#: target within-cell population for every cell-blocked corpus index
+#: (k-NN graph, IVF-PQ coarse cells, the SemDeDup family, k-means
+#: training, cluster-balanced sampling).  Within-cell pair mass is the
+#: quadratic term, so the CELL COUNT must scale with the corpus — a
+#: pinned n_cells grows candidate pairs as corpus^2/n_cells.  Derived
+#: JOBLESS from the parquet footer row count; at the driver scales
+#: (<= 2000 vectors) the derivation yields the same 16 cells the
+#: entries used before, so results are unchanged there.
+CELL_TARGET = 125
+CELL_FLOOR = 16
+
+
+def _derived_cells(sf_dir: str, table: str = "embeddings") -> int:
+    """max(CELL_FLOOR, ceil(rows / CELL_TARGET)) from the parquet
+    footer — no Spark job.  Entries that index a SLICE of the table
+    (incremental SemDeDup, contamination) still derive from the TABLE
+    row count: it is the one statistic both engines mirror exactly
+    (`_sql_cells` is the oracle twin), and the slice is a constant
+    fraction of it."""
+    import math
+
+    from metrics_service_spark.sources.tables import rowcount_bound
+
+    return max(
+        CELL_FLOOR, math.ceil(rowcount_bound(sf_dir, table) / CELL_TARGET)
+    )
+
+
+def _sql_cells(src: str = "q") -> str:
+    """Scalar-subquery mirror of `_derived_cells` over the CTE that
+    reads the whole table."""
+    return (
+        f"(SELECT greatest({CELL_FLOOR}, "
+        f"CAST(ceil(count(*) / {CELL_TARGET}.0) AS BIGINT)) FROM {src})"
+    )
+
+
 
 # --- exact dedup ---------------------------------------------------------
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,7 +1228,14 @@ def q_emb_ivfpq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return ivfpq_topk_int(
-        emb, queries, n_cells=16, nprobe=4, m=8, k_codes=16, iters=2, k=TOPK
+        emb,
+        queries,
+        n_cells=_derived_cells(sf_dir),
+        nprobe=4,
+        m=8,
+        k_codes=16,
+        iters=2,
+        k=TOPK,
     )
 
 
@@ -1207,8 +1251,10 @@ WITH q AS (
              x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
   FROM embeddings
 ), cseeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
 ), ascored AS (
   SELECT q.vec_id, q.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
@@ -1496,7 +1542,9 @@ def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.similarity import kmeans_train
 
     return kmeans_train(
-        load_table(spark, sf_dir, "embeddings"), n_cells=16, iters=2
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_derived_cells(sf_dir),
+        iters=2,
     )
 
 
@@ -1507,8 +1555,10 @@ WITH q AS (
              x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
   FROM embeddings
 ), seeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
 ), s1 AS (
   SELECT q.vec_id, q.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
@@ -1566,7 +1616,10 @@ def q_emb_semdedup_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.similarity import semantic_dedup_int
 
     return semantic_dedup_int(
-        load_table(spark, sf_dir, "embeddings"), n_cells=16, tau_num=3, tau_den=10
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_derived_cells(sf_dir),
+        tau_num=3,
+        tau_den=10,
     )
 
 
@@ -1577,7 +1630,9 @@ def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), n_cells=16, tau=0.3
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_derived_cells(sf_dir),
+        tau=0.3,
     )
 
 
@@ -1595,7 +1650,7 @@ def q_emb_semdedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     return semantic_dedup_incremental_int(
-        index, batch, n_cells=16, tau_num=3, tau_den=10
+        index, batch, n_cells=_derived_cells(sf_dir), tau_num=3, tau_den=10
     )
 
 
@@ -1614,11 +1669,11 @@ def q_emb_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = emb.filter(F.col("vec_id") % 7 == 0)
     corpus = emb.filter(F.col("vec_id") % 7 != 0)
     return semantic_contamination_int(
-        corpus, benchmark, n_cells=16, tau_num=3, tau_den=10
+        corpus, benchmark, n_cells=_derived_cells(sf_dir), tau_num=3, tau_den=10
     )
 
 
-ORACLE_EMB_CONTAMINATION = """
+ORACLE_EMB_CONTAMINATION = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1629,8 +1684,10 @@ WITH q AS (
 ), bat AS (
   SELECT * FROM q WHERE vec_id % 7 <> 0
 ), seeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM idx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM idx
+  ) WHERE rn <= {_sql_cells("q")}
 ), iscored AS (
   SELECT i.vec_id, i.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), j -> i.v[j] * s.v[j]))
@@ -1674,7 +1731,7 @@ FROM bassigned b LEFT JOIN hit p ON b.vec_id = p.id_b
 """
 
 
-ORACLE_SEMDEDUP_INCR = """
+ORACLE_SEMDEDUP_INCR = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1685,8 +1742,10 @@ WITH q AS (
 ), bat AS (
   SELECT * FROM q WHERE vec_id % 10 = 0
 ), seeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM idx ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM idx
+  ) WHERE rn <= {_sql_cells("q")}
 ), iscored AS (
   SELECT i.vec_id, i.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), j -> i.v[j] * s.v[j]))
@@ -1730,15 +1789,17 @@ FROM bassigned b LEFT JOIN dropped p ON b.vec_id = p.id_b
 """
 
 
-ORACLE_SEMDEDUP = """
+ORACLE_SEMDEDUP = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
   FROM embeddings
 ), seeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
 ), scored AS (
   SELECT q.vec_id, q.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
@@ -2139,7 +2200,7 @@ def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_balanced_sample(
-        emb, n_cells=16, per_cell=SAMPLE_PER_CELL
+        emb, n_cells=_derived_cells(sf_dir), per_cell=SAMPLE_PER_CELL
     )
 
 
@@ -2150,10 +2211,10 @@ WITH q AS (
              x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
   FROM embeddings
 ), seeds AS (
-  SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-  FROM q
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT 16
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
 ), ascored AS (
   SELECT q.vec_id, s.cell,
          CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
@@ -2347,11 +2408,9 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 
 # --- corpus k-NN graph ------------------------------------------------------
 KNN_K = 3
-#: target within-cell population: within-cell pairs are the quadratic
-#: term, so cells MUST scale with the corpus (fixed n_cells would grow
-#: candidate pairs as corpus^2/n_cells).  At the driver scales
-#: (<=2000 vectors) this derives the same 16 cells as before.
-KNN_CELL_TARGET = 125
+#: the knn entry pioneered the footer-derived geometry (r8); it now
+#: shares CELL_TARGET with every other cell-blocked entry above.
+KNN_CELL_TARGET = CELL_TARGET
 
 
 def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2365,14 +2424,10 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — the same geometry-scales-with-data contract as the
     semantic gate.  The oracle mirrors the derivation with a scalar
     subquery."""
-    import math
-
     from metrics_service_spark.operators.similarity import knn_graph_int
-    from metrics_service_spark.sources.tables import rowcount_bound
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cells = max(16, math.ceil(rowcount_bound(sf_dir, "embeddings") / KNN_CELL_TARGET))
-    return knn_graph_int(emb, n_cells=n_cells, k=KNN_K)
+    return knn_graph_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K)
 
 
 ORACLE_KNN_GRAPH = f"""
@@ -2386,8 +2441,7 @@ WITH q AS (
     SELECT vec_id, v,
            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM q
-  ) WHERE rn <= (SELECT greatest(16,
-                     CAST(ceil(count(*) / {KNN_CELL_TARGET}.0) AS BIGINT)) FROM q)
+  ) WHERE rn <= {_sql_cells("q")}
 ), ascored AS (
   SELECT q.vec_id, q.v, s.cell,
          CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))

@@ -36,3 +36,33 @@ def test_rows_only_entries_name_an_oracle_checked_twin():
         twin = cat.get(spec.exact_twin)
         assert twin is not None, f"{name}: twin {spec.exact_twin} not in catalog"
         assert twin.oracle, f"{name}: twin {spec.exact_twin} is not oracle-checked"
+
+
+def test_derived_cells_mirrors_fixture_count(sf_dir):
+    """Footer-derived cell geometry (r9): _derived_cells must equal the
+    oracle's scalar-subquery derivation over the same table, and scale
+    linearly past the floor."""
+    import math
+
+    import duckdb
+
+    from metrics_service_spark.catalog.llm import (
+        CELL_FLOOR,
+        CELL_TARGET,
+        _derived_cells,
+        _sql_cells,
+    )
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    sql_n = con.execute(
+        "WITH q AS (SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')) SELECT {_sql_cells('q')}"
+    ).fetchone()[0]
+    con.close()
+    expected = max(CELL_FLOOR, math.ceil(n / CELL_TARGET))
+    assert _derived_cells(sf_dir) == expected == sql_n
+    # geometry scales with the corpus, not pinned at the floor
+    assert max(CELL_FLOOR, math.ceil(100 * CELL_TARGET / CELL_TARGET)) == 100

@@ -72,6 +72,10 @@ QUERIES = [
     # count (KNN_CELL_TARGET), so within-cell pair mass is constant
     # per cell and total candidates grow linearly
     "emb_knn_graph",
+    # r9: every remaining cell-blocked entry now shares the same
+    # footer-derived geometry (catalog/llm.py _derived_cells); the
+    # SemDeDup/kmeans/ivfpq rows above plus this one are the evidence
+    "emb_cluster_sample",
 ]
 
 
