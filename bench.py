@@ -77,6 +77,12 @@ HEADLINE = [
     # its own row (VERDICT r8 #5)
     "doc_curation_pipeline",
     "doc_bigram_coherence",
+    # round-9: two-stage PQ refine, prototypicality pruning signal,
+    # Gopher rule battery, shuffle+shard manifest
+    "emb_pq_rerank",
+    "emb_prototypicality",
+    "doc_gopher_rules",
+    "doc_shuffle_shard",
 ]
 
 

@@ -75,6 +75,12 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_contamination",
     "emb_cluster_sample",
     "emb_knn_graph",
+    # -- NEW r9 entries (two-stage PQ refine, prototypicality pruning
+    #    signal, Gopher rule battery, shuffle+shard manifest) -------------
+    "emb_pq_rerank",
+    "emb_prototypicality",
+    "doc_gopher_rules",
+    "doc_shuffle_shard",
     # -- least-recently-checked: the r5-stale tpch block the r8 buffer
     #    comment promised would lead this rotation ------------------------
     "tpch_q3",
@@ -95,12 +101,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_simhash_neardup",
     "doc_simhash_neardup_md5",
     "emb_ann_ivf",
+    # -- buffer past the 50-entry sample line (next-most-stale r6 block;
+    #    all differentially pytest-checked every session; the four NEW
+    #    r9 entries displaced the tail of the r6-stale fill) --------------
     "emb_ann_lsh",
     "emb_topk_bruteforce",
     "ev_dau_stickiness_approx_hll",
     "ev_monthly_stats_approx",
-    # -- buffer past the 50-entry sample line (next-most-stale r6 block;
-    #    all differentially pytest-checked every session) -----------------
     "mm_audio_meta",
     "mm_frame_sample",
     "mm_image_features",

@@ -51,7 +51,9 @@ CELL_TARGET = 125
 CELL_FLOOR = 16
 
 
-def _derived_cells(sf_dir: str, table: str = "embeddings") -> int:
+def _derived_cells(
+    sf_dir: str, table: str = "embeddings", target: int = CELL_TARGET
+) -> int:
     """max(CELL_FLOOR, ceil(rows / CELL_TARGET)) from the parquet
     footer — no Spark job.  Entries that index a SLICE of the table
     (incremental SemDeDup, contamination) still derive from the TABLE
@@ -63,16 +65,16 @@ def _derived_cells(sf_dir: str, table: str = "embeddings") -> int:
     from metrics_service_spark.sources.tables import rowcount_bound
 
     return max(
-        CELL_FLOOR, math.ceil(rowcount_bound(sf_dir, table) / CELL_TARGET)
+        CELL_FLOOR, math.ceil(rowcount_bound(sf_dir, table) / target)
     )
 
 
-def _sql_cells(src: str = "q") -> str:
+def _sql_cells(src: str = "q", target: int = CELL_TARGET) -> str:
     """Scalar-subquery mirror of `_derived_cells` over the CTE that
     reads the whole table."""
     return (
         f"(SELECT greatest({CELL_FLOOR}, "
-        f"CAST(ceil(count(*) / {CELL_TARGET}.0) AS BIGINT)) FROM {src})"
+        f"CAST(ceil(count(*) / {target}.0) AS BIGINT)) FROM {src})"
     )
 
 
@@ -1145,7 +1147,10 @@ def q_emb_pq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2*dot-|c|^2, floor-div re-center, empty codes carry their seed),
 # final encode, then ADC scoring — sum over subspaces of the
 # (query-subvector . codebook-vector) dots of each neighbor's codes.
-ORACLE_PQ_TOPK_INT = f"""
+# shared CTE chain for the PQ family: train -> encode -> ADC scoring
+# (ends at `scored`); ORACLE_PQ_TOPK_INT ranks it directly,
+# ORACLE_PQ_RERANK widens to a k_short shortlist and exact-re-ranks.
+_PQ_CTES = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1204,11 +1209,57 @@ WITH q AS (
   JOIN c1 c ON c.j = a.j AND c.code = a.code
   WHERE a.vec_id != qs.query_id
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_PQ_TOPK_INT = f"""{_PQ_CTES}
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score_q FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY score_q DESC, neighbor_id) AS rank
   FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+PQ_K_SHORT = 25
+
+
+def q_emb_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the FAISS IndexRefine shape): the PQ/ADC
+    compressed scan keeps a deliberately wide k_short=25 shortlist per
+    query, then ONLY those candidates are re-ranked by the exact
+    integer dot against the original vectors — the production recipe
+    for exact-quality results off a 32x-compressed index.  The refine
+    fetch is a collected-id IN-filter (config-bounded |Q| x k_short
+    ids), so at 100 TB the second scan row-group-prunes to the
+    candidates instead of re-reading the corpus.  Oracle replays
+    train -> encode -> ADC shortlist -> exact re-rank bit-for-bit."""
+    from metrics_service_spark.operators.similarity import pq_rerank_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return pq_rerank_topk_int(
+        emb, queries, m=8, k_codes=16, iters=2, k_short=PQ_K_SHORT, k=TOPK
+    )
+
+
+ORACLE_PQ_RERANK = f"""{_PQ_CTES}, short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score_q DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {PQ_K_SHORT}
+), rr AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                 p -> qs.qv[p] * nv.v[p])) AS BIGINT) AS score_x
+  FROM short s
+  JOIN qs ON qs.query_id = s.query_id
+  JOIN q nv ON nv.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, score_x FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_x DESC, neighbor_id) AS rank
+  FROM rr
 ) WHERE rank <= {TOPK}
 """
 
@@ -2514,6 +2565,147 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 """
 
 
+# --- prototypicality (SSL-prototypes / SemDeDup curation signal) ---------
+def q_emb_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector prototypicality: the exact integer dot to the
+    vector's own md5-seeded cell seed, ranked within the cell — the
+    Sorscher et al. 2022 / Abbas et al. 2023 keep/drop knob (drop the
+    most-prototypical tail for redundancy pruning, the least for
+    outlier scrubbing).  Footer-derived cell geometry bounds the
+    per-cell window mass at any corpus size."""
+    from metrics_service_spark.operators.similarity import prototypicality_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prototypicality_int(emb, n_cells=_derived_cells(sf_dir))
+
+
+ORACLE_PROTOTYPICALITY = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
+), ascored AS (
+  SELECT q.vec_id, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, cell, dot FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, dot AS proto_q,
+       CAST(row_number() OVER (PARTITION BY cell
+                               ORDER BY dot DESC, vec_id ASC) AS INT)
+           AS cell_rank
+FROM assigned
+"""
+
+
+# --- Gopher quality-rule battery -----------------------------------------
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText quality-rule battery (Rae et al. 2021
+    §A1.1) with every ratio threshold cross-multiplied into integer
+    compares — zero rounded doubles in the comparison surface.  Pure
+    codegen projection, zero shuffles."""
+    from metrics_service_spark.operators.text import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+ORACLE_GOPHER_RULES = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         CAST(length(text) AS BIGINT) AS lc
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         lc - (CAST(len(toks) AS BIGINT) - 1) AS sum_chars,
+         lc - CAST(length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST(floor((lc - length(replace(text, '...', ''))) / 3) AS BIGINT)
+             AS n_ellipsis,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha,
+         CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+              AS BIGINT) AS distinct_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, n_alpha AS n_alpha_words,
+       n_hash + n_ellipsis AS n_symbols, distinct_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS flag_words,
+       (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+           AS flag_word_len,
+       (10 * (n_hash + n_ellipsis) <= n_words) AS flag_symbol,
+       (5 * n_alpha >= 4 * n_words) AS flag_alpha,
+       (distinct_stopwords >= 2) AS flag_stop,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words)
+        AND (10 * (n_hash + n_ellipsis) <= n_words)
+        AND (5 * n_alpha >= 4 * n_words)
+        AND (distinct_stopwords >= 2)) AS keep
+FROM s
+"""
+
+
+# --- deterministic shuffle + shard manifest -------------------------------
+#: target docs per training shard: n_shards derives from the corpus
+#: row count (footer stats) so shard SIZE stays fixed as the corpus
+#: grows — the same geometry contract as the embedding cell family.
+SHARD_TARGET = 64
+
+
+def q_doc_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard manifest (the final step
+    of a curation run): salted-md5 shuffle key, hex4(key) % n_shards
+    shard assignment, reproducible within-shard order.  The per-shard
+    window is the only shuffle and its partition mass is held at
+    ~SHARD_TARGET rows by the footer-derived shard count."""
+    from metrics_service_spark.operators.sampling import shuffle_shard
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_shards = _derived_cells(sf_dir, "documents", target=SHARD_TARGET)
+    return shuffle_shard(docs, "doc_id", n_shards=n_shards)
+
+
+def _oracle_shuffle_shard() -> str:
+    from metrics_service_spark.operators.sampling import sql_hex4_int
+
+    h4 = sql_hex4_int("key")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key,
+         CAST({h4} % {_sql_cells("d", SHARD_TARGET)} AS INT) AS shard
+  FROM d
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY key, doc_id) AS INT) AS pos
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_mixture": QuerySpec(
         q_doc_mixture,
@@ -2728,6 +2920,36 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_PQ_TOPK_INT,
         "product-quantization ANN: Lloyd-trained codebooks, m-byte "
         "codes, integer LUT/ADC search — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_pq_rerank": QuerySpec(
+        q_emb_pq_rerank,
+        ORACLE_PQ_RERANK,
+        "two-stage retrieval: PQ/ADC shortlist (k_short=25) -> exact "
+        "integer re-rank of candidates only — the FAISS IndexRefine "
+        "shape, full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_prototypicality": QuerySpec(
+        q_emb_prototypicality,
+        ORACLE_PROTOTYPICALITY,
+        "per-vector prototypicality (dot to own cell seed) + "
+        "within-cell rank — the SSL-prototypes/SemDeDup pruning "
+        "signal, footer-derived cells",
+        ("llm",),
+    ),
+    "doc_gopher_rules": QuerySpec(
+        q_doc_gopher_rules,
+        ORACLE_GOPHER_RULES,
+        "Gopher/MassiveText quality-rule battery, integer-only "
+        "thresholds (cross-multiplied ratios), per-rule flags + keep",
+        ("llm",),
+    ),
+    "doc_shuffle_shard": QuerySpec(
+        q_doc_shuffle_shard,
+        _oracle_shuffle_shard(),
+        "deterministic global shuffle + shard manifest: md5 shuffle "
+        "key, hex4 %% footer-derived shard count, within-shard order",
         ("llm",),
     ),
     "emb_ivfpq_topk_int": QuerySpec(

@@ -162,3 +162,66 @@ def per_group_quota(
         .filter(F.col("rk") <= quota)
         .select(id_col, group_col, F.col("rk").cast("int").alias("rk"))
     )
+
+
+def _hex4_int(h: Column) -> Column:
+    """First 4 hex chars of an md5 hex digest -> integer in
+    [0, 65536): per-char ascii arithmetic (ascii(c)-48, minus 39 more
+    for 'a'-'f') — both engines have ascii(), so no base-conversion
+    builtin is needed and the oracle replays it character for
+    character (`sql_hex4_int`)."""
+
+    def hv(i: int) -> Column:
+        c = F.substring(h, i, 1)
+        return F.ascii(c) - F.when(c >= "a", F.lit(87)).otherwise(F.lit(48))
+
+    return ((hv(1) * 16 + hv(2)) * 16 + hv(3)) * 16 + hv(4)
+
+
+def sql_hex4_int(hexpr: str) -> str:
+    """DuckDB twin of :func:`_hex4_int` over the hex expression
+    `hexpr` (evaluated once per character position)."""
+    terms = []
+    for i, mult in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        c = f"substr({hexpr}, {i}, 1)"
+        terms.append(
+            f"(ascii({c}) - CASE WHEN {c} >= 'a' THEN 87 ELSE 48 END)"
+            + (f" * {mult}" if mult > 1 else "")
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int = 16,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + shard manifest — the last step
+    of every training-data pipeline: shuffle the curated corpus,
+    cut it into `n_shards` shards, and fix a reproducible order
+    within each.  The salted md5 key IS the shuffle (uniform,
+    engine-portable, re-rolled wholesale by changing `salt`):
+    shard = hex4(key) % n_shards, pos = row_number within the shard
+    ordered by (key, id).
+
+    Scale: assignment is per-row codegen; the one shuffle is the
+    per-shard window, whose partition mass is rows/n_shards — the
+    caller derives `n_shards` from the corpus row count (parquet
+    footer stats) to hold shards at a target size, the same
+    geometry-scales-with-data contract as the embedding cell family.
+    Output (id, shard, pos)."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("__key"),
+            (_hex4_int(h) % n_shards).cast("int").alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select(id_col, "shard", "pos")
+    )

@@ -2209,3 +2209,140 @@ def knn_graph_int(
         .filter(F.col("rank") <= k)
         .select("src_id", "dst_id", F.col("rank").cast("int").alias("rank"), "dot_q")
     )
+
+
+def pq_rerank_topk_int(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    k_short: int = 25,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval, the FAISS ``IndexRefine`` shape: stage 1
+    is the compressed ADC scan (`pq_topk_int`) kept deliberately WIDE
+    (`k_short` candidates per query), stage 2 re-ranks only those
+    candidates by the EXACT integer dot against the original vectors
+    and keeps the top `k`.  This is the production recipe for
+    recovering exact-ranking quality from a 32x-compressed index: the
+    corpus-wide scan touches the m-byte code column only, and the
+    exact 64-wide arithmetic runs on |Q| x k_short rows.
+
+    The candidate fetch is a collected-id pushdown: the shortlist is
+    |Q| x k_short ids (a config-bounded driver collect, same budget
+    class as the codebook seed collects), so the refine scan arrives
+    at the parquet source as an IN-filter — at 100 TB the second scan
+    row-group-prunes to the candidates instead of reading the corpus.
+    Output (query_id, neighbor_id, rank, score_x), score_x the exact
+    integer dot."""
+    short = pq_topk_int(
+        embeddings,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        k_codes=k_codes,
+        iters=iters,
+        k=k_short,
+    ).select("query_id", "neighbor_id")
+    pairs = short.collect()
+    cand_ids = sorted({r["neighbor_id"] for r in pairs})
+    spark = embeddings.sparkSession
+    short_df = F.broadcast(spark.createDataFrame(pairs, short.schema))
+    fetched = embeddings.filter(F.col(id_col).isin(cand_ids)).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col)).alias("__nv"),
+    )
+    qs = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col)).alias("__qv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_x").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fetched.join(short_df, "neighbor_id")
+        .join(qs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_long(F.col("__qv"), F.col("__nv")).alias("score_x"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score_x",
+        )
+    )
+
+
+def prototypicality_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """Per-vector prototypicality, the SSL-prototypes / SemDeDup
+    curation signal (Sorscher et al. 2022 data-pruning; Abbas et al.
+    2023 keeps LOW-prototypicality examples): each vector's exact
+    integer dot to its own cell seed says how typical it is of its
+    semantic cluster, and the within-cell rank (dot desc, id asc)
+    turns that into a keep/drop knob — drop the top q% for
+    redundancy pruning, the bottom q% for outlier scrubbing.
+
+    Same scale discipline as the rest of the cell family: md5-seeded
+    cells (bounded collect), `_argmax_cells` assignment (literal
+    projection up to the cell limit, broadcast join + window beyond),
+    and a per-cell window whose partition mass is bounded by the
+    footer-derived geometry — no corpus-wide sort anywhere.
+    Output (vec_id, cell, proto_q, cell_rank)."""
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    cells_lit = _lit_matrix(cvecs, "bigint")
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__v"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto_q").desc(), F.col("__vid").asc()
+    )
+    return (
+        _argmax_cells(quant, cvecs)
+        .select(
+            "__vid",
+            "cell",
+            dot_long(
+                F.col("__v"), F.element_at(cells_lit, F.col("cell") + 1)
+            ).alias("proto_q"),
+        )
+        .withColumn("cell_rank", F.row_number().over(w).cast("int"))
+        .select(
+            F.col("__vid").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            "proto_q",
+            "cell_rank",
+        )
+    )

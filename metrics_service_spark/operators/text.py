@@ -243,3 +243,76 @@ def domain_filter(
     keyed = df.withColumn("__dom", registered_domain(F.col(url_col)))
     block = blocklist.select(F.col(domain_col).alias("__dom")).distinct()
     return keyed.join(F.broadcast(block), "__dom", "left_anti").drop("__dom")
+
+
+#: Gopher/MassiveText stopword rule set (Rae et al. 2021 §A1.1): a
+#: document must contain at least two of these to pass `flag_stop`.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, MassiveText
+    §A1.1) as one per-document projection: word-count bounds, mean
+    word length in [3,10], symbol-to-word ratio (# and ... marks)
+    <= 0.1, >= 80% of words containing an alphabetic character, and
+    the >= 2-distinct-stopwords rule; `keep` is their conjunction.
+    The corpus fixtures are single-line space-joined tokens, so the
+    original line-shape rules (bullet/ellipsis LINE ratios) fold into
+    the symbol rule.
+
+    Every ratio threshold is CROSS-MULTIPLIED into integer compares
+    (mean len in [3,10] <=> 3n <= chars <= 10n) — no division, no
+    rounded double anywhere in the comparison surface, which is the
+    stable-rounding discipline (functions/stable.py) taken to its
+    endpoint.  Pure whole-stage-codegen column arithmetic: a 100 TB
+    corpus streams through map-side with zero shuffles."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_words = F.size(toks).cast("long")
+    sum_chars = (F.length(text) - (n_words - 1)).cast("long")
+    n_hash = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = F.floor(
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / 3
+    ).cast("long")
+    n_symbols = (n_hash + n_ellipsis).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("long")
+    distinct_stops = sum(
+        (
+            F.array_contains(toks, w).cast("long")
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0).cast("long"),
+    )
+    flag_words = (n_words >= min_words) & (n_words <= max_words)
+    flag_word_len = (sum_chars >= 3 * n_words) & (sum_chars <= 10 * n_words)
+    flag_symbol = 10 * n_symbols <= n_words
+    flag_alpha = 5 * n_alpha >= 4 * n_words
+    flag_stop = distinct_stops >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        distinct_stops.alias("distinct_stopwords"),
+        flag_words.alias("flag_words"),
+        flag_word_len.alias("flag_word_len"),
+        flag_symbol.alias("flag_symbol"),
+        flag_alpha.alias("flag_alpha"),
+        flag_stop.alias("flag_stop"),
+        (flag_words & flag_word_len & flag_symbol & flag_alpha & flag_stop)
+        .alias("keep"),
+    )
