@@ -80,6 +80,7 @@ HEADLINE = [
     # round-9: two-stage PQ refine, prototypicality pruning signal,
     # Gopher rule battery, shuffle+shard manifest
     "emb_pq_rerank",
+    "emb_semdedup_hier",
     "emb_prototypicality",
     "doc_gopher_rules",
     "doc_shuffle_shard",

@@ -78,6 +78,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- NEW r9 entries (two-stage PQ refine, prototypicality pruning
     #    signal, Gopher rule battery, shuffle+shard manifest) -------------
     "emb_pq_rerank",
+    "emb_semdedup_hier",
     "emb_prototypicality",
     "doc_gopher_rules",
     "doc_shuffle_shard",

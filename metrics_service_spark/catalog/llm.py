@@ -2565,6 +2565,99 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 """
 
 
+# --- hierarchical-assignment SemDeDup ------------------------------------
+def _sql_coarse(src: str = "q") -> str:
+    """Scalar-subquery mirror of ceil(sqrt(_derived_cells)) — the
+    coarse-level group count of the two-level assignment."""
+    return (
+        f"(SELECT CAST(ceil(sqrt(greatest({CELL_FLOOR}, "
+        f"ceil(count(*) / {CELL_TARGET}.0)))) AS BIGINT) FROM {src})"
+    )
+
+
+def q_emb_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with TWO-LEVEL cell assignment (coarse -> fine, the
+    FAISS IVF-of-IVF shape): with footer-derived n_cells the flat
+    argmax is rows x cells = corpus^2/CELL_TARGET — the r9 50x probe
+    shows that term surfacing — while the sqrt-grouped coarse level
+    cuts it to corpus^1.5.  Assignment is approximate in the accepted
+    IVF sense but every argmax is deterministic integer arithmetic,
+    so the oracle replays the full two-level rule bit-for-bit."""
+    from metrics_service_spark.operators.similarity import (
+        semantic_dedup_hier_int,
+    )
+
+    return semantic_dedup_hier_int(
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_derived_cells(sf_dir),
+        tau_num=3,
+        tau_den=10,
+    )
+
+
+ORACLE_SEMDEDUP_HIER = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
+), coarse0 AS (
+  SELECT v, cell AS grp FROM seeds WHERE cell < {_sql_coarse("q")}
+), cg AS (
+  SELECT cell, grp FROM (
+    SELECT s.cell, c.grp,
+           row_number() OVER (PARTITION BY s.cell ORDER BY
+             CAST(list_sum(list_transform(range(1, 65),
+                   i -> s.v[i] * c.v[i])) AS BIGINT) DESC,
+             c.grp ASC) AS rk
+    FROM seeds s CROSS JOIN coarse0 c
+  ) WHERE rk = 1
+), coarse AS (
+  SELECT c.* FROM coarse0 c
+  WHERE EXISTS (SELECT 1 FROM cg WHERE cg.grp = c.grp)
+), rg AS (
+  SELECT vec_id, v, grp FROM (
+    SELECT q.vec_id, q.v, c.grp,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_sum(list_transform(range(1, 65),
+                   i -> q.v[i] * c.v[i])) AS BIGINT) DESC,
+             c.grp ASC) AS rk
+    FROM q CROSS JOIN coarse c
+  ) WHERE rk = 1
+), ascored AS (
+  SELECT r.vec_id, r.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> r.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM rg r JOIN cg ON cg.grp = r.grp JOIN seeds s ON s.cell = cg.cell
+), assigned AS (
+  SELECT vec_id, v, cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))
+              AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+), pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS d,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT id_b FROM pr
+  WHERE d >= 0 AND 100 * d * d >= 9 * na2 * nb2
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, p.id_b IS NULL AS kept
+FROM assigned a LEFT JOIN dropped p ON a.vec_id = p.id_b
+"""
+
+
 # --- prototypicality (SSL-prototypes / SemDeDup curation signal) ---------
 def q_emb_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector prototypicality: the exact integer dot to the
@@ -2920,6 +3013,14 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_PQ_TOPK_INT,
         "product-quantization ANN: Lloyd-trained codebooks, m-byte "
         "codes, integer LUT/ADC search — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_semdedup_hier": QuerySpec(
+        q_emb_semdedup_hier,
+        ORACLE_SEMDEDUP_HIER,
+        "SemDeDup with two-level coarse->fine assignment (FAISS "
+        "IVF-of-IVF): corpus^1.5 assignment instead of the flat "
+        "quadratic — the 100 TB configuration, full two-level oracle",
         ("llm",),
     ),
     "emb_pq_rerank": QuerySpec(

@@ -1156,6 +1156,17 @@ def semantic_dedup_int(
     assigned = _assign_int(embeddings, id_col, vec_col, cvecs).localCheckpoint(
         eager=False
     )
+    return _semdedup_verdict(assigned, id_col, tau_num, tau_den)
+
+
+def _semdedup_verdict(
+    assigned: DataFrame, id_col: str, tau_num: int, tau_den: int
+) -> DataFrame:
+    """The SemDeDup pair/threshold/keep-list tail over an `assigned`
+    frame (__vid, __v, cell, __n2) — shared by the flat and
+    hierarchical assignment fronts; the frame feeds both self-join
+    sides and the final keep-list join, so callers pass it lazily
+    checkpointed."""
     a = assigned.select(
         F.col("__vid").alias("id_a"),
         F.col("__v").alias("__va"),
@@ -1193,6 +1204,119 @@ def semantic_dedup_int(
             F.col("__dropped").isNull().alias("kept"),
         )
     )
+
+
+def hier_assign_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse -> fine) cell assignment, the FAISS
+    IVF-of-IVF shape every billion-vector deployment uses for the
+    quantizer itself.  Flat argmax is O(rows x n_cells); with the
+    footer-derived geometry (n_cells ~ rows / CELL_TARGET) that term
+    is corpus-QUADRATIC — the r9 50x probe shows it surfacing
+    (emb_cluster_sample 54.8x wall at 50x rows).  Grouping the cell
+    seeds under g = ceil(sqrt(n_cells)) coarse seeds (their md5-order
+    prefix) cuts assignment to O(rows x (g + n_cells/g)) ~
+    O(rows x sqrt(n_cells)) = corpus^1.5 overall.
+
+    Assignment becomes APPROXIMATE — a row's globally-best cell can
+    sit in another coarse group, exactly the accepted IVF
+    approximation — but every step is the same deterministic integer
+    argmax (ties -> lowest index), so a SQL oracle replays the
+    two-level rule bit-for-bit.  Steps: (1) driver-side cell->group
+    argmax over the c x g seed dots (bounded by the seed-collect
+    budget); (2) per row, argmax over the NON-EMPTY coarse groups
+    (literal projection, g dots); (3) fine argmax over that group's
+    cells via a broadcast join + per-row window (avg n_cells/g dots).
+    Output is the SemDeDup `assigned` frame (__vid, __v, cell, __n2)
+    in SEM_QUANT space."""
+    import math
+
+    cvecs = _md5_seed_centroids(embeddings, id_col, vec_col, n_cells)
+    g = int(n_coarse) if n_coarse else math.ceil(math.sqrt(len(cvecs)))
+    coarse = cvecs[:g]
+    cell_grp: list[int] = []
+    for cv in cvecs:
+        best_i, best_d = 0, None
+        for i, gv in enumerate(coarse):
+            d = sum(x * y for x, y in zip(cv, gv))
+            if best_d is None or d > best_d:
+                best_i, best_d = i, d
+        cell_grp.append(best_i)
+    # rows must only ever route to a group that HAS member cells —
+    # an empty group would silently drop its rows from the output
+    active = sorted(set(cell_grp))
+    spark = embeddings.sparkSession
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+        )
+    )
+    dots = F.transform(
+        _lit_matrix([coarse[i] for i in active], "bigint"),
+        lambda cv: dot_long(F.col("__v"), cv),
+    )
+    grp_ids = F.array(*[F.lit(i) for i in active])
+    rows = (
+        quant.withColumn("__dots", dots)
+        .withColumn(
+            "grp",
+            F.element_at(
+                grp_ids,
+                F.array_position(
+                    F.col("__dots"), F.array_max(F.col("__dots"))
+                ).cast("int"),
+            ),
+        )
+        .drop("__dots")
+    )
+    cells_df = spark.createDataFrame(
+        [(j, cell_grp[j], cvecs[j]) for j in range(len(cvecs))],
+        "cell int, grp int, cvec array<long>",
+    )
+    w = Window.partitionBy("__vid").orderBy(
+        F.col("__dot").desc(), F.col("cell").asc()
+    )
+    return (
+        rows.join(F.broadcast(cells_df), "grp")
+        .withColumn("__dot", dot_long(F.col("__v"), F.col("cvec")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("__vid", "__v", "cell")
+        .withColumn("__n2", dot_long(F.col("__v"), F.col("__v")))
+    )
+
+
+def semantic_dedup_hier_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_coarse: int | None = None,
+    tau_num: int = 3,
+    tau_den: int = 10,
+) -> DataFrame:
+    """SemDeDup with the two-level `hier_assign_int` front — the
+    100 TB configuration: pair mass stays linear by the cell geometry
+    AND assignment stays sub-quadratic by the coarse level.  Same
+    exact-integer threshold/keep-list tail as `semantic_dedup_int`
+    (`_semdedup_verdict`); same output contract (id, cell, kept)."""
+    check_tau_bounds(tau_num, tau_den)
+    assigned = hier_assign_int(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        n_coarse=n_coarse,
+    ).localCheckpoint(eager=False)
+    return _semdedup_verdict(assigned, id_col, tau_num, tau_den)
 
 
 def semantic_dedup(

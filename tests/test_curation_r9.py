@@ -121,3 +121,31 @@ def test_shuffle_shard_is_permutation(spark, sf_dir):
     # a different salt re-rolls the assignment wholesale
     resalted = shuffle_shard(docs, "doc_id", n_shards=16, salt="shard2")
     assert out.exceptAll(resalted).count() > 0
+
+
+def test_semdedup_hier_limit_anchor_and_structure(spark, sf_dir):
+    """n_coarse=1 collapses the two-level assignment to the flat
+    argmax (one group holding every cell), so the full hier output
+    must be bit-identical to semantic_dedup_int — the lossless-limit
+    anchor the IVF-PQ entry uses.  At the derived coarse count the
+    output must still cover the corpus exactly once (no row silently
+    dropped by group routing) and replay deterministically."""
+    from metrics_service_spark.operators.similarity import (
+        semantic_dedup_hier_int,
+        semantic_dedup_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = semantic_dedup_int(emb, n_cells=16, tau_num=3, tau_den=10)
+    hier1 = semantic_dedup_hier_int(
+        emb, n_cells=16, n_coarse=1, tau_num=3, tau_den=10
+    )
+    assert flat.exceptAll(hier1).count() == 0
+    assert hier1.exceptAll(flat).count() == 0
+
+    out = semantic_dedup_hier_int(emb, n_cells=16, tau_num=3, tau_den=10)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    again = semantic_dedup_hier_int(emb, n_cells=16, tau_num=3, tau_den=10)
+    assert out.exceptAll(again).count() == 0

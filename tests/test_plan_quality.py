@@ -234,7 +234,7 @@ def test_semdedup_within_cell_join_is_equi(spark, sf_dir):
     # broadcast (n_cells rows); the within-cell pair stage must be a
     # real distributed equi-join on `cell`, never a corpus cross
     # product or a Python map stage
-    for name in ("emb_semdedup_int", "emb_semdedup"):
+    for name in ("emb_semdedup_int", "emb_semdedup", "emb_semdedup_hier"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert (

@@ -76,6 +76,19 @@ QUERIES = [
     # footer-derived geometry (catalog/llm.py _derived_cells); the
     # SemDeDup/kmeans/ivfpq rows above plus this one are the evidence
     "emb_cluster_sample",
+    # r9 new entries: the PQ refine stage (shortlist-bounded exact
+    # re-rank — expected near-flat), the prototypicality window
+    # (cell-geometry-bounded), the pure-codegen Gopher battery
+    # (expected ~linear scan fill), and the shuffle+shard manifest
+    # (window mass held at SHARD_TARGET by the derived shard count)
+    "emb_pq_rerank",
+    # hier vs flat assignment at scale: the two-level front should
+    # hold the ratio DOWN where the flat cell family's rows x cells
+    # term grows (cluster_sample hit 54.8x at 50x)
+    "emb_semdedup_hier",
+    "emb_prototypicality",
+    "doc_gopher_rules",
+    "doc_shuffle_shard",
 ]
 
 
