@@ -84,6 +84,8 @@ HEADLINE = [
     "emb_prototypicality",
     "doc_gopher_rules",
     "doc_shuffle_shard",
+    "emb_hard_negatives",
+    "doc_hash_classifier",
 ]
 
 

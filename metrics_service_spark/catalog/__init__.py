@@ -82,6 +82,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_prototypicality",
     "doc_gopher_rules",
     "doc_shuffle_shard",
+    "emb_hard_negatives",
+    "doc_hash_classifier",
     # -- least-recently-checked: the r5-stale tpch block the r8 buffer
     #    comment promised would lead this rotation ------------------------
     "tpch_q3",

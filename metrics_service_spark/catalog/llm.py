@@ -2758,6 +2758,99 @@ FROM s
 """
 
 
+# --- hashing-trick quality classifier ------------------------------------
+def q_doc_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashing-trick linear quality classifier (the
+    CCNet/RedPajama quality-model step): token -> 16-bit md5 bucket ->
+    integer weight (deterministic placeholder for trained weights),
+    exact integer document score, kept = score > 0.  Split ->
+    explode -> hash-agg; the one exchange moves one combined row per
+    doc (map-side partial agg)."""
+    from metrics_service_spark.operators.text import hash_classifier
+
+    return hash_classifier(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _oracle_hash_classifier() -> str:
+    from metrics_service_spark.operators.sampling import sql_hex4_int
+
+    hexpr = "md5('hw:' || tok)"
+    w = f"({sql_hex4_int(hexpr)} % 17 - 8)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum({w}) AS BIGINT) AS score
+  FROM toks GROUP BY 1
+)
+SELECT doc_id, n_tokens, score, score > 0 AS kept FROM s
+"""
+
+
+ORACLE_HASH_CLASSIFIER = _oracle_hash_classifier()
+
+
+# --- contrastive hard-negative mining ------------------------------------
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per vector, the top-3
+    most-similar vectors with a DIFFERENT label (the pair-construction
+    step for contrastive/embedding training).  knn-graph discipline:
+    footer-derived cell geometry bounds candidate mass, the corpus x
+    corpus join keys on `cell` (never broadcast), the label-inequality
+    predicate prunes inside the join, exact integer dots, WindowGroup-
+    Limit top-k."""
+    from metrics_service_spark.operators.similarity import (
+        hard_negatives_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT v, rn - 1 AS cell FROM (
+    SELECT vec_id, v,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM q
+  ) WHERE rn <= {_sql_cells("q")}
+), ascored AS (
+  SELECT q.vec_id, q.label, q.v, s.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
+              AS BIGINT) AS dot
+  FROM q CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rk
+    FROM ascored
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS neg_id,
+         a.label AS src_label, b.label AS neg_label,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS dot_q
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.label != b.label
+)
+SELECT src_id, neg_id, src_label, neg_label,
+       CAST(rank AS INT) AS rank, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY dot_q DESC, neg_id) AS rank
+  FROM pairs
+) WHERE rank <= {KNN_K}
+"""
+
+
 # --- deterministic shuffle + shard manifest -------------------------------
 #: target docs per training shard: n_shards derives from the corpus
 #: row count (footer stats) so shard SIZE stays fixed as the corpus
@@ -3151,6 +3244,20 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_KNN_GRAPH,
         "corpus k-NN graph: within-cell top-k neighbors by exact "
         "integer dot — graph-curation input, full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_hard_negatives": QuerySpec(
+        q_emb_hard_negatives,
+        ORACLE_HARD_NEGATIVES,
+        "contrastive hard-negative mining: per-vector top-k nearest "
+        "with a DIFFERENT label, cell-blocked — full pipeline oracle",
+        ("llm",),
+    ),
+    "doc_hash_classifier": QuerySpec(
+        q_doc_hash_classifier,
+        ORACLE_HASH_CLASSIFIER,
+        "hashing-trick linear quality classifier (fastText shape): "
+        "md5-bucket weights, exact integer doc score, kept = score>0",
         ("llm",),
     ),
     "doc_curation_pipeline": QuerySpec(

@@ -2350,6 +2350,83 @@ def knn_graph_int(
     )
 
 
+def hard_negatives_int(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_cells: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, the top-k
+    most-similar vectors carrying a DIFFERENT label — the standard
+    pair-construction step for contrastive/embedding training (the
+    "hard" negatives are the near neighbors the model currently
+    confuses).  Same discipline as :func:`knn_graph_int` — candidate
+    mass bounded by the md5-seeded cell geometry, exact integer dots,
+    per-source WindowGroupLimit top-k — plus the label-inequality
+    predicate pushed into the within-cell equi-join (it prunes
+    candidates BEFORE the dot arithmetic, not after the window).
+    Corpus x corpus: the join keys on `cell`, never a broadcast.
+    Output: (src_id, neg_id, src_label, neg_label, rank, dot_q)."""
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__v"),
+            F.col(label_col).alias("__lbl"),
+        )
+    )
+    assigned = _argmax_cells(quant, cvecs).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("__vid").alias("src_id"),
+        F.col("__v").alias("__va"),
+        F.col("__lbl").alias("src_label"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("__vid").alias("neg_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__lbl").alias("neg_label"),
+        "cell",
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("dot_q").desc(), F.col("neg_id").asc()
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("src_label") != F.col("neg_label"))
+        .select(
+            "src_id",
+            "neg_id",
+            "src_label",
+            "neg_label",
+            dot_long(F.col("__va"), F.col("__vb")).alias("dot_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src_id",
+            "neg_id",
+            "src_label",
+            "neg_label",
+            F.col("rank").cast("int").alias("rank"),
+            "dot_q",
+        )
+    )
+
+
 def pq_rerank_topk_int(
     embeddings: DataFrame,
     queries: DataFrame,

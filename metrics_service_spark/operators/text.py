@@ -321,3 +321,55 @@ def gopher_rules(
         (flag_words & flag_word_len & flag_symbol & flag_alpha & flag_stop)
         .alias("keep"),
     )
+
+
+def hash_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    salt: str = "hw",
+    w_mod: int = 17,
+    w_bias: int = 8,
+) -> DataFrame:
+    """fastText-style hashing-trick linear classifier — the quality-
+    classifier step of CCNet/RedPajama-class pipelines (a linear model
+    over hashed bag-of-words features; reference pipelines train the
+    weights offline and apply them corpus-wide).  Each token hashes to
+    a 16-bit bucket (md5 prefix) whose weight here is the
+    DETERMINISTIC placeholder ``hex4(md5(salt:token)) % w_mod -
+    w_bias`` in [-w_bias, w_mod-1-w_bias] — standing in for trained
+    weights so both engines replay the exact integer score; a real
+    deployment swaps the weight expression for a broadcast
+    bucket->weight lookup without touching the plan shape.
+
+    Scale: split -> explode -> hash-aggregate on the id.  Everything
+    is whole-stage codegen (no interpreted lambda per token); the one
+    exchange moves ONE combined row per document (map-side partial
+    agg collapses the token mass before the shuffle, and a document's
+    tokens are colocated by construction).  Output: (id, n_tokens,
+    score, kept = score > 0)."""
+    from metrics_service_spark.operators.sampling import _hex4_int
+
+    wgt = (
+        _hex4_int(F.md5(F.concat(F.lit(f"{salt}:"), F.col("__tok"))))
+        % w_mod
+        - w_bias
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(wgt).alias("score"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score",
+            (F.col("score") > 0).alias("kept"),
+        )
+    )

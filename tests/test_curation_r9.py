@@ -149,3 +149,49 @@ def test_semdedup_hier_limit_anchor_and_structure(spark, sf_dir):
     assert out.select("vec_id").distinct().count() == n
     again = semantic_dedup_hier_int(emb, n_cells=16, tau_num=3, tau_den=10)
     assert out.exceptAll(again).count() == 0
+
+
+def test_hard_negatives_labels_differ_and_rank_contiguous(spark, sf_dir):
+    """Every mined pair crosses labels; per-src rank is a contiguous
+    1..m prefix (m <= k); replay is deterministic."""
+    from metrics_service_spark.operators.similarity import hard_negatives_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives_int(emb, n_cells=16, k=3)
+    assert out.filter(F.col("src_label") == F.col("neg_label")).count() == 0
+    bad = (
+        out.groupBy("src_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("rank").alias("mx"),
+            F.count_distinct("rank").alias("dr"),
+        )
+        .filter(
+            (F.col("mx") != F.col("cnt"))
+            | (F.col("dr") != F.col("cnt"))
+            | (F.col("cnt") > 3)
+        )
+        .count()
+    )
+    assert bad == 0
+    again = hard_negatives_int(emb, n_cells=16, k=3)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_classifier_order_invariant_and_additive(spark, sf_dir):
+    """Bag-of-words contract: the score ignores token order (reversed
+    text scores identically) and kept is exactly score > 0."""
+    from metrics_service_spark.operators.text import hash_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_classifier(docs, "doc_id", "text")
+    assert out.filter(F.col("kept") != (F.col("score") > 0)).count() == 0
+    rev = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias(
+            "text"
+        ),
+    )
+    rout = hash_classifier(rev, "doc_id", "text")
+    assert out.exceptAll(rout).count() == 0
+    assert rout.exceptAll(out).count() == 0

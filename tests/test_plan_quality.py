@@ -438,3 +438,28 @@ def test_sq8_reads_codes_from_shared_checkpoint(spark, sf_dir, monkeypatch):
     )
     assert "CartesianProduct" not in joined
     assert "BroadcastNestedLoopJoin" in joined or "BroadcastHashJoin" in joined
+
+
+def test_hash_classifier_partial_agg_single_exchange(spark, sf_dir):
+    # the token explosion must collapse map-side: partial count+sum
+    # BEFORE the one doc_id exchange, everything codegen (no
+    # interpreted per-token lambda, no window, no join)
+    plan = _plan(spark, sf_dir, "doc_hash_classifier")
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_hard_negatives_label_prune_inside_cell_join(spark, sf_dir):
+    # corpus x corpus: must be a real equi-join on cell (never a
+    # broadcast of the corpus, never cartesian), with the label
+    # inequality evaluated as the join's non-equi condition — i.e. no
+    # separate Filter ABOVE the join re-scanning pair mass
+    plan = _plan(spark, sf_dir, "emb_hard_negatives")
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin [cell" in plan
+        or "ShuffledHashJoin [cell" in plan
+        or "BroadcastHashJoin [cell" in plan
+    )
+    assert "NOT (src_label" in plan or "NOT (__lbl" in plan

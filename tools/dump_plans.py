@@ -62,6 +62,8 @@ COMMENTARY = {
     "emb_prototypicality": "bounded seed collect; assignment is the shared literal-matrix argmax projection; proto score is one element_at dot off the assignment; the ONLY shuffle keys on cell and per-cell rank window mass is bounded by the footer-derived geometry",
     "doc_gopher_rules": "pure whole-stage-codegen projection (token/char counts, cross-multiplied integer thresholds) — zero exchanges, zero windows, scan-to-output",
     "doc_shuffle_shard": "per-row md5 + ascii-arithmetic shard assignment (pure projection); the ONE exchange keys on shard and the within-shard window mass is held at ~SHARD_TARGET rows by the footer-derived shard count",
+    "emb_hard_negatives": "knn-graph discipline with the label-inequality predicate pushed INTO the cell equi-join (candidates pruned before the dot arithmetic); one checkpointed assignment frame feeds both sides; per-src top-k is WindowGroupLimit-pushed",
+    "doc_hash_classifier": "split -> explode -> hash-agg, all whole-stage codegen (no interpreted per-token lambda); the ONE exchange moves one partial-agg row per doc — token mass collapses map-side",
 }
 
 

@@ -89,6 +89,11 @@ QUERIES = [
     "emb_prototypicality",
     "doc_gopher_rules",
     "doc_shuffle_shard",
+    # corpus x corpus cell join with an in-join label prune; expected
+    # to track the knn-graph row (pair-dot fill, linear by geometry)
+    "emb_hard_negatives",
+    # explode + hash-agg: expected ~linear scan/shuffle fill
+    "doc_hash_classifier",
 ]
 
 
