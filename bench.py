@@ -86,6 +86,7 @@ HEADLINE = [
     "doc_shuffle_shard",
     "emb_hard_negatives",
     "doc_hash_classifier",
+    "mm_phash_neardup",
 ]
 
 

@@ -84,6 +84,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_shuffle_shard",
     "emb_hard_negatives",
     "doc_hash_classifier",
+    "mm_phash",
+    "mm_phash_neardup",
     # -- least-recently-checked: the r5-stale tpch block the r8 buffer
     #    comment promised would lead this rotation ------------------------
     "tpch_q3",

@@ -198,7 +198,113 @@ FROM documents
 """
 
 
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual hash per media payload as four 16-bit slices
+    (median-rule bits over 64 positional segment sums — the 1-D
+    analogue of pHash's 8x8-downsample + above-median DCT
+    thresholding); the Arrow stage is the media seam, every bit
+    replayed exactly by the oracle."""
+    from metrics_service_spark.operators.multimodal import image_phash
+
+    return image_phash(_media(spark, sf_dir))
+
+
+ORACLE_PHASH = """
+WITH d AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), ex AS (
+  -- positional segment sums: byte at 1-based position g lands in
+  -- segment (g-1)*64 // n (the 1-D 8x8-downsample analogue)
+  SELECT d.media_id,
+         (t.g - 1) * 64 // d.n_bytes AS b,
+         CAST(ascii(substr(dd.text, CAST(t.g AS INT), 1)) AS BIGINT) AS v
+  FROM documents dd
+  JOIN d ON d.media_id = dd.doc_id,
+       LATERAL unnest(range(1, CAST(d.n_bytes AS INT) + 1)) t(g)
+), hist AS (
+  SELECT media_id, b, CAST(sum(v) AS BIGINT) AS cnt
+  FROM ex GROUP BY 1, 2
+), grid AS (
+  SELECT d.media_id, g.b
+  FROM d, (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS b) g
+), filled AS (
+  SELECT grid.media_id, grid.b, coalesce(hist.cnt, 0) AS cnt
+  FROM grid LEFT JOIN hist
+    ON hist.media_id = grid.media_id AND hist.b = grid.b
+), bits AS (
+  -- median rule: exactly the 32 highest-occupancy buckets, ties to
+  -- the lower bucket index
+  SELECT media_id, b FROM (
+    SELECT media_id, b,
+           row_number() OVER (PARTITION BY media_id
+                              ORDER BY cnt DESC, b ASC) AS rk
+    FROM filled
+  ) WHERE rk <= 32
+)
+SELECT d.media_id, d.n_bytes,
+       CAST(coalesce(sum(CASE WHEN b.b // 16 = 0 THEN 1 << (b.b % 16) END), 0) AS INT) AS slice0,
+       CAST(coalesce(sum(CASE WHEN b.b // 16 = 1 THEN 1 << (b.b % 16) END), 0) AS INT) AS slice1,
+       CAST(coalesce(sum(CASE WHEN b.b // 16 = 2 THEN 1 << (b.b % 16) END), 0) AS INT) AS slice2,
+       CAST(coalesce(sum(CASE WHEN b.b // 16 = 3 THEN 1 << (b.b % 16) END), 0) AS INT) AS slice3
+FROM d LEFT JOIN bits b USING (media_id)
+GROUP BY 1, 2
+"""
+
+
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs (hamming <= 7, 8-bit pigeonhole
+    bands) — multimodal dedup with the simhash family's join
+    discipline: candidates from a (band, slice) equi-join, exact
+    bit_count verify, ONE Arrow signature pass checkpointed for both
+    sides.  Balanced 32-of-64 hashes put near-identical payloads at
+    hamming 4-7 on this corpus, so the 8-band bound is the useful
+    operating point."""
+    from metrics_service_spark.operators.multimodal import (
+        phash_near_duplicates,
+    )
+
+    return phash_near_duplicates(_media(spark, sf_dir), max_hamming=7)
+
+
+ORACLE_PHASH_NEARDUP = f"""
+WITH sig AS ({ORACLE_PHASH}),
+melted AS (
+  SELECT media_id, slice0, slice1, slice2, slice3, band,
+         CASE band WHEN 0 THEN slice0 % 256 WHEN 1 THEN slice0 // 256
+                   WHEN 2 THEN slice1 % 256 WHEN 3 THEN slice1 // 256
+                   WHEN 4 THEN slice2 % 256 WHEN 5 THEN slice2 // 256
+                   WHEN 6 THEN slice3 % 256 ELSE slice3 // 256 END AS sl
+  FROM sig, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) b(band)
+), cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.slice0, b.slice0)) + bit_count(xor(a.slice1, b.slice1)) +
+         bit_count(xor(a.slice2, b.slice2)) + bit_count(xor(a.slice3, b.slice3))
+             AS hamming
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND a.sl = b.sl AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 7
+"""
+
+
 QUERIES = {
+    "mm_phash": QuerySpec(
+        q_mm_phash,
+        ORACLE_PHASH,
+        "perceptual hash (4x16-bit slices, median rule over "
+        "positional segment sums) through the Arrow media seam",
+        ("multimodal",),
+    ),
+    "mm_phash_neardup": QuerySpec(
+        q_mm_phash_neardup,
+        ORACLE_PHASH_NEARDUP,
+        "perceptual-hash near-dup pairs: 8-bit-band pigeonhole "
+        "equi-join + exact bit_count verify, hamming <= 7",
+        ("multimodal",),
+    ),
     "mm_image_meta": QuerySpec(
         q_mm_image_meta,
         ORACLE_IMAGE_META,

@@ -601,3 +601,147 @@ def image_features_int(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _batch, schema="media_id long, n_bytes long, hist0 long, total long"
     )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual hash of the payload, emitted as FOUR 16-bit
+    slices (slice0..slice3) — the banded-hamming-friendly layout the
+    simhash family established (no signed-64 assembly on either
+    engine).  The signature is POSITIONAL, the 1-D analogue of
+    pHash's 8x8 downsample: coefficient b = the exact integer sum of
+    the payload bytes falling in the b-th of 64 equal segments
+    (seg(pos) = pos*64 // n), and the bit rule is pHash's MEDIAN
+    RULE — set exactly the 32 segments with the highest sums
+    (ties -> lower index).  Positional content is what discriminates:
+    same-language text shares its GLOBAL byte histogram almost
+    exactly (measured: histogram-bucket variants put 29-63% of ALL
+    pairs within hamming 3 on this corpus — useless as a near-dup
+    signal, and a hot-bucket skew hazard in the band join), while
+    segment sums track where the content actually differs.  The hash
+    is always BALANCED (32 of 64 bits set), so unrelated payloads
+    sit near hamming 32 and the 16-bit band slices stay
+    high-entropy.  Every bit is deterministic integer arithmetic,
+    replayed exactly by the SQL oracle.  Arrow mapInPandas (the media seam); slices are
+    plain ints, all downstream math is JVM-side."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            sizes = []
+            slices: list[list[int]] = [[], [], [], []]
+            for raw in pdf["payload"]:
+                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n = len(arr)
+                if n:
+                    seg = (np.arange(n, dtype=np.int64) * 64) // n
+                    hist = np.bincount(
+                        seg, weights=arr, minlength=64
+                    ).astype(np.int64)
+                else:
+                    hist = np.zeros(64, dtype=np.int64)
+                top32 = sorted(range(64), key=lambda b: (-hist[b], b))[:32]
+                bits = [False] * 64
+                for b in top32:
+                    bits[b] = True
+                sizes.append(len(raw))
+                for s in range(4):
+                    v = 0
+                    for i in range(16):
+                        if bits[16 * s + i]:
+                            v |= 1 << i
+                    slices[s].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "slice0": pd.Series(slices[0], dtype="int32"),
+                    "slice1": pd.Series(slices[1], dtype="int32"),
+                    "slice2": pd.Series(slices[2], dtype="int32"),
+                    "slice3": pd.Series(slices[3], dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _batch,
+        schema=(
+            "media_id long, n_bytes long, slice0 int, slice1 int, "
+            "slice2 int, slice3 int"
+        ),
+    )
+
+
+def phash_near_duplicates(
+    media: DataFrame, *, max_hamming: int = 7, bands: int = 8
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a media corpus:
+    hamming(phash_a, phash_b) <= max_hamming, found by the pigeonhole
+    banding the simhash family uses — any pair within hamming < bands
+    must agree on at least one band slice, so candidates come from an
+    equi-join on (band, slice) (never all-pairs) and are verified
+    exactly with bit_count(xor) per 16-bit signature slice.  `bands`
+    is 4 (16-bit band slices) or 8 (8-bit halves of each signature
+    slice — the default: balanced 32-of-64 hashes put genuinely
+    similar payloads at hamming 4-7, above the 4-band recall bound).
+    The one Arrow stage (the signature pass) is checkpointed once and
+    feeds both join sides.  Returns (id_a, id_b, hamming),
+    id_a < id_b."""
+    if bands not in (4, 8):
+        raise ValueError("bands must be 4 or 8")
+    if max_hamming >= bands:
+        raise ValueError("need max_hamming < bands for full recall")
+    sigs = image_phash(media).localCheckpoint(eager=False)
+    slice_cols = ["slice0", "slice1", "slice2", "slice3"]
+    if bands == 4:
+        band_vals = [F.col(c).cast("int") for c in slice_cols]
+    else:
+        # 8-bit halves, low then high per 16-bit slice — pure integer
+        # arithmetic so the oracle replays it with % and //
+        band_vals = []
+        for c in slice_cols:
+            band_vals.append((F.col(c) % 256).cast("int"))
+            band_vals.append((F.col(c) / 256).cast("int"))
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), v.alias("slice"))
+            for j, v in enumerate(band_vals)
+        ]
+    )
+    melted = sigs.select(
+        F.col("media_id").alias("__id"),
+        *slice_cols,
+        F.explode(band_structs).alias("__b"),
+    ).select(
+        "__id",
+        *slice_cols,
+        F.col("__b.band").alias("__band"),
+        F.col("__b.slice").alias("__slice"),
+    )
+    a = melted.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(c).alias(f"__a{i}") for i, c in enumerate(slice_cols)],
+        "__band",
+        "__slice",
+    )
+    b = melted.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(slice_cols)],
+        "__band",
+        "__slice",
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"__a{i}").bitwiseXOR(F.col(f"__b{i}")).cast("long")
+            )
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    return (
+        a.join(b, ["__band", "__slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -195,3 +195,61 @@ def test_hash_classifier_order_invariant_and_additive(spark, sf_dir):
     rout = hash_classifier(rev, "doc_id", "text")
     assert out.exceptAll(rout).count() == 0
     assert rout.exceptAll(out).count() == 0
+
+
+def test_phash_banding_equals_allpairs_definition(spark, sf_dir):
+    """The pigeonhole banding is recall-complete at max_hamming=3 <
+    4 bands: the operator's pairs must EQUAL the brute-force all-pairs
+    hamming <= 3 set (the definition), not approximate it."""
+    from metrics_service_spark.operators.multimodal import (
+        attach_payload,
+        image_phash,
+        phash_near_duplicates,
+    )
+
+    media = attach_payload(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+    )
+    out = phash_near_duplicates(media, max_hamming=3, bands=4)
+    out8 = phash_near_duplicates(media, max_hamming=7, bands=8)
+    sigs = image_phash(media).localCheckpoint(eager=False)
+    a = sigs.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"slice{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = sigs.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"slice{i}").alias(f"b{i}") for i in range(4)],
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"a{i}").bitwiseXOR(F.col(f"b{i}")).cast("long")
+            )
+            for i in range(4)
+        ),
+        F.lit(0),
+    )
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 7)
+    )
+    # set-compare (exceptAll over these two plans trips a Catalyst
+    # binding bug — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    o = {(r.id_a, r.id_b, r.hamming) for r in out.collect()}
+    bf = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in brute.filter("hamming <= 3").collect()
+    }
+    assert o == bf
+    o8 = {(r.id_a, r.id_b, r.hamming) for r in out8.collect()}
+    bf8 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in brute.filter("hamming <= 7").collect()
+    }
+    assert o8 == bf8
+    assert len(o8) > 0  # the corpus does contain near-dup payloads

@@ -267,6 +267,8 @@ PANDAS_WHITELIST = {
     "mm_audio_meta",
     "mm_image_features",
     "mm_image_features_exact",
+    "mm_phash",
+    "mm_phash_neardup",
     "emb_cosine_neardup_allpairs",
 }
 

@@ -94,6 +94,10 @@ QUERIES = [
     "emb_hard_negatives",
     # explode + hash-agg: expected ~linear scan/shuffle fill
     "doc_hash_classifier",
+    # Arrow signature pass + (band, slice) equi-join: copies are
+    # token-disjoint so cross-copy buckets decorrelate; expected to
+    # track the simhash-neardup family (~linear signature fill)
+    "mm_phash_neardup",
 ]
 
 
