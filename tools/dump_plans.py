@@ -57,7 +57,7 @@ COMMENTARY = {
     "doc_source_quota": "one source-keyed exchange; the per-group quota is a WindowGroupLimit-pushed top-k (map-side partial limit before the shuffle)",
     "emb_knn_graph": "ONE checkpointed assignment frame feeds both self-join sides; the join is a cell equi-join (corpus x corpus — never broadcast); per-src top-k is WindowGroupLimit-pushed; candidate mass bounded per cell by the n_cells geometry",
     "doc_curation_pipeline": "gate + quota compose in ONE plan: histogram-cutoff keep-list (corpus filtered, never globally sorted) joins back broadcast, then the per-source quota window over survivors only — the checkpointed (id, score) projection is the only materialization",
-    "emb_semdedup_hier": "two-level assignment: coarse argmax is a g-dot literal projection; fine argmax joins ONLY the row's group's cells (broadcast cells frame + per-row window); the pair/verdict tail is semantic_dedup_int's audited shape — assignment cost corpus^1.5, not corpus^2/CELL_TARGET",
+    "emb_semdedup_hier": "two-level assignment as ONE zero-exchange projection: coarse argmax over g literal seed dots, then F.slice carves the row's group-contiguous cell block out of a single literal matrix for the fine argmax — assignment cost corpus^1.5, not corpus^2/CELL_TARGET; the pair/verdict tail is semantic_dedup_int's audited shape",
     "emb_pq_rerank": "refine stage only: the candidate fetch is an IN-filter of collected shortlist ids PUSHED TO THE PARQUET SCAN (row-group pruning at scale), both the shortlist and the query vectors join broadcast, and the exact-dot re-rank window runs on |Q| x k_short rows — the compressed ADC shortlist pass is pq_topk_int's audited plan",
     "emb_prototypicality": "bounded seed collect; assignment is the shared literal-matrix argmax projection; proto score is one element_at dot off the assignment; the ONLY shuffle keys on cell and per-cell rank window mass is bounded by the footer-derived geometry",
     "doc_gopher_rules": "pure whole-stage-codegen projection (token/char counts, cross-multiplied integer thresholds) — zero exchanges, zero windows, scan-to-output",
