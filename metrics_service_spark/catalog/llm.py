@@ -1881,6 +1881,7 @@ FROM assigned a LEFT JOIN dropped p ON a.vec_id = p.id_b
 
 
 
+
 # --- corpus length histogram ----------------------------------------------
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus shape profile: doc counts and char mass per (lang,
@@ -2241,50 +2242,25 @@ SAMPLE_PER_CELL = 8
 
 def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling (the DataComp-style curation draw):
-    md5-seeded cells, integer argmax assignment, then a fixed
-    per-cell quota chosen by md5(id) — semantic spread preserved
-    instead of dense clusters dominating.  Cell-keyed shuffle only;
-    the per-cell top-k is WindowGroupLimit-pushed map-side."""
+    TWO-LEVEL coarse->fine cell assignment (the hier front — with
+    footer-derived geometry the flat argmax measured 33.6x wall at
+    the 50x probe; the two-level rule holds assignment at
+    corpus^1.5), then a fixed per-cell quota chosen by md5(id) —
+    semantic spread preserved instead of dense clusters dominating.
+    Cell-keyed shuffle only; the per-cell top-k is
+    WindowGroupLimit-pushed map-side."""
     from metrics_service_spark.operators.similarity import (
-        cluster_balanced_sample,
+        cluster_balanced_sample_hier,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cluster_balanced_sample(
+    return cluster_balanced_sample_hier(
         emb, n_cells=_derived_cells(sf_dir), per_cell=SAMPLE_PER_CELL
     )
 
 
-ORACLE_CLUSTER_SAMPLE = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
-  FROM embeddings
-), seeds AS (
-  SELECT v, rn - 1 AS cell FROM (
-    SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM q
-  ) WHERE rn <= {_sql_cells("q")}
-), ascored AS (
-  SELECT q.vec_id, s.cell,
-         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
-              AS BIGINT) AS dot
-  FROM q CROSS JOIN seeds s
-), assigned AS (
-  SELECT vec_id, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dot DESC, cell ASC) AS rk
-    FROM ascored
-  ) WHERE rk = 1
-)
-SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk FROM (
-  SELECT vec_id, cell,
-         row_number() OVER (PARTITION BY cell
-                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-  FROM assigned
-) WHERE rk <= {SAMPLE_PER_CELL}
-"""
+# ORACLE_CLUSTER_SAMPLE is defined after SQL_HIER_ASSIGN_CTES (it
+# shares the two-level assignment CTE chain verbatim).
 
 
 # --- corpus bigram-coherence scoring ----------------------------------------
@@ -2595,8 +2571,10 @@ def q_emb_semdedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEMDEDUP_HIER = f"""
-WITH q AS (
+# The two-level (coarse -> fine) assignment CTE chain, shared VERBATIM
+# by every hier-assigned oracle (SemDeDup keep-list, cluster-balanced
+# sampling): ends at `assigned(vec_id, v, cell, n2)`.
+SQL_HIER_ASSIGN_CTES = f"""q AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS v
@@ -2643,7 +2621,11 @@ WITH q AS (
                                  ORDER BY dot DESC, cell ASC) AS rk
     FROM ascored
   ) WHERE rk = 1
-), pr AS (
+)"""
+
+
+ORACLE_SEMDEDUP_HIER = f"""
+WITH {SQL_HIER_ASSIGN_CTES}, pr AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
               AS BIGINT) AS d,
@@ -2655,6 +2637,17 @@ WITH q AS (
 )
 SELECT a.vec_id, CAST(a.cell AS INT) AS cell, p.id_b IS NULL AS kept
 FROM assigned a LEFT JOIN dropped p ON a.vec_id = p.id_b
+"""
+
+
+ORACLE_CLUSTER_SAMPLE = f"""
+WITH {SQL_HIER_ASSIGN_CTES}
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM assigned
+) WHERE rk <= {SAMPLE_PER_CELL}
 """
 
 

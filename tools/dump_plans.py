@@ -50,7 +50,7 @@ COMMENTARY = {
     "emb_pq_topk_int": "train is iters fused corpus passes with bounded m*k*d_sub collects; encode is a pure projection over two literals (flat code matrix + norms); search broadcasts the per-query integer LUT and scores each corpus row with m element_at lookups — no dim-wide multiply on the corpus side, no cartesian (query join is broadcast), one top-k window",
     "emb_ivfpq_topk_int": "coarse argmax assignment + residuals checkpointed ONCE (train + encode both consume it); candidates from a broadcast equi-join on cell (nprobe cells per query); ADC score = per-cell centroid dot + m LUT lookups; bit-exact lossless-limit test pins the decomposition",
     "emb_sq8_topk_int": "range stats via posexplode + groupBy(pos) (map-side combine to dim rows — never a wide flat aggregate); byte-code projection over two 1-D literals off the shared checkpointed quant frame; per-query (qbase, qspan) broadcast; score is one zip_with fold per pair — at 100 TB the search scan reads the 8x-smaller code column",
-    "emb_cluster_sample": "bounded seed collect; assignment is the shared literal-matrix argmax projection; the ONLY shuffle keys on cell and the per-cell quota is a WindowGroupLimit-pushed top-k — no global sort, no driver collect growing with data",
+    "emb_cluster_sample": "bounded seed collect; assignment is the TWO-LEVEL zero-exchange projection (coarse argmax + per-row slice of the group-contiguous cell matrix — corpus^1.5, not the flat rows x cells quadratic); the ONLY shuffle keys on cell and the per-cell quota is a WindowGroupLimit-pushed top-k",
     "doc_bigram_coherence": "bigram derivation is a pure projection+explode (no window for adjacency); vocabulary groupBy + big-vocab shuffle join back — same shape as doc_unigram_freq with AQE handling stop-bigram skew",
     "doc_ccnet_bucket": "corpus is NEVER globally sorted: bounded-cardinality score histogram -> per-frac (cut, quota) rows -> broadcast cutoff join; tie-rank windows run only on rows tied AT a cutoff value; bit-identical to the row_number window twin",
     "doc_dup_spans": "window build + md5 ABOVE the doc-keyed exchange (all cores off a one-row-group scan); span rows carry (id, hash) only; one map-side-combined count groupBy + one re-attach join — no window over the hash key, so a 10^6-copy span never lands on one task",

@@ -75,6 +75,8 @@ QUERIES = [
     # r9: every remaining cell-blocked entry now shares the same
     # footer-derived geometry (catalog/llm.py _derived_cells); the
     # SemDeDup/kmeans/ivfpq rows above plus this one are the evidence
+    # r9: switched to the two-level hier assignment after this probe
+    # measured the flat front at 33.6x (the rows x cells quadratic)
     "emb_cluster_sample",
     # r9 new entries: the PQ refine stage (shortlist-bounded exact
     # re-rank — expected near-flat), the prototypicality window
