@@ -87,6 +87,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "doc_hash_classifier",
     "mm_phash_neardup",
+    "mm_dedup_clusters",
 ]
 
 

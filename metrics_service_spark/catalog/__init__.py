@@ -86,6 +86,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_hash_classifier",
     "mm_phash",
     "mm_phash_neardup",
+    "mm_dedup_clusters",
     # -- least-recently-checked: the r5-stale tpch block the r8 buffer
     #    comment promised would lead this rotation ------------------------
     "tpch_q3",

@@ -290,6 +290,69 @@ FROM cand WHERE hamming <= 7
 """
 
 
+def q_mm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal dedup: perceptual-hash near-dup pairs ->
+    connected components (log-round min-label propagation, the same
+    operators/closure.py machinery the text flow uses) -> one row per
+    media item with its cluster id and whether it is the canonical
+    (minimum-id) representative.  Filtering is_canonical gives the
+    media keep-list — the mm twin of doc_dedup_clusters."""
+    from metrics_service_spark.operators.closure import connected_components
+    from metrics_service_spark.operators.multimodal import (
+        phash_near_duplicates,
+    )
+
+    media = _media(spark, sf_dir)
+    pairs = phash_near_duplicates(media, max_hamming=7).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iters=12,
+    )
+    return (
+        media.select("media_id")
+        .join(cc.withColumnRenamed("node", "media_id"), "media_id", "left")
+        .select(
+            "media_id", F.coalesce("component", "media_id").alias("cluster")
+        )
+        .withColumn("is_canonical", F.col("media_id") == F.col("cluster"))
+    )
+
+
+ORACLE_MM_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sig AS ({ORACLE_PHASH}),
+melted AS (
+  SELECT media_id, slice0, slice1, slice2, slice3, band,
+         CASE band WHEN 0 THEN slice0 % 256 WHEN 1 THEN slice0 // 256
+                   WHEN 2 THEN slice1 % 256 WHEN 3 THEN slice1 // 256
+                   WHEN 4 THEN slice2 % 256 WHEN 5 THEN slice2 // 256
+                   WHEN 6 THEN slice3 % 256 ELSE slice3 // 256 END AS sl
+  FROM sig, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) b(band)
+), pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND a.sl = b.sl AND a.media_id < b.media_id
+  WHERE bit_count(xor(a.slice0, b.slice0)) + bit_count(xor(a.slice1, b.slice1)) +
+        bit_count(xor(a.slice2, b.slice2)) + bit_count(xor(a.slice3, b.slice3)) <= 7
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk AS (
+  SELECT a AS node, b AS reach FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+), comp AS (
+  SELECT node, least(node, min(reach)) AS cluster FROM walk GROUP BY node
+), assigned AS (
+  SELECT d.doc_id AS media_id, coalesce(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT media_id, cluster, media_id = cluster AS is_canonical FROM assigned
+"""
+
+
 QUERIES = {
     "mm_phash": QuerySpec(
         q_mm_phash,
@@ -303,6 +366,13 @@ QUERIES = {
         ORACLE_PHASH_NEARDUP,
         "perceptual-hash near-dup pairs: 8-bit-band pigeonhole "
         "equi-join + exact bit_count verify, hamming <= 7",
+        ("multimodal",),
+    ),
+    "mm_dedup_clusters": QuerySpec(
+        q_mm_dedup_clusters,
+        ORACLE_MM_DEDUP_CLUSTERS,
+        "end-to-end media dedup: phash pairs -> connected components "
+        "-> cluster id + canonical keep flag per media item",
         ("multimodal",),
     ),
     "mm_image_meta": QuerySpec(

@@ -253,3 +253,30 @@ def test_phash_banding_equals_allpairs_definition(spark, sf_dir):
     }
     assert o8 == bf8
     assert len(o8) > 0  # the corpus does contain near-dup payloads
+
+
+def test_mm_dedup_clusters_structure(spark, sf_dir):
+    """Every media item appears exactly once; both endpoints of every
+    near-dup pair share a cluster; the canonical flag marks exactly
+    the cluster minimum."""
+    from metrics_service_spark.catalog import all_queries
+
+    out = all_queries()["mm_dedup_clusters"].fn(spark, sf_dir)
+    rows = {r.media_id: (r.cluster, r.is_canonical) for r in out.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    from metrics_service_spark.operators.multimodal import (
+        attach_payload,
+        phash_near_duplicates,
+    )
+
+    media = attach_payload(docs, id_col="doc_id", text_col="text")
+    for p in phash_near_duplicates(media, max_hamming=7).collect():
+        assert rows[p.id_a][0] == rows[p.id_b][0]
+    by_cluster = {}
+    for mid, (cl, _) in rows.items():
+        by_cluster.setdefault(cl, []).append(mid)
+    for cl, members in by_cluster.items():
+        assert cl == min(members)
+        for mid in members:
+            assert rows[mid][1] == (mid == cl)

@@ -269,6 +269,7 @@ PANDAS_WHITELIST = {
     "mm_image_features_exact",
     "mm_phash",
     "mm_phash_neardup",
+    "mm_dedup_clusters",
     "emb_cosine_neardup_allpairs",
 }
 

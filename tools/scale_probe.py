@@ -100,6 +100,9 @@ QUERIES = [
     # token-disjoint so cross-copy buckets decorrelate; expected to
     # track the simhash-neardup family (~linear signature fill)
     "mm_phash_neardup",
+    # phash pairs -> CC: pair mass as above, then log-round label
+    # propagation over the near-dup edge set (tiny vs corpus)
+    "mm_dedup_clusters",
 ]
 
 
