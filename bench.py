@@ -88,6 +88,7 @@ HEADLINE = [
     "doc_hash_classifier",
     "mm_phash_neardup",
     "mm_dedup_clusters",
+    "doc_dsir_vote",
 ]
 
 

@@ -87,6 +87,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "mm_phash",
     "mm_phash_neardup",
     "mm_dedup_clusters",
+    "doc_dsir_vote",
     # -- least-recently-checked: the r5-stale tpch block the r8 buffer
     #    comment promised would lead this rotation ------------------------
     "tpch_q3",

@@ -2787,6 +2787,59 @@ SELECT doc_id, n_tokens, score, score > 0 AS kept FROM s
 ORACLE_HASH_CLASSIFIER = _oracle_hash_classifier()
 
 
+# --- DSIR-style target-affinity selection ---------------------------------
+def q_doc_dsir_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with exact integer votes: hashed
+    unigram buckets, target slice = lang='en' documents, bucket vote
+    = sign of the exact cross-multiplied frequency comparison, doc
+    score = sum of its tokens' votes.  The vote table is <= 2^16 rows
+    BY CONSTRUCTION (hashing trick), so it broadcasts at any corpus
+    size; the scoring pass is explode -> broadcast join -> map-side
+    partial sum."""
+    from metrics_service_spark.operators.text import dsir_vote
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_vote(docs, "doc_id", "text", F.col("lang") == "en")
+
+
+def _oracle_dsir_vote() -> str:
+    from metrics_service_spark.operators.sampling import sql_hex4_int
+
+    hexpr = "md5('hw:' || tok)"
+    b = f"({sql_hex4_int(hexpr)} % 65536)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_t, {b} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+), counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_all,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM toks GROUP BY 1
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM toks
+), votes AS (
+  SELECT b,
+         CASE WHEN CAST(c_t AS HUGEINT) * n_all > CAST(c_all AS HUGEINT) * n_t
+                THEN 1
+              WHEN CAST(c_t AS HUGEINT) * n_all < CAST(c_all AS HUGEINT) * n_t
+                THEN -1
+              ELSE 0 END AS w
+  FROM counts CROSS JOIN totals
+), s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(w) AS BIGINT) AS score
+  FROM toks JOIN votes USING (b) GROUP BY 1
+)
+SELECT doc_id, n_tokens, score, score > 0 AS selected FROM s
+"""
+
+
+ORACLE_DSIR_VOTE = _oracle_dsir_vote()
+
+
 # --- contrastive hard-negative mining ------------------------------------
 def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per vector, the top-3
@@ -3244,6 +3297,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_HARD_NEGATIVES,
         "contrastive hard-negative mining: per-vector top-k nearest "
         "with a DIFFERENT label, cell-blocked — full pipeline oracle",
+        ("llm",),
+    ),
+    "doc_dsir_vote": QuerySpec(
+        q_doc_dsir_vote,
+        ORACLE_DSIR_VOTE,
+        "DSIR-style selection: hashed-unigram target-vs-corpus sign "
+        "votes (exact cross-multiplication), broadcast vote table",
         ("llm",),
     ),
     "doc_hash_classifier": QuerySpec(

@@ -373,3 +373,84 @@ def hash_classifier(
             (F.col("score") > 0).alias("kept"),
         )
     )
+
+
+def dsir_vote(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter: Column,
+    *,
+    salt: str = "hw",
+    n_buckets: int = 65536,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023) with EXACT integer
+    arithmetic: score each document by its affinity to a TARGET slice
+    of the corpus, measured over hashed unigram features.  DSIR's
+    log-likelihood-ratio weights are replaced by their sign — token
+    bucket b votes +1 when it is relatively more frequent in the
+    target than in the corpus (c_T(b)·N_R > c_R(b)·N_C, an exact
+    cross-multiplication — no division, no log, so DuckDB replays
+    every vote bit-for-bit), -1 when less, 0 on ties/unseen — and a
+    document's score is the sum of its tokens' votes, the same
+    monotone more-target-like-than-not statistic without the float
+    surface.  This is also `hash_classifier` with its placeholder
+    weights swapped for CORPUS-DERIVED ones — the deployment shape
+    that entry documents.
+
+    Scale: two explode→count aggregations build the bucket tables
+    (≤ n_buckets rows each — broadcastable by construction at ANY
+    corpus size), then one scoring pass: explode → broadcast-join the
+    vote table → map-side partial sum, one combined row per doc
+    crosses the shuffle.  Output: (id, n_tokens, score, selected)."""
+    from metrics_service_spark.operators.sampling import _hex4_int
+
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("__is_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).withColumn(
+        "__b",
+        _hex4_int(F.md5(F.concat(F.lit(f"{salt}:"), F.col("__tok"))))
+        % n_buckets,
+    )
+    counts = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(F.col("__is_t").cast("long")).alias("c_t"),
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("__is_t").cast("long")).alias("n_t"),
+    )
+    # the cross-multiplication runs in DECIMAL(38,0): token-count
+    # products overflow int64 around 10^10 corpus tokens, and a double
+    # cast would mis-sign near-ties — both engines compare the exact
+    # 128-bit-wide products (DuckDB mirrors with HUGEINT)
+    lhs = F.col("c_t").cast("decimal(38,0)") * F.col("n_all").cast(
+        "decimal(38,0)"
+    )
+    rhs = F.col("c_all").cast("decimal(38,0)") * F.col("n_t").cast(
+        "decimal(38,0)"
+    )
+    votes = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.when(lhs > rhs, F.lit(1))
+        .when(lhs < rhs, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__w"),
+    )
+    return (
+        toks.join(F.broadcast(votes), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__w").alias("score"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score",
+            (F.col("score") > 0).alias("selected"),
+        )
+    )

@@ -280,3 +280,26 @@ def test_mm_dedup_clusters_structure(spark, sf_dir):
         assert cl == min(members)
         for mid in members:
             assert rows[mid][1] == (mid == cl)
+
+
+def test_dsir_vote_null_target_and_discrimination(spark, sf_dir):
+    """When the target IS the corpus every cross-multiplication ties,
+    so all votes and scores are exactly 0 (the null anchor); with a
+    real target slice the mean score of target-language docs must
+    exceed the rest (the statistic discriminates)."""
+    from metrics_service_spark.operators.text import dsir_vote
+
+    docs = load_table(spark, sf_dir, "documents")
+    null = dsir_vote(docs, "doc_id", "text", F.lit(True))
+    assert null.filter(F.col("score") != 0).count() == 0
+    assert null.filter(F.col("selected")).count() == 0
+
+    out = dsir_vote(docs, "doc_id", "text", F.col("lang") == "en")
+    j = out.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.grp: r.m
+        for r in j.groupBy((F.col("lang") == "en").alias("grp"))
+        .agg(F.avg("score").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]

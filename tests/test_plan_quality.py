@@ -466,3 +466,12 @@ def test_hard_negatives_label_prune_inside_cell_join(spark, sf_dir):
         or "BroadcastHashJoin [cell" in plan
     )
     assert "NOT (src_label" in plan or "NOT (__lbl" in plan
+
+
+def test_dsir_vote_scoring_join_broadcasts(spark, sf_dir):
+    # the vote table (<= 2^16 rows by construction) must broadcast;
+    # the exploded corpus never shuffles by token/bucket for the join
+    plan = _plan(spark, sf_dir, "doc_dsir_vote")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan

@@ -103,6 +103,9 @@ QUERIES = [
     # phash pairs -> CC: pair mass as above, then log-round label
     # propagation over the near-dup edge set (tiny vs corpus)
     "mm_dedup_clusters",
+    # two bounded-by-construction bucket aggs + broadcast-join scoring:
+    # expected to track doc_hash_classifier (~linear shuffle fill)
+    "doc_dsir_vote",
 ]
 
 
