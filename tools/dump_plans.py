@@ -65,7 +65,7 @@ COMMENTARY = {
     "emb_hard_negatives": "knn-graph discipline with the label-inequality predicate pushed INTO the cell equi-join (candidates pruned before the dot arithmetic); one checkpointed assignment frame feeds both sides; per-src top-k is WindowGroupLimit-pushed",
     "doc_hash_classifier": "split -> explode -> hash-agg, all whole-stage codegen (no interpreted per-token lambda); the ONE exchange moves one partial-agg row per doc — token mass collapses map-side",
     "mm_phash_neardup": "ONE Arrow signature pass (the media seam), checkpointed for both join sides; candidates from the (band, slice) pigeonhole equi-join — never all-pairs — verified with per-slice bit_count(xor)",
-    "doc_dsir_vote": "the vote table is <= 2^16 rows BY CONSTRUCTION (hashing trick) and broadcasts at any corpus size; the scoring join is a BroadcastHashJoin on the bucket id and the per-doc sum is map-side partial — the corpus never shuffles by token",
+    "doc_dsir_vote": "the corpus tokenizes+hashes exactly ONCE into a checkpointed (doc, bucket) count frame that feeds the bucket table, the totals, and the scoring join; the <= 2^16-row vote table broadcasts at any corpus size and the join probes a plain int key — no md5 in any join expression, no corpus shuffle by token",
     "mm_dedup_clusters": "phash pair discovery (the audited banded shape) feeds log-round min-label propagation over the EDGE set only (checkpointed rounds, lineage truncated); the final attach is a left join back to the corpus id column",
 }
 
