@@ -2354,6 +2354,40 @@ def cluster_balanced_sample(
     )
 
 
+def _corpus_cell_assigned(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared corpus-side cell-assignment front for the corpus x
+    corpus graph operators (k-NN graph, hard-negative mining):
+    md5-seeded quantized seeds (bounded collect), `_spread` against
+    the one-row-group trap, `_argmax_cells` integer assignment, and
+    ONE lazy checkpoint because the frame feeds both self-join sides.
+    Output: (__vid, __v, cell, *extra_cols aliased __x0..)."""
+    seeds = (
+        embeddings.select(
+            quantize(F.col(vec_col)).alias("__sv"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__sid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(n_cells)
+        .collect()
+    )
+    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
+    quant = _spread(
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            quantize(F.col(vec_col)).alias("__v"),
+            *[F.col(c).alias(f"__x{i}") for i, c in enumerate(extra_cols)],
+        )
+    )
+    return _argmax_cells(quant, cvecs).localCheckpoint(eager=False)
+
+
 def knn_graph_int(
     embeddings: DataFrame,
     *,
@@ -2375,25 +2409,7 @@ def knn_graph_int(
     broadcast), and the quadratic term is bounded per cell by the
     n_cells geometry knob — exactly the SemDeDup cell discipline.
     Output: (src_id, dst_id, rank, dot_q)."""
-    seeds = (
-        embeddings.select(
-            quantize(F.col(vec_col)).alias("__sv"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_cells)
-        .collect()
-    )
-    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
-    quant = _spread(
-        embeddings.select(
-            F.col(id_col).alias("__vid"),
-            quantize(F.col(vec_col)).alias("__v"),
-        )
-    )
-    # assignment feeds BOTH self-join sides
-    assigned = _argmax_cells(quant, cvecs).localCheckpoint(eager=False)
+    assigned = _corpus_cell_assigned(embeddings, id_col, vec_col, n_cells)
     a = assigned.select(
         F.col("__vid").alias("src_id"), F.col("__v").alias("__va"), "cell"
     )
@@ -2437,35 +2453,19 @@ def hard_negatives_int(
     candidates BEFORE the dot arithmetic, not after the window).
     Corpus x corpus: the join keys on `cell`, never a broadcast.
     Output: (src_id, neg_id, src_label, neg_label, rank, dot_q)."""
-    seeds = (
-        embeddings.select(
-            quantize(F.col(vec_col)).alias("__sv"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_cells)
-        .collect()
+    assigned = _corpus_cell_assigned(
+        embeddings, id_col, vec_col, n_cells, extra_cols=(label_col,)
     )
-    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
-    quant = _spread(
-        embeddings.select(
-            F.col(id_col).alias("__vid"),
-            quantize(F.col(vec_col)).alias("__v"),
-            F.col(label_col).alias("__lbl"),
-        )
-    )
-    assigned = _argmax_cells(quant, cvecs).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("__vid").alias("src_id"),
         F.col("__v").alias("__va"),
-        F.col("__lbl").alias("src_label"),
+        F.col("__x0").alias("src_label"),
         "cell",
     )
     b = assigned.select(
         F.col("__vid").alias("neg_id"),
         F.col("__v").alias("__vb"),
-        F.col("__lbl").alias("neg_label"),
+        F.col("__x0").alias("neg_label"),
         "cell",
     )
     w = Window.partitionBy("src_id").orderBy(
