@@ -306,6 +306,13 @@ def cosine_near_duplicates(
         # above max_bucket, the same recall-for-survival trade as the
         # MinHash banding — replicated in the oracle so the blocked
         # result stays bit-comparable
+        # guard stays a groupBy + re-join (NOT a window over (t, b)):
+        # the whole point is surviving a degenerate hot bucket, and a
+        # count-window would materialize that bucket's rows in ONE
+        # task before the filter could drop them, while the aggregate
+        # combines map-side and the join re-distributes (a window
+        # variant was tried r9 — no wall-clock win either, the entry
+        # is fixed-overhead-bound at sf0.1)
         counts = buckets.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__n"))
         pruned = buckets.join(
             counts.filter(F.col("__n") <= max_bucket), ["__t", "__b"], "inner"
