@@ -89,6 +89,7 @@ HEADLINE = [
     "mm_phash_neardup",
     "mm_dedup_clusters",
     "doc_dsir_vote",
+    "emb_curation_pipeline",
 ]
 
 

@@ -2640,6 +2640,49 @@ FROM assigned a LEFT JOIN dropped p ON a.vec_id = p.id_b
 """
 
 
+def q_emb_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed embedding curation in ONE plan: hier assignment ->
+    SemDeDup keep-list -> per-cell balanced quota over survivors.
+    One checkpointed assignment frame feeds dedup AND balancing (the
+    embedding twin of doc_curation_pipeline)."""
+    from metrics_service_spark.operators.similarity import (
+        embedding_curation_pipeline,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_curation_pipeline(
+        emb,
+        n_cells=_derived_cells(sf_dir),
+        tau_num=3,
+        tau_den=10,
+        per_cell=SAMPLE_PER_CELL,
+    )
+
+
+ORACLE_EMB_CURATION = f"""
+WITH {SQL_HIER_ASSIGN_CTES}, pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS d,
+         a.n2 AS na2, b.n2 AS nb2
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT id_b FROM pr
+  WHERE d >= 0 AND 100 * d * d >= 9 * na2 * nb2
+), kept AS (
+  SELECT a.vec_id, a.cell FROM assigned a
+  LEFT JOIN dropped p ON a.vec_id = p.id_b
+  WHERE p.id_b IS NULL
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM kept
+) WHERE rk <= {SAMPLE_PER_CELL}
+"""
+
+
 ORACLE_CLUSTER_SAMPLE = f"""
 WITH {SQL_HIER_ASSIGN_CTES}
 SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rk AS INT) AS rk FROM (
@@ -3290,6 +3333,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_KNN_GRAPH,
         "corpus k-NN graph: within-cell top-k neighbors by exact "
         "integer dot — graph-curation input, full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_curation_pipeline": QuerySpec(
+        q_emb_curation_pipeline,
+        ORACLE_EMB_CURATION,
+        "composed embedding curation: hier assignment -> SemDeDup "
+        "keep-list -> per-cell balanced quota, one shared assignment",
         ("llm",),
     ),
     "emb_hard_negatives": QuerySpec(

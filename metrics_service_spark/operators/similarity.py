@@ -1328,6 +1328,45 @@ def hier_assign_int(
     )
 
 
+def embedding_curation_pipeline(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_coarse: int | None = None,
+    tau_num: int = 3,
+    tau_den: int = 10,
+    per_cell: int = 8,
+) -> DataFrame:
+    """The composed embedding-curation flow a real run ships, in ONE
+    plan: hier cell assignment -> SemDeDup keep-list (drop within-cell
+    near-dups) -> cluster-balanced per-cell quota over the SURVIVORS.
+    The single checkpointed assignment frame feeds the pair join, the
+    keep-list join, and the quota window — dedup and balancing share
+    one assignment pass instead of re-running it per stage (the
+    embedding twin of doc_curation_pipeline's gate+quota fusion).
+    Output: (id, cell, rk) for the kept, quota-selected rows."""
+    check_tau_bounds(tau_num, tau_den)
+    assigned = hier_assign_int(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        n_coarse=n_coarse,
+    ).localCheckpoint(eager=False)
+    verdict = _semdedup_verdict(assigned, id_col, tau_num, tau_den)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        verdict.filter(F.col("kept"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_cell)
+        .select(id_col, "cell", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def cluster_balanced_sample_hier(
     embeddings: DataFrame,
     *,

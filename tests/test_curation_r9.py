@@ -303,3 +303,37 @@ def test_dsir_vote_null_target_and_discrimination(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_emb_curation_pipeline_equals_stage_composition(spark, sf_dir):
+    """The fused plan must equal running the stages separately:
+    hier SemDeDup keep-list, then the per-cell md5 quota over
+    survivors."""
+    from metrics_service_spark.operators.similarity import (
+        embedding_curation_pipeline,
+        semantic_dedup_hier_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = embedding_curation_pipeline(
+        emb, n_cells=16, tau_num=3, tau_den=10, per_cell=5
+    )
+    verdict = semantic_dedup_hier_int(emb, n_cells=16, tau_num=3, tau_den=10)
+    kept = verdict.filter(F.col("kept")).select("vec_id", "cell")
+    w = (
+        F.row_number()
+        .over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("cell")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        )
+        .alias("rk")
+    )
+    manual = (
+        kept.select("vec_id", "cell", w)
+        .filter(F.col("rk") <= 5)
+        .select("vec_id", "cell", F.col("rk").cast("int").alias("rk"))
+    )
+    a = {tuple(r) for r in fused.collect()}
+    b = {tuple(r) for r in manual.collect()}
+    assert a == b and len(a) > 0

@@ -106,6 +106,10 @@ QUERIES = [
     # two bounded-by-construction bucket aggs + broadcast-join scoring:
     # expected to track doc_hash_classifier (~linear shuffle fill)
     "doc_dsir_vote",
+    # composed hier-assign -> verdict -> quota: expected to track
+    # emb_semdedup_hier (shared assignment + pair mass, plus a
+    # cell-keyed quota window)
+    "emb_curation_pipeline",
 ]
 
 
