@@ -337,3 +337,52 @@ def test_emb_curation_pipeline_equals_stage_composition(spark, sf_dir):
     a = {tuple(r) for r in fused.collect()}
     b = {tuple(r) for r in manual.collect()}
     assert a == b and len(a) > 0
+
+
+def test_hier_assign_matches_python_replay_under_ties(spark, sf_dir):
+    """Differential check of the two-level rule against a pure-Python
+    replay on an adversarially tie-heavy corpus (coordinates from a
+    tiny integer set, so coarse AND fine argmax ties are frequent):
+    every tie must resolve to the lowest group/cell index on both
+    sides."""
+    import hashlib
+    import math
+
+    from metrics_service_spark.operators.similarity import hier_assign_int
+
+    n, dim, n_cells = 60, 8, 12
+    vals = [-0.002, -0.001, 0.0, 0.001, 0.002]
+    vecs = {
+        i: [vals[(i * 7 + d * 3) % 5] for d in range(dim)] for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["__vid"]: r["cell"]
+        for r in hier_assign_int(df, n_cells=n_cells)
+        .select("__vid", "cell")
+        .collect()
+    }
+
+    q = {i: [round(x * 1000) for x in vecs[i]] for i in range(n)}
+    order = sorted(range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cvecs = [q[i] for i in order[:n_cells]]
+    g = math.ceil(math.sqrt(len(cvecs)))
+    coarse = cvecs[:g]
+
+    def argmax_first(dots):
+        best = max(dots)
+        return dots.index(best)
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cell_grp = [argmax_first([dot(cv, gv) for gv in coarse]) for cv in cvecs]
+    active = sorted(set(cell_grp))
+    expect = {}
+    for i in range(n):
+        gp = active[argmax_first([dot(q[i], coarse[a]) for a in active])]
+        members = [j for j in range(len(cvecs)) if cell_grp[j] == gp]
+        expect[i] = members[argmax_first([dot(q[i], cvecs[j]) for j in members])]
+    assert out == expect
