@@ -1409,12 +1409,18 @@ def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     <1 by design (a pair must collide in at least one table) and the
     oracle replays the identical integer bucketing, so the blocked
     result is still bit-for-bit comparable."""
+    from metrics_service_spark.sources.tables import rowcount_bound
+
     return cosine_near_duplicates(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
         quant=1000,
         prefilter_planes=NEARDUP_PLANES,
         prefilter_tables=NEARDUP_TABLES,
+        # jobless footer bound: when the corpus can't overfill a
+        # bucket, the hot-bucket guard is provably inert and its
+        # aggregate+join drop out of the plan
+        corpus_rows_bound=rowcount_bound(sf_dir, "embeddings"),
     )
 
 

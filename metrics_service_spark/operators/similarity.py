@@ -223,6 +223,7 @@ def cosine_near_duplicates(
     prefilter_planes: int | None = None,
     prefilter_tables: int = 1,
     max_bucket: int = 100_000,
+    corpus_rows_bound: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) with
@@ -312,11 +313,24 @@ def cosine_near_duplicates(
         # task before the filter could drop them, while the aggregate
         # combines map-side and the join re-distributes (a window
         # variant was tried r9 — no wall-clock win either, the entry
-        # is fixed-overhead-bound at sf0.1)
-        counts = buckets.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__n"))
-        pruned = buckets.join(
-            counts.filter(F.col("__n") <= max_bucket), ["__t", "__b"], "inner"
-        )
+        # is fixed-overhead-bound at sf0.1).
+        # When the caller supplies a corpus row-count BOUND (parquet
+        # footer stats — jobless, the bloom `rowcount_bound`
+        # discipline) and it is <= max_bucket, NO bucket can exceed
+        # the cap, so the guard is PROVABLY a no-op and its aggregate
+        # exchange + re-join are skipped — semantics identical, the
+        # oracle's replicated guard is equally inert.
+        if corpus_rows_bound is not None and corpus_rows_bound <= max_bucket:
+            pruned = buckets
+        else:
+            counts = buckets.groupBy("__t", "__b").agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            pruned = buckets.join(
+                counts.filter(F.col("__n") <= max_bucket),
+                ["__t", "__b"],
+                "inner",
+            )
         # candidate pairs are found and DEDUPED as bare id pairs — the
         # vector payloads never ride through the band join or the
         # distinct shuffle (at 100 TB the banding shuffle moves ids
