@@ -90,6 +90,7 @@ HEADLINE = [
     "mm_dedup_clusters",
     "doc_dsir_vote",
     "emb_curation_pipeline",
+    "emb_proto_prune",
 ]
 
 

@@ -2836,6 +2836,37 @@ SELECT doc_id, n_tokens, score, score > 0 AS kept FROM s
 ORACLE_HASH_CLASSIFIER = _oracle_hash_classifier()
 
 
+# --- prototypicality-based data pruning -----------------------------------
+def q_emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data pruning by prototypicality (Sorscher et al. 2022: beyond
+    neural scaling laws): drop the most-prototypical 10% of every
+    cell — the redundant core examples — keeping the informative
+    tail.  keep iff 10*cell_rank > n_cell, an exact integer
+    cross-multiplication; the per-cell count window shares the rank
+    window's partitioning (one cell exchange total)."""
+    from pyspark.sql import Window as W
+
+    from metrics_service_spark.operators.similarity import prototypicality_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = prototypicality_int(emb, n_cells=_derived_cells(sf_dir))
+    n_cell = F.count(F.lit(1)).over(W.partitionBy("cell"))
+    return p.select(
+        "vec_id",
+        "cell",
+        "cell_rank",
+        (10 * F.col("cell_rank") > n_cell).alias("kept"),
+    )
+
+
+ORACLE_PROTO_PRUNE = f"""
+WITH base AS ({ORACLE_PROTOTYPICALITY})
+SELECT vec_id, cell, cell_rank,
+       10 * cell_rank > count(*) OVER (PARTITION BY cell) AS kept
+FROM base
+"""
+
+
 # --- DSIR-style target-affinity selection ---------------------------------
 def q_doc_dsir_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection with exact integer votes: hashed
@@ -3353,6 +3384,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_HARD_NEGATIVES,
         "contrastive hard-negative mining: per-vector top-k nearest "
         "with a DIFFERENT label, cell-blocked — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_proto_prune": QuerySpec(
+        q_emb_proto_prune,
+        ORACLE_PROTO_PRUNE,
+        "prototypicality pruning: drop the most-prototypical 10% per "
+        "cell (exact integer rank rule) — Sorscher-style data pruning",
         ("llm",),
     ),
     "doc_dsir_vote": QuerySpec(

@@ -386,3 +386,19 @@ def test_hier_assign_matches_python_replay_under_ties(spark, sf_dir):
         members = [j for j in range(len(cvecs)) if cell_grp[j] == gp]
         expect[i] = members[argmax_first([dot(q[i], cvecs[j]) for j in members])]
     assert out == expect
+
+
+def test_proto_prune_drops_exactly_floor_tenth(spark, sf_dir):
+    """Per cell, the dropped set is exactly the floor(n/10)
+    most-prototypical ranks — no off-by-one on the integer rule."""
+    from metrics_service_spark.catalog import all_queries
+
+    out = all_queries()["emb_proto_prune"].fn(spark, sf_dir)
+    rows = out.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        n = len(members)
+        dropped = {r.cell_rank for r in members if not r.kept}
+        assert dropped == set(range(1, n // 10 + 1)), (cell, n)
