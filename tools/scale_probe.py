@@ -110,6 +110,9 @@ QUERIES = [
     # emb_semdedup_hier (shared assignment + pair mass, plus a
     # cell-keyed quota window)
     "emb_curation_pipeline",
+    # prototypicality rank + shared-partition count window: proto cost
+    # plus one projection
+    "emb_proto_prune",
 ]
 
 
