@@ -91,6 +91,7 @@ HEADLINE = [
     "doc_dsir_vote",
     "emb_curation_pipeline",
     "emb_proto_prune",
+    "emb_knn_hubness",
 ]
 
 

@@ -90,6 +90,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_dsir_vote",
     "emb_curation_pipeline",
     "emb_proto_prune",
+    "emb_knn_hubness",
     # -- least-recently-checked: the r5-stale tpch block the r8 buffer
     #    comment promised would lead this rotation ------------------------
     "tpch_q3",

@@ -2867,6 +2867,48 @@ FROM base
 """
 
 
+# --- k-NN-graph hubness diagnostics ---------------------------------------
+def q_emb_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostics over the corpus k-NN graph: per vector,
+    its IN-degree (how many vectors count it among their top-k) and a
+    hub flag at in_degree >= 2k.  Hubness is the classic
+    high-dimensional embedding pathology (Radovanovic et al. 2010) —
+    hub vectors dominate retrieval and skew dedup/diversity passes,
+    so pipelines flag them before k-NN-based curation.  Pure
+    composition: the audited knn-graph plan -> groupBy(dst) ->
+    left join back to the corpus (zero-degree vectors kept)."""
+    from metrics_service_spark.operators.similarity import knn_graph_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K)
+    deg = g.groupBy(F.col("dst_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        emb.select("vec_id")
+        .join(deg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.coalesce("in_degree", F.lit(0)) >= 2 * KNN_K).alias(
+                "is_hub"
+            ),
+        )
+    )
+
+
+ORACLE_KNN_HUBNESS = f"""
+WITH g AS ({ORACLE_KNN_GRAPH}),
+deg AS (
+  SELECT dst_id AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+  FROM g GROUP BY 1
+)
+SELECT e.vec_id, coalesce(d.in_degree, 0) AS in_degree,
+       coalesce(d.in_degree, 0) >= {2 * KNN_K} AS is_hub
+FROM embeddings e LEFT JOIN deg d ON d.vec_id = e.vec_id
+"""
+
+
 # --- DSIR-style target-affinity selection ---------------------------------
 def q_doc_dsir_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection with exact integer votes: hashed
@@ -3384,6 +3426,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_HARD_NEGATIVES,
         "contrastive hard-negative mining: per-vector top-k nearest "
         "with a DIFFERENT label, cell-blocked — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_knn_hubness": QuerySpec(
+        q_emb_knn_hubness,
+        ORACLE_KNN_HUBNESS,
+        "hubness diagnostics: per-vector in-degree over the k-NN "
+        "graph + hub flag (the high-dim retrieval pathology signal)",
         ("llm",),
     ),
     "emb_proto_prune": QuerySpec(

@@ -402,3 +402,19 @@ def test_proto_prune_drops_exactly_floor_tenth(spark, sf_dir):
         n = len(members)
         dropped = {r.cell_rank for r in members if not r.kept}
         assert dropped == set(range(1, n // 10 + 1)), (cell, n)
+
+
+def test_knn_hubness_degree_conservation(spark, sf_dir):
+    """Sum of in-degrees equals the edge count of the graph; every
+    corpus vector appears exactly once; the hub flag matches the
+    2k threshold."""
+    from metrics_service_spark.catalog import all_queries
+
+    cat = all_queries()
+    out = cat["emb_knn_hubness"].fn(spark, sf_dir).collect()
+    g_edges = cat["emb_knn_graph"].fn(spark, sf_dir).count()
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == emb_n
+    assert sum(r.in_degree for r in out) == g_edges
+    for r in out:
+        assert r.is_hub == (r.in_degree >= 6)

@@ -113,6 +113,8 @@ QUERIES = [
     # prototypicality rank + shared-partition count window: proto cost
     # plus one projection
     "emb_proto_prune",
+    # knn-graph cost + a degree agg + broadcast-able attach
+    "emb_knn_hubness",
 ]
 
 
