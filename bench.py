@@ -92,6 +92,7 @@ HEADLINE = [
     "emb_curation_pipeline",
     "emb_proto_prune",
     "emb_knn_hubness",
+    "doc_corpus_datasheet",
 ]
 
 

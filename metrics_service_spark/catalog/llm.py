@@ -2867,6 +2867,51 @@ FROM base
 """
 
 
+# --- corpus datasheet (data card report) ----------------------------------
+def q_doc_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET every curation run publishes (data-card
+    reporting, Gebru et al. 2021): doc counts, token totals, and mean
+    doc length per (source, lang) with ROLLUP subtotals and a grand
+    total — one partial-aggregable pass over the corpus; Catalyst
+    expands the rollup as a single Expand + hash aggregate (no
+    re-scans per grouping set).  Mean length is the
+    comparison-stable round_frac (exact integer division rule on
+    both engines)."""
+    from metrics_service_spark.functions.stable import round_frac
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__t"),
+    )
+    return docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        round_frac(F.sum("__t"), F.count(F.lit(1)), 4).alias("mean_tokens"),
+    )
+
+
+def _oracle_datasheet() -> str:
+    from metrics_service_spark.functions.stable import sql_round_frac
+
+    mean = sql_round_frac("sum(t)", "count(*)", 4)
+    return f"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       {mean} AS mean_tokens
+FROM d GROUP BY ROLLUP(source, lang)
+"""
+
+
+ORACLE_CORPUS_DATASHEET = _oracle_datasheet()
+
+
 # --- k-NN-graph hubness diagnostics ---------------------------------------
 def q_emb_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hubness diagnostics over the corpus k-NN graph: per vector,
@@ -3426,6 +3471,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_HARD_NEGATIVES,
         "contrastive hard-negative mining: per-vector top-k nearest "
         "with a DIFFERENT label, cell-blocked — full pipeline oracle",
+        ("llm",),
+    ),
+    "doc_corpus_datasheet": QuerySpec(
+        q_doc_corpus_datasheet,
+        ORACLE_CORPUS_DATASHEET,
+        "corpus datasheet: doc/token counts + mean length per "
+        "(source, lang) with ROLLUP subtotals — the data-card report",
         ("llm",),
     ),
     "emb_knn_hubness": QuerySpec(

@@ -66,6 +66,7 @@ COMMENTARY = {
     "doc_hash_classifier": "split -> explode -> hash-agg, all whole-stage codegen (no interpreted per-token lambda); the ONE exchange moves one partial-agg row per doc — token mass collapses map-side",
     "mm_phash_neardup": "ONE Arrow signature pass (the media seam), checkpointed for both join sides; candidates from the (band, slice) pigeonhole equi-join — never all-pairs — verified with per-slice bit_count(xor)",
     "doc_dsir_vote": "the corpus tokenizes+hashes exactly ONCE into a checkpointed (doc, bucket) count frame that feeds the bucket table, the totals, and the scoring join; the <= 2^16-row vote table broadcasts at any corpus size and the join probes a plain int key — no md5 in any join expression, no corpus shuffle by token",
+    "doc_corpus_datasheet": "ONE Expand + partial-aggregable hash aggregate for all three grouping sets (per-(source,lang), per-source, grand total) — a single corpus pass, no per-set re-scan",
     "emb_knn_hubness": "the audited knn-graph plan feeds a dst-keyed degree aggregate (map-side partial) and one left join back to the id column — nothing beyond the graph cost",
     "emb_proto_prune": "the per-cell count window shares the prototypicality rank window cell partitioning (ONE exchange); the keep rule is a pure integer cross-multiply projection",
     "emb_curation_pipeline": "ONE checkpointed two-level assignment frame feeds the SemDeDup pair join, the keep-list join AND the balanced-quota window — dedup and sampling share the assignment pass; quota is WindowGroupLimit-pushed",
