@@ -36,93 +36,48 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r8-changed but never driver-sampled since (VERDICT r8 #3: the
-    #    changed-first breach to repair FIRST — commit 2d3c48c's inline
-    #    assert + _spread changes had no in-window proxy) ----------------
-    "emb_cosine_neardup",
-    # -- implementation/oracle changed this round (r9) --------------------
-    # the r8 driver-red row, now comparison-stable (exact-integer
-    # rounding on both sides — functions/stable.py)
+    # -- never driver-sampled (landed after the packed r9 window) --------
+    "doc_corpus_datasheet",
+    # -- implementation/oracle changed this round (r10) -------------------
+    # the two-round driver-red row: oracle rewritten without the
+    # list-comprehension slice, hash surface now all-integer
+    # (dup_frac_scaled BIGINT), plus the renamed byte-identical twin
+    # that discriminates driver-side caching (VERDICT r9 #1)
     "doc_dup_spans",
-    # rounded-ratio sweep: every entry whose Spark fn or oracle swapped
-    # round(double) for round_frac/sql_round_frac
-    "doc_paragraph_dedup",
-    "doc_repetition",
-    "doc_quality",
-    "doc_quality_filter",
-    "doc_quality_filter_exact",
-    "doc_unigram_freq",
-    "doc_tfidf_topk",
-    "doc_bigram_coherence",
-    "doc_ccnet_bucket",
-    "doc_curation_pipeline",
-    "ev_dau_stickiness",
-    "ev_dau_stickiness_kmv",
-    "mm_image_features_exact",
-    "tpch_q1",
-    "tpch_q8",
-    "tpch_q14",
-    "tpch_q17",
-    "emb_kmeans_step",
-    "emb_centroids",
-    # footer-derived cell geometry (VERDICT r8 #4): n_cells now scales
-    # with the corpus row count in every cell-blocked entry
-    "emb_kmeans_train",
-    "emb_ivfpq_topk_int",
-    "emb_semdedup_int",
-    "emb_semdedup",
-    "emb_semdedup_incr",
-    "emb_contamination",
-    "emb_cluster_sample",
-    "emb_knn_graph",
-    # -- NEW r9 entries (two-stage PQ refine, prototypicality pruning
-    #    signal, Gopher rule battery, shuffle+shard manifest) -------------
-    "emb_pq_rerank",
-    "emb_semdedup_hier",
-    "emb_prototypicality",
-    "doc_gopher_rules",
-    "doc_shuffle_shard",
-    "emb_hard_negatives",
-    "doc_hash_classifier",
+    "doc_dup_spans_v2",
+    # phash Arrow batch vectorized (np.argpartition + packed bits —
+    # VERDICT r9 #6); same hashes, re-sample to prove it
     "mm_phash",
     "mm_phash_neardup",
     "mm_dedup_clusters",
-    "doc_dsir_vote",
+    # ADVICE r9: hier coarse-count now derived from the same formula as
+    # _derived_cells on both sides (tiny-corpus consistency) ...
+    "emb_semdedup_hier",
+    "emb_cluster_sample",
     "emb_curation_pipeline",
-    "emb_proto_prune",
-    "emb_knn_hubness",
-    # -- least-recently-checked: the r5-stale tpch block the r8 buffer
-    #    comment promised would lead this rotation ------------------------
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q12",
-    "tpch_q18",
-    "tpch_q19",
-    # -- r6-stale fill to the 50-entry sample line ------------------------
-    "doc_domain_filter",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    "doc_mixture",
-    "doc_pii_scrub",
+    # ... and pq_rerank's shortlist collect gained the empty/size guard
+    "emb_pq_rerank",
+    # -- the whole r6-stale block (latest driver row 3 rounds old; the
+    #    r10 window is spent on DRAIN, not new surface — VERDICT r9 #2) --
     "doc_simhash",
     "doc_simhash_md5",
     "doc_simhash_neardup",
     "doc_simhash_neardup_md5",
     "emb_ann_ivf",
-    # -- buffer past the 50-entry sample line (next-most-stale r6 block;
-    #    all differentially pytest-checked every session; the four NEW
-    #    r9 entries displaced the tail of the r6-stale fill) --------------
     "emb_ann_lsh",
     "emb_topk_bruteforce",
-    "ev_dau_stickiness_approx_hll",
-    "ev_monthly_stats_approx",
     "mm_audio_meta",
     "mm_frame_sample",
     "mm_image_features",
     "mm_image_meta",
     "mm_image_meta_real",
+    "doc_domain_filter",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "doc_mixture",
+    "doc_pii_scrub",
+    "ev_dau_stickiness_approx_hll",
+    "ev_monthly_stats_approx",
     "tpch_q2",
     "tpch_q7",
     "tpch_q9",
@@ -131,6 +86,44 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "tpch_q20",
+    # -- oldest r7 block, least-recently-checked fill to the 50 line ------
+    "landing_page_daily",
+    "matview_awardcharts",
+    "matview_awardmetrics",
+    "matview_landingpage",
+    "matview_repocharts",
+    "matview_repometrics",
+    "matview_routed_repo",
+    "matview_userprofilecharts",
+    "matview_userprofilemetrics",
+    "func_scalar_suite",
+    "ev_props_kv",
+    "order_chains",
+    "package_counts",
+    # -- buffer past the 50-entry sample line (rest of the r7 block;
+    #    all differentially pytest-checked every session) -----------------
+    "search_log_pipeline",
+    "search_sessions",
+    "metrics_star",
+    "ev_retention",
+    "tpch_q21",
+    "tpch_q22",
+    "order_components",
+    "mm_image_meta_real_mixed",
+    "doc_minhash_dedup",
+    "doc_minhash_dedup_md5",
+    "doc_jaccard_pairs",
+    "doc_contamination",
+    "doc_incremental_dedup",
+    "doc_multi_signal_pairs",
+    "doc_ngram_topk",
+    "doc_pack",
+    "doc_sample_stratified",
+    "doc_split",
+    "emb_ann_ivf_int",
+    "emb_ann_lsh_int",
+    "emb_cosine_neardup_allpairs",
+    "emb_random_projection",
 )
 
 

@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metrics_service_spark.catalog import QuerySpec
-from metrics_service_spark.functions.stable import round_frac, sql_round_frac
+from metrics_service_spark.functions.stable import (
+    round_frac,
+    sql_round_frac,
+    sql_round_frac_int,
+)
 from metrics_service_spark.operators.dedup import (
     exact_dedup,
     minhash_near_duplicates,
@@ -2395,19 +2399,35 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r10 rewrite (the two-round driver-red row): (a) window positions
+# come from unnest(range(...)) + list_slice — plain constructs every
+# green oracle uses — instead of a list-comprehension over a variable
+# bracket-slice (md5 inside a comprehension + `toks[i:i+7]` was unique
+# to this oracle; boundary semantics were the prime divergence
+# suspect); (b) the slice end is an explicit least(i + W - 1, len) so
+# no engine-specific clamp rule is relied on; (c) NO float remains in
+# the hash surface — the fraction ships as the exact scaled integer on
+# both sides (sql_round_frac_int twin of round_frac_int).
 ORACLE_DUP_SPANS = f"""
-WITH spans AS (
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)) AS i
+  FROM t
+), spans AS (
   SELECT doc_id,
-         unnest([md5(array_to_string(toks[i:i+{SPAN_WINDOW - 1}], ' '))
-                 FOR i IN range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)]) AS wh
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         md5(array_to_string(
+             list_slice(toks, i, least(i + {SPAN_WINDOW} - 1, len(toks))),
+             ' ')) AS wh
+  FROM pos
 ), counts AS (
   SELECT wh, count(*) AS n FROM spans GROUP BY 1
 )
 SELECT doc_id, count(*) AS n_windows,
        sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_windows,
-       {sql_round_frac("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)", 4)}
-           AS dup_frac
+       {sql_round_frac_int("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)", 4)}
+           AS dup_frac_scaled
 FROM spans JOIN counts USING (wh)
 GROUP BY 1
 """
@@ -3443,6 +3463,18 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_DUP_SPANS,
         "overlapping-window exact duplicate-span fraction per doc "
         "(Lee et al. 2021 substring dedup signal)",
+        ("llm",),
+    ),
+    # byte-identical twin under a fresh name: after two driver-red
+    # rounds with a locally-bitwise-green pipeline, this discriminates
+    # driver-side per-entry result caching from a real engine mismatch
+    # (VERDICT r9 next-round #1(iii)).  If v2 is green while v1 stays
+    # red, the divergence is keyed on the entry NAME, not the query.
+    "doc_dup_spans_v2": QuerySpec(
+        q_doc_dup_spans,
+        ORACLE_DUP_SPANS,
+        "identical pipeline to doc_dup_spans under a new name — "
+        "driver-cache discriminator (see VERDICT r9 #1)",
         ("llm",),
     ),
     "doc_source_quota": QuerySpec(

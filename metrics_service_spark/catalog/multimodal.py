@@ -217,6 +217,12 @@ WITH d AS (
 ), ex AS (
   -- positional segment sums: byte at 1-based position g lands in
   -- segment (g-1)*64 // n (the 1-D 8x8-downsample analogue)
+  -- NOTE (ADVICE r9): this walks text by CHARACTER position
+  -- (substr/ascii) while the Spark side hashes raw payload BYTES;
+  -- the parity holds because the documents fixture is pure ASCII
+  -- (byte pos == char pos, ascii() == byte value).  If the fixture
+  -- ever grows non-ASCII text, rewrite this CTE byte-wise over
+  -- encode(text) (e.g. get_bit/8-bit extraction) before trusting it.
   SELECT d.media_id,
          (t.g - 1) * 64 // d.n_bytes AS b,
          CAST(ascii(substr(dd.text, CAST(t.g AS INT), 1)) AS BIGINT) AS v

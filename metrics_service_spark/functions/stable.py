@@ -45,6 +45,50 @@ from pyspark.sql import functions as F
 __all__ = ["round_frac", "round_frac_int", "sql_round_frac", "sql_round_frac_int"]
 
 
+#: Enforced integrity guard (ADVICE r9).  Deliberately looser than
+#: the documented < 2^53 VALUE-exactness bound: above 2^53 the
+#: emitted double is no longer the exact decimal but remains
+#: BIT-IDENTICAL across engines (both sides compute the same exact
+#: integer ``q`` and int->double casts are correctly-rounded IEEE on
+#: Spark and DuckDB alike — covered by the (10^14, 7) bitwise test
+#: case), so hash comparison is still safe.  What the guard converts
+#: from SILENT divergence into an ERROR is overflow-as-NULL: without
+#: ANSI, a decimal(38,0) product / decimal(38,6) quotient / BIGINT
+#: cast that overflows emits NULL while DuckDB's HUGEINT keeps going
+#: — a hash-surface split the NULL contract would mask.  (Under ANSI,
+#: Spark raises its own overflow error first; the guard is the
+#: non-ANSI backstop.)
+_MAX_Q_LONG = 2**63
+
+
+def _check_q(
+    q: Column, num: Column, den: Column, ctx: str, bound: int | None
+) -> Column:
+    """Jobless per-row guard (same fused ``assert_true`` idiom as
+    ``percentile_buckets``): a NULL quotient from NON-NULL inputs is
+    an overflow, not data — fail instead of emitting it.  ``bound``
+    additionally rejects quotients the downstream cast cannot hold
+    (2^63 for the BIGINT path; None for the double path, whose own
+    decimal type already cannot represent an out-of-headroom value).
+    NULL num/den still propagate per the NULL contract."""
+    ok = q.isNotNull() | num.isNull() | den.isNull()
+    if bound is not None:
+        # the bound exceeds a JVM long literal — route the constant
+        # through a string cast (constant-folded, no per-row cost)
+        ok = ok & (
+            q.isNull() | (q < F.expr(f"cast('{bound}' as decimal(38,0))"))
+        )
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            f"{ctx}: rounded quotient overflowed the engine-safe integer "
+            "range (see functions/stable.py contract); lower `scale` or "
+            "pre-reduce the ratio"
+        ),
+    )
+    return F.when(guard.isNull(), q)
+
+
 def round_frac(num: Column, den: Column, scale: int = 4) -> Column:
     """Deterministic round-half-up of ``num/den`` at ``scale`` decimals
     as a DOUBLE, computed in exact DECIMAL(38,0) integer arithmetic.
@@ -56,7 +100,7 @@ def round_frac(num: Column, den: Column, scale: int = 4) -> Column:
     # (a - a mod b) / b is the exact integer quotient; Spark's decimal
     # division rounds to a fixed positive result scale, which is exact
     # here because the true quotient is integral.
-    q = (a - F.pmod(a, b)) / b
+    q = _check_q((a - F.pmod(a, b)) / b, n, den, "round_frac", None)
     mag = q.cast("double") / F.lit(float(p))
     return F.when(n < 0, -mag).otherwise(mag)
 
@@ -69,7 +113,9 @@ def round_frac_int(num: Column, den: Column, scale: int = 4) -> Column:
     p = 10**scale
     a = num.cast("decimal(38,0)") * F.lit(2 * p) + den.cast("decimal(38,0)")
     b = den.cast("decimal(38,0)") * F.lit(2)
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    return _check_q(
+        (a - F.pmod(a, b)) / b, num, den, "round_frac_int", _MAX_Q_LONG
+    ).cast("long")
 
 
 def sql_round_frac_int(num: str, den: str, scale: int = 4) -> str:

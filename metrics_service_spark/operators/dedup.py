@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metrics_service_spark.functions.stable import round_frac
+from metrics_service_spark.functions.stable import round_frac, round_frac_int
 
 # Shared LSH band geometry: b=8, r=2 over 16 minhashes puts the s-curve
 # midpoint (1/b)^(1/r) ~= 0.35 below the default 0.5 Jaccard threshold
@@ -809,9 +809,11 @@ def duplicate_span_stats(
     `paragraph_dedup_stats` chunks, this catches duplicated spans at
     ANY alignment), count corpus-wide occurrences, and report per doc
     the fraction of its windows that occur more than once anywhere in
-    the corpus (including twice within the same doc).  High dup_frac =
-    boilerplate/templated text; the per-window hits are what a span
-    REMOVAL pass would key on.
+    the corpus (including twice within the same doc) as
+    ``dup_frac_scaled`` = round_half_up(10^4 * dup/total) BIGINT —
+    exact integer arithmetic end-to-end, no float in the comparison
+    surface.  High values = boilerplate/templated text; the per-window
+    hits are what a span REMOVAL pass would key on.
 
     Scale: the span rows carry only (id, 32-B hash); one explode, one
     map-side-combined hash groupBy (hot boilerplate collapses before
@@ -852,11 +854,13 @@ def duplicate_span_stats(
             F.col("__id").alias(id_col),
             "n_windows",
             "dup_windows",
-            # exact-integer rounding (functions/stable.py): 31/32 docs
-            # land EXACTLY on the 4-dp half-boundary and round() on a
-            # double resolves it per-engine-build (the r8 driver red)
-            round_frac(F.col("dup_windows"), F.col("n_windows"), 4).alias(
-                "dup_frac"
-            ),
+            # NO float anywhere in this entry's hash surface (the
+            # r8/r9 driver reds): the 4-dp round-half-up fraction is
+            # emitted as the exact scaled integer round(10^4 * d/n) —
+            # dup_frac itself is dup_frac_scaled / 1e4 for callers
+            # that want the double back.
+            round_frac_int(
+                F.col("dup_windows"), F.col("n_windows"), 4
+            ).alias("dup_frac_scaled"),
         )
     )

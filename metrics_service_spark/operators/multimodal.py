@@ -628,37 +628,51 @@ def image_phash(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            sizes = []
-            slices: list[list[int]] = [[], [], [], []]
-            for raw in pdf["payload"]:
-                arr = np.frombuffer(bytes(raw), dtype=np.uint8)
-                n = len(arr)
-                if n:
-                    seg = (np.arange(n, dtype=np.int64) * 64) // n
-                    hist = np.bincount(
-                        seg, weights=arr, minlength=64
-                    ).astype(np.int64)
-                else:
-                    hist = np.zeros(64, dtype=np.int64)
-                top32 = sorted(range(64), key=lambda b: (-hist[b], b))[:32]
-                bits = [False] * 64
-                for b in top32:
-                    bits[b] = True
-                sizes.append(len(raw))
-                for s in range(4):
-                    v = 0
-                    for i in range(16):
-                        if bits[16 * s + i]:
-                            v |= 1 << i
-                    slices[s].append(v)
+            # whole-batch vectorized (VERDICT r9 #6): one global
+            # bincount on (row*64 + segment) builds every row's
+            # 64-segment histogram at once; byte sums stay exact in
+            # the float64 accumulator (< 2^53 by miles).
+            nrows = len(pdf)
+            bufs = [
+                np.frombuffer(bytes(raw), dtype=np.uint8)
+                for raw in pdf["payload"]
+            ]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            total = int(lens.sum())
+            if total:
+                allb = np.concatenate(bufs)
+                row_of = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                pos = np.arange(total, dtype=np.int64) - np.repeat(
+                    offsets, lens
+                )
+                seg = pos * 64 // np.repeat(lens, lens)
+                hist = np.bincount(
+                    row_of * 64 + seg, weights=allb, minlength=nrows * 64
+                ).reshape(nrows, 64).astype(np.int64)
+            else:
+                hist = np.zeros((nrows, 64), dtype=np.int64)
+            # median rule, ties -> lower index: a STABLE argsort on
+            # -hist keeps equal sums in index order, so the first 32
+            # columns are exactly sorted(range(64), key=(-hist, b))[:32]
+            order = np.argsort(-hist, axis=1, kind="stable")
+            bits = np.zeros((nrows, 64), dtype=bool)
+            if nrows:
+                bits[np.arange(nrows)[:, None], order[:, :32]] = True
+            weights = (1 << np.arange(16, dtype=np.int64))
+            packed = (
+                (bits.reshape(nrows, 4, 16) * weights)
+                .sum(axis=2)
+                .astype(np.int32)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                    "slice0": pd.Series(slices[0], dtype="int32"),
-                    "slice1": pd.Series(slices[1], dtype="int32"),
-                    "slice2": pd.Series(slices[2], dtype="int32"),
-                    "slice3": pd.Series(slices[3], dtype="int32"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "slice0": pd.Series(packed[:, 0], dtype="int32"),
+                    "slice1": pd.Series(packed[:, 1], dtype="int32"),
+                    "slice2": pd.Series(packed[:, 2], dtype="int32"),
+                    "slice3": pd.Series(packed[:, 3], dtype="int32"),
                 }
             )
 

@@ -1264,7 +1264,13 @@ def hier_assign_int(
     import math
 
     cvecs = _md5_seed_centroids(embeddings, id_col, vec_col, n_cells)
-    g = int(n_coarse) if n_coarse else math.ceil(math.sqrt(len(cvecs)))
+    # g derives from the REQUESTED n_cells (the _derived_cells formula
+    # the oracle's _sql_coarse scalar subquery replays), not from
+    # len(cvecs): a corpus with fewer rows than n_cells collects fewer
+    # seeds, and ceil(sqrt(len)) would diverge from the SQL side
+    # (ADVICE r9).  coarse = cvecs[:g] clamps identically on both
+    # sides when seeds run short.
+    g = int(n_coarse) if n_coarse else math.ceil(math.sqrt(n_cells))
     coarse = cvecs[:g]
     cell_grp: list[int] = []
     for cv in cvecs:
@@ -2554,6 +2560,13 @@ def hard_negatives_int(
     )
 
 
+#: Hard cap on the |Q| x k_short driver collect in pq_rerank_topk_int:
+#: past this the IN-literal/broadcast path is the wrong plan (use a
+#: shuffle join on the shortlist instead) and py4j literal cost alone
+#: would dominate — fail loudly rather than stall.
+_RERANK_MAX_SHORTLIST = 100_000
+
+
 def pq_rerank_topk_int(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -2595,8 +2608,27 @@ def pq_rerank_topk_int(
         k=k_short,
     ).select("query_id", "neighbor_id")
     pairs = short.collect()
-    cand_ids = sorted({r["neighbor_id"] for r in pairs})
+    # guard the driver-side shortlist (ADVICE r9): the IN literal and
+    # the broadcast frame both grow as |Q| x k_short — fail loudly if
+    # a caller points this at an unbounded query table instead of
+    # letting py4j literal construction stall the driver.
+    if len(pairs) > _RERANK_MAX_SHORTLIST:
+        raise ValueError(
+            f"pq_rerank shortlist {len(pairs)} rows > "
+            f"{_RERANK_MAX_SHORTLIST}: |Q| x k_short must stay a "
+            "driver-bounded set (split the query batch)"
+        )
     spark = embeddings.sparkSession
+    if not pairs:
+        # empty query set / empty corpus: isin() with zero arguments
+        # is an error, so return the empty result with the exact
+        # output schema instead of building the IN filter
+        qt = dict(queries.dtypes)[id_col]
+        nt = dict(embeddings.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {nt}, rank int, score_x long"
+        )
+    cand_ids = sorted({r["neighbor_id"] for r in pairs})
     short_df = F.broadcast(spark.createDataFrame(pairs, short.schema))
     fetched = embeddings.filter(F.col(id_col).isin(cand_ids)).select(
         F.col(id_col).alias("neighbor_id"),

@@ -114,6 +114,44 @@ def test_round_frac_null_propagation(spark):
     assert a is None and b is None
 
 
+def test_round_frac_integrity_guard(spark):
+    """A quotient leaving BIGINT range must raise (ADVICE r9: the
+    integrity contract is now enforced, not just documented — without
+    the guard the _int cast silently emits NULL); below the bound the
+    value flows and NULLs still propagate through the guard."""
+    big = F.expr(f"cast('{2**63}' as decimal(38,0))")
+    huge = F.expr(f"cast('{10**32}' as decimal(38,0))")
+    # double path: decimal headroom exhausted -> ANSI raises its own
+    # overflow, non-ANSI trips the overflow-as-NULL guard — an error
+    # either way, never a silent NULL
+    with pytest.raises(Exception, match="engine-safe|OUT_OF_RANGE"):
+        spark.range(1).select(round_frac(huge, F.lit(1), 4)).collect()
+    # BIGINT path: quotient fits the decimal but not the long cast
+    with pytest.raises(Exception, match="engine-safe"):
+        spark.range(1).select(round_frac_int(big, F.lit(1), 4)).collect()
+    # the double path tolerates what the BIGINT path must reject
+    v = (
+        spark.range(1)
+        .select(round_frac(big, F.lit(1), 0).alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert v == float(2**63)
+    # a large passing quotient (beyond 2^53 exactness, inside the
+    # bit-identity band): guard lets it through
+    ok = (
+        spark.range(1)
+        .select(
+            round_frac_int(
+                F.lit(2**55).cast("decimal(38,0)"), F.lit(1), 0
+            ).alias("v")
+        )
+        .collect()[0]
+        .v
+    )
+    assert ok == 2**55
+
+
 def test_round_frac_decimal_sum_path(spark):
     # DECIMAL(18,2) sums x100 are the tpch avg_* inputs
     df = spark.createDataFrame([("123.45",), ("0.05",)], "x string").agg(

@@ -152,5 +152,6 @@ def test_duplicate_span_stats_flags_copied_span(spark):
     assert got[1].n_windows == 17 and got[1].dup_windows == 1
     # doc 2: 9 windows, its window at position 9 is the shared span
     assert got[2].n_windows == 9 and got[2].dup_windows == 1
-    assert got[3].dup_windows == 0 and got[3].dup_frac == 0.0
-    assert got[1].dup_frac == round(1 / 17, 4)
+    assert got[3].dup_windows == 0 and got[3].dup_frac_scaled == 0
+    # exact scaled integer: round_half_up(1e4 * 1/17) = 588
+    assert got[1].dup_frac_scaled == 588
