@@ -93,6 +93,9 @@ HEADLINE = [
     "emb_proto_prune",
     "emb_knn_hubness",
     "doc_corpus_datasheet",
+    # round-10: duplicate-span REMOVAL (the cleaned-corpus deliverable
+    # doc_dup_spans only measures)
+    "doc_span_scrub",
 ]
 
 

@@ -45,6 +45,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # that discriminates driver-side caching (VERDICT r9 #1)
     "doc_dup_spans",
     "doc_dup_spans_v2",
+    # NEW r10: the span-removal deliverable the stats entry measures
+    "doc_span_scrub",
     # phash Arrow batch vectorized (np.argpartition + packed bits —
     # VERDICT r9 #6); same hashes, re-sample to prove it
     "mm_phash",

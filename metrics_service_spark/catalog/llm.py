@@ -2433,6 +2433,71 @@ GROUP BY 1
 """
 
 
+# --- exact duplicate-span REMOVAL -------------------------------------------
+
+
+def q_doc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of doc_dup_spans — actually CUT the duplicated
+    spans (Lee et al. 2021's deliverable is the cleaned corpus, not
+    the fraction): every overlapping 8-token window occurring >1
+    times corpus-wide is removed from all occurrences but the
+    globally-first (min (doc, pos)), and the doc re-joins its
+    surviving tokens.  Linear token-mass plan: flagged windows
+    explode to covered (doc, pos) keys, tokens anti-join, one
+    per-doc reassembly — no per-token membership scan over the
+    flagged list (quadratic for boilerplate docs)."""
+    from metrics_service_spark.operators.dedup import duplicate_span_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_scrub(
+        docs, "doc_id", "text", window_tokens=SPAN_WINDOW
+    )
+
+
+#: keeper key = doc_id * 2^20 + window pos (operators/dedup.py
+#: _SCRUB_MAX_POS — asserted Spark-side, mirrored here)
+_SCRUB_KEY = 1 << 20
+
+ORACLE_SPAN_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)) AS i
+  FROM t
+), spans AS (
+  SELECT doc_id, i,
+         md5(array_to_string(
+             list_slice(toks, i, least(i + {SPAN_WINDOW} - 1, len(toks))),
+             ' ')) AS wh
+  FROM pos
+), counts AS (
+  SELECT wh, count(*) AS n,
+         min(doc_id * {_SCRUB_KEY} + i) AS first_key
+  FROM spans GROUP BY 1
+), removed AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT s.doc_id, unnest(range(s.i, s.i + {SPAN_WINDOW})) AS j
+    FROM spans s JOIN counts c USING (wh)
+    WHERE c.n > 1 AND s.doc_id * {_SCRUB_KEY} + s.i <> c.first_key
+  )
+), tok AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t
+), kept AS (
+  SELECT tok.doc_id, count(*) AS n_kept,
+         string_agg(tok.toks[tok.j], ' ' ORDER BY tok.j) AS clean
+  FROM tok
+  LEFT JOIN removed r ON r.doc_id = tok.doc_id AND r.j = tok.j
+  WHERE r.doc_id IS NULL
+  GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(k.n_kept, 0) AS INT) AS n_removed,
+       coalesce(k.clean, '') AS clean_text
+FROM t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # --- per-source quota capping -----------------------------------------------
 SOURCE_QUOTA = 10
 
@@ -3475,6 +3540,14 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_DUP_SPANS,
         "identical pipeline to doc_dup_spans under a new name — "
         "driver-cache discriminator (see VERDICT r9 #1)",
+        ("llm",),
+    ),
+    "doc_span_scrub": QuerySpec(
+        q_doc_span_scrub,
+        ORACLE_SPAN_SCRUB,
+        "exact duplicate-span REMOVAL: cut every >1-occurrence "
+        "8-token window except the globally-first copy, emit the "
+        "cleaned text (Lee et al. 2021 deliverable)",
         ("llm",),
     ),
     "doc_source_quota": QuerySpec(

@@ -864,3 +864,131 @@ def duplicate_span_stats(
             ).alias("dup_frac_scaled"),
         )
     )
+
+
+#: duplicate_span_scrub packs (doc, window-pos) into ONE BIGINT for the
+#: deterministic keeper argmin (min over doc_id * 2^20 + pos): the
+#: per-doc window position must fit 20 bits.  10^6 tokens per document
+#: is far beyond any training-corpus doc; violating rows would corrupt
+#: the keeper choice silently, so it is asserted.
+_SCRUB_MAX_POS = 1 << 20
+
+
+def duplicate_span_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL — the deliverable of Lee et al.
+    2021 "Deduplicating Training Data" that `duplicate_span_stats`
+    only measures: every overlapping `window_tokens`-token window that
+    occurs more than once corpus-wide is CUT from every occurrence
+    except the globally-first one (min (doc_id, position) — the
+    deterministic keeper both engines replay), and the surviving
+    tokens are re-joined into `clean_text`.  Output
+    (id, n_tokens, n_removed, clean_text); a fully-boilerplate doc
+    comes back with clean_text = ''.
+
+    Scale: strictly linear in token mass, no per-doc quadratic step —
+    the naive per-token "does any flagged window cover me?" membership
+    scan is O(|doc| x flagged) for boilerplate-heavy docs, so removal
+    is instead an equi-join: flagged windows explode to their covered
+    (doc, token-pos) keys, tokens anti-join on that key, and the doc
+    reassembles with one array_sort over its kept tokens.  Every
+    shuffle is keyed (doc, pos) or the span hash (hot spans collapse
+    map-side in the count agg; the count->span fan-out join is the
+    same AQE-skew-safe shape `duplicate_span_stats` uses — no window
+    function over the hash key).  Docs shorter than the window
+    contribute their whole text as one window (the shingle
+    convention), so a short doc duplicated elsewhere is scrubbed to
+    empty unless it is the keeper."""
+    w = window_tokens
+    toks = F.col("__toks")
+    # jobless length guard fused into the window count (same
+    # assert_true idiom as percentile_buckets/round_frac)
+    pos_ok = F.assert_true(
+        F.size(toks) < F.lit(_SCRUB_MAX_POS),
+        F.lit(
+            f"duplicate_span_scrub: document exceeds {_SCRUB_MAX_POS - 1} "
+            "tokens — the packed (doc, pos) keeper key would collide; "
+            "split the document first"
+        ),
+    )
+    n_win = F.when(
+        pos_ok.isNull(), F.greatest(F.size(toks) - w + 1, F.lit(1))
+    )
+    spread = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    # (id, window pos, window hash) — positions are what removal cuts
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("h"),
+        ),
+    )
+    spans = (
+        spread.select("__id", F.explode(wins).alias("__w"))
+        .select(
+            "__id",
+            F.col("__w.p").alias("__p"),
+            F.col("__w.h").alias("__wh"),
+        )
+        # feeds the corpus-wide count AND the flag join
+        .localCheckpoint(eager=False)
+    )
+    counts = spans.groupBy("__wh").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(
+            F.col("__id") * F.lit(_SCRUB_MAX_POS) + F.col("__p")
+        ).alias("__first"),
+    )
+    flagged = (
+        spans.join(counts, "__wh")
+        .filter(
+            (F.col("__n") > 1)
+            & (
+                F.col("__id") * F.lit(_SCRUB_MAX_POS) + F.col("__p")
+                != F.col("__first")
+            )
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.lit(w - 1))
+            ).alias("__tpos"),
+        )
+        .distinct()
+    )
+    tokens = spread.select(
+        "__id", F.posexplode(toks).alias("__tpos0", "__tok")
+    ).select("__id", (F.col("__tpos0") + 1).alias("__tpos"), "__tok")
+    kept = (
+        tokens.join(flagged, ["__id", "__tpos"], "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__tpos", "__tok"))
+                    ),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("__clean"),
+        )
+    )
+    totals = spread.select("__id", F.size(toks).alias("n_tokens"))
+    return totals.join(kept, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+    )

@@ -155,3 +155,38 @@ def test_duplicate_span_stats_flags_copied_span(spark):
     assert got[3].dup_windows == 0 and got[3].dup_frac_scaled == 0
     # exact scaled integer: round_half_up(1e4 * 1/17) = 588
     assert got[1].dup_frac_scaled == 588
+
+
+def test_duplicate_span_scrub_keeps_first_occurrence(spark):
+    """The globally-first copy (min (doc_id, pos)) of a duplicated
+    window survives; every other occurrence loses exactly its covered
+    tokens; unique docs come back verbatim; a doc that IS a duplicated
+    window scrubs to empty."""
+    from metrics_service_spark.operators.dedup import duplicate_span_scrub
+
+    tok = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, tok(8, "a") + " " + shared),  # first occurrence (doc 1, pos 9)
+        (2, tok(8, "c") + " " + shared + " " + tok(4, "d")),  # loses s0..s7
+        (3, tok(20, "u")),                # unique, untouched
+        (4, shared),                      # the whole doc IS the dup window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_scrub(
+            df, "doc_id", "text", window_tokens=8
+        ).collect()
+    }
+    # doc 1 is the keeper: fully intact
+    assert got[1].n_removed == 0 and got[1].clean_text == rows[0][1]
+    # doc 2: exactly the 8 shared tokens cut, prefix+suffix survive
+    assert got[2].n_removed == 8
+    assert got[2].clean_text == tok(8, "c") + " " + tok(4, "d")
+    # doc 3 untouched
+    assert got[3].n_removed == 0 and got[3].clean_text == rows[2][1]
+    # doc 4: its single whole-doc window duplicates doc 1's span at a
+    # later (doc, pos) key -> scrubbed to empty
+    assert got[4].n_removed == 8 and got[4].clean_text == ""
+    assert got[4].n_tokens == 8

@@ -115,6 +115,10 @@ QUERIES = [
     "emb_proto_prune",
     # knn-graph cost + a degree agg + broadcast-able attach
     "emb_knn_hubness",
+    # r10: span REMOVAL — dup_spans' span mass plus a token-keyed
+    # anti-join and per-doc reassembly; expected to track the
+    # doc_dup_spans row (string/token mass, per-node-linear)
+    "doc_span_scrub",
 ]
 
 
