@@ -59,6 +59,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_curation_pipeline",
     # ... and pq_rerank's shortlist collect gained the empty/size guard
     "emb_pq_rerank",
+    # corpus-graph family swapped from flat to hier assignment (the
+    # flat rows x cells argmax was the quadratic term at derived
+    # geometry — 50x probes 25.3x/35.3x -> 13.1x/16.1x); oracles now
+    # replay the shared two-level CTE chain
+    "emb_knn_graph",
+    "emb_knn_hubness",
+    "emb_hard_negatives",
     # -- the whole r6-stale block (latest driver row 3 rounds old; the
     #    r10 window is spent on DRAIN, not new surface — VERDICT r9 #2) --
     "doc_simhash",

@@ -2548,42 +2548,10 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K)
 
 
-ORACLE_KNN_GRAPH = f"""
-WITH q AS (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
-  FROM embeddings
-), seeds AS (
-  SELECT v, rn - 1 AS cell FROM (
-    SELECT vec_id, v,
-           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM q
-  ) WHERE rn <= {_sql_cells("q")}
-), ascored AS (
-  SELECT q.vec_id, q.v, s.cell,
-         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
-              AS BIGINT) AS dot
-  FROM q CROSS JOIN seeds s
-), assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dot DESC, cell ASC) AS rk
-    FROM ascored
-  ) WHERE rk = 1
-), pairs AS (
-  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-              AS BIGINT) AS dot_q
-  FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id != b.vec_id
-)
-SELECT src_id, dst_id, CAST(rank AS INT) AS rank, dot_q FROM (
-  SELECT *, row_number() OVER (PARTITION BY src_id
-            ORDER BY dot_q DESC, dst_id) AS rank
-  FROM pairs
-) WHERE rank <= {KNN_K}
-"""
+# ORACLE_KNN_GRAPH is defined after SQL_HIER_ASSIGN_CTES below: since
+# r10 the corpus-graph family assigns on the two-level hier front (the
+# flat rows x cells argmax was measured quadratic at derived geometry
+# — 25.3x/35.3x at the 50x probe) and the oracle replays that chain.
 
 
 # --- composed curation pipeline ---------------------------------------------
@@ -2713,6 +2681,22 @@ SQL_HIER_ASSIGN_CTES = f"""q AS (
     FROM ascored
   ) WHERE rk = 1
 )"""
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH {SQL_HIER_ASSIGN_CTES}, pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS dot_q
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+)
+SELECT src_id, dst_id, CAST(rank AS INT) AS rank, dot_q FROM (
+  SELECT *, row_number() OVER (PARTITION BY src_id
+            ORDER BY dot_q DESC, dst_id) AS rank
+  FROM pairs
+) WHERE rank <= {KNN_K}
+"""
 
 
 ORACLE_SEMDEDUP_HIER = f"""
@@ -3109,35 +3093,19 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K)
 
 
+# r10: assignment replays the shared two-level hier chain (the flat
+# argmax was the quadratic term at derived geometry — see
+# _corpus_cell_assigned); labels re-attach from the base table by id.
 ORACLE_HARD_NEGATIVES = f"""
-WITH q AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS v
-  FROM embeddings
-), seeds AS (
-  SELECT v, rn - 1 AS cell FROM (
-    SELECT vec_id, v,
-           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM q
-  ) WHERE rn <= {_sql_cells("q")}
-), ascored AS (
-  SELECT q.vec_id, q.label, q.v, s.cell,
-         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * s.v[i]))
-              AS BIGINT) AS dot
-  FROM q CROSS JOIN seeds s
-), assigned AS (
-  SELECT vec_id, label, v, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dot DESC, cell ASC) AS rk
-    FROM ascored
-  ) WHERE rk = 1
+WITH {SQL_HIER_ASSIGN_CTES}, lab AS (
+  SELECT a.vec_id, a.v, a.cell, e.label
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
 ), pairs AS (
   SELECT a.vec_id AS src_id, b.vec_id AS neg_id,
          a.label AS src_label, b.label AS neg_label,
          CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
               AS BIGINT) AS dot_q
-  FROM assigned a JOIN assigned b
+  FROM lab a JOIN lab b
     ON a.cell = b.cell AND a.label != b.label
 )
 SELECT src_id, neg_id, src_label, neg_label,

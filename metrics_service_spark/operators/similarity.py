@@ -1234,6 +1234,7 @@ def hier_assign_int(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_coarse: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Two-level (coarse -> fine) cell assignment, the FAISS
     IVF-of-IVF shape every billion-vector deployment uses for the
@@ -1287,6 +1288,7 @@ def hier_assign_int(
         embeddings.select(
             F.col(id_col).alias("__vid"),
             quantize_at(F.col(vec_col), SEM_QUANT).alias("__v"),
+            *[F.col(c).alias(f"__x{i}") for i, c in enumerate(extra_cols)],
         )
     )
     # fine-level layout: cells sorted by (group, cell id) so each
@@ -1345,6 +1347,7 @@ def hier_assign_int(
         "__v",
         _bind1(gpos, _pick).alias("cell"),
         dot_long(F.col("__v"), F.col("__v")).alias("__n2"),
+        *[f"__x{i}" for i in range(len(extra_cols))],
     )
 
 
@@ -2428,30 +2431,25 @@ def _corpus_cell_assigned(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shared corpus-side cell-assignment front for the corpus x
-    corpus graph operators (k-NN graph, hard-negative mining):
-    md5-seeded quantized seeds (bounded collect), `_spread` against
-    the one-row-group trap, `_argmax_cells` integer assignment, and
-    ONE lazy checkpoint because the frame feeds both self-join sides.
-    Output: (__vid, __v, cell, *extra_cols aliased __x0..)."""
-    seeds = (
-        embeddings.select(
-            quantize(F.col(vec_col)).alias("__sv"),
-            F.md5(F.col(id_col).cast("string")).alias("__h"),
-            F.col(id_col).alias("__sid"),
-        )
-        .orderBy("__h", "__sid")
-        .limit(n_cells)
-        .collect()
-    )
-    cvecs = [[int(x) for x in r["__sv"]] for r in seeds]
-    quant = _spread(
-        embeddings.select(
-            F.col(id_col).alias("__vid"),
-            quantize(F.col(vec_col)).alias("__v"),
-            *[F.col(c).alias(f"__x{i}") for i, c in enumerate(extra_cols)],
-        )
-    )
-    return _argmax_cells(quant, cvecs).localCheckpoint(eager=False)
+    corpus graph operators (k-NN graph, hubness, hard-negative
+    mining).  Since r10 this is the TWO-LEVEL `hier_assign_int` front
+    (SEM_QUANT space): with footer-derived geometry the flat argmax
+    these entries shipped on is rows x cells = corpus^2/CELL_TARGET —
+    the r9 50x probes measured it (knn_graph 25.3x, hard_negatives
+    35.3x for 50x rows) and the SCALE.md policy's "pair mass
+    dominates" claim for this family was re-derived and found wrong
+    (at 50x: assignment ~80M dots vs ~12.5M within-cell pair dots).
+    The hier front holds assignment at corpus^1.5, the same fix that
+    took emb_cluster_sample 33.6x -> 7.8x.  ONE lazy checkpoint
+    because the frame feeds both self-join sides.  Output:
+    (__vid, __v [SEM_QUANT], cell, __n2, *extra_cols as __x0..)."""
+    return hier_assign_int(
+        embeddings,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        extra_cols=extra_cols,
+    ).localCheckpoint(eager=False)
 
 
 def knn_graph_int(
@@ -2474,6 +2472,8 @@ def knn_graph_int(
     are the corpus, so the join must be a cell equi-join (never a
     broadcast), and the quadratic term is bounded per cell by the
     n_cells geometry knob — exactly the SemDeDup cell discipline.
+    r10: assignment (and therefore scoring) runs in SEM_QUANT space
+    on the two-level hier front — see `_corpus_cell_assigned`.
     Output: (src_id, dst_id, rank, dot_q)."""
     assigned = _corpus_cell_assigned(embeddings, id_col, vec_col, n_cells)
     a = assigned.select(
@@ -2518,6 +2518,8 @@ def hard_negatives_int(
     predicate pushed into the within-cell equi-join (it prunes
     candidates BEFORE the dot arithmetic, not after the window).
     Corpus x corpus: the join keys on `cell`, never a broadcast.
+    r10: assignment/scoring in SEM_QUANT space on the two-level hier
+    front — see `_corpus_cell_assigned`.
     Output: (src_id, neg_id, src_label, neg_label, rank, dot_q)."""
     assigned = _corpus_cell_assigned(
         embeddings, id_col, vec_col, n_cells, extra_cols=(label_col,)

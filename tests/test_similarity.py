@@ -569,8 +569,9 @@ def test_knn_graph_topk_contract(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from metrics_service_spark.operators.similarity import (
+        SEM_QUANT,
         knn_graph_int,
-        quantize,
+        quantize_at,
     )
     from metrics_service_spark.sources.tables import load_table
 
@@ -589,7 +590,12 @@ def test_knn_graph_topk_contract(spark, sf_dir):
     vecs = {
         r["vec_id"]: r["q"]
         for r in emb.filter(F.col("vec_id").isin(src, edge.dst_id))
-        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .select(
+            "vec_id",
+            # r10: the graph family scores in SEM_QUANT space (the
+            # hier assignment front)
+            quantize_at(F.col("embedding"), SEM_QUANT).alias("q"),
+        )
         .collect()
     }
     assert edge.dot_q == sum(

@@ -56,14 +56,14 @@ COMMENTARY = {
     "doc_dup_spans": "window build + md5 ABOVE the doc-keyed exchange (all cores off a one-row-group scan); span rows carry (id, hash) only; one map-side-combined count groupBy + one re-attach join — no window over the hash key, so a 10^6-copy span never lands on one task",
     "doc_span_scrub": "dup_spans' span frame checkpointed once (count agg + flag join both consume it); keeper = min packed (doc,pos) key inside the SAME count agg (no second pass, no window over the hash key); removal is an equi-anti-join on (doc, token pos) — linear token mass, never a per-token scan of the flagged list; per-doc reassembly is one array_sort over kept tokens",
     "doc_source_quota": "one source-keyed exchange; the per-group quota is a WindowGroupLimit-pushed top-k (map-side partial limit before the shuffle)",
-    "emb_knn_graph": "ONE checkpointed assignment frame feeds both self-join sides; the join is a cell equi-join (corpus x corpus — never broadcast); per-src top-k is WindowGroupLimit-pushed; candidate mass bounded per cell by the n_cells geometry",
+    "emb_knn_graph": "TWO-LEVEL hier assignment (zero-exchange projection, corpus^1.5 — the flat argmax was the quadratic term at derived geometry); ONE checkpointed assignment frame feeds both self-join sides; the join is a cell equi-join (corpus x corpus — never broadcast); per-src top-k is WindowGroupLimit-pushed; candidate mass bounded per cell by the n_cells geometry",
     "doc_curation_pipeline": "gate + quota compose in ONE plan: histogram-cutoff keep-list (corpus filtered, never globally sorted) joins back broadcast, then the per-source quota window over survivors only — the checkpointed (id, score) projection is the only materialization",
     "emb_semdedup_hier": "two-level assignment as ONE zero-exchange projection: coarse argmax over g literal seed dots, then F.slice carves the row's group-contiguous cell block out of a single literal matrix for the fine argmax — assignment cost corpus^1.5, not corpus^2/CELL_TARGET; the pair/verdict tail is semantic_dedup_int's audited shape",
     "emb_pq_rerank": "refine stage only: the candidate fetch is an IN-filter of collected shortlist ids PUSHED TO THE PARQUET SCAN (row-group pruning at scale), both the shortlist and the query vectors join broadcast, and the exact-dot re-rank window runs on |Q| x k_short rows — the compressed ADC shortlist pass is pq_topk_int's audited plan",
     "emb_prototypicality": "bounded seed collect; assignment is the shared literal-matrix argmax projection; proto score is one element_at dot off the assignment; the ONLY shuffle keys on cell and per-cell rank window mass is bounded by the footer-derived geometry",
     "doc_gopher_rules": "pure whole-stage-codegen projection (token/char counts, cross-multiplied integer thresholds) — zero exchanges, zero windows, scan-to-output",
     "doc_shuffle_shard": "per-row md5 + ascii-arithmetic shard assignment (pure projection); the ONE exchange keys on shard and the within-shard window mass is held at ~SHARD_TARGET rows by the footer-derived shard count",
-    "emb_hard_negatives": "knn-graph discipline with the label-inequality predicate pushed INTO the cell equi-join (candidates pruned before the dot arithmetic); one checkpointed assignment frame feeds both sides; per-src top-k is WindowGroupLimit-pushed",
+    "emb_hard_negatives": "hier-assigned knn-graph discipline with the label-inequality predicate pushed INTO the cell equi-join (candidates pruned before the dot arithmetic); one checkpointed assignment frame feeds both sides; per-src top-k is WindowGroupLimit-pushed",
     "doc_hash_classifier": "split -> explode -> hash-agg, all whole-stage codegen (no interpreted per-token lambda); the ONE exchange moves one partial-agg row per doc — token mass collapses map-side",
     "mm_phash_neardup": "ONE Arrow signature pass (the media seam), checkpointed for both join sides; candidates from the (band, slice) pigeonhole equi-join — never all-pairs — verified with per-slice bit_count(xor)",
     "doc_dsir_vote": "the corpus tokenizes+hashes exactly ONCE into a checkpointed (doc, bucket) count frame that feeds the bucket table, the totals, and the scoring join; the <= 2^16-row vote table broadcasts at any corpus size and the join probes a plain int key — no md5 in any join expression, no corpus shuffle by token",
