@@ -4,6 +4,8 @@ on hand-built edge cases)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from metrics_service_spark.operators.text import (
     pii_scrub,
     repetition_stats,
@@ -190,3 +192,41 @@ def test_duplicate_span_scrub_keeps_first_occurrence(spark):
     # later (doc, pos) key -> scrubbed to empty
     assert got[4].n_removed == 8 and got[4].clean_text == ""
     assert got[4].n_tokens == 8
+
+
+def test_duplicate_span_scrub_consistent_with_stats(spark, sf_dir):
+    """Cross-operator invariant on the real fixture: a doc is scrubbed
+    iff dup_spans flags it as a NON-KEEPER occurrence — so
+    dup_windows == 0 implies n_removed == 0 (the converse can't hold:
+    the keeper's own windows count as duplicated but aren't cut), and
+    n_removed > 0 implies dup_windows > 0.  Output is also invariant
+    to input row order (the keeper rule keys on values, not order)."""
+    from metrics_service_spark.operators.dedup import (
+        duplicate_span_scrub,
+        duplicate_span_stats,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = duplicate_span_stats(docs, "doc_id", "text", window_tokens=8)
+    scrub = duplicate_span_scrub(docs, "doc_id", "text", window_tokens=8)
+    joined = stats.join(scrub, "doc_id")
+    assert (
+        joined.filter(
+            (F.col("dup_windows") == 0) & (F.col("n_removed") > 0)
+        ).count()
+        == 0
+    )
+    assert (
+        joined.filter(
+            (F.col("n_removed") > 0) & (F.col("dup_windows") == 0)
+        ).count()
+        == 0
+    )
+    # permutation invariance: a reshuffled input yields byte-identical
+    # output rows
+    again = duplicate_span_scrub(
+        docs.orderBy(F.md5(F.col("text"))), "doc_id", "text", window_tokens=8
+    )
+    assert scrub.exceptAll(again).count() == 0
+    assert again.exceptAll(scrub).count() == 0
