@@ -2387,10 +2387,12 @@ SPAN_WINDOW = 8
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level duplication signal (Lee et al. 2021):
     fraction of each doc's OVERLAPPING 8-token windows that occur
-    more than once corpus-wide — catches copied spans at any
-    alignment, where the non-overlapping paragraph chunks only catch
-    aligned boilerplate.  Span rows carry (id, hash) only; hot spans
-    collapse map-side before the count shuffle."""
+    more than once corpus-wide (emitted as the exact scaled integer
+    `dup_frac_scaled` = round_half_up(1e4 * dup/total) — no float in
+    the hash surface) — catches copied spans at any alignment, where
+    the non-overlapping paragraph chunks only catch aligned
+    boilerplate.  Span rows carry (id, hash) only; hot spans collapse
+    map-side before the count shuffle."""
     from metrics_service_spark.operators.dedup import duplicate_span_stats
 
     docs = load_table(spark, sf_dir, "documents")

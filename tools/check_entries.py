@@ -34,9 +34,26 @@ def main() -> None:
     if "--json" in args:
         json_out = args[args.index("--json") + 1]
         del args[args.index("--json") : args.index("--json") + 2]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
     if args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
-    spark = get_spark("check-entries")
+    if vanilla:
+        # driver-parity mode: the round driver builds its own PLAIN
+        # session (no engine-tuned confs) — sweeping under the same
+        # conditions catches any accidental conf-dependence
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-entries-vanilla")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-entries")
     spark.sparkContext.setLogLevel("ERROR")
     catalog = all_queries()
     if args == ["--all"]:
