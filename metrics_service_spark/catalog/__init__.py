@@ -36,88 +36,28 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- never driver-sampled (landed after the packed r9 window) --------
-    "doc_corpus_datasheet",
-    # -- implementation/oracle changed this round (r10) -------------------
-    # the two-round driver-red row: oracle rewritten without the
-    # list-comprehension slice, hash surface now all-integer
-    # (dup_frac_scaled BIGINT), plus the renamed byte-identical twin
-    # that discriminates driver-side caching (VERDICT r9 #1)
+    # -- r11 column bisect of the three-round driver-red entry
+    #    (VERDICT r10 #1): counts arm (all-BIGINT-cast oracle), frac
+    #    arm (plain-BIGINT rounding, no DECIMAL38/HUGEINT), then the
+    #    unchanged v1 as the in-window control.  The r10 v2
+    #    caching-discriminator twin concluded (both red) and was
+    #    retired from the catalog.
+    "doc_dup_spans_counts",
+    "doc_dup_spans_frac",
     "doc_dup_spans",
-    "doc_dup_spans_v2",
-    # NEW r10: the span-removal deliverable the stats entry measures
-    "doc_span_scrub",
-    # phash Arrow batch vectorized (np.argpartition + packed bits —
-    # VERDICT r9 #6); same hashes, re-sample to prove it
-    "mm_phash",
-    "mm_phash_neardup",
-    "mm_dedup_clusters",
-    # ADVICE r9: hier coarse-count now derived from the same formula as
-    # _derived_cells on both sides (tiny-corpus consistency) ...
-    "emb_semdedup_hier",
-    "emb_cluster_sample",
-    "emb_curation_pipeline",
-    # ... and pq_rerank's shortlist collect gained the empty/size guard
-    "emb_pq_rerank",
-    # corpus-graph family swapped from flat to hier assignment (the
-    # flat rows x cells argmax was the quadratic term at derived
-    # geometry — 50x probes 25.3x/35.3x -> 13.1x/16.1x); oracles now
-    # replay the shared two-level CTE chain
-    "emb_knn_graph",
-    "emb_knn_hubness",
-    "emb_hard_negatives",
-    # -- the whole r6-stale block (latest driver row 3 rounds old; the
-    #    r10 window is spent on DRAIN, not new surface — VERDICT r9 #2) --
-    "doc_simhash",
-    "doc_simhash_md5",
-    "doc_simhash_neardup",
-    "doc_simhash_neardup_md5",
-    "emb_ann_ivf",
-    "emb_ann_lsh",
-    "emb_topk_bruteforce",
-    "mm_audio_meta",
-    "mm_frame_sample",
-    "mm_image_features",
-    "mm_image_meta",
-    "mm_image_meta_real",
-    "doc_domain_filter",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    "doc_mixture",
-    "doc_pii_scrub",
-    "ev_dau_stickiness_approx_hll",
-    "ev_monthly_stats_approx",
-    "tpch_q2",
-    "tpch_q7",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    # -- oldest r7 block, least-recently-checked fill to the 50 line ------
-    "landing_page_daily",
-    "matview_awardcharts",
-    "matview_awardmetrics",
-    "matview_landingpage",
-    "matview_repocharts",
-    "matview_repometrics",
-    "matview_routed_repo",
-    "matview_userprofilecharts",
-    "matview_userprofilemetrics",
+    # -- the whole r7-stale generation (latest driver row 4 rounds
+    #    old; VERDICT r10 #3 drain) -------------------------------------
     "func_scalar_suite",
     "ev_props_kv",
+    "ev_retention",
+    "metrics_star",
     "order_chains",
+    "order_components",
     "package_counts",
-    # -- buffer past the 50-entry sample line (rest of the r7 block;
-    #    all differentially pytest-checked every session) -----------------
     "search_log_pipeline",
     "search_sessions",
-    "metrics_star",
-    "ev_retention",
     "tpch_q21",
     "tpch_q22",
-    "order_components",
     "mm_image_meta_real_mixed",
     "doc_minhash_dedup",
     "doc_minhash_dedup_md5",
@@ -133,6 +73,52 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_lsh_int",
     "emb_cosine_neardup_allpairs",
     "emb_random_projection",
+    # -- fill to the 50 line from the next-oldest (r8) generation;
+    #    doc_token_stats leads as a round_frac user (stable.py's
+    #    guards were touched this round — output-neutral, but
+    #    impl-changed outranks merely-stale per the rotation policy) --
+    "doc_token_stats",
+    "ev_value_median",
+    "orders_rollup",
+    "anti_join_no_orders",
+    "bloom_semi_lineitem",
+    "counter_report",
+    "doc_bpe_tokens",
+    "doc_dedup_clusters",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "doc_source_quota",
+    "doc_split_leakage_safe",
+    "emb_pq_topk_int",
+    "emb_sq8_topk_int",
+    "ev_asof_orders",
+    "ev_day_spine",
+    "ev_filter_project",
+    "ev_funnel",
+    "ev_hash_sessions",
+    "ev_interevent_gap",
+    "ev_last_per_user",
+    # -- buffer past the 50-entry sample line (rest of the r8 block,
+    #    then r9; all differentially pytest-checked every session) ------
+    "ev_monthly_stats",
+    "ev_pivot_daily",
+    "ev_rolling_7d",
+    "ev_session_having",
+    "ev_sessionize",
+    "ev_sessionize_bucketed",
+    "ev_sessionize_global",
+    "ev_tag_membership",
+    "ev_top3_per_type",
+    "ev_value_tiers",
+    "except_non_purchasers",
+    "full_outer_daily",
+    "pid_family_closure",
+    "semi_join_purchasers",
+    "sushi_instances",
+    "theta_contains",
+    "tpch_q10",
+    "union_distinct_ids",
+    "user_event_family",
 )
 
 

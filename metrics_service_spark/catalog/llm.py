@@ -18,6 +18,7 @@ from metrics_service_spark.catalog import QuerySpec
 from metrics_service_spark.functions.stable import (
     round_frac,
     sql_round_frac,
+    sql_round_frac_bigint,
     sql_round_frac_int,
 )
 from metrics_service_spark.operators.dedup import (
@@ -2435,6 +2436,107 @@ GROUP BY 1
 """
 
 
+# --- r11 column bisect of the three-round driver-red doc_dup_spans ----------
+# VERDICT r10 #1: the v2 twin killed the caching theory and the green
+# doc_span_scrub sibling exonerated every shared construct
+# (tokenization, window formation, duplicate detection, bare counts in
+# a CAST final projection) — what remains un-exonerated is the output
+# surface itself.  Split it per column:
+#   * _counts: ONLY (doc_id, n_windows, dup_windows), every oracle
+#     column explicitly CAST AS BIGINT.  NOTE a concrete mechanism this
+#     arm tests: DuckDB's sum(<integer>) returns HUGEINT, which
+#     materializes as float64 under pandas (.df()) — verified locally
+#     on 1.0.0, see tools/pandas_parity.py — so v1's bare dup_windows
+#     is the catalog's ONLY final-projection integer sum at risk under
+#     a pandas-materializing comparator; the CAST removes it.
+#   * _frac: ONLY (doc_id, dup_frac_scaled), computed in PLAIN BIGINT
+#     on both sides (round_frac_bigint / sql_round_frac_bigint — no
+#     DECIMAL(38,0), no HUGEINT), testing the rounding machinery arm.
+# Decision table (VERDICT r10): counts-red -> driver env disagrees on
+# bare counts despite scrub-green; frac-red-only -> round_frac_int's
+# HUGEINT/DECIMAL path diverges in the driver build; both green +
+# v1 red -> the offender is in v1's remaining unique surface (the
+# un-CAST HUGEINT sum / the DECIMAL38 rounding), promote the green
+# forms.  v1 stays registered unchanged as the control.
+
+
+def q_doc_dup_spans_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts-only arm of the dup-span bisect: same plan as
+    doc_dup_spans (Catalyst prunes the unused rounding column), hash
+    surface = bare window counts only."""
+    from metrics_service_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(
+        docs, "doc_id", "text", window_tokens=SPAN_WINDOW
+    ).select("doc_id", "n_windows", "dup_windows")
+
+
+ORACLE_DUP_SPANS_COUNTS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)) AS i
+  FROM t
+), spans AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, i, least(i + {SPAN_WINDOW} - 1, len(toks))),
+             ' ')) AS wh
+  FROM pos
+), counts AS (
+  SELECT wh, count(*) AS n FROM spans GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+FROM spans JOIN counts USING (wh)
+GROUP BY 1
+"""
+
+
+def q_doc_dup_spans_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction-only arm of the dup-span bisect: dup_frac_scaled in
+    plain-BIGINT arithmetic end-to-end (round_frac_bigint)."""
+    from metrics_service_spark.operators.dedup import duplicate_span_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_stats(
+        docs,
+        "doc_id",
+        "text",
+        window_tokens=SPAN_WINDOW,
+        frac_rounding="bigint",
+    ).select("doc_id", "dup_frac_scaled")
+
+
+ORACLE_DUP_SPANS_FRAC = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)) AS i
+  FROM t
+), spans AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, i, least(i + {SPAN_WINDOW} - 1, len(toks))),
+             ' ')) AS wh
+  FROM pos
+), counts AS (
+  SELECT wh, count(*) AS n FROM spans GROUP BY 1
+)
+SELECT doc_id,
+       {sql_round_frac_bigint(
+           "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)",
+           "CAST(count(*) AS BIGINT)",
+           4,
+       )} AS dup_frac_scaled
+FROM spans JOIN counts USING (wh)
+GROUP BY 1
+"""
+
+
 # --- exact duplicate-span REMOVAL -------------------------------------------
 
 
@@ -3500,16 +3602,22 @@ QUERIES: dict[str, QuerySpec] = {
         "(Lee et al. 2021 substring dedup signal)",
         ("llm",),
     ),
-    # byte-identical twin under a fresh name: after two driver-red
-    # rounds with a locally-bitwise-green pipeline, this discriminates
-    # driver-side per-entry result caching from a real engine mismatch
-    # (VERDICT r9 next-round #1(iii)).  If v2 is green while v1 stays
-    # red, the divergence is keyed on the entry NAME, not the query.
-    "doc_dup_spans_v2": QuerySpec(
-        q_doc_dup_spans,
-        ORACLE_DUP_SPANS,
-        "identical pipeline to doc_dup_spans under a new name — "
-        "driver-cache discriminator (see VERDICT r9 #1)",
+    # the r10 v2 caching-discriminator twin concluded (both red ->
+    # NOT driver caching) and was retired; r11 replaces it with the
+    # column bisect VERDICT r10 #1 ordered:
+    "doc_dup_spans_counts": QuerySpec(
+        q_doc_dup_spans_counts,
+        ORACLE_DUP_SPANS_COUNTS,
+        "dup-span bisect, counts arm: (n_windows, dup_windows) only, "
+        "every oracle column CAST AS BIGINT (no HUGEINT in the hash "
+        "surface)",
+        ("llm",),
+    ),
+    "doc_dup_spans_frac": QuerySpec(
+        q_doc_dup_spans_frac,
+        ORACLE_DUP_SPANS_FRAC,
+        "dup-span bisect, fraction arm: dup_frac_scaled in plain "
+        "BIGINT arithmetic on both engines (no DECIMAL38/HUGEINT)",
         ("llm",),
     ),
     "doc_span_scrub": QuerySpec(

@@ -42,7 +42,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["round_frac", "round_frac_int", "sql_round_frac", "sql_round_frac_int"]
+__all__ = [
+    "round_frac",
+    "round_frac_bigint",
+    "round_frac_int",
+    "sql_round_frac",
+    "sql_round_frac_bigint",
+    "sql_round_frac_int",
+]
 
 
 #: Enforced integrity guard (ADVICE r9).  Deliberately looser than
@@ -74,9 +81,17 @@ def _check_q(
     ok = q.isNotNull() | num.isNull() | den.isNull()
     if bound is not None:
         # the bound exceeds a JVM long literal — route the constant
-        # through a string cast (constant-folded, no per-row cost)
+        # through a string cast (constant-folded, no per-row cost).
+        # Two-sided (ADVICE r10): a quotient <= -2^63 from a negative
+        # numerator would ALSO cast to a silent NULL long under
+        # non-ANSI — reject both overflow directions, not just the
+        # positive one.
         ok = ok & (
-            q.isNull() | (q < F.expr(f"cast('{bound}' as decimal(38,0))"))
+            q.isNull()
+            | (
+                (q < F.expr(f"cast('{bound}' as decimal(38,0))"))
+                & (q > F.expr(f"cast('{-bound}' as decimal(38,0))"))
+            )
         )
     guard = F.assert_true(
         ok,
@@ -99,8 +114,12 @@ def round_frac(num: Column, den: Column, scale: int = 4) -> Column:
     b = den.cast("decimal(38,0)") * F.lit(2)
     # (a - a mod b) / b is the exact integer quotient; Spark's decimal
     # division rounds to a fixed positive result scale, which is exact
-    # here because the true quotient is integral.
-    q = _check_q((a - F.pmod(a, b)) / b, n, den, "round_frac", None)
+    # here because the true quotient is integral.  The guard receives
+    # the RAW num column (ADVICE r10): an input overflowing the
+    # decimal(38,0) cast itself reads as NULL in `n`, which would
+    # masquerade as a NULL input and flow through silently — matching
+    # round_frac_int, which already passes the raw column.
+    q = _check_q((a - F.pmod(a, b)) / b, num, den, "round_frac", None)
     mag = q.cast("double") / F.lit(float(p))
     return F.when(n < 0, -mag).otherwise(mag)
 
@@ -116,6 +135,64 @@ def round_frac_int(num: Column, den: Column, scale: int = 4) -> Column:
     return _check_q(
         (a - F.pmod(a, b)) / b, num, den, "round_frac_int", _MAX_Q_LONG
     ).cast("long")
+
+
+def _bigint_num_bound(scale: int) -> int:
+    """Largest numerator round_frac_bigint accepts at ``scale``: keeps
+    ``a = 2*10^s*num + den`` (and den itself) below 2^52 each, so the
+    BIGINT arithmetic cannot wrap AND the one long/long division at
+    the end (a double in Spark) stays exact below 2^53."""
+    return (1 << 52) // (2 * 10**scale)
+
+
+def round_frac_bigint(num: Column, den: Column, scale: int = 4) -> Column:
+    """``round_frac_int`` on PLAIN BIGINT arithmetic — no DECIMAL(38,0)
+    on the Spark side, no HUGEINT in the oracle twin
+    (:func:`sql_round_frac_bigint`).  Shipped for the r11 dup-span
+    column bisect (VERDICT r10 #1): the DECIMAL38/HUGEINT machinery is
+    the one surface element of the three-round driver-red
+    ``doc_dup_spans`` not exonerated by its green siblings, and at
+    per-document magnitudes it is unnecessary — ``2*10^4*num + den``
+    fits comfortably in an int64.
+
+    Contract: ``0 <= num < 2^52/(2*10^scale)`` (~2.25e11 at scale 4)
+    and ``0 < den < 2^52`` — per-document/bounded-count ratios, NOT
+    corpus-scale decimal sums (those stay on :func:`round_frac_int`).
+    Violations raise via the same fused ``assert_true`` idiom instead
+    of wrapping silently; NULL num/den propagate to NULL."""
+    p = 10**scale
+    max_num = _bigint_num_bound(scale)
+    n = num.cast("long")
+    d = den.cast("long")
+    ok = (
+        n.isNull()
+        | d.isNull()
+        | ((n >= 0) & (n < F.lit(max_num)) & (d > 0) & (d < F.lit(1 << 52)))
+    )
+    guard = F.assert_true(
+        ok,
+        F.lit(
+            f"round_frac_bigint: inputs outside the plain-BIGINT contract "
+            f"(0 <= num < {max_num}, 0 < den < 2^52 at scale {scale}); "
+            "use round_frac_int for corpus-scale sums"
+        ),
+    )
+    a = n * F.lit(2 * p) + d
+    b = d * F.lit(2)
+    # a - pmod(a, b) is exact int64; the final division of two longs
+    # (exactly divisible, both < 2^53) is one correctly-rounded —
+    # here exact — IEEE op, identical to DuckDB's BIGINT `//`.
+    return F.when(guard.isNull(), ((a - F.pmod(a, b)) / b).cast("long"))
+
+
+def sql_round_frac_bigint(num: str, den: str, scale: int = 4) -> str:
+    """DuckDB SQL twin of :func:`round_frac_bigint`: all-BIGINT, no
+    HUGEINT anywhere (``//`` of two BIGINTs is BIGINT)."""
+    p = 10**scale
+    return (
+        f"(({2 * p} * CAST(({num}) AS BIGINT) + CAST(({den}) AS BIGINT))"
+        f" // (2 * CAST(({den}) AS BIGINT)))"
+    )
 
 
 def sql_round_frac_int(num: str, den: str, scale: int = 4) -> str:

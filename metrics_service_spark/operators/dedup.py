@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metrics_service_spark.functions.stable import round_frac, round_frac_int
+from metrics_service_spark.functions.stable import (
+    round_frac,
+    round_frac_bigint,
+    round_frac_int,
+)
 
 # Shared LSH band geometry: b=8, r=2 over 16 minhashes puts the s-curve
 # midpoint (1/b)^(1/r) ~= 0.35 below the default 0.5 Jaccard threshold
@@ -802,6 +806,7 @@ def duplicate_span_stats(
     text_col: str,
     *,
     window_tokens: int = 8,
+    frac_rounding: str = "decimal",
 ) -> DataFrame:
     """Exact duplicate-SPAN detection (the Lee et al. 2021 "Dedup
     Training Data" signal): fingerprint every OVERLAPPING
@@ -814,6 +819,14 @@ def duplicate_span_stats(
     exact integer arithmetic end-to-end, no float in the comparison
     surface.  High values = boilerplate/templated text; the per-window
     hits are what a span REMOVAL pass would key on.
+
+    ``frac_rounding`` selects the exact-rounding implementation for
+    ``dup_frac_scaled`` — "decimal" (round_frac_int, DECIMAL(38,0)
+    intermediates) or "bigint" (round_frac_bigint, plain int64
+    arithmetic; identical values at per-doc magnitudes).  Both are
+    exact; the switch exists for the r11 driver-red column bisect
+    (VERDICT r10 #1) where the DECIMAL38/HUGEINT surface is the last
+    un-exonerated suspect.
 
     Scale: the span rows carry only (id, 32-B hash); one explode, one
     map-side-combined hash groupBy (hot boilerplate collapses before
@@ -859,8 +872,14 @@ def duplicate_span_stats(
             # emitted as the exact scaled integer round(10^4 * d/n) —
             # dup_frac itself is dup_frac_scaled / 1e4 for callers
             # that want the double back.
-            round_frac_int(
-                F.col("dup_windows"), F.col("n_windows"), 4
+            (
+                round_frac_bigint(
+                    F.col("dup_windows"), F.col("n_windows"), 4
+                )
+                if frac_rounding == "bigint"
+                else round_frac_int(
+                    F.col("dup_windows"), F.col("n_windows"), 4
+                )
             ).alias("dup_frac_scaled"),
         )
     )
@@ -906,14 +925,21 @@ def duplicate_span_scrub(
     empty unless it is the keeper."""
     w = window_tokens
     toks = F.col("__toks")
-    # jobless length guard fused into the window count (same
-    # assert_true idiom as percentile_buckets/round_frac)
+    # jobless length + id-range guard fused into the window count
+    # (same assert_true idiom as percentile_buckets/round_frac).  The
+    # id bound is ADVICE r10: doc_id * 2^20 + pos wraps the BIGINT
+    # silently under non-ANSI for doc_id >= 2^43 (DuckDB's BIGINT
+    # raises instead — a parity split AND a corrupted keeper choice),
+    # so out-of-range ids error here rather than mis-scrub.
     pos_ok = F.assert_true(
-        F.size(toks) < F.lit(_SCRUB_MAX_POS),
+        (F.size(toks) < F.lit(_SCRUB_MAX_POS))
+        & (F.col("__id") >= 0)
+        & (F.col("__id") < F.lit(1 << 43)),
         F.lit(
             f"duplicate_span_scrub: document exceeds {_SCRUB_MAX_POS - 1} "
-            "tokens — the packed (doc, pos) keeper key would collide; "
-            "split the document first"
+            "tokens or doc id outside [0, 2^43) — the packed (doc, pos) "
+            "keeper key would collide/wrap; split the document or remap "
+            "ids first"
         ),
     )
     n_win = F.when(

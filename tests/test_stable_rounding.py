@@ -19,9 +19,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from metrics_service_spark.functions.stable import (
+    _bigint_num_bound,
     round_frac,
+    round_frac_bigint,
     round_frac_int,
     sql_round_frac,
+    sql_round_frac_bigint,
     sql_round_frac_int,
 )
 
@@ -150,6 +153,70 @@ def test_round_frac_integrity_guard(spark):
         .v
     )
     assert ok == 2**55
+
+
+def test_round_frac_bigint_matches_int_and_duckdb(spark):
+    """The r11 plain-BIGINT rounding path (dup-span bisect): identical
+    values to round_frac_int across the non-negative CASES grid, and
+    bitwise-equal to its all-BIGINT DuckDB twin."""
+    cases = [(abs(n), d) for n, d in CASES if abs(n) < _bigint_num_bound(4)]
+    assert (31, 32) in cases and len(cases) >= 12
+    df = spark.createDataFrame(cases, "num long, den long").select(
+        "num",
+        "den",
+        round_frac_bigint(F.col("num"), F.col("den"), 4).alias("b4"),
+        round_frac_int(F.col("num"), F.col("den"), 4).alias("q4"),
+        round_frac_bigint(F.col("num"), F.col("den"), 0).alias("b0"),
+    )
+    got = {(r.num, r.den): (r.b4, r.q4, r.b0) for r in df.collect()}
+    con = duckdb.connect()
+    for n, d in cases:
+        o4 = con.execute(
+            f"SELECT {sql_round_frac_bigint(str(n), str(d), 4)}"
+        ).fetchone()[0]
+        o0 = con.execute(
+            f"SELECT {sql_round_frac_bigint(str(n), str(d), 0)}"
+        ).fetchone()[0]
+        b4, q4, b0 = got[(n, d)]
+        assert b4 == q4 == o4, (n, d, b4, q4, o4)
+        assert b0 == o0, (n, d, b0, o0)
+        assert isinstance(o4, int)  # BIGINT `//` stays BIGINT — no HUGEINT
+    con.close()
+
+
+def test_round_frac_bigint_guard(spark):
+    """Out-of-contract inputs error instead of wrapping: negative
+    numerators and numerators past the 2^52/(2*10^s) bound."""
+    with pytest.raises(Exception, match="plain-BIGINT contract"):
+        spark.range(1).select(
+            round_frac_bigint(F.lit(-1), F.lit(3), 4)
+        ).collect()
+    with pytest.raises(Exception, match="plain-BIGINT contract"):
+        spark.range(1).select(
+            round_frac_bigint(F.lit(_bigint_num_bound(4) + 1), F.lit(3), 4)
+        ).collect()
+    with pytest.raises(Exception, match="plain-BIGINT contract"):
+        spark.range(1).select(
+            round_frac_bigint(F.lit(3), F.lit(0), 4)
+        ).collect()
+    # NULLs still propagate through the guard
+    row = (
+        spark.range(1)
+        .select(
+            round_frac_bigint(F.lit(None).cast("long"), F.lit(3), 4).alias("a"),
+            round_frac_bigint(F.lit(3), F.lit(None).cast("long"), 4).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert row.a is None and row.b is None
+
+
+def test_round_frac_guard_rejects_negative_overflow(spark):
+    """ADVICE r10: a quotient <= -2^63 must error on the BIGINT path,
+    not silently NULL-cast (the two-sided bound in _check_q)."""
+    big_neg = F.expr(f"cast('-{2**63}' as decimal(38,0))")
+    with pytest.raises(Exception, match="engine-safe"):
+        spark.range(1).select(round_frac_int(big_neg, F.lit(1), 4)).collect()
 
 
 def test_round_frac_decimal_sum_path(spark):
