@@ -45,6 +45,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_dup_spans_counts",
     "doc_dup_spans_frac",
     "doc_dup_spans",
+    # -- NEW r11 surface: ANN recall self-evaluation ----------------------
+    "emb_ann_recall",
     # -- the whole r7-stale generation (latest driver row 4 rounds
     #    old; VERDICT r10 #3 drain) -------------------------------------
     "func_scalar_suite",
@@ -97,9 +99,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_funnel",
     "ev_hash_sessions",
     "ev_interevent_gap",
-    "ev_last_per_user",
     # -- buffer past the 50-entry sample line (rest of the r8 block,
     #    then r9; all differentially pytest-checked every session) ------
+    "ev_last_per_user",
     "ev_monthly_stats",
     "ev_pivot_daily",
     "ev_rolling_7d",

@@ -1129,6 +1129,43 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot_q FROM (
 """
 
 
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k self-evaluation of the IVF index vs the exact
+    brute-force top-k (the FAISS eval loop) — both arms integer-exact,
+    so the oracle replays index build + exact search + the recall
+    arithmetic bit-for-bit.  NEW r11 surface."""
+    from metrics_service_spark.operators.similarity import ann_recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_recall_at_k(
+        emb, queries, k=TOPK, n_cells=16, nprobe=4
+    )
+
+
+# the two arms are the EXISTING oracle texts verbatim, composed as
+# derived tables (DuckDB allows WITH inside a subquery) — the eval
+# entry can never drift from the entries it evaluates
+ORACLE_ANN_RECALL = f"""
+WITH ivf AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF_INT})
+), bf AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE_TOPK})
+), hits AS (
+  SELECT bf.query_id, count(*) AS n_hit
+  FROM bf JOIN ivf USING (query_id, neighbor_id)
+  GROUP BY 1
+), qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
+       {sql_round_frac_bigint("coalesce(h.n_hit, 0)", str(TOPK), 4)}
+           AS recall_scaled
+FROM qs q LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_emb_pq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011, the FAISS IVF-PQ
     family), integer-exact end to end: per-subspace codebooks trained
@@ -3469,6 +3506,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_emb_ann_ivf_int,
         ORACLE_ANN_IVF_INT,
         "IVF top-k, integer-exact index+search — full pipeline oracle",
+        ("llm",),
+    ),
+    "emb_ann_recall": QuerySpec(
+        q_emb_ann_recall,
+        ORACLE_ANN_RECALL,
+        "recall@k of the IVF index vs exact brute-force top-k (FAISS "
+        "eval loop), integer-exact on both arms, plain-BIGINT recall",
         ("llm",),
     ),
     "emb_pq_topk_int": QuerySpec(

@@ -2723,3 +2723,71 @@ def prototypicality_int(
             "cell_rank",
         )
     )
+
+
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force top-k —
+    the self-measurement step every real ANN deployment runs before
+    trusting an approximate index (FAISS's standard eval loop; the
+    reference has no ANN surface, so this cites only the public
+    recipe).  Both arms are the integer-exact pipelines
+    (:func:`ivf_topk_int`, :func:`brute_force_topk`), so ties at the
+    rank-k boundary resolve identically on both engines and a SQL
+    oracle replays the WHOLE evaluation — index build, exact search,
+    and the recall arithmetic — bit-for-bit.
+
+    Output: (query_id, hits, recall_scaled) where hits = |ivf top-k ∩
+    exact top-k| and recall_scaled = round_half_up(10^4 * hits / k) as
+    BIGINT (plain-int64 rounding — no float, no DECIMAL in the hash
+    surface).  Queries whose IVF probes miss every true neighbor
+    zero-fill rather than drop.
+
+    Scale: the exact arm is the broadcast-queries corpus scan of
+    `brute_force_topk` — recall evaluation is by design run on a
+    bounded query SAMPLE (the queries frame), so the quadratic term is
+    |queries| x corpus, one scan per arm, never corpus x corpus.  The
+    intersection join keys on (query_id, neighbor_id) — k-bounded rows
+    per query on both sides."""
+    from metrics_service_spark.functions.stable import round_frac_bigint
+
+    ivf = ivf_topk_int(
+        embeddings,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    exact = brute_force_topk(
+        embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    return (
+        qids.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .select(
+            "query_id",
+            "hits",
+            round_frac_bigint(F.col("hits"), F.lit(k), 4).alias(
+                "recall_scaled"
+            ),
+        )
+    )
