@@ -2665,6 +2665,60 @@ SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
 """
 
 
+# --- temperature-flattened source mixing (alpha = 0.5) -----------------------
+TEMP_KEEP_TOTAL = 100
+
+
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Pile-style domain rebalancing: per-source quotas
+    proportional to sqrt(n_s) (temperature alpha = 0.5) instead of the
+    hard per-source cap of doc_source_quota — head domains flatten,
+    the long tail keeps presence.  Integer-exact end to end: the
+    engine-portable one-step-corrected isqrt + round_frac_bigint
+    apportionment + the md5 draw.  NEW r11 surface."""
+    from metrics_service_spark.operators.sampling import (
+        temperature_source_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_source_sample(
+        docs, "source", "doc_id", keep_total=TEMP_KEEP_TOTAL
+    )
+
+
+# the isqrt correction is the additive one-step form (y0 within +-1 of
+# the true root for n < 2^52 because double(n) is exact and sqrt is
+# correctly rounded): y = y0 + [ (y0+1)^2 <= n ] - [ y0^2 > n ]
+ORACLE_TEMPERATURE_MIX = f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), y AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS y0
+  FROM c
+), iq AS (
+  SELECT source,
+         y0 + (CASE WHEN (y0+1)*(y0+1) <= n THEN 1 ELSE 0 END)
+            - (CASE WHEN y0*y0 > n THEN 1 ELSE 0 END) AS w
+  FROM y
+), tot AS (
+  SELECT CAST(sum(w) AS BIGINT) AS tw FROM iq
+), quota AS (
+  SELECT source,
+         {sql_round_frac_bigint(f"w * {TEMP_KEEP_TOTAL}", "tw", 0)} AS q
+  FROM iq, tot
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM r JOIN quota USING (source)
+WHERE rk <= q
+"""
+
+
 # --- corpus k-NN graph ------------------------------------------------------
 KNN_K = 3
 #: the knn entry pioneered the footer-derived geometry (r8); it now
@@ -3677,6 +3731,14 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SOURCE_QUOTA,
         "per-source quota capping (domain balancing) by deterministic "
         "md5 draw",
+        ("llm",),
+    ),
+    "doc_temperature_mix": QuerySpec(
+        q_doc_temperature_mix,
+        ORACLE_TEMPERATURE_MIX,
+        "temperature-flattened source mixing (alpha=0.5, Gopher/Pile "
+        "domain rebalancing): sqrt-proportional quotas via exact isqrt "
+        "+ plain-BIGINT apportionment + md5 draw",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

@@ -225,3 +225,69 @@ def shuffle_shard(
         .withColumn("pos", F.row_number().over(w).cast("int"))
         .select(id_col, "shard", "pos")
     )
+
+
+def isqrt_long(x: Column) -> Column:
+    """Exact floor(sqrt(x)) for BIGINT 0 <= x < 2^52, engine-portable:
+    the double sqrt of an exactly-representable x is within one ULP of
+    the true root, so floor() lands within +-1 of isqrt(x) and ONE
+    additive correction step makes it exact — the same expression (and
+    therefore the same result) on Spark and in the DuckDB oracle twin
+    (see catalog's temperature-mix entry), with no reliance on either
+    engine's libm rounding at perfect-square knife edges."""
+    y0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        y0
+        + F.when((y0 + 1) * (y0 + 1) <= x, F.lit(1)).otherwise(F.lit(0))
+        - F.when(y0 * y0 > x, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def temperature_source_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    keep_total: int,
+) -> DataFrame:
+    """Temperature-flattened source mixing at alpha = 0.5 (the
+    Gopher/The-Pile domain-rebalancing pass): per-source keep quotas
+    proportional to sqrt(n_s) instead of n_s, so head domains stop
+    dominating the training mix while long-tail sources keep presence.
+    quota_s = round_half_up(keep_total * isqrt(n_s) / sum isqrt(n_s)),
+    rows chosen per source by the deterministic md5(id) draw — every
+    step integer arithmetic (exact isqrt + round_frac_bigint), so the
+    whole pass is oracle-replayable bit-for-bit.  Simple per-source
+    rounding means the realized total is keep_total +- n_sources/2 —
+    the right trade at corpus scale, where largest-remainder
+    apportionment would cost a global sort for a cosmetic exactness.
+
+    Scale: one map-side-combined count agg (rows ~ n_sources), the
+    quota frame broadcast back, and ONE source-keyed window rank over
+    the corpus — quotas vary per group, so the rank filter cannot push
+    as a WindowGroupLimit constant, but it is still a single streaming
+    pass per partition after the one source-keyed shuffle.  Output:
+    (id, group, rk) for the kept rows."""
+    from metrics_service_spark.functions.stable import round_frac_bigint
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(
+        group_col, isqrt_long(F.col("__n")).alias("__w")
+    )
+    total = weights.agg(F.sum("__w").alias("__tw"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        group_col,
+        round_frac_bigint(
+            F.col("__w") * F.lit(keep_total), F.col("__tw"), 0
+        ).alias("__q"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("rk") <= F.col("__q"))
+        .select(id_col, group_col, F.col("rk").cast("int").alias("rk"))
+    )

@@ -8,6 +8,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from metrics_service_spark.sources.tables import TABLES
 from metrics_service_spark.testing.oracle import _canon_rows
@@ -70,3 +71,63 @@ def test_dup_span_bisect_oracles_are_materialization_invariant():
             assert _canon_rows(cols, exact) == _canon_rows(cols, via_pandas)
         finally:
             con.close()
+
+
+def test_isqrt_long_exact_at_knife_edges(spark):
+    """The one-step-corrected isqrt must be exact wherever double sqrt
+    can wobble: perfect squares, squares +-1, and large values near
+    the 2^52 contract bound — on BOTH engines, against math.isqrt."""
+    import math
+
+    import duckdb
+
+    cases = []
+    for b in [0, 1, 2, 3, 10, 99, 10**6, 2**26 - 1, 2**26]:
+        for sq in (b * b, b * b + 1, max(b * b - 1, 0)):
+            cases.append(sq)
+    cases += [2**52 - 1, 4503599627370241]  # (2^26)^2 + 1 territory
+    cases = sorted(set(cases))
+
+    from metrics_service_spark.operators.sampling import isqrt_long
+
+    df = spark.createDataFrame([(x,) for x in cases], "x long").select(
+        "x", isqrt_long(F.col("x")).alias("y")
+    )
+    got = {r.x: r.y for r in df.collect()}
+    con = duckdb.connect()
+    for x in cases:
+        expect = math.isqrt(x)
+        assert got[x] == expect, (x, got[x], expect)
+        sql = (
+            f"SELECT y0 + (CASE WHEN (y0+1)*(y0+1) <= {x} THEN 1 ELSE 0 END)"
+            f" - (CASE WHEN y0*y0 > {x} THEN 1 ELSE 0 END) FROM "
+            f"(SELECT CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) AS y0)"
+        )
+        assert con.execute(sql).fetchone()[0] == expect, x
+    con.close()
+
+
+def test_temperature_mix_flattens_head_domains(spark):
+    """Property: with alpha=0.5 quotas, a source 100x another's size
+    gets ~10x (sqrt-proportional) the quota, not 100x — and no quota
+    exceeds what rounding of the sqrt weights allows."""
+    import math
+
+    from metrics_service_spark.operators.sampling import (
+        temperature_source_sample,
+    )
+
+    rows = [(i, "head") for i in range(400)] + [
+        (1000 + i, "tail") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_source_sample(
+        df, "source", "doc_id", keep_total=22
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.source, 0)
+        by[r.source] += 1
+    # weights isqrt: head 20, tail 2 -> quotas 20, 2 of 22
+    assert by == {"head": 20, "tail": 2}, by
+    assert math.isqrt(400) == 20  # the flattening: 100x mass -> 10x quota
