@@ -96,10 +96,12 @@ HEADLINE = [
     # round-10: duplicate-span REMOVAL (the cleaned-corpus deliverable
     # doc_dup_spans only measures)
     "doc_span_scrub",
-    # round-11: ANN recall self-evaluation (both arms in one plan) and
-    # the temperature-flattened source-mixing pass
+    # round-11: ANN recall self-evaluation (both arms in one plan),
+    # the temperature-flattened source-mixing pass, and the
+    # duplicate-run statistics (islands + coverage union)
     "emb_ann_recall",
     "doc_temperature_mix",
+    "doc_dup_span_runs",
 ]
 
 

@@ -45,9 +45,11 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_dup_spans_counts",
     "doc_dup_spans_frac",
     "doc_dup_spans",
-    # -- NEW r11 surface: ANN recall self-eval + temperature mixing -------
+    # -- NEW r11 surface: ANN recall self-eval, temperature mixing,
+    #    duplicate-run statistics ----------------------------------------
     "emb_ann_recall",
     "doc_temperature_mix",
+    "doc_dup_span_runs",
     # -- the whole r7-stale generation (latest driver row 4 rounds
     #    old; VERDICT r10 #3 drain) -------------------------------------
     "func_scalar_suite",
@@ -98,9 +100,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_day_spine",
     "ev_filter_project",
     "ev_funnel",
-    "ev_hash_sessions",
     # -- buffer past the 50-entry sample line (rest of the r8 block,
     #    then r9; all differentially pytest-checked every session) ------
+    "ev_hash_sessions",
     "ev_interevent_gap",
     "ev_last_per_user",
     "ev_monthly_stats",

@@ -2639,6 +2639,73 @@ FROM t LEFT JOIN kept k USING (doc_id)
 """
 
 
+# --- duplicate-run statistics (islands over flagged window positions) -------
+
+
+def q_doc_dup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-duplicated-run statistics (the other signal Lee et al.
+    2021 report): consecutive duplicated window positions merge into
+    maximal runs, duplicated token coverage is the exact union of the
+    flagged windows' spans.  NEW r11 surface — same span skeleton as
+    doc_dup_spans/doc_span_scrub, every final column a bare-cast
+    BIGINT (materialization-safe per ORACLE_COMPAT rule 1)."""
+    from metrics_service_spark.operators.dedup import duplicate_span_runs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_runs(
+        docs, "doc_id", "text", window_tokens=SPAN_WINDOW
+    )
+
+
+ORACLE_DUP_SPAN_RUNS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {SPAN_WINDOW} + 1, 1) + 1)) AS i
+  FROM t
+), spans AS (
+  SELECT doc_id, i,
+         md5(array_to_string(
+             list_slice(toks, i, least(i + {SPAN_WINDOW} - 1, len(toks))),
+             ' ')) AS wh
+  FROM pos
+), counts AS (
+  SELECT wh, count(*) AS n FROM spans GROUP BY 1
+), flagged AS (
+  SELECT doc_id, i FROM spans JOIN counts USING (wh) WHERE n > 1
+), lens AS (
+  SELECT doc_id, len(toks) AS l FROM t
+), grp AS (
+  SELECT doc_id, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+  FROM flagged
+), runs0 AS (
+  SELECT doc_id, g, min(i) AS p0, max(i) AS p1 FROM grp GROUP BY 1, 2
+), runs AS (
+  SELECT r.doc_id, count(*) AS n_runs,
+         max(least(p1 + {SPAN_WINDOW} - 1, l) - p0 + 1) AS max_run_tokens
+  FROM runs0 r JOIN lens USING (doc_id)
+  GROUP BY 1
+), cov AS (
+  SELECT doc_id, count(*) AS covered_tokens FROM (
+    SELECT DISTINCT doc_id, j FROM (
+      SELECT f.doc_id,
+             unnest(range(f.i, least(f.i + {SPAN_WINDOW} - 1, l.l) + 1)) AS j
+      FROM flagged f JOIN lens l USING (doc_id)
+    )
+  ) GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(r.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(r.max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens
+FROM t
+LEFT JOIN runs r USING (doc_id)
+LEFT JOIN cov c USING (doc_id)
+"""
+
+
 # --- per-source quota capping -----------------------------------------------
 SOURCE_QUOTA = 10
 
@@ -3716,6 +3783,14 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_DUP_SPANS_FRAC,
         "dup-span bisect, fraction arm: dup_frac_scaled in plain "
         "BIGINT arithmetic on both engines (no DECIMAL38/HUGEINT)",
+        ("llm",),
+    ),
+    "doc_dup_span_runs": QuerySpec(
+        q_doc_dup_span_runs,
+        ORACLE_DUP_SPAN_RUNS,
+        "duplicated-run statistics per doc: maximal islands of "
+        "flagged window positions (count, longest run in tokens) + "
+        "exact duplicated-token coverage union",
         ("llm",),
     ),
     "doc_span_scrub": QuerySpec(

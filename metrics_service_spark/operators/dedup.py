@@ -1018,3 +1018,121 @@ def duplicate_span_scrub(
         .alias("n_removed"),
         F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
     )
+
+
+def duplicate_span_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Duplicate-RUN statistics per document — the longest-match shape
+    Lee et al. 2021 report alongside the fraction: consecutive
+    duplicated window positions merge into runs (maximal islands), and
+    the duplicated token COVERAGE is the exact union of the flagged
+    windows' token spans (two nearby runs can overlap in coverage when
+    their gap is narrower than the window, so coverage is a distinct
+    count over exploded (doc, pos) keys, never a sum over runs).
+    Output: (id, n_runs, max_run_tokens, covered_tokens) — all exact
+    integers, zero-filled for clean docs.
+
+    A run of L consecutive flagged positions starting at p covers
+    tokens p .. min(p+L-1 + W-1, n_tokens).  Islands form with the
+    classic gaps-and-islands key (p - row_number over (doc ORDER BY
+    p)) — one doc-keyed window over ONLY the flagged positions (a
+    small fraction of token mass), not over all windows.
+
+    Scale: identical skeleton to duplicate_span_stats/scrub — explode
+    to (id, pos, hash), map-side-combined corpus count, flag join —
+    plus one doc-keyed window on the flagged subset and one distinct
+    over exploded coverage keys; everything keyed by doc or span
+    hash, linear in token mass."""
+    from pyspark.sql import Window
+
+    w = window_tokens
+    toks = F.col("__toks")
+    n_win = F.greatest(F.size(toks) - w + 1, F.lit(1))
+    spread = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("h"),
+        ),
+    )
+    spans = (
+        spread.select("__id", F.explode(wins).alias("__w"))
+        .select(
+            "__id",
+            F.col("__w.p").alias("__p"),
+            F.col("__w.h").alias("__wh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = spans.groupBy("__wh").agg(F.count(F.lit(1)).alias("__n"))
+    # flagged positions feed BOTH the islands window and the coverage
+    # explode — one lazy checkpoint at the shared seam
+    flagged = (
+        spans.join(counts, "__wh")
+        .filter(F.col("__n") > 1)
+        .select("__id", "__p")
+        .localCheckpoint(eager=False)
+    )
+    lens = spread.select("__id", F.size(toks).alias("__len"))
+    iw = Window.partitionBy("__id").orderBy("__p")
+    runs = (
+        flagged.withColumn(
+            "__grp", F.col("__p") - F.row_number().over(iw)
+        )
+        .groupBy("__id", "__grp")
+        .agg(
+            F.min("__p").alias("__p0"),
+            F.max("__p").alias("__p1"),
+        )
+        .join(lens, "__id")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max(
+                F.least(F.col("__p1") + F.lit(w - 1), F.col("__len"))
+                - F.col("__p0")
+                + F.lit(1)
+            ).alias("max_run_tokens"),
+        )
+    )
+    coverage = (
+        flagged.join(lens, "__id")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(
+                    F.col("__p"),
+                    F.least(F.col("__p") + F.lit(w - 1), F.col("__len")),
+                )
+            ).alias("__tpos"),
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return (
+        spread.select("__id")
+        .join(runs, "__id", "left")
+        .join(coverage, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_runs"), F.lit(0))
+            .cast("long")
+            .alias("n_runs"),
+            F.coalesce(F.col("max_run_tokens"), F.lit(0))
+            .cast("long")
+            .alias("max_run_tokens"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
