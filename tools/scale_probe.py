@@ -119,6 +119,17 @@ QUERIES = [
     # anti-join and per-doc reassembly; expected to track the
     # doc_dup_spans row (string/token mass, per-node-linear)
     "doc_span_scrub",
+    # r11: duplicate-run islands — dup_spans' span mass plus a
+    # doc-keyed window over ONLY the flagged subset and a distinct
+    # over exploded coverage keys; expected to track doc_span_scrub
+    "doc_dup_span_runs",
+    # r11: count agg (rows ~ n_sources) + broadcast quota + ONE
+    # source-keyed window rank; expected ~linear scan/shuffle fill
+    "doc_temperature_mix",
+    # r11: recall eval — the exact arm is |queries| x corpus with the
+    # query sample FIXED (8), so the probe should be ~linear in the
+    # corpus despite the brute-force label
+    "emb_ann_recall",
 ]
 
 
