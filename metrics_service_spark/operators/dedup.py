@@ -1075,12 +1075,16 @@ def duplicate_span_runs(
     )
     counts = spans.groupBy("__wh").agg(F.count(F.lit(1)).alias("__n"))
     # flagged positions feed BOTH the islands window and the coverage
-    # explode — one lazy checkpoint at the shared seam
+    # explode.  NOT checkpointed: the flagged set is the corpus's whole
+    # duplicated-window mass, and materializing it in the block manager
+    # OOM'd the 50x probe (8g heap) — re-deriving the spans⋈counts
+    # filter per consumer pipelines above each consumer's own shuffle
+    # instead (spans itself IS checkpointed, so the re-derivation is
+    # one hash join, the same shape doc_span_scrub probes at 5.0x).
     flagged = (
         spans.join(counts, "__wh")
         .filter(F.col("__n") > 1)
         .select("__id", "__p")
-        .localCheckpoint(eager=False)
     )
     lens = spread.select("__id", F.size(toks).alias("__len"))
     iw = Window.partitionBy("__id").orderBy("__p")
