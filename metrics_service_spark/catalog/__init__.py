@@ -48,6 +48,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     # -- NEW r11 surface: ANN recall self-eval, temperature mixing,
     #    duplicate-run statistics ----------------------------------------
     "emb_ann_recall",
+    "emb_ann_recall_lsh",
     "doc_temperature_mix",
     "doc_dup_span_runs",
     # -- the whole r7-stale generation (latest driver row 4 rounds
@@ -99,9 +100,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_asof_orders",
     "ev_day_spine",
     "ev_filter_project",
-    "ev_funnel",
     # -- buffer past the 50-entry sample line (rest of the r8 block,
     #    then r9; all differentially pytest-checked every session) ------
+    "ev_funnel",
     "ev_hash_sessions",
     "ev_interevent_gap",
     "ev_last_per_user",

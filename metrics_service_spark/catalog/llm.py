@@ -1166,6 +1166,39 @@ FROM qs q LEFT JOIN hits h USING (query_id)
 """
 
 
+def q_emb_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH arm of the recall self-evaluation — same composition as
+    emb_ann_recall with ann_topk_int (4 planes x 4 tables) as the
+    approximate index, so the two entries together compare the two
+    index families' recall on identical queries."""
+    from metrics_service_spark.operators.similarity import ann_recall_at_k
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_recall_at_k(emb, queries, k=TOPK, method="lsh")
+
+
+def _oracle_ann_recall_lsh() -> str:
+    return f"""
+WITH lsh AS (
+  SELECT query_id, neighbor_id FROM ({_oracle_ann_lsh_int()})
+), bf AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE_TOPK})
+), hits AS (
+  SELECT bf.query_id, count(*) AS n_hit
+  FROM bf JOIN lsh USING (query_id, neighbor_id)
+  GROUP BY 1
+), qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
+       {sql_round_frac_bigint("coalesce(h.n_hit, 0)", str(TOPK), 4)}
+           AS recall_scaled
+FROM qs q LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_emb_pq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011, the FAISS IVF-PQ
     family), integer-exact end to end: per-subspace codebooks trained
@@ -3634,6 +3667,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_ANN_RECALL,
         "recall@k of the IVF index vs exact brute-force top-k (FAISS "
         "eval loop), integer-exact on both arms, plain-BIGINT recall",
+        ("llm",),
+    ),
+    "emb_ann_recall_lsh": QuerySpec(
+        q_emb_ann_recall_lsh,
+        _oracle_ann_recall_lsh(),
+        "recall@k of the multi-table LSH index vs exact top-k — the "
+        "IVF entry's twin, same queries, comparable across families",
         ("llm",),
     ),
     "emb_pq_topk_int": QuerySpec(

@@ -2734,8 +2734,10 @@ def ann_recall_at_k(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    method: str = "ivf",
 ) -> DataFrame:
-    """Recall@k of the IVF index against the exact brute-force top-k —
+    """Recall@k of an approximate index against the exact brute-force
+    top-k —
     the self-measurement step every real ANN deployment runs before
     trusting an approximate index (FAISS's standard eval loop; the
     reference has no ANN surface, so this cites only the public
@@ -2743,7 +2745,9 @@ def ann_recall_at_k(
     (:func:`ivf_topk_int`, :func:`brute_force_topk`), so ties at the
     rank-k boundary resolve identically on both engines and a SQL
     oracle replays the WHOLE evaluation — index build, exact search,
-    and the recall arithmetic — bit-for-bit.
+    and the recall arithmetic — bit-for-bit.  ``method`` selects the
+    approximate arm: "ivf" (:func:`ivf_topk_int`, n_cells/nprobe) or
+    "lsh" (:func:`ann_topk_int`, the 4-plane 4-table family).
 
     Output: (query_id, hits, recall_scaled) where hits = |ivf top-k ∩
     exact top-k| and recall_scaled = round_half_up(10^4 * hits / k) as
@@ -2759,20 +2763,32 @@ def ann_recall_at_k(
     per query on both sides."""
     from metrics_service_spark.functions.stable import round_frac_bigint
 
-    ivf = ivf_topk_int(
-        embeddings,
-        queries,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        n_cells=n_cells,
-        nprobe=nprobe,
-    ).select("query_id", "neighbor_id")
+    if method == "lsh":
+        approx = ann_topk_int(
+            embeddings,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            planes=4,
+            tables=4,
+        )
+    else:
+        approx = ivf_topk_int(
+            embeddings,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k,
+            n_cells=n_cells,
+            nprobe=nprobe,
+        )
+    approx = approx.select("query_id", "neighbor_id")
     exact = brute_force_topk(
         embeddings, queries, id_col=id_col, vec_col=vec_col, k=k
     ).select("query_id", "neighbor_id")
     hits = (
-        exact.join(ivf, ["query_id", "neighbor_id"])
+        exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
