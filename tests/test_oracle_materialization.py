@@ -1,0 +1,80 @@
+"""Catalog-wide guard for the ORACLE_COMPAT bug class (r11).
+
+DuckDB's HUGEINT (any bare integer ``sum()``) and DECIMAL columns
+materialize as exact values under ``fetchall()`` but as float64 under
+pandas, while the Spark side of the same entry emits a non-null LONG
+(int64 both ways).  A driver that materializes through pandas then
+sees ``'7.0' != '7'`` — hash-red with rows+schema green, invisible to
+every fetchall-based local sweep.  This held ``doc_dup_spans`` red for
+three rounds (see ORACLE_COMPAT.md).
+
+The rule enforced here, over EVERY oracle's final projection at
+sf0.001: a column whose exact values are all integers/Decimals with no
+NULLs must NOT come back float64 from ``.df()`` — wrap the expression
+in ``CAST(... AS BIGINT)``.  Nullable integer columns are exempt
+(Spark's toPandas makes the identical nullable-int -> float64
+conversion, so they canonicalize symmetrically — four rounds of green
+driver rows across the matview/orders_rollup class), as are genuine
+DOUBLE columns.  ``doc_dup_spans`` is the deliberate red control for
+the r11 bisect and is excluded by name.
+"""
+
+from __future__ import annotations
+
+import decimal
+import os
+
+import duckdb
+import pytest
+
+from metrics_service_spark.catalog import all_queries
+from metrics_service_spark.sources.tables import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+#: deliberate exception: the unchanged v1 control of the r11 dup-span
+#: column bisect (its counts/frac siblings carry the fixed surface)
+KNOWN_ASYMMETRIC = {"doc_dup_spans"}
+
+
+def test_no_asymmetric_integer_columns_in_oracle_projections():
+    catalog = all_queries()
+    offenders: list[str] = []
+    for name, spec in catalog.items():
+        if spec.oracle is None or name in KNOWN_ASYMMETRIC:
+            continue
+        con = duckdb.connect()
+        try:
+            for t in TABLES:
+                p = os.path.join(SF_DIR, f"{t}.parquet")
+                if os.path.exists(p):
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                    )
+            cur = con.execute(spec.oracle)
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+            if not rows:
+                continue
+            pdf = con.execute(spec.oracle).df()
+            for i, col in enumerate(cols):
+                vals = [r[i] for r in rows]
+                if any(v is None for v in vals):
+                    continue  # nullable class: symmetric under pandas
+                if not all(
+                    isinstance(v, (int, decimal.Decimal))
+                    and not isinstance(v, bool)
+                    for v in vals
+                ):
+                    continue  # genuine doubles/strings/dates
+                if str(pdf.dtypes[col]) == "float64":
+                    offenders.append(f"{name}.{col}")
+        finally:
+            con.close()
+    assert not offenders, (
+        "oracle columns that are exact integers under fetchall but "
+        "float64 under pandas (HUGEINT/DECIMAL in the final projection "
+        "— a pandas-materializing comparator hash-splits these against "
+        f"Spark's int64): {offenders}; wrap in CAST(... AS BIGINT) "
+        "(see ORACLE_COMPAT.md)"
+    )
