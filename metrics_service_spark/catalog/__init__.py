@@ -51,6 +51,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_recall_lsh",
     "doc_temperature_mix",
     "doc_dup_span_runs",
+    "doc_minhash_estimate",
     # -- the whole r7-stale generation (latest driver row 4 rounds
     #    old; VERDICT r10 #3 drain) -------------------------------------
     "func_scalar_suite",
@@ -99,9 +100,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_sq8_topk_int",
     "ev_asof_orders",
     "ev_day_spine",
-    "ev_filter_project",
     # -- buffer past the 50-entry sample line (rest of the r8 block,
     #    then r9; all differentially pytest-checked every session) ------
+    "ev_filter_project",
     "ev_funnel",
     "ev_hash_sessions",
     "ev_interevent_gap",

@@ -787,6 +787,77 @@ def _md5_band_sql(num_hashes: int, bands: int) -> tuple[str, str, str]:
     return sig_cols, band_cases, band_values
 
 
+def q_doc_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (NEW r11 — the dedup-stack twin
+    of emb_ann_recall's index self-eval): per md5-LSH candidate pair,
+    the signature-agreement Jaccard estimate vs the exact shingle
+    Jaccard, both as scaled BIGINTs, plus the absolute error."""
+    from metrics_service_spark.operators.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=8,
+    )
+
+
+def _oracle_minhash_estimate(
+    num_hashes: int = 16, bands: int = 8, max_bucket: int = 1000
+) -> str:
+    sig_cols, band_cases, band_values = _md5_band_sql(num_hashes, bands)
+    agree = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = sql_round_frac_bigint("agree", str(num_hashes), 4)
+    exact = sql_round_frac_bigint("inter", "uni", 4)
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+), bandsx AS (
+  SELECT doc_id, band, CASE band {band_cases} END AS bh
+  FROM sig, (VALUES {band_values}) b(band)
+), counts AS (
+  SELECT band, bh, count(*) AS c FROM bandsx GROUP BY 1, 2
+), pruned AS (
+  SELECT bandsx.doc_id, bandsx.band, bandsx.bh
+  FROM bandsx JOIN counts USING (band, bh) WHERE c <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pruned a JOIN pruned b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), ag AS (
+  SELECT id_a, id_b, ({agree}) AS agree
+  FROM cand JOIN sig a ON a.doc_id = cand.id_a
+            JOIN sig b ON b.doc_id = cand.id_b
+), pairs AS (
+  SELECT id_a, id_b, agree,
+         CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+              AS BIGINT) AS uni
+  FROM ag JOIN sh sa ON sa.doc_id = ag.id_a
+          JOIN sh sb ON sb.doc_id = ag.id_b
+)
+SELECT id_a, id_b,
+       {est} AS est_scaled,
+       {exact} AS exact_scaled,
+       abs({est} - {exact}) AS err_scaled
+FROM pairs
+"""
+
+
 def _oracle_minhash_md5(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, max_bucket: int = 1000
 ) -> str:
@@ -3562,6 +3633,14 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_minhash_dedup": QuerySpec(
         q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",),
         exact_twin="doc_minhash_dedup_md5",
+    ),
+    "doc_minhash_estimate": QuerySpec(
+        q_doc_minhash_estimate,
+        _oracle_minhash_estimate(),
+        "MinHash estimator calibration: per candidate pair, the "
+        "signature-agreement estimate vs exact shingle Jaccard "
+        "(scaled BIGINTs) + absolute error",
+        ("llm",),
     ),
     "doc_minhash_dedup_md5": QuerySpec(
         q_doc_minhash_dedup_md5,

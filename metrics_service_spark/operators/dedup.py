@@ -1140,3 +1140,95 @@ def duplicate_span_runs(
             .alias("covered_tokens"),
         )
     )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash estimator CALIBRATION (the twin of emb_ann_recall's
+    index self-evaluation, for the dedup stack): over the md5-LSH
+    candidate pairs, compare the signature-agreement Jaccard estimate
+    (agree / num_hashes — the MinHash unbiased estimator) against the
+    exact shingle Jaccard, per pair.  This is the measurement a real
+    pipeline runs before trusting the estimator at a new shingle size
+    or signature width.  All-integer hash surface:
+    (id_a, id_b, est_scaled, exact_scaled, err_scaled) with the two
+    ratios as round_half_up(10^4 * x) BIGINTs and err = |est - exact|.
+
+    Scale: the same banded skeleton as minhash_near_duplicates_md5
+    (signature frame checkpointed once, band equi-join with the
+    hot-bucket guard, candidate set k-bounded per bucket) plus two
+    broadcast-shaped joins back to the signature and shingle frames —
+    cost tracks the near-dup entry, never all-pairs."""
+    from metrics_service_spark.functions.stable import round_frac_bigint
+
+    sigs = minhash_signatures_md5(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
+    all_bands = md5_band_rows(sigs, "__id", num_hashes=num_hashes, bands=bands)
+    counts = all_bands.groupBy("__band", "__bh").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    pruned = all_bands.join(
+        counts.filter(F.col("__n") <= max_bucket), ["__band", "__bh"], "inner"
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bh") == F.col("b.__bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    toks = F.split(F.col(text_col), " ")
+    sh = (
+        df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
+        .localCheckpoint(eager=False)
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+    est = round_frac_bigint(agree.cast("long"), F.lit(num_hashes), 4)
+    exact = round_frac_bigint(inter.cast("long"), union.cast("long"), 4)
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(
+            sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_scaled"),
+            exact.alias("exact_scaled"),
+            F.abs(est - exact).alias("err_scaled"),
+        )
+    )
