@@ -130,6 +130,10 @@ QUERIES = [
     # query sample FIXED (8), so the probe should be ~linear in the
     # corpus despite the brute-force label
     "emb_ann_recall",
+    # r11: estimator calibration — minhash_dedup_md5's banded skeleton
+    # plus two signature/shingle re-joins on the k-bounded candidate
+    # set; expected to track the doc_minhash_dedup row
+    "doc_minhash_estimate",
 ]
 
 
