@@ -49,6 +49,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     #    duplicate-run statistics ----------------------------------------
     "emb_ann_recall",
     "emb_ann_recall_lsh",
+    "emb_ann_recall_pq",
+    "emb_ann_recall_sq8",
+    "emb_ann_recall_ivfpq",
     "doc_temperature_mix",
     "doc_dup_span_runs",
     "doc_minhash_estimate",
@@ -97,11 +100,11 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_source_quota",
     "doc_split_leakage_safe",
     "emb_pq_topk_int",
+    # -- buffer past the 50-entry sample line (rest of the r8 block,
+    #    then r9; all differentially pytest-checked every session) ------
     "emb_sq8_topk_int",
     "ev_asof_orders",
     "ev_day_spine",
-    # -- buffer past the 50-entry sample line (rest of the r8 block,
-    #    then r9; all differentially pytest-checked every session) ------
     "ev_filter_project",
     "ev_funnel",
     "ev_hash_sessions",

@@ -1270,6 +1270,89 @@ FROM qs q LEFT JOIN hits h USING (query_id)
 """
 
 
+# --- recall matrix across the remaining index families ----------------------
+# Each entry passes its family's own top-k frame through
+# ann_recall_at_k(approx=...) and composes that family's EXISTING
+# oracle with ORACLE_TOPK — recall is measured for every index the
+# catalog ships (ivf, lsh, pq, sq8, ivfpq), FAISS-eval style, and the
+# eval can never drift from the entry it evaluates.
+
+
+def _recall_oracle(arm_sql: str) -> str:
+    return f"""
+WITH approx AS (
+  SELECT query_id, neighbor_id FROM ({arm_sql})
+), bf AS (
+  SELECT query_id, neighbor_id FROM ({ORACLE_TOPK})
+), hits AS (
+  SELECT bf.query_id, count(*) AS n_hit
+  FROM bf JOIN approx USING (query_id, neighbor_id)
+  GROUP BY 1
+), qs AS (
+  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
+       {sql_round_frac_bigint("coalesce(h.n_hit, 0)", str(TOPK), 4)}
+           AS recall_scaled
+FROM qs q LEFT JOIN hits h USING (query_id)
+"""
+
+
+def q_emb_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.similarity import (
+        ann_recall_at_k,
+        pq_topk_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_recall_at_k(
+        emb,
+        queries,
+        k=TOPK,
+        approx=pq_topk_int(emb, queries, m=8, k_codes=16, iters=2, k=TOPK),
+    )
+
+
+def q_emb_ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.similarity import (
+        ann_recall_at_k,
+        sq8_topk_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_recall_at_k(
+        emb, queries, k=TOPK, approx=sq8_topk_int(emb, queries, k=TOPK)
+    )
+
+
+def q_emb_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metrics_service_spark.operators.similarity import (
+        ann_recall_at_k,
+        ivfpq_topk_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_recall_at_k(
+        emb,
+        queries,
+        k=TOPK,
+        approx=ivfpq_topk_int(
+            emb,
+            queries,
+            n_cells=_derived_cells(sf_dir),
+            nprobe=4,
+            m=8,
+            k_codes=16,
+            iters=2,
+            k=TOPK,
+        ),
+    )
+
+
 def q_emb_pq_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011, the FAISS IVF-PQ
     family), integer-exact end to end: per-subspace codebooks trained
@@ -3753,6 +3836,27 @@ QUERIES: dict[str, QuerySpec] = {
         _oracle_ann_recall_lsh(),
         "recall@k of the multi-table LSH index vs exact top-k — the "
         "IVF entry's twin, same queries, comparable across families",
+        ("llm",),
+    ),
+    "emb_ann_recall_pq": QuerySpec(
+        q_emb_ann_recall_pq,
+        _recall_oracle(ORACLE_PQ_TOPK_INT),
+        "recall@k of the PQ/ADC index vs exact top-k (train + encode "
+        "+ search replayed inside the eval)",
+        ("llm",),
+    ),
+    "emb_ann_recall_sq8": QuerySpec(
+        q_emb_ann_recall_sq8,
+        _recall_oracle(ORACLE_SQ8_TOPK_INT),
+        "recall@k of the SQ8 byte-code index vs exact top-k",
+        ("llm",),
+    ),
+    "emb_ann_recall_ivfpq": QuerySpec(
+        q_emb_ann_recall_ivfpq,
+        _recall_oracle(_oracle_ivfpq()),
+        "recall@k of the IVF-PQ index (coarse cells + residual PQ) vs "
+        "exact top-k — completes the recall matrix over every index "
+        "family the catalog ships",
         ("llm",),
     ),
     "emb_pq_topk_int": QuerySpec(

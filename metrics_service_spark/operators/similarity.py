@@ -2735,6 +2735,7 @@ def ann_recall_at_k(
     n_cells: int = 16,
     nprobe: int = 4,
     method: str = "ivf",
+    approx: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of an approximate index against the exact brute-force
     top-k —
@@ -2747,7 +2748,10 @@ def ann_recall_at_k(
     oracle replays the WHOLE evaluation — index build, exact search,
     and the recall arithmetic — bit-for-bit.  ``method`` selects the
     approximate arm: "ivf" (:func:`ivf_topk_int`, n_cells/nprobe) or
-    "lsh" (:func:`ann_topk_int`, the 4-plane 4-table family).
+    "lsh" (:func:`ann_topk_int`, the 4-plane 4-table family); any
+    other index family (PQ, SQ8, IVF-PQ, ...) passes its own top-k
+    frame via ``approx`` — anything emitting the ANN output contract
+    (query_id, neighbor_id, ...) composes.
 
     Output: (query_id, hits, recall_scaled) where hits = |ivf top-k ∩
     exact top-k| and recall_scaled = round_half_up(10^4 * hits / k) as
@@ -2763,7 +2767,9 @@ def ann_recall_at_k(
     per query on both sides."""
     from metrics_service_spark.functions.stable import round_frac_bigint
 
-    if method == "lsh":
+    if approx is not None:
+        pass
+    elif method == "lsh":
         approx = ann_topk_int(
             embeddings,
             queries,
