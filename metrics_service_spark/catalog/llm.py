@@ -1214,27 +1214,11 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the two arms are the EXISTING oracle texts verbatim, composed as
-# derived tables (DuckDB allows WITH inside a subquery) — the eval
-# entry can never drift from the entries it evaluates
-ORACLE_ANN_RECALL = f"""
-WITH ivf AS (
-  SELECT query_id, neighbor_id FROM ({ORACLE_ANN_IVF_INT})
-), bf AS (
-  SELECT query_id, neighbor_id FROM ({ORACLE_TOPK})
-), hits AS (
-  SELECT bf.query_id, count(*) AS n_hit
-  FROM bf JOIN ivf USING (query_id, neighbor_id)
-  GROUP BY 1
-), qs AS (
-  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERY_VECS}
-)
-SELECT q.query_id,
-       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
-       {sql_round_frac_bigint("coalesce(h.n_hit, 0)", str(TOPK), 4)}
-           AS recall_scaled
-FROM qs q LEFT JOIN hits h USING (query_id)
-"""
+# the approximate arm's EXISTING oracle text is composed verbatim as a
+# derived table (DuckDB allows WITH inside a subquery) — the eval
+# entry can never drift from the entry it evaluates.  The shared
+# composition lives in _recall_oracle (defined with the recall-matrix
+# entries below) and serves all five index families.
 
 
 def q_emb_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1249,25 +1233,6 @@ def q_emb_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_at_k(emb, queries, k=TOPK, method="lsh")
 
 
-def _oracle_ann_recall_lsh() -> str:
-    return f"""
-WITH lsh AS (
-  SELECT query_id, neighbor_id FROM ({_oracle_ann_lsh_int()})
-), bf AS (
-  SELECT query_id, neighbor_id FROM ({ORACLE_TOPK})
-), hits AS (
-  SELECT bf.query_id, count(*) AS n_hit
-  FROM bf JOIN lsh USING (query_id, neighbor_id)
-  GROUP BY 1
-), qs AS (
-  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {N_QUERY_VECS}
-)
-SELECT q.query_id,
-       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS hits,
-       {sql_round_frac_bigint("coalesce(h.n_hit, 0)", str(TOPK), 4)}
-           AS recall_scaled
-FROM qs q LEFT JOIN hits h USING (query_id)
-"""
 
 
 # --- recall matrix across the remaining index families ----------------------
@@ -3826,14 +3791,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "emb_ann_recall": QuerySpec(
         q_emb_ann_recall,
-        ORACLE_ANN_RECALL,
+        _recall_oracle(ORACLE_ANN_IVF_INT),
         "recall@k of the IVF index vs exact brute-force top-k (FAISS "
         "eval loop), integer-exact on both arms, plain-BIGINT recall",
         ("llm",),
     ),
     "emb_ann_recall_lsh": QuerySpec(
         q_emb_ann_recall_lsh,
-        _oracle_ann_recall_lsh(),
+        _recall_oracle(_oracle_ann_lsh_int()),
         "recall@k of the multi-table LSH index vs exact top-k — the "
         "IVF entry's twin, same queries, comparable across families",
         ("llm",),
