@@ -1,0 +1,93 @@
+"""Bucketed co-located join: the storage-side shuffle lever, gated.
+
+Writes orders and lineitem bucketed by the order key into a /tmp
+database (managed-table LOCATION — bucketBy has no path-based form),
+then proves the fact⋈fact join plans with ZERO exchanges and matches
+the plain path-based join's result exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metrics_service_spark.sources.bucketed import cojoin_ready, write_bucketed
+from metrics_service_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, sf_dir, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucketed_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{loc}'")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "bktest.orders_b",
+        bucket_col="o_orderkey",
+        n_buckets=8,
+        sort_cols=("o_orderkey",),
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        "bktest.lineitem_b",
+        bucket_col="l_orderkey",
+        n_buckets=8,
+        sort_cols=("l_orderkey",),
+    )
+    yield "bktest"
+    spark.sql("DROP DATABASE bktest CASCADE")
+
+
+def _joined(spark, bucketed_db):
+    o, li = cojoin_ready(spark, "bktest.orders_b", "bktest.lineitem_b")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("string")
+            .alias("qty"),
+        )
+    )
+
+
+def test_cojoined_plan_has_no_exchange(spark, sf_dir, bucketed_db):
+    # the join itself must be exchange-free on BOTH sides; the only
+    # shuffle in the whole query is the final 1-key groupBy
+    o, li = cojoin_ready(spark, "bktest.orders_b", "bktest.lineitem_b")
+    # at the test SF the planner would broadcast orders (also
+    # exchange-free, but not the layout being gated); the merge hint
+    # pins the sort-merge strategy the bucketed layout exists for
+    join_plan = (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in join_plan
+    assert "Exchange" not in join_plan, join_plan
+    # bucketed scans expose the bucket count
+    assert "8 out of 8" in join_plan or "SelectedBucketsCount" in join_plan, (
+        join_plan
+    )
+
+
+def test_cojoined_result_matches_pathbased_join(spark, sf_dir, bucketed_db):
+    got = {tuple(r) for r in _joined(spark, bucketed_db).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    expect = {
+        tuple(r)
+        for r in (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("string")
+                .alias("qty"),
+            )
+        ).collect()
+    }
+    assert got == expect
