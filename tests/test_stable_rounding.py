@@ -330,3 +330,52 @@ def test_no_unstable_round_in_oracle_sql():
         "dependent at half-boundaries.  Use sql_round_frac:\n"
         + "\n".join(offenders)
     )
+
+
+def test_round_frac_bigint_fuzz_matches_fraction_and_duckdb(spark):
+    """Property fuzz (one batched Spark job): round_frac_bigint must
+    equal the Fraction-exact round-half-up AND the all-BIGINT DuckDB
+    twin over random in-contract inputs, including den=1, num=den,
+    and near-bound magnitudes."""
+    import random
+
+    from fractions import Fraction
+
+    rng = random.Random(0xC0FFEE)
+    max_num = _bigint_num_bound(4)
+    cases = set()
+    for _ in range(300):
+        den = rng.choice(
+            [1, 2, 3, 16, rng.randint(1, 10**6), rng.randint(1, 2**40)]
+        )
+        # num must respect its own (tighter) contract bound even when
+        # den is near the 2^52 den bound — the guard test above covers
+        # the violation path; this fuzz stays in-contract
+        num = min(
+            rng.choice(
+                [0, den, den - 1 if den > 1 else 0, rng.randint(0, max_num - 1)]
+            ),
+            max_num - 1,
+        )
+        cases.add((num, den))
+    cases = sorted(cases)
+
+    def py_round_half_up(num, den, p=10**4):
+        q, r = divmod(Fraction(num * p, den), 1)
+        return int(q) + (1 if 2 * r >= 1 else 0)
+
+    df = spark.createDataFrame(list(cases), "num long, den long").select(
+        "num", "den", round_frac_bigint(F.col("num"), F.col("den"), 4).alias("v")
+    )
+    got = {(r.num, r.den): r.v for r in df.collect()}
+    con = duckdb.connect()
+    sql = ", ".join(
+        f"({sql_round_frac_bigint(str(n), str(d), 4)})" for n, d in cases[:150]
+    )
+    ducks = con.execute(f"SELECT * FROM (VALUES ({sql}))").fetchone()
+    con.close()
+    for i, (n, d) in enumerate(cases):
+        expect = py_round_half_up(n, d)
+        assert got[(n, d)] == expect, (n, d, got[(n, d)], expect)
+        if i < 150:
+            assert ducks[i] == expect, (n, d, ducks[i], expect)
