@@ -102,6 +102,9 @@ HEADLINE = [
     "emb_ann_recall",
     "doc_temperature_mix",
     "doc_dup_span_runs",
+    # round-11 capstone: the tiered production keep-list (exact tier
+    # feeding the jaccard+CC near tier over survivors only)
+    "doc_dedup_tiers",
 ]
 
 

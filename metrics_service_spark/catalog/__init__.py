@@ -55,6 +55,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_temperature_mix",
     "doc_dup_span_runs",
     "doc_minhash_estimate",
+    "doc_dedup_tiers",
     # -- the whole r7-stale generation (latest driver row 4 rounds
     #    old; VERDICT r10 #3 drain) -------------------------------------
     "func_scalar_suite",
@@ -99,9 +100,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_lang_id",
     "doc_source_quota",
     "doc_split_leakage_safe",
-    "emb_pq_topk_int",
     # -- buffer past the 50-entry sample line (rest of the r8 block,
     #    then r9; all differentially pytest-checked every session) ------
+    "emb_pq_topk_int",
     "emb_sq8_topk_int",
     "ev_asof_orders",
     "ev_day_spine",

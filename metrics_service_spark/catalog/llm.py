@@ -357,6 +357,87 @@ FROM assigned
 )
 
 
+# --- tiered dedup keep-list (exact tier -> near tier) ------------------------
+
+
+def q_doc_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiered keep-list a production run ships (NEW r11): exact
+    content-hash dedup first (removes the bulk of duplicate mass with
+    one hash-groupBy), then blocked-Jaccard + connected-components
+    near-dup among the survivors only.  Output (doc_id, status,
+    canonical_id) with status in {kept, exact_dup, near_dup}."""
+    from metrics_service_spark.operators.dedup import tiered_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tiered_dedup(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        block_cols=["lang"],
+        threshold=JACCARD_THRESHOLD,
+        max_cell=CLUSTERS_MAX_CELL,
+    )
+
+
+# the near tier's CTE chain is _CLUSTERS_CTE re-sourced from the
+# exact-tier keepers (the cap filter deliberately recomputes cell
+# populations over KEEPERS, mirroring the Spark pipeline's staging)
+ORACLE_DEDUP_TIERS = f"""
+WITH RECURSIVE ex AS (
+  SELECT doc_id, lang, text, md5(text) AS h FROM documents
+), k1 AS (
+  SELECT h, min(doc_id) AS canon FROM ex GROUP BY 1
+), keep AS (
+  SELECT ex.doc_id, ex.lang, ex.text FROM ex JOIN k1 USING (h)
+  WHERE ex.doc_id = k1.canon
+), sh0 AS (
+  SELECT doc_id, lang,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM keep)
+), cells AS (
+  SELECT lang, length(bin(len(s))) AS bkt, count(*) AS cell_n
+  FROM sh0 GROUP BY 1, 2
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN cells ON cells.lang = sh0.lang AND cells.bkt = length(bin(len(sh0.s)))
+  WHERE cells.cell_n <= {CLUSTERS_MAX_CELL}
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  ) WHERE jaccard >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk AS (
+  SELECT a AS node, b AS reach FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+), comp AS (
+  SELECT node, least(node, min(reach)) AS cluster FROM walk GROUP BY node
+), near AS (
+  SELECT k.doc_id, coalesce(c.cluster, k.doc_id) AS cluster
+  FROM keep k LEFT JOIN comp c ON c.node = k.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id <> k1.canon THEN 'exact_dup'
+            WHEN n.cluster <> d.doc_id THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CAST(CASE WHEN d.doc_id <> k1.canon THEN k1.canon
+                 ELSE coalesce(n.cluster, d.doc_id) END AS BIGINT)
+           AS canonical_id
+FROM ex d
+JOIN k1 USING (h)
+LEFT JOIN near n ON n.doc_id = d.doc_id
+"""
+
+
 # --- multi-signal near-dup agreement ---------------------------------------
 def q_doc_multi_signal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production dedup practice: merge the LEXICAL signal (exact
@@ -3681,6 +3762,14 @@ QUERIES: dict[str, QuerySpec] = {
     "doc_minhash_dedup": QuerySpec(
         q_doc_minhash_dedup, None, "MinHash+LSH near-dup (verified)", ("llm",),
         exact_twin="doc_minhash_dedup_md5",
+    ),
+    "doc_dedup_tiers": QuerySpec(
+        q_doc_dedup_tiers,
+        ORACLE_DEDUP_TIERS,
+        "tiered production keep-list: exact content-hash tier, then "
+        "blocked-Jaccard + CC near-dup among survivors only — "
+        "(doc_id, status, canonical_id)",
+        ("llm",),
     ),
     "doc_minhash_estimate": QuerySpec(
         q_doc_minhash_estimate,

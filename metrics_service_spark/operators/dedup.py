@@ -1232,3 +1232,77 @@ def minhash_estimate_error(
             F.abs(est - exact).alias("err_scaled"),
         )
     )
+
+
+def tiered_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    block_cols: list[str] | None = None,
+    threshold: float = 0.5,
+    max_cell: int | None = None,
+    max_iters: int = 12,
+) -> DataFrame:
+    """The tiered keep-list a production dedup run actually ships:
+    tier 1 removes EXACT duplicates (content-hash groups, min-id
+    keeper), tier 2 removes NEAR duplicates among the tier-1 survivors
+    (blocked n-gram Jaccard pairs -> connected components -> min-id
+    canonical), and every document comes back with its verdict —
+    (id, status in {kept, exact_dup, near_dup}, canonical_id).  Tiering
+    matters at scale: exact dedup is one cheap hash-groupBy that
+    typically removes the bulk of duplicate mass, so the quadratic-ish
+    near-dup tier only ever sees the survivors.
+
+    Every stage is an existing audited operator (exact_dedup,
+    ngram_jaccard_pairs with the lossless length-bucket blocking +
+    max_cell linearity guard, connected_components) and every keeper
+    rule is a deterministic min — the full pipeline replays in SQL.
+    """
+    from metrics_service_spark.operators.closure import connected_components
+
+    ex = exact_dedup(df, id_col, text_col).select(
+        "content_hash", F.col("canonical_id").alias("__exact_canon")
+    )
+    tagged = df.withColumn("__h", F.md5(F.col(text_col))).join(
+        ex, F.col("__h") == F.col("content_hash")
+    )
+    keepers = tagged.filter(F.col(id_col) == F.col("__exact_canon")).select(
+        df.columns
+    )
+    pairs = ngram_jaccard_pairs(
+        keepers,
+        id_col,
+        text_col,
+        n=n,
+        block_cols=block_cols,
+        threshold=threshold,
+        max_cell=max_cell,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs, max_iters=max_iters)
+    near = (
+        keepers.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col).alias("__kid"),
+            F.coalesce("component", F.col(id_col)).alias("__near_canon"),
+        )
+    )
+    return (
+        tagged.join(near, F.col(id_col) == F.col("__kid"), "left")
+        .select(
+            id_col,
+            F.when(F.col(id_col) != F.col("__exact_canon"), "exact_dup")
+            .when(F.col("__near_canon") != F.col(id_col), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+            F.when(
+                F.col(id_col) != F.col("__exact_canon"),
+                F.col("__exact_canon"),
+            )
+            .otherwise(F.coalesce("__near_canon", F.col(id_col)))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )

@@ -134,6 +134,10 @@ QUERIES = [
     # plus two signature/shingle re-joins on the k-bounded candidate
     # set; expected to track the doc_minhash_dedup row
     "doc_minhash_estimate",
+    # r11: tiered keep-list — one exact hash-groupBy, then the audited
+    # jaccard+CC shape over SURVIVORS only; expected to track
+    # doc_split_leakage_safe (same near tier) plus the cheap tier-1
+    "doc_dedup_tiers",
 ]
 
 
