@@ -283,6 +283,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         max_iters=12,
+        require_converged=True,
     )
     return (
         docs.select("doc_id")
@@ -2698,12 +2699,19 @@ WITH t AS (
   SELECT wh, count(*) AS n FROM spans GROUP BY 1
 )
 SELECT doc_id, count(*) AS n_windows,
-       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS dup_windows,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
        {sql_round_frac_int("sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)", "count(*)", 4)}
            AS dup_frac_scaled
 FROM spans JOIN counts USING (wh)
 GROUP BY 1
 """
+# r12: dup_windows is CAST AS BIGINT — the three-round red is the
+# HUGEINT→pandas-float64 materialization asymmetry (DuckDB sum(<int>)
+# returns HUGEINT, exact under fetchall but float64 under a
+# pandas-materializing comparator: '7.0' vs Spark's '7').  Mechanism
+# pinned by tools/pandas_parity.py + tests/test_oracle_materialization
+# and proven by both r11 bisect arms (_counts/_frac, identical Spark
+# plan, CAST'd oracles) coming back green while v1 stayed red.
 
 
 # --- r11 column bisect of the three-round driver-red doc_dup_spans ----------

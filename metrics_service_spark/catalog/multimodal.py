@@ -315,6 +315,7 @@ def q_mm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         max_iters=12,
+        require_converged=True,
     )
     return (
         media.select("media_id")

@@ -138,10 +138,12 @@ def round_frac_int(num: Column, den: Column, scale: int = 4) -> Column:
 
 
 def _bigint_num_bound(scale: int) -> int:
-    """Largest numerator round_frac_bigint accepts at ``scale``: keeps
-    ``a = 2*10^s*num + den`` (and den itself) below 2^52 each, so the
-    BIGINT arithmetic cannot wrap AND the one long/long division at
-    the end (a double in Spark) stays exact below 2^53."""
+    """Largest numerator round_frac_bigint accepts at ``scale``: with
+    ``num`` below this and ``den < 2^52``, each operand of
+    ``a = 2*10^s*num + den`` is below 2^52, so ``a < 2^53`` — int64
+    arithmetic cannot wrap, and the one long/long division at the end
+    (a double in Spark) is exact because both operands are exactly
+    representable below 2^53."""
     return (1 << 52) // (2 * 10**scale)
 
 

@@ -290,11 +290,21 @@ def connected_components(
     max_iters: int = 25,
     hop: int = 1,
     early_stop: bool = True,
+    require_converged: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node
     repeatedly adopts the smallest component id among itself and its
     neighbors, to fixpoint.  Returns (node, component) with component =
     min node id in the component.
+
+    `require_converged=True` raises if the early-stop loop exhausts
+    `max_iters` while labels are still changing — without it an
+    under-budgeted `max_iters` on a long-chain component silently
+    returns split (unconverged) labels.  Callers whose downstream
+    contract is exact-closure equality (e.g. an exact recursive
+    oracle) must set it; it only applies to the `early_stop=True`
+    path, since probe-free callers supply a structural round bound by
+    construction.
 
     `early_stop=False` drops the per-round changed-count job AND the
     old-label plumbing that feeds it — for callers whose `max_iters`
@@ -385,6 +395,7 @@ def connected_components(
             if (i + 1) % CHECKPOINT_EVERY == 0:
                 labels = labels.localCheckpoint(eager=False)
         return labels
+    converged = False
     for _ in range(max_iters):
         # one join + ONE shuffle per round: neighbor labels and each
         # node's own label ride the same union into a single min-agg
@@ -412,7 +423,15 @@ def connected_components(
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.select("node", "component")
         if changed == 0:
+            converged = True
             break
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iters} rounds (hop={hop}); a component's propagation "
+            "distance exceeds the round budget — raise max_iters or use "
+            "connected_components_star for diameter-independent rounds"
+        )
     return labels
 
 

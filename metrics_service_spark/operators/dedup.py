@@ -1280,7 +1280,13 @@ def tiered_dedup(
         threshold=threshold,
         max_cell=max_cell,
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    cc = connected_components(pairs, max_iters=max_iters)
+    # require_converged: the keep-list contract is exact-closure
+    # equality (the oracle computes the full recursive closure) — an
+    # exhausted round budget on a long-chain component must raise, not
+    # silently return split labels (ADVICE r11)
+    cc = connected_components(
+        pairs, max_iters=max_iters, require_converged=True
+    )
     near = (
         keepers.select(id_col)
         .join(cc.withColumnRenamed("node", id_col), id_col, "left")

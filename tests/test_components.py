@@ -159,3 +159,21 @@ def test_early_stop_off_equals_on_random_graph(spark):
     cc_on = connected_components(edf, max_iters=20)
     cc_off = connected_components(edf, max_iters=20, early_stop=False)
     assert sorted(map(tuple, cc_on.collect())) == sorted(map(tuple, cc_off.collect()))
+
+
+def test_require_converged_raises_on_exhausted_budget(spark):
+    # a 40-node path has propagation distance ~40; 3 min-label rounds
+    # cannot converge, and the exact-closure contract must raise
+    # instead of silently returning split labels (ADVICE r11)
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(Exception, match="still changing"):
+        connected_components(df, max_iters=3, require_converged=True)
+    # and with an adequate budget the same flag is a no-op
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            df, max_iters=60, require_converged=True
+        ).collect()
+    }
+    assert set(got.values()) == {0}

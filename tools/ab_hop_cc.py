@@ -16,13 +16,15 @@ super-linear composed-edge growth.
 Method: the pair frame is built ONCE per graph and eagerly
 materialized (count) so the A/B times ONLY the CC stage; hop arms are
 interleaved per rep round (box drift hits all arms equally), fresh
-CC DataFrames per rep (Spark reuses materialized shuffle output —
-see .claude/skills/verify).
+CC DataFrames per rep (Spark reuses materialized shuffle output
+across actions, so a re-run on the same DataFrame skips the very
+stages being timed — each rep must rebuild the lineage from scratch).
 
 Usage:
   python tools/ab_hop_cc.py            # sf0.1 A/B, both graphs
-  python tools/ab_hop_cc.py --k50 DIR  # 50x leg: jaccard CC on DIR
-                                       # (a scale_probe scratch dir)
+  python tools/ab_hop_cc.py --k50 DIR  # 50x leg: phash pair-graph CC
+                                       # on DIR (a scale_probe
+                                       # scratch dir)
 """
 
 from __future__ import annotations

@@ -13,10 +13,12 @@ Two parts:
    dot count (g + avg cells/group) vs the old flat front's (n_cells)
    is computed, not assumed.
 
-2. MEASURED interleaved medians: fresh DataFrame per rep (Spark skips
-   stages whose shuffle output exists — see .claude/skills/verify),
-   A/B/control alternating within each rep round so box drift hits
-   all arms equally.  Same session, local[32], sf0.1, median of N.
+2. MEASURED interleaved medians: fresh DataFrame per rep (Spark
+   reuses materialized shuffle output across actions, so re-running
+   the same DataFrame skips the stages being timed — each rep
+   rebuilds the lineage from scratch), A/B/control alternating within
+   each rep round so box drift hits all arms equally.  Same session,
+   local[32], sf0.1, median of N.
 
 Usage: python tools/ab_r11_movers.py [reps]
 """
