@@ -199,12 +199,45 @@ def _micro_semantic_admit(spark, sf_dir):
     return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 
 
+def _micro_star_join_bucketed(spark, sf_dir):
+    """Co-located bucketed fact⋈fact star rollup (r12): the layout
+    write runs OUTSIDE the timed region — bucketing's contract is that
+    the layout shuffle is paid once at write time — so each rep prices
+    exactly what a query pays against the standing tables: zipped
+    per-bucket merge join + the final rollup shuffle.  Compare against
+    star_join_pathbased, the identical plan minus the layout (its SMJ
+    must shuffle both facts every run)."""
+    from metrics_service_spark.catalog.gold import q_gold_star_bucketed
+    from metrics_service_spark.sources.bucketed import ensure_bucketed_pair
+
+    ensure_bucketed_pair(spark, sf_dir)
+
+    def run() -> None:
+        q_gold_star_bucketed(spark, sf_dir).collect()
+
+    return run, lambda: None
+
+
+def _micro_star_join_pathbased(spark, sf_dir):
+    """The path-based twin of star_join_bucketed: same merge-hinted
+    join + rollup over the raw parquet scans, paying the two fact
+    exchanges the bucketed layout elides."""
+    from metrics_service_spark.catalog.gold import q_gold_star_pathbased
+
+    def run() -> None:
+        q_gold_star_pathbased(spark, sf_dir).collect()
+
+    return run, lambda: None
+
+
 #: Micro-benches: operators with no catalog entry (table mutations).
 #: Each value is a factory (spark, sf_dir) -> (run, cleanup).
 MICRO = {
     "merge_table_upsert": _micro_merge_upsert,
     "paragraph_index_fold": _micro_paragraph_index,
     "semantic_gate_admit": _micro_semantic_admit,
+    "star_join_bucketed": _micro_star_join_bucketed,
+    "star_join_pathbased": _micro_star_join_pathbased,
 }
 
 

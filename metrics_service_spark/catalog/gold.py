@@ -73,7 +73,84 @@ ORACLE_MATVIEW_ROUTED = (
 )
 
 
+def _star_priority_agg(o: DataFrame, li: DataFrame) -> DataFrame:
+    """The fact⋈fact star-rollup both layout arms share: orders⋈lineitem
+    on the order key (SortMergeJoin pinned via the merge hint so both
+    arms run the strategy the bucketed layout exists for), rolled up to
+    (priority, returnflag).  Decimal sums follow the tpch_q1 exact-
+    compare conventions."""
+    from pyspark.sql import functions as F
+
+    def _dec(c: str):
+        return F.col(c).cast("decimal(18,2)")
+
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(_dec("l_quantity")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_gold_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed co-located fact⋈fact star join on the catalog
+    surface: orders and lineitem persisted ONCE as hash-bucketed
+    managed tables (sources/bucketed.py — fingerprint-keyed, so a
+    regenerated fixture always rebuilds), then joined with ZERO
+    exchange on either side — the whole query's only shuffle is the
+    final two-key rollup.  This is the storage-side answer to the
+    reference's repeated star-join refresh over the same fact pair
+    (the mat-view rebuild loop,
+    src/sql/02-metrics-materialized-views.sql:1-21): at 100 TB the
+    per-refresh fact shuffle is the dominant stage class, and bucketing
+    converts it into a zipped per-bucket merge paid once at write time.
+    The oracle computes the identical aggregate from the raw parquet —
+    layout must be result-invisible.  Plan-gated (SortMergeJoin, no
+    Exchange below the join) in tests/test_bucketed_join.py."""
+    from metrics_service_spark.sources.bucketed import ensure_bucketed_pair
+
+    o, li = ensure_bucketed_pair(spark, sf_dir)
+    return _star_priority_agg(o, li)
+
+
+def q_gold_star_pathbased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same star rollup over the plain path-based parquet scans —
+    the bench twin that prices the exchange the bucketed layout
+    elides (bench.py runs both; not a catalog entry of its own)."""
+    return _star_priority_agg(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+ORACLE_GOLD_STAR_BUCKETED = """
+SELECT o_orderpriority, l_returnflag,
+  count(*) AS n_lines,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+       AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "gold_star_bucketed": QuerySpec(
+        q_gold_star_bucketed,
+        ORACLE_GOLD_STAR_BUCKETED,
+        "co-located bucketed fact join: zero-exchange star rollup",
+        ("gold", "layout"),
+    ),
     "metrics_star": QuerySpec(
         q_metrics_star,
         ORACLE_METRICS_STAR,

@@ -49,3 +49,63 @@ def cojoin_ready(spark: SparkSession, left: str, right: str) -> tuple[DataFrame,
     """Read two bucketed tables back by catalog name (reading by path
     would DROP the bucket metadata and reintroduce the shuffle)."""
     return spark.table(left), spark.table(right)
+
+
+def _fixture_fingerprint(paths: list[str]) -> str:
+    """Content fingerprint of the source parquet fixtures (path, mtime,
+    size).  The bucketed copy is keyed by it so a REGENERATED fixture
+    can never be served from a stale bucketed table — the failure mode
+    that would silently diverge the co-located join from an oracle
+    reading the fresh parquet."""
+    import hashlib
+    import os
+
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def ensure_bucketed_pair(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Idempotently materialize the bucketed orders/lineitem pair for
+    ``sf_dir`` and hand both back catalog-read (bucket metadata
+    intact).  Build-once semantics: the database name embeds the
+    fixture fingerprint, so within a warehouse the pair is written
+    exactly once per distinct fixture state and every later call is a
+    pure catalog read — the storage layout's whole point is paying the
+    layout shuffle at WRITE time, once, instead of per query.
+
+    ``n_buckets`` fixes the co-location contract (both sides must
+    agree); 16 suits the test SFs — at cluster scale pick
+    ``total_size / target_bucket_size`` (e.g. ~128 MB buckets) and keep
+    it stable across the tables meant to co-join."""
+    import os
+
+    from metrics_service_spark.sources.tables import load_table
+
+    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in ("orders", "lineitem")]
+    db = f"bkt_{_fixture_fingerprint(paths)}"
+    left, right = f"{db}.orders_b", f"{db}.lineitem_b"
+    if not (spark.catalog.tableExists(left) and spark.catalog.tableExists(right)):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"),
+            left,
+            bucket_col="o_orderkey",
+            n_buckets=n_buckets,
+            sort_cols=("o_orderkey",),
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"),
+            right,
+            bucket_col="l_orderkey",
+            n_buckets=n_buckets,
+            sort_cols=("l_orderkey",),
+        )
+    return cojoin_ready(spark, left, right)

@@ -91,3 +91,38 @@ def test_cojoined_result_matches_pathbased_join(spark, sf_dir, bucketed_db):
         ).collect()
     }
     assert got == expect
+
+
+def test_catalog_entry_plan_and_build_once(spark, sf_dir):
+    # the catalog entry (r12): the join subtree must be exchange-free —
+    # the whole query's ONLY shuffle is the final two-key rollup — and
+    # the fingerprint-keyed build must be idempotent (the second call
+    # is a pure catalog read: no new tables, identical results)
+    import os
+
+    from metrics_service_spark.catalog.gold import q_gold_star_bucketed
+    from metrics_service_spark.sources.bucketed import (
+        _fixture_fingerprint,
+        ensure_bucketed_pair,
+    )
+
+    df = q_gold_star_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1, plan
+
+    paths = [
+        os.path.join(sf_dir, f"{t}.parquet") for t in ("orders", "lineitem")
+    ]
+    db = f"bkt_{_fixture_fingerprint(paths)}"
+    assert spark.catalog.tableExists(f"{db}.orders_b")
+    assert spark.catalog.tableExists(f"{db}.lineitem_b")
+    before = os.path.getmtime(
+        os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), f"{db}.db")
+    )
+    o2, li2 = ensure_bucketed_pair(spark, sf_dir)
+    after = os.path.getmtime(
+        os.path.join(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), f"{db}.db")
+    )
+    assert before == after  # no rewrite on the second call
+    assert o2.count() > 0 and li2.count() > 0
