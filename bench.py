@@ -105,6 +105,10 @@ HEADLINE = [
     # round-11 capstone: the tiered production keep-list (exact tier
     # feeding the jaccard+CC near tier over survivors only)
     "doc_dedup_tiers",
+    # round-12: UniMax epoch-capped mixing (closed-form integer
+    # waterfill); the bucketed star join is benched as the
+    # star_join_bucketed/star_join_pathbased micro pair below
+    "doc_epoch_cap_mix",
 ]
 
 

@@ -36,72 +36,18 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r11 column bisect of the three-round driver-red entry
-    #    (VERDICT r10 #1): counts arm (all-BIGINT-cast oracle), frac
-    #    arm (plain-BIGINT rounding, no DECIMAL38/HUGEINT), then the
-    #    unchanged v1 as the in-window control.  The r10 v2
-    #    caching-discriminator twin concluded (both red) and was
-    #    retired from the catalog.
-    "doc_dup_spans_counts",
-    "doc_dup_spans_frac",
+    # -- r12 impl-changed/new first (rotation policy): the CAST-fixed
+    #    dup-spans v1 (VERDICT r11 #1 — the last red in the catalog),
+    #    the two NEW entries (bucketed co-located star join,
+    #    UniMax epoch-capped mixing), and the three entries whose CC
+    #    call gained require_converged this round ------------------
     "doc_dup_spans",
-    # -- NEW r11 surface: ANN recall self-eval, temperature mixing,
-    #    duplicate-run statistics ----------------------------------------
-    "emb_ann_recall",
-    "emb_ann_recall_lsh",
-    "emb_ann_recall_pq",
-    "emb_ann_recall_sq8",
-    "emb_ann_recall_ivfpq",
-    "doc_temperature_mix",
-    "doc_dup_span_runs",
-    "doc_minhash_estimate",
+    "gold_star_bucketed",
+    "doc_epoch_cap_mix",
     "doc_dedup_tiers",
-    # -- the whole r7-stale generation (latest driver row 4 rounds
-    #    old; VERDICT r10 #3 drain) -------------------------------------
-    "func_scalar_suite",
-    "ev_props_kv",
-    "ev_retention",
-    "metrics_star",
-    "order_chains",
-    "order_components",
-    "package_counts",
-    "search_log_pipeline",
-    "search_sessions",
-    "tpch_q21",
-    "tpch_q22",
-    "mm_image_meta_real_mixed",
-    "doc_minhash_dedup",
-    "doc_minhash_dedup_md5",
-    "doc_jaccard_pairs",
-    "doc_contamination",
-    "doc_incremental_dedup",
-    "doc_multi_signal_pairs",
-    "doc_ngram_topk",
-    "doc_pack",
-    "doc_sample_stratified",
-    "doc_split",
-    "emb_ann_ivf_int",
-    "emb_ann_lsh_int",
-    "emb_cosine_neardup_allpairs",
-    "emb_random_projection",
-    # -- fill to the 50 line from the next-oldest (r8) generation;
-    #    doc_token_stats leads as a round_frac user (stable.py's
-    #    guards were touched this round — output-neutral, but
-    #    impl-changed outranks merely-stale per the rotation policy) --
-    "doc_token_stats",
-    "ev_value_median",
-    "orders_rollup",
-    "anti_join_no_orders",
-    "bloom_semi_lineitem",
-    "counter_report",
-    "doc_bpe_tokens",
     "doc_dedup_clusters",
-    "doc_exact_dedup",
-    "doc_lang_id",
-    "doc_source_quota",
-    "doc_split_leakage_safe",
-    # -- buffer past the 50-entry sample line (rest of the r8 block,
-    #    then r9; all differentially pytest-checked every session) ------
+    "mm_dedup_clusters",
+    # -- the whole r8-stale generation (28 entries, VERDICT r11 #4) --
     "emb_pq_topk_int",
     "emb_sq8_topk_int",
     "ev_asof_orders",
@@ -130,6 +76,48 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q10",
     "union_distinct_ids",
     "user_event_family",
+    # -- fill to the 50 line with the oldest (r9) generation ---------
+    "doc_bigram_coherence",
+    "doc_ccnet_bucket",
+    "doc_curation_pipeline",
+    "doc_dsir_vote",
+    "doc_gopher_rules",
+    "doc_hash_classifier",
+    "doc_paragraph_dedup",
+    "doc_quality",
+    "doc_quality_filter",
+    "doc_quality_filter_exact",
+    "doc_repetition",
+    "doc_shuffle_shard",
+    "doc_tfidf_topk",
+    "doc_unigram_freq",
+    "emb_centroids",
+    "emb_contamination",
+    # -- buffer past the 50-entry sample line (rest of r9; all
+    #    differentially pytest-checked every session) ----------------
+    "emb_cosine_neardup",
+    "emb_ivfpq_topk_int",
+    "emb_kmeans_step",
+    "emb_kmeans_train",
+    "emb_proto_prune",
+    "emb_prototypicality",
+    "emb_semdedup",
+    "emb_semdedup_incr",
+    "emb_semdedup_int",
+    "ev_dau_stickiness",
+    "ev_dau_stickiness_kmv",
+    "mm_image_features_exact",
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q8",
 )
 
 

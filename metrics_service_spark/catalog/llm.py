@@ -3027,6 +3027,79 @@ WHERE rk <= q
 """
 
 
+EPOCH_CAP_BUDGET = 1000
+EPOCH_CAP_K = 3
+
+
+def q_doc_epoch_cap_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style epoch-capped mixing (the sibling of
+    doc_temperature_mix): spread a 1000-example budget as uniformly as
+    possible over the language groups, no language repeated beyond 3
+    epochs — closed-form integer waterfilling (prefix-sum saturation
+    over capacity-sorted groups, even split of the remainder) and a
+    per-document epoch explode off the deterministic md5 rank.  Groups
+    on `lang` (the skewed column: en dominates) so saturation actually
+    discriminates at the checked SFs.  NEW r12 surface."""
+    from metrics_service_spark.operators.sampling import (
+        epoch_cap_source_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_cap_source_sample(
+        docs, "lang", "doc_id", budget=EPOCH_CAP_BUDGET, max_epochs=EPOCH_CAP_K
+    )
+
+
+# the waterfill level: for capacities sorted ascending, source i takes
+# its full capacity iff c_i * (#sources from i on) fits in the budget
+# left after the smaller prefix — the saturated set is a prefix, so
+# the whole sequential waterfill is one window pass.  All arithmetic
+# BIGINT; every aggregate in reach of the final projection is CAST
+# (the dup_spans HUGEINT lesson, ORACLE_COMPAT.md).
+ORACLE_EPOCH_CAP_MIX = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), caps AS (
+  SELECT lang, n, CAST(n * {EPOCH_CAP_K} AS BIGINT) AS cap FROM c
+), pref AS (
+  SELECT lang, n, cap,
+         row_number() OVER (ORDER BY cap, lang) AS i,
+         CAST(sum(cap) OVER (ORDER BY cap, lang
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS P,
+         count(*) OVER () AS m
+  FROM caps
+), sat AS (
+  SELECT *, cap * (m - i + 1) <= {EPOCH_CAP_BUDGET} - (P - cap) AS is_sat
+  FROM pref
+), lvl AS (
+  SELECT CAST(coalesce(max(CASE WHEN is_sat THEN i END), 0) AS BIGINT) AS S,
+         CAST(coalesce(max(CASE WHEN is_sat THEN P END), 0) AS BIGINT) AS PS
+  FROM sat
+), quota AS (
+  SELECT lang, n,
+         CAST(CASE WHEN i <= S THEN cap
+              ELSE ({EPOCH_CAP_BUDGET} - PS) // greatest(m - S, 1)
+                   + CASE WHEN (i - S) <= ({EPOCH_CAP_BUDGET} - PS)
+                                          % greatest(m - S, 1)
+                          THEN 1 ELSE 0 END
+              END AS BIGINT) AS q
+  FROM sat, lvl
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+), ex AS (
+  SELECT r.doc_id, r.lang,
+         CAST(q.q // q.n
+              + CASE WHEN r.rk <= q.q % q.n THEN 1 ELSE 0 END AS INT) AS n_ep
+  FROM r JOIN quota q USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(1, n_ep + 1)) AS INT) AS epoch
+FROM ex WHERE n_ep > 0
+"""
+
+
 # --- corpus k-NN graph ------------------------------------------------------
 KNN_K = 3
 #: the knn entry pioneered the footer-derived geometry (r8); it now
@@ -4099,6 +4172,13 @@ QUERIES: dict[str, QuerySpec] = {
         "temperature-flattened source mixing (alpha=0.5, Gopher/Pile "
         "domain rebalancing): sqrt-proportional quotas via exact isqrt "
         "+ plain-BIGINT apportionment + md5 draw",
+        ("llm",),
+    ),
+    "doc_epoch_cap_mix": QuerySpec(
+        q_doc_epoch_cap_mix,
+        ORACLE_EPOCH_CAP_MIX,
+        "UniMax epoch-capped mixing: closed-form integer waterfill "
+        "(prefix-sum saturation), per-document epoch explode",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

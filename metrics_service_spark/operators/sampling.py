@@ -291,3 +291,131 @@ def temperature_source_sample(
         .filter(F.col("rk") <= F.col("__q"))
         .select(id_col, group_col, F.col("rk").cast("int").alias("rk"))
     )
+
+
+def _floordiv_long(x: Column, y: Column) -> Column:
+    """Exact floor-division of two non-negative BIGINTs below 2^52:
+    `(x - pmod(x, y)) / y` — one correctly-rounded (here exact) IEEE
+    division, bit-identical to an integer `//` in any SQL oracle."""
+    return ((x - F.pmod(x, y)) / y).cast("long")
+
+
+def epoch_cap_source_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    budget: int,
+    max_epochs: int = 3,
+) -> DataFrame:
+    """UniMax-style epoch-capped source mixing (Chung et al. 2023, the
+    other public mixing recipe next to sqrt-temperature flattening):
+    spread a total example ``budget`` as UNIFORMLY as possible across
+    sources, except no source may repeat more than ``max_epochs``
+    times.  Integer waterfilling in closed form — no driver loop:
+
+    * capacity ``c_s = max_epochs * n_s``; sort sources by
+      ``(c_s, source)``.  With inclusive prefix sums ``P_i`` over the
+      sorted order, source ``i`` is SATURATED (gets its full capacity)
+      iff ``c_i * (m - i + 1) <= budget - P_{i-1}`` — for sorted
+      capacities the saturated set is a prefix, so the classic
+      sequential waterfill collapses to one window pass.
+    * the unsaturated remainder splits the leftover evenly,
+      first-``(R mod m')`` sources in sort order taking the odd unit —
+      every step plain BIGINT, so the DuckDB oracle replays it
+      bit-for-bit.
+    * realized per-source draw: ``e = q // n_s`` full epochs for every
+      document plus one extra epoch for the first ``q mod n_s``
+      documents in the deterministic md5 rank — output one row per
+      (document, epoch).
+
+    Scale: one map-side-combined count agg collapses the corpus to
+    ``m`` rows; the waterfill windows run over that tiny frame; the
+    quota frame broadcasts back; and the corpus pays exactly ONE
+    source-keyed shuffle for the rank window before the per-row epoch
+    explode.  Invariant (tested): output rows ==
+    ``min(budget, max_epochs * corpus_rows)``.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    caps = counts.select(
+        group_col, "__n", (F.col("__n") * F.lit(max_epochs)).alias("__c")
+    )
+    wo = Window.orderBy(F.col("__c").asc(), F.col(group_col).asc())
+    pref = caps.select(
+        group_col,
+        "__n",
+        "__c",
+        F.row_number().over(wo).alias("__i"),
+        F.sum("__c")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__P"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    # the waterfill frame has TWO consumers (the level aggregate and
+    # the quota projection) — one lazy checkpoint keeps the corpus
+    # count-scan from running twice (tests/test_plan_quality.py's
+    # duplicate-subtree rule)
+    sat = pref.withColumn(
+        "__sat",
+        F.col("__c") * (F.col("__m") - F.col("__i") + 1)
+        <= F.lit(budget) - (F.col("__P") - F.col("__c")),
+    ).localCheckpoint(eager=False)
+    level = sat.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__sat"), F.col("__i"))), F.lit(0)
+        ).alias("__S"),
+        F.coalesce(
+            F.max(F.when(F.col("__sat"), F.col("__P"))),
+            F.lit(0).cast("long"),
+        ).alias("__PS"),
+    )
+    rem = F.lit(budget) - F.col("__PS")
+    # greatest(..., 1) keeps the divisor legal when every source is
+    # saturated (the branch is then never selected, but ANSI division
+    # must not see a zero)
+    m_unsat = F.greatest(F.col("__m") - F.col("__S"), F.lit(1)).cast("long")
+    quotas = (
+        sat.crossJoin(F.broadcast(level))
+        .select(
+            group_col,
+            "__n",
+            F.when(F.col("__i") <= F.col("__S"), F.col("__c"))
+            .otherwise(
+                _floordiv_long(rem, m_unsat)
+                + F.when(
+                    (F.col("__i") - F.col("__S")) <= F.pmod(rem, m_unsat),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("__q"),
+        )
+        .select(
+            group_col,
+            _floordiv_long(F.col("__q"), F.col("__n")).alias("__e"),
+            F.pmod(F.col("__q"), F.col("__n")).alias("__r"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(group_col, id_col)
+        .withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(quotas), group_col)
+        .withColumn(
+            "__n_ep",
+            (
+                F.col("__e")
+                + F.when(F.col("rk") <= F.col("__r"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("__n_ep") > 0)
+        .select(
+            id_col,
+            group_col,
+            F.explode(F.sequence(F.lit(1), F.col("__n_ep"))).alias("epoch"),
+        )
+    )

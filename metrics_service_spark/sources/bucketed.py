@@ -94,6 +94,20 @@ def ensure_bucketed_pair(
     left, right = f"{db}.orders_b", f"{db}.lineitem_b"
     if not (spark.catalog.tableExists(left) and spark.catalog.tableExists(right)):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        # a FRESH session's in-memory catalog doesn't know tables whose
+        # data a previous session left in the warehouse; saveAsTable
+        # refuses to reuse the orphaned location, so clear it (bucket
+        # metadata lives in the catalog, not the files — re-registering
+        # the old files can't be trusted, rewriting can)
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in ("orders_b", "lineitem_b"):
+            loc = os.path.join(wh, f"{db}.db", t)
+            if os.path.exists(loc) and not spark.catalog.tableExists(
+                f"{db}.{t}"
+            ):
+                shutil.rmtree(loc, ignore_errors=True)
         write_bucketed(
             load_table(spark, sf_dir, "orders"),
             left,

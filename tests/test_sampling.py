@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from metrics_service_spark.operators.sampling import hash_split, stratified_sample
@@ -116,3 +117,64 @@ def test_per_group_quota_caps_and_determinism(spark, sf_dir):
     again = sorted(map(tuple, per_group_quota(
         docs, "source", "doc_id", quota=7).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def _unimax_py(counts: dict, budget: int, k: int) -> dict:
+    """Reference sequential waterfill: give each source (ascending by
+    capacity) min(capacity, leftover // sources_left); distribute the
+    final remainder one unit each in the same order over the
+    unsaturated sources."""
+    order = sorted(counts, key=lambda g: (counts[g] * k, g))
+    quotas, left, m = {}, budget, len(order)
+    # saturation pass
+    sat = []
+    for idx, g in enumerate(order):
+        cap = counts[g] * k
+        if cap * (m - idx) <= left:
+            quotas[g] = cap
+            left -= cap
+            sat.append(g)
+        else:
+            break
+    unsat = [g for g in order if g not in quotas]
+    if unsat:
+        base, extra = divmod(left, len(unsat))
+        for j, g in enumerate(unsat):
+            quotas[g] = base + (1 if j < extra else 0)
+    return quotas
+
+
+@pytest.mark.parametrize(
+    "budget,k", [(37, 2), (100, 3), (10_000, 3), (5, 1)]
+)
+def test_epoch_cap_waterfill_matches_reference(spark, budget, k):
+    from metrics_service_spark.operators.sampling import (
+        epoch_cap_source_sample,
+    )
+
+    # skewed groups: 3, 7, 20, 60 docs
+    rows = []
+    did = 0
+    for g, n in [("a", 3), ("b", 7), ("c", 20), ("d", 60)]:
+        for _ in range(n):
+            rows.append((did, g))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = epoch_cap_source_sample(
+        df, "grp", "doc_id", budget=budget, max_epochs=k
+    ).collect()
+    counts = {"a": 3, "b": 7, "c": 20, "d": 60}
+    quotas = _unimax_py(counts, budget, k)
+    # total rows == min(budget, k * corpus); per-group == quota
+    assert len(out) == min(budget, k * sum(counts.values()))
+    per_g = {}
+    for r in out:
+        per_g[r.grp] = per_g.get(r.grp, 0) + 1
+    assert per_g == {g: q for g, q in quotas.items() if q > 0}
+    # epoch multiplicity: a doc appears with contiguous epochs 1..e
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for eps in per_doc.values():
+        assert sorted(eps) == list(range(1, len(eps) + 1))
+        assert len(eps) <= k
