@@ -109,6 +109,11 @@ HEADLINE = [
     # waterfill); the bucketed star join is benched as the
     # star_join_bucketed/star_join_pathbased micro pair below
     "doc_epoch_cap_mix",
+    # round-12: CMS heavy-hitter calibration, overlapping chunker,
+    # classifier-vs-rules eval
+    "doc_cms_ngram_error",
+    "doc_chunk_overlap",
+    "doc_classifier_eval",
 ]
 
 

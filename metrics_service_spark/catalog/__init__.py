@@ -44,6 +44,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_dup_spans",
     "gold_star_bucketed",
     "doc_epoch_cap_mix",
+    "doc_cms_ngram_error",
+    "doc_chunk_overlap",
+    "doc_classifier_eval",
     "doc_dedup_tiers",
     "doc_dedup_clusters",
     "mm_dedup_clusters",
@@ -90,11 +93,11 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_repetition",
     "doc_shuffle_shard",
     "doc_tfidf_topk",
+    # -- buffer past the 50-entry sample line (rest of r9; all
+    #    differentially pytest-checked every session) ----------------
     "doc_unigram_freq",
     "emb_centroids",
     "emb_contamination",
-    # -- buffer past the 50-entry sample line (rest of r9; all
-    #    differentially pytest-checked every session) ----------------
     "emb_cosine_neardup",
     "emb_ivfpq_topk_int",
     "emb_kmeans_step",

@@ -514,6 +514,136 @@ LIMIT 25
 """
 
 
+# --- count-min sketch calibration ------------------------------------------
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+
+def q_doc_cms_ngram_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration (the sketch sibling of
+    doc_minhash_estimate, extending the r11 self-evaluation layer):
+    fold the corpus trigram stream into a 4x1024 CMS
+    (operators/sketch.py), point-query it for the exact top-25
+    trigrams, and report estimate vs truth per key — overcount is the
+    collision mass you accept before replacing the exact heavy-hitter
+    pass with the broadcastable sketch at corpus scale.  CMS
+    guarantees cms_est >= doc_freq (collisions only add); the shingle
+    frame is checkpointed once for its two consumers (exact counts,
+    sketch build).  NEW r12 surface."""
+    from metrics_service_spark.operators.dedup import shingle_array
+    from metrics_service_spark.operators.sketch import cms_build, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        docs.select(F.explode(shingle_array(toks, 3)).alias("ngram"))
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+        .limit(25)
+    )
+    sketch = cms_build(sh, "ngram", width=CMS_WIDTH, depth=CMS_DEPTH)
+    est = cms_estimate(
+        sketch, exact.select("ngram"), "ngram", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    return (
+        exact.join(F.broadcast(est), "ngram")
+        .select(
+            "ngram",
+            "doc_freq",
+            "cms_est",
+            (F.col("cms_est") - F.col("doc_freq")).alias("overcount"),
+        )
+    )
+
+
+def _oracle_cms_ngram_error() -> str:
+    from metrics_service_spark.operators.sketch import sql_cms_arms
+
+    arms = sql_cms_arms(
+        "ngram", width=CMS_WIDTH, depth=CMS_DEPTH, salt="cms"
+    )
+    return f"""
+WITH sh AS (
+  SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS ngram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+), exact AS (
+  SELECT ngram, count(*) AS doc_freq FROM sh GROUP BY 1
+  ORDER BY doc_freq DESC, ngram ASC LIMIT 25
+), arms AS (
+  SELECT {arms} AS a FROM sh
+), cells AS (
+  SELECT a.j AS j, a.bucket AS bucket, count(*) AS cnt FROM arms GROUP BY 1, 2
+), probes AS (
+  SELECT ngram, {arms} AS a FROM exact
+), est AS (
+  SELECT p.ngram, min(coalesce(c.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN cells c ON c.j = p.a.j AND c.bucket = p.a.bucket
+  GROUP BY 1
+)
+SELECT e.ngram, CAST(e.doc_freq AS BIGINT) AS doc_freq,
+       CAST(s.cms_est AS BIGINT) AS cms_est,
+       CAST(s.cms_est - e.doc_freq AS BIGINT) AS overcount
+FROM exact e JOIN est s USING (ngram)
+"""
+
+
+ORACLE_CMS_NGRAM_ERROR = _oracle_cms_ngram_error()
+
+
+# --- overlapping chunking ---------------------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window/RAG chunking: 32-token chunks with 8-token
+    overlap (stride 24), closed-form chunk count, final chunk clipped
+    to the document end, md5 content hash per chunk.  Pure per-row
+    codegen — the zero-shuffle corpus pass that feeds embedding and
+    paragraph-dedup stages.  NEW r12 surface."""
+    from metrics_service_spark.operators.text import chunk_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_overlap(
+        docs, "doc_id", "text",
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
+ORACLE_CHUNK_OVERLAP = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE 1 + (n - {CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE}
+         END AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(1 + i * {_CHUNK_STRIDE} AS INT) AS start_tok,
+       CAST(least(i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n) AS INT) AS end_tok,
+       CAST(least(i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)
+            - i * {_CHUNK_STRIDE} AS INT) AS n_tok,
+       md5(array_to_string(
+           list_slice(toks, 1 + i * {_CHUNK_STRIDE},
+                      least(i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)),
+           ' ')) AS chunk_md5
+FROM e
+"""
+
+
 # --- corpus unigram-frequency scoring --------------------------------------
 def q_doc_unigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics quality signal: mean corpus frequency of a
@@ -3481,6 +3611,70 @@ SELECT doc_id, n_tokens, score, score > 0 AS kept FROM s
 ORACLE_HASH_CLASSIFIER = _oracle_hash_classifier()
 
 
+def q_doc_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier self-evaluation (r12, extending the r11
+    eval layer to the text side): confusion matrix of the hash-trick
+    classifier's verdicts against the Gopher rule battery as the
+    reference labels — the agreement measurement you run before
+    letting the cheap classifier replace the rule battery at corpus
+    scale.  One broadcast-free join of two per-doc projections, a
+    4-cell aggregate, and exact basis-point cell fractions
+    (round_frac_bigint — no float in the hash surface).  The oracle
+    composes ORACLE_GOPHER_RULES and ORACLE_HASH_CLASSIFIER verbatim,
+    so the eval can never drift from the entries it grades."""
+    from metrics_service_spark.functions.stable import round_frac_bigint
+    from metrics_service_spark.operators.text import (
+        gopher_rules,
+        hash_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_rules(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    clf = hash_classifier(docs, "doc_id", "text").select(
+        "doc_id", F.col("kept").alias("clf_keep")
+    )
+    cells = (
+        rules.join(clf, "doc_id")
+        .groupBy("rule_keep", "clf_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cells.withColumn(
+        "__t", F.sum("n_docs").over(Window.partitionBy())
+    ).select(
+        "rule_keep",
+        "clf_keep",
+        "n_docs",
+        round_frac_bigint(F.col("n_docs"), F.col("__t"), 4).alias(
+            "cell_frac_scaled"
+        ),
+    )
+
+
+def _oracle_classifier_eval() -> str:
+    from metrics_service_spark.functions.stable import sql_round_frac_bigint
+
+    return f"""
+WITH rules AS (
+  SELECT doc_id, keep AS rule_keep FROM ({ORACLE_GOPHER_RULES}) g
+), clf AS (
+  SELECT doc_id, kept AS clf_keep FROM ({ORACLE_HASH_CLASSIFIER}) c
+), cells AS (
+  SELECT rule_keep, clf_keep, CAST(count(*) AS BIGINT) AS n_docs
+  FROM rules JOIN clf USING (doc_id) GROUP BY 1, 2
+), t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM cells
+)
+SELECT rule_keep, clf_keep, n_docs,
+       {sql_round_frac_bigint("n_docs", "tot", 4)} AS cell_frac_scaled
+FROM cells, t
+"""
+
+
+ORACLE_CLASSIFIER_EVAL = _oracle_classifier_eval()
+
+
 # --- prototypicality-based data pruning -----------------------------------
 def q_emb_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data pruning by prototypicality (Sorscher et al. 2022: beyond
@@ -4179,6 +4373,27 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_EPOCH_CAP_MIX,
         "UniMax epoch-capped mixing: closed-form integer waterfill "
         "(prefix-sum saturation), per-document epoch explode",
+        ("llm",),
+    ),
+    "doc_cms_ngram_error": QuerySpec(
+        q_doc_cms_ngram_error,
+        ORACLE_CMS_NGRAM_ERROR,
+        "count-min sketch calibration: 4x1024 CMS over the trigram "
+        "stream, estimate-vs-exact for the true top-25",
+        ("llm",),
+    ),
+    "doc_chunk_overlap": QuerySpec(
+        q_doc_chunk_overlap,
+        ORACLE_CHUNK_OVERLAP,
+        "overlapping context-window chunking (32 tok / 8 overlap), "
+        "closed-form chunk count + per-chunk md5",
+        ("llm",),
+    ),
+    "doc_classifier_eval": QuerySpec(
+        q_doc_classifier_eval,
+        ORACLE_CLASSIFIER_EVAL,
+        "classifier-vs-rules confusion matrix with exact basis-point "
+        "cell fractions (eval layer, text side)",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

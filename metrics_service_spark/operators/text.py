@@ -469,3 +469,58 @@ def dsir_vote(
             (F.col("score") > 0).alias("selected"),
         )
     )
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size OVERLAPPING token chunks — the
+    standard context-window/RAG chunker: chunk i covers tokens
+    ``[1 + i*stride, 1 + i*stride + chunk_tokens)`` (1-based, stride =
+    chunk_tokens - overlap), the final chunk clipped to the document
+    end, every token covered, consecutive chunks sharing ``overlap``
+    tokens.  Deterministic closed form — ``n_chunks = 1 +
+    ceil(max(n - chunk_tokens, 0) / stride)`` — so a SQL oracle
+    replays the chunking exactly; the md5 content hash makes chunks
+    joinable to dedup/embedding stages without re-carrying text.
+
+    Scale: pure per-row codegen (split + one sequence explode + slice
+    hashing) — zero shuffles; output rows ~ corpus_tokens / stride.
+    Output: (id, chunk_idx, start_tok, end_tok, n_tok, chunk_md5).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    nc = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+    )
+    start = F.lit(1) + F.col("chunk_idx") * F.lit(stride)
+    end = F.least(start + F.lit(chunk_tokens - 1), F.col("__n"))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.cast("int").alias("start_tok"),
+            end.cast("int").alias("end_tok"),
+            (end - start + 1).cast("int").alias("n_tok"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("__toks"), start, end - start + 1))
+            ).alias("chunk_md5"),
+        )
+    )

@@ -230,3 +230,49 @@ def test_duplicate_span_scrub_consistent_with_stats(spark, sf_dir):
     )
     assert scrub.exceptAll(again).count() == 0
     assert again.exceptAll(scrub).count() == 0
+
+
+def test_chunk_overlap_tiles_and_covers(spark):
+    from metrics_service_spark.operators.text import chunk_overlap
+
+    rows = []
+    for n in (1, 5, 24, 31, 32, 33, 56, 57, 100):
+        rows.append((n, " ".join(f"t{i}" for i in range(1, n + 1))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_overlap(df, "doc_id", "text", chunk_tokens=32, overlap=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].start_tok == 1
+        assert chunks[-1].end_tok == n
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i
+            assert c.start_tok == 1 + i * 24
+            assert c.end_tok == min(c.start_tok + 31, n)
+            assert c.n_tok == c.end_tok - c.start_tok + 1
+            covered.update(range(c.start_tok, c.end_tok + 1))
+            if i > 0:
+                # consecutive chunks share exactly the overlap region
+                assert chunks[i - 1].end_tok - c.start_tok + 1 == min(
+                    8, chunks[i - 1].n_tok
+                )
+        assert covered == set(range(1, n + 1))
+    # chunk hash matches a direct md5 of the sliced tokens
+    import hashlib
+
+    r33 = sorted(by_doc[33], key=lambda r: r.chunk_idx)[1]
+    text = " ".join(f"t{i}" for i in range(r33.start_tok, r33.end_tok + 1))
+    assert r33.chunk_md5 == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_chunk_overlap_param_validation(spark):
+    import pytest as _pytest
+
+    from metrics_service_spark.operators.text import chunk_overlap
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_overlap(df, "doc_id", "text", chunk_tokens=8, overlap=8)
