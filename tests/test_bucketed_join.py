@@ -126,3 +126,31 @@ def test_catalog_entry_plan_and_build_once(spark, sf_dir):
     )
     assert before == after  # no rewrite on the second call
     assert o2.count() > 0 and li2.count() > 0
+
+
+def test_bucket_pruned_point_lookup(spark, sf_dir):
+    # the layout's second dividend: an equality filter on the bucket
+    # key scans ONLY that key's bucket (SelectedBucketsCount 1 out of
+    # N), not the whole table — at cluster scale this is the
+    # point-lookup path that needs no secondary index
+    from pyspark.sql import functions as F
+
+    from metrics_service_spark.sources.bucketed import ensure_bucketed_pair
+
+    o, _ = ensure_bucketed_pair(spark, sf_dir)
+    key = o.select(F.min("o_orderkey")).first()[0]
+    # autoBucketedScan (default on) downgrades to a plain scan when no
+    # operator needs the bucket distribution — which also forfeits
+    # bucket PRUNING; a point-lookup path pins it off (the cluster
+    # knob this test documents)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = (
+            o.filter(F.col("o_orderkey") == key)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    assert "SelectedBucketsCount: 1 out of" in plan, plan

@@ -138,6 +138,24 @@ QUERIES = [
     # jaccard+CC shape over SURVIVORS only; expected to track
     # doc_split_leakage_safe (same near tier) plus the cheap tier-1
     "doc_dedup_tiers",
+    # r12: bucketed co-located star join — the warm-up rep builds the
+    # bucketed pair (fingerprint-keyed, once), the timed rep is the
+    # standing-table query; expected ~linear (per-bucket merge fill)
+    "gold_star_bucketed",
+    # r12: epoch-cap waterfill — count agg to m rows + tiny windows +
+    # ONE source-keyed rank window; budget fixed, so the rank window
+    # dominates: expected ~linear scan/shuffle fill
+    "doc_epoch_cap_mix",
+    # r12: CMS calibration — explode(depth) + groupBy collapsing to
+    # <=4096 cells + broadcast probe of a fixed top-25; expected
+    # ~linear (shingle mass), the sketch itself size-invariant
+    "doc_cms_ngram_error",
+    # r12: overlapping chunker — pure per-row codegen explode;
+    # expected ~linear scan fill (the doc_gopher_rules class)
+    "doc_chunk_overlap",
+    # r12: rules+classifier join + 4-cell agg; expected to track
+    # doc_hash_classifier (same explode/agg) plus the rules scan
+    "doc_classifier_eval",
 ]
 
 
