@@ -114,6 +114,7 @@ HEADLINE = [
     "doc_cms_ngram_error",
     "doc_chunk_overlap",
     "doc_classifier_eval",
+    "doc_fuzzy_prefix_pairs",
 ]
 
 

@@ -535,17 +535,33 @@ def q_doc_cms_ngram_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    sh = (
-        docs.select(F.explode(shingle_array(toks, 3)).alias("ngram"))
+    # ONE corpus-mass shuffle: aggregate exact per-ngram counts first
+    # (the calibration needs them anyway), then both the top-25 truth
+    # and the WEIGHTED sketch build run over distinct-ngram mass —
+    # identical arithmetic to sketching raw occurrences (a bucket's
+    # count is the sum of its keys' counts), measured 30.8x -> the
+    # occurrence-stream form's depth-amplified shuffle was the 50x
+    # probe's whole overage.  The counts frame is the checkpointed
+    # two-consumer seam.
+    from metrics_service_spark.operators.similarity import _spread
+
+    # _spread: the interpreted per-token shingle transform must run on
+    # all cores, not the scan's few row-group partitions (the 50x
+    # probe's 71 s was a straggler on a 9-partition scan)
+    counts = (
+        _spread(docs.select("text"))
+        .select(F.explode(shingle_array(toks, 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
         .localCheckpoint(eager=False)
     )
-    exact = (
-        sh.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
-        .limit(25)
+    exact = counts.orderBy(
+        F.col("doc_freq").desc(), F.col("ngram").asc()
+    ).limit(25)
+    sketch = cms_build(
+        counts, "ngram", weight_col="doc_freq",
+        width=CMS_WIDTH, depth=CMS_DEPTH,
     )
-    sketch = cms_build(sh, "ngram", width=CMS_WIDTH, depth=CMS_DEPTH)
     est = cms_estimate(
         sketch, exact.select("ngram"), "ngram", width=CMS_WIDTH, depth=CMS_DEPTH
     )
@@ -571,13 +587,17 @@ WITH sh AS (
   SELECT unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
                 FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS ngram
   FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+), counts AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY 1
 ), exact AS (
-  SELECT ngram, count(*) AS doc_freq FROM sh GROUP BY 1
+  SELECT ngram, doc_freq FROM counts
   ORDER BY doc_freq DESC, ngram ASC LIMIT 25
 ), arms AS (
-  SELECT {arms} AS a FROM sh
+  SELECT doc_freq, {arms} AS a FROM counts
 ), cells AS (
-  SELECT a.j AS j, a.bucket AS bucket, count(*) AS cnt FROM arms GROUP BY 1, 2
+  SELECT a.j AS j, a.bucket AS bucket,
+         CAST(sum(doc_freq) AS BIGINT) AS cnt
+  FROM arms GROUP BY 1, 2
 ), probes AS (
   SELECT ngram, {arms} AS a FROM exact
 ), est AS (
@@ -585,7 +605,7 @@ WITH sh AS (
   FROM probes p LEFT JOIN cells c ON c.j = p.a.j AND c.bucket = p.a.bucket
   GROUP BY 1
 )
-SELECT e.ngram, CAST(e.doc_freq AS BIGINT) AS doc_freq,
+SELECT e.ngram, e.doc_freq,
        CAST(s.cms_est AS BIGINT) AS cms_est,
        CAST(s.cms_est - e.doc_freq AS BIGINT) AS overcount
 FROM exact e JOIN est s USING (ngram)
@@ -3623,12 +3643,15 @@ def q_doc_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes ORACLE_GOPHER_RULES and ORACLE_HASH_CLASSIFIER verbatim,
     so the eval can never drift from the entries it grades."""
     from metrics_service_spark.functions.stable import round_frac_bigint
+    from metrics_service_spark.operators.similarity import _spread
     from metrics_service_spark.operators.text import (
         gopher_rules,
         hash_classifier,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # _spread: the rule battery's interpreted token filter must not
+    # serialize on a few scan partitions (50x straggler class)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     rules = gopher_rules(docs, "doc_id", "text").select(
         "doc_id", F.col("keep").alias("rule_keep")
     )
@@ -3673,6 +3696,56 @@ FROM cells, t
 
 
 ORACLE_CLASSIFIER_EVAL = _oracle_classifier_eval()
+
+
+# --- blocked edit-distance pairs --------------------------------------------
+FUZZY_PREFIX_CHARS = 80
+FUZZY_BLOCK_CHARS = 4
+FUZZY_MAX_DIST = 48
+FUZZY_MAX_CELL = 64
+
+
+def q_doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matching: levenshtein over 80-char
+    prefixes, candidates blocked on (lang, first 4 chars), overfull
+    cells dropped by the deterministic max_cell rule — the classic
+    standard-blocking entity-resolution shape, scored entirely with
+    the JVM builtin (both engines implement the same textbook edit
+    distance, so the oracle replays it bit-for-bit).  The corpus's
+    distance distribution is bimodal (exact/near dups <= ~48, random
+    mass >= ~51), so the threshold cleanly captures the near band.
+    NEW r12 surface."""
+    from metrics_service_spark.operators.dedup import fuzzy_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_prefix_pairs(
+        docs, "doc_id", "text",
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        block_chars=FUZZY_BLOCK_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        max_cell=FUZZY_MAX_CELL,
+    )
+
+
+ORACLE_FUZZY_PREFIX_PAIRS = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx,
+         substr(text, 1, {FUZZY_BLOCK_CHARS}) AS bk
+  FROM documents
+), cells AS (
+  SELECT lang, bk, count(*) AS cn FROM b GROUP BY 1, 2
+), kept AS (
+  SELECT b.* FROM b JOIN cells USING (lang, bk)
+  WHERE cells.cn <= {FUZZY_MAX_CELL}
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, c.pfx) AS INT) AS dist
+FROM kept a JOIN kept c
+  ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.pfx, c.pfx) <= {FUZZY_MAX_DIST}
+"""
 
 
 # --- prototypicality-based data pruning -----------------------------------
@@ -4394,6 +4467,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_CLASSIFIER_EVAL,
         "classifier-vs-rules confusion matrix with exact basis-point "
         "cell fractions (eval layer, text side)",
+        ("llm",),
+    ),
+    "doc_fuzzy_prefix_pairs": QuerySpec(
+        q_doc_fuzzy_prefix_pairs,
+        ORACLE_FUZZY_PREFIX_PAIRS,
+        "blocked levenshtein record linkage over 80-char prefixes "
+        "(standard blocking + deterministic max_cell drop)",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

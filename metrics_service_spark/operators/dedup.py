@@ -1312,3 +1312,80 @@ def tiered_dedup(
             .alias("canonical_id"),
         )
     )
+
+
+def fuzzy_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    prefix_chars: int = 80,
+    block_chars: int = 4,
+    max_dist: int = 48,
+    block_cols: list[str] | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Blocked edit-distance candidate pairs — the record-linkage
+    fuzzy matcher: candidates share (block_cols, the first
+    ``block_chars`` characters), and each candidate pair is scored
+    with the built-in ``levenshtein`` on the first ``prefix_chars``
+    characters.  Returns (id_a, id_b, dist) with id_a < id_b and
+    dist <= max_dist.
+
+    Blocking is STRICT prefix equality — the classic sorted-
+    neighborhood/standard-blocking trade: like LSH banding it gives up
+    recall for pairs that differ inside the block key, in exchange for
+    per-cell (not corpus²) candidate mass; the block key is a
+    deterministic function of the input, so an oracle replays the
+    exact same candidate set.  ``max_cell`` applies the same
+    deterministic drop rule as `ngram_jaccard_pairs`: documents in an
+    overfull (block, key) cell are excluded wholesale, keeping the
+    candidate count linear in N under boilerplate-prefix skew — at
+    100 TB boilerplate prefixes ("<!DOCTYPE html>") are exactly where
+    this operator defers to the shingle/MinHash family.
+
+    Scale: levenshtein is JVM whole-stage codegen, O(prefix²) per
+    CANDIDATE (bounded by the cap), zero Python; the only wide ops are
+    the block-key equi-join and (with max_cell) one cell count."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    block_cols = block_cols or []
+    # _spread before the self-join: the per-candidate O(prefix^2)
+    # levenshtein must run on all cores, not the scan's few row-group
+    # partitions (the single-file local parquet case)
+    base = _spread(
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("__id"),
+            F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
+        )
+    ).withColumn("__bk", F.substring(F.col("__pfx"), 1, block_chars))
+    if max_cell is not None:
+        cells = base.groupBy(*block_cols, "__bk").agg(
+            F.count(F.lit(1)).alias("__cn")
+        )
+        base = base.join(
+            F.broadcast(cells.filter(F.col("__cn") <= max_cell)),
+            [*block_cols, "__bk"],
+        ).drop("__cn")
+    # one materialization feeds both self-join sides
+    base = base.localCheckpoint(eager=False)
+    right = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in block_cols],
+        F.col("__id").alias("__id2"),
+        F.col("__pfx").alias("__pfx2"),
+        F.col("__bk").alias("__bk2"),
+    )
+    cond = (F.col("__bk") == F.col("__bk2")) & (F.col("__id") < F.col("__id2"))
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+    return (
+        base.join(right, cond)
+        .filter(dist <= F.lit(max_dist))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

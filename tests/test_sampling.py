@@ -178,3 +178,4 @@ def test_epoch_cap_waterfill_matches_reference(spark, budget, k):
     for eps in per_doc.values():
         assert sorted(eps) == list(range(1, len(eps) + 1))
         assert len(eps) <= k
+

@@ -601,3 +601,44 @@ def test_knn_graph_topk_contract(spark, sf_dir):
     assert edge.dot_q == sum(
         a * b for a, b in zip(vecs[src], vecs[edge.dst_id])
     )
+
+
+def test_fuzzy_prefix_pairs_blocking_and_distance(spark):
+    # candidates share (block_cols, first-4 chars); distances match
+    # a reference DP; overfull cells drop wholesale (deterministic
+    # max_cell rule, same contract as ngram_jaccard_pairs)
+    from metrics_service_spark.operators.dedup import fuzzy_prefix_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    rows = [
+        (1, "g", "abcd hello world one"),
+        (2, "g", "abcd hello world two"),      # near dup of 1
+        (3, "g", "abcd something else entirely different"),
+        (4, "g", "zzzz other block"),           # different first-4
+        (5, "h", "abcd hello world one"),       # different block col
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = fuzzy_prefix_pairs(
+        df, "doc_id", "text", prefix_chars=80, block_chars=4,
+        max_dist=15, block_cols=["grp"],
+    ).collect()
+    got = {(r.id_a, r.id_b): r.dist for r in out}
+    # only (1,2) qualifies: same grp+prefix block and within distance
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == lev(rows[0][2], rows[1][2])
+    # max_cell=1 drops the whole (g, abcd) cell deterministically
+    out2 = fuzzy_prefix_pairs(
+        df, "doc_id", "text", prefix_chars=80, block_chars=4,
+        max_dist=100, block_cols=["grp"], max_cell=1,
+    ).collect()
+    assert out2 == []

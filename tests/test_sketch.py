@@ -69,6 +69,12 @@ def test_cms_sketch_is_tiny_and_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sk_full.collect())
     )
+    # weighted build over pre-aggregated (key, count) rows == raw build
+    pre = full.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    sk_w = cms_build(pre, "k", weight_col="n", width=32, depth=2)
+    assert sorted(map(tuple, sk_w.collect())) == sorted(
+        map(tuple, sk_full.collect())
+    )
 
 
 def test_cms_width_validation():

@@ -146,9 +146,10 @@ QUERIES = [
     # ONE source-keyed rank window; budget fixed, so the rank window
     # dominates: expected ~linear scan/shuffle fill
     "doc_epoch_cap_mix",
-    # r12: CMS calibration — explode(depth) + groupBy collapsing to
-    # <=4096 cells + broadcast probe of a fixed top-25; expected
-    # ~linear (shingle mass), the sketch itself size-invariant
+    # r12: CMS calibration — ONE corpus-mass count agg, then the
+    # weighted sketch + top-25 run over distinct-ngram mass (the
+    # occurrence-stream form measured 30.8x here; the weighted form
+    # removes its depth-amplified shuffle); sketch size-invariant
     "doc_cms_ngram_error",
     # r12: overlapping chunker — pure per-row codegen explode;
     # expected ~linear scan fill (the doc_gopher_rules class)
@@ -156,6 +157,12 @@ QUERIES = [
     # r12: rules+classifier join + 4-cell agg; expected to track
     # doc_hash_classifier (same explode/agg) plus the rules scan
     "doc_classifier_eval",
+    # r12: blocked levenshtein — NOTE the replication suffixes token
+    # ENDS, so first-4-char block keys collide ACROSS copies (cells
+    # x50): this row measures the max_cell guard firing (deterministic
+    # wholesale drop, oracle-mirrored), i.e. the boilerplate-prefix
+    # skew case where the operator defers to the minhash family
+    "doc_fuzzy_prefix_pairs",
 ]
 
 
