@@ -115,6 +115,7 @@ HEADLINE = [
     "doc_chunk_overlap",
     "doc_classifier_eval",
     "doc_fuzzy_prefix_pairs",
+    "doc_winnow_pairs",
 ]
 
 

@@ -3728,6 +3728,72 @@ def q_doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- winnowing fingerprints -------------------------------------------------
+WINNOW_K = 3
+WINNOW_WINDOW = 4
+WINNOW_MAX_DF = 32
+WINNOW_MIN_SHARED = 2
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing copy-detection pairs (Schleimer et al. 2003, MOSS):
+    positional 3-gram hashes -> windowed minima (window 4) -> distinct
+    per-doc fingerprints -> hot-fingerprint guard (df <= 32) ->
+    fingerprint equi-join, pairs sharing >= 2 fingerprints.  Any
+    shared run of >= k+window-1 = 6 tokens is guaranteed a common
+    fingerprint, at ~2/(window+1) the gram density — the alignment-
+    robust middle ground between exact span hashing (doc_dup_spans)
+    and MinHash sketching.  NEW r12 surface."""
+    from metrics_service_spark.operators.dedup import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, "doc_id", "text",
+        k=WINNOW_K, window=WINNOW_WINDOW,
+        max_df=WINNOW_MAX_DF, min_shared=WINNOW_MIN_SHARED,
+    )
+
+
+def _oracle_winnow_pairs() -> str:
+    from metrics_service_spark.operators.sampling import sql_hex4_int
+
+    h8 = (
+        f"(CAST({sql_hex4_int('md5(x)')} AS BIGINT) * 65536"
+        f" + {sql_hex4_int('substr(md5(x), 5, 4)')})"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')
+          FOR i IN range(1, greatest(len(toks) - {WINNOW_K - 1}, 1) + 1)] AS gs
+  FROM t
+), hashes AS (
+  SELECT doc_id, [{h8} FOR x IN gs] AS hs FROM grams
+), sel AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[p:p+{WINNOW_WINDOW - 1}])
+          FOR p IN range(1, greatest(len(hs) - {WINNOW_WINDOW} + 1, 1) + 1)])
+             AS fps
+  FROM hashes
+), fp AS (
+  SELECT doc_id, unnest(fps) AS fp FROM sel
+), hot AS (
+  SELECT fp, count(*) AS df FROM fp GROUP BY 1
+), kept AS (
+  SELECT fp.* FROM fp JOIN hot USING (fp) WHERE hot.df <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+ORACLE_WINNOW_PAIRS = _oracle_winnow_pairs()
+
+
 ORACLE_FUZZY_PREFIX_PAIRS = f"""
 WITH b AS (
   SELECT doc_id, lang,
@@ -4474,6 +4540,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_FUZZY_PREFIX_PAIRS,
         "blocked levenshtein record linkage over 80-char prefixes "
         "(standard blocking + deterministic max_cell drop)",
+        ("llm",),
+    ),
+    "doc_winnow_pairs": QuerySpec(
+        q_doc_winnow_pairs,
+        ORACLE_WINNOW_PAIRS,
+        "winnowing (MOSS) copy-detection pairs: windowed-min "
+        "fingerprints + hot-fp guard + fingerprint equi-join",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

@@ -1389,3 +1389,125 @@ def fuzzy_prefix_pairs(
             dist.cast("int").alias("dist"),
         )
     )
+
+
+def _hex8_long(h: Column) -> Column:
+    """First 8 hex chars of an md5 digest as a BIGINT in [0, 2^32) —
+    two 16-bit windows through the engine-portable ascii arithmetic
+    (operators/sampling.py `_hex4_int`)."""
+    from metrics_service_spark.operators.sampling import _hex4_int
+
+    return (
+        _hex4_int(h).cast("long") * F.lit(65536)
+        + _hex4_int(F.substring(h, 5, 4)).cast("long")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every POSITIONAL k-token gram,
+    slide a window of `window` consecutive hashes, keep each window's
+    minimum, and emit the document's distinct selected values.  The
+    guarantee that makes it the standard plagiarism/copy detector: any
+    shared run of at least k + window - 1 tokens contributes at least
+    one IDENTICAL fingerprint to both documents, while the fingerprint
+    density is ~2/(window+1) of the gram count — a tunable, alignment-
+    robust sample of the document.
+
+    Selection is by minimum VALUE over the window (ties collapse under
+    the later distinct, so no positional tie rule is needed for the
+    emitted SET — both engines agree on plain `min`).
+
+    Shape: positional grams EXPLODE to rows so the md5/hex8 hashing
+    runs in whole-stage codegen, and the sliding minimum is a
+    row-frame window over (id, pos) — one doc-keyed shuffle of gram
+    mass, the minhash-signature cost class.  The all-array form (md5 +
+    per-window slice inside interpreted `transform`) measured 40.7x at
+    the 50x probe with a 10 s base; this form is the same arithmetic
+    with the per-element work JVM-side.  Output: (id, fp)."""
+    from pyspark.sql import Window
+
+    from metrics_service_spark.operators.similarity import _spread
+
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    rows = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        id_col, F.posexplode(grams).alias("__p", "__g")
+    )
+    wdoc = Window.partitionBy(id_col)
+    wmin = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        rows.select(
+            id_col,
+            "__p",
+            _hex8_long(F.md5(F.col("__g"))).alias("__h"),
+        )
+        .select(
+            id_col,
+            "__p",
+            F.min("__h").over(wmin).alias("fp"),
+            F.count(F.lit(1)).over(wdoc).alias("__n"),
+        )
+        .filter(
+            F.col("__p")
+            <= F.greatest(F.col("__n") - F.lit(window), F.lit(0))
+        )
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    window: int = 4,
+    max_df: int = 32,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Copy-detection pairs from winnowing fingerprints: documents
+    sharing >= `min_shared` selected fingerprints, with the standard
+    hot-key guard — fingerprints appearing in more than `max_df`
+    documents (boilerplate) are dropped wholesale before the join, a
+    deterministic rule the oracle mirrors (the LSH hot-bucket guard's
+    shape).  The join is a fingerprint equi-join: candidate mass is
+    sum over fingerprints of df², bounded by max_df x shared mass —
+    never corpus².  Output: (id_a, id_b, shared)."""
+    fp = winnow_fingerprints(
+        df, id_col, text_col, k=k, window=window
+    ).localCheckpoint(eager=False)
+    hot = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = fp.join(
+        F.broadcast(hot.filter(F.col("__df") <= max_df).select("fp")), "fp"
+    )
+    right = kept.select(
+        F.col("fp"), F.col(id_col).alias("__id2")
+    )
+    return (
+        kept.join(right, "fp")
+        .filter(F.col(id_col) < F.col("__id2"))
+        .groupBy(id_col, "__id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            F.col("shared"),
+        )
+    )

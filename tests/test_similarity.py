@@ -642,3 +642,39 @@ def test_fuzzy_prefix_pairs_blocking_and_distance(spark):
         max_dist=100, block_cols=["grp"], max_cell=1,
     ).collect()
     assert out2 == []
+
+
+def test_winnow_guarantee_and_density(spark):
+    # the winnowing contract (Schleimer et al.): two docs sharing a
+    # run of >= k + window - 1 tokens share at least one fingerprint;
+    # and a doc's fingerprint count is well below its gram count
+    from metrics_service_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    shared_run = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+    rows = [
+        (1, f"one two three {shared_run} four five six"),
+        (2, f"{shared_run} seven eight nine ten eleven twelve"),
+        (3, "totally different words nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]  # guaranteed shared fingerprint
+    assert not (by_doc[1] & by_doc[3])
+    # density: selected <= grams (= tokens - 2)
+    for did, text in [(1, rows[0][1]), (2, rows[1][1])]:
+        assert len(by_doc[did]) <= len(text.split()) - 2
+    pairs = winnow_pairs(
+        df, "doc_id", "text", k=3, window=4, max_df=32, min_shared=1
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    # hot-fingerprint guard: max_df=1 drops every shared fingerprint
+    none = winnow_pairs(
+        df, "doc_id", "text", k=3, window=4, max_df=1, min_shared=1
+    ).collect()
+    assert none == []

@@ -163,6 +163,11 @@ QUERIES = [
     # wholesale drop, oracle-mirrored), i.e. the boilerplate-prefix
     # skew case where the operator defers to the minhash family
     "doc_fuzzy_prefix_pairs",
+    # r12: winnowing — per-row array transforms (positional grams,
+    # md5-hex8, windowed mins) + hot-fp guard + fp equi-join; copies
+    # are token-disjoint so cross-copy fingerprints decorrelate;
+    # expected to track the shingle-mass family
+    "doc_winnow_pairs",
 ]
 
 
