@@ -116,6 +116,7 @@ HEADLINE = [
     "doc_classifier_eval",
     "doc_fuzzy_prefix_pairs",
     "doc_winnow_pairs",
+    "doc_canonical_dedup",
 ]
 
 

@@ -636,32 +636,37 @@ def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CHUNK_OVERLAP = f"""
+def chunk_overlap_oracle(chunk_tokens: int, overlap: int) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n
   FROM documents
 ), c AS (
   SELECT doc_id, toks, n,
-         CASE WHEN n <= {CHUNK_TOKENS} THEN 1
-              ELSE 1 + (n - {CHUNK_TOKENS} + {_CHUNK_STRIDE} - 1)
-                       // {_CHUNK_STRIDE}
+         CASE WHEN n <= {chunk_tokens} THEN 1
+              ELSE 1 + (n - {chunk_tokens} + {stride} - 1)
+                       // {stride}
          END AS nc
   FROM t
 ), e AS (
   SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM c
 )
 SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-       CAST(1 + i * {_CHUNK_STRIDE} AS INT) AS start_tok,
-       CAST(least(i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n) AS INT) AS end_tok,
-       CAST(least(i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)
-            - i * {_CHUNK_STRIDE} AS INT) AS n_tok,
+       CAST(1 + i * {stride} AS INT) AS start_tok,
+       CAST(least(i * {stride} + {chunk_tokens}, n) AS INT) AS end_tok,
+       CAST(least(i * {stride} + {chunk_tokens}, n)
+            - i * {stride} AS INT) AS n_tok,
        md5(array_to_string(
-           list_slice(toks, 1 + i * {_CHUNK_STRIDE},
-                      least(i * {_CHUNK_STRIDE} + {CHUNK_TOKENS}, n)),
+           list_slice(toks, 1 + i * {stride},
+                      least(i * {stride} + {chunk_tokens}, n)),
            ' ')) AS chunk_md5
 FROM e
 """
+
+
+ORACLE_CHUNK_OVERLAP = chunk_overlap_oracle(CHUNK_TOKENS, CHUNK_OVERLAP)
 
 
 # --- corpus unigram-frequency scoring --------------------------------------
@@ -3205,49 +3210,55 @@ def q_doc_epoch_cap_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left after the smaller prefix — the saturated set is a prefix, so
 # the whole sequential waterfill is one window pass.  All arithmetic
 # BIGINT; every aggregate in reach of the final projection is CAST
-# (the dup_spans HUGEINT lesson, ORACLE_COMPAT.md).
-ORACLE_EPOCH_CAP_MIX = f"""
+# (the dup_spans HUGEINT lesson, ORACLE_COMPAT.md).  Parameterized so
+# the hypothesis fuzz can sweep budget/k regimes the fixed catalog
+# constants never reach (tests/test_mix_family_fuzz.py).
+def epoch_cap_oracle(budget: int, k: int, group_col: str = "lang") -> str:
+    return f"""
 WITH c AS (
-  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+  SELECT {group_col}, count(*) AS n FROM documents GROUP BY 1
 ), caps AS (
-  SELECT lang, n, CAST(n * {EPOCH_CAP_K} AS BIGINT) AS cap FROM c
+  SELECT {group_col}, n, CAST(n * {k} AS BIGINT) AS cap FROM c
 ), pref AS (
-  SELECT lang, n, cap,
-         row_number() OVER (ORDER BY cap, lang) AS i,
-         CAST(sum(cap) OVER (ORDER BY cap, lang
+  SELECT {group_col}, n, cap,
+         row_number() OVER (ORDER BY cap, {group_col}) AS i,
+         CAST(sum(cap) OVER (ORDER BY cap, {group_col}
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS P,
          count(*) OVER () AS m
   FROM caps
 ), sat AS (
-  SELECT *, cap * (m - i + 1) <= {EPOCH_CAP_BUDGET} - (P - cap) AS is_sat
+  SELECT *, cap * (m - i + 1) <= {budget} - (P - cap) AS is_sat
   FROM pref
 ), lvl AS (
   SELECT CAST(coalesce(max(CASE WHEN is_sat THEN i END), 0) AS BIGINT) AS S,
          CAST(coalesce(max(CASE WHEN is_sat THEN P END), 0) AS BIGINT) AS PS
   FROM sat
 ), quota AS (
-  SELECT lang, n,
+  SELECT {group_col}, n,
          CAST(CASE WHEN i <= S THEN cap
-              ELSE ({EPOCH_CAP_BUDGET} - PS) // greatest(m - S, 1)
-                   + CASE WHEN (i - S) <= ({EPOCH_CAP_BUDGET} - PS)
+              ELSE ({budget} - PS) // greatest(m - S, 1)
+                   + CASE WHEN (i - S) <= ({budget} - PS)
                                           % greatest(m - S, 1)
                           THEN 1 ELSE 0 END
               END AS BIGINT) AS q
   FROM sat, lvl
 ), r AS (
-  SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang
+  SELECT doc_id, {group_col},
+         row_number() OVER (PARTITION BY {group_col}
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents
 ), ex AS (
-  SELECT r.doc_id, r.lang,
+  SELECT r.doc_id, r.{group_col},
          CAST(q.q // q.n
               + CASE WHEN r.rk <= q.q % q.n THEN 1 ELSE 0 END AS INT) AS n_ep
-  FROM r JOIN quota q USING (lang)
+  FROM r JOIN quota q USING ({group_col})
 )
-SELECT doc_id, lang, CAST(unnest(range(1, n_ep + 1)) AS INT) AS epoch
+SELECT doc_id, {group_col}, CAST(unnest(range(1, n_ep + 1)) AS INT) AS epoch
 FROM ex WHERE n_ep > 0
 """
+
+
+ORACLE_EPOCH_CAP_MIX = epoch_cap_oracle(EPOCH_CAP_BUDGET, EPOCH_CAP_K)
 
 
 # --- corpus k-NN graph ------------------------------------------------------
@@ -3728,6 +3739,34 @@ def q_doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup (the CCNet/RefinedWeb pre-pass): exact
+    groups over the canonical form (lowercase, punctuation to spaces,
+    whitespace collapsed), with n_variants counting the distinct RAW
+    contents each canonical group merged — exactly what plain content
+    hashing (doc_exact_dedup) misses.  NEW r12 surface."""
+    from metrics_service_spark.operators.dedup import canonical_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return canonical_dedup(docs, "doc_id", "text")
+
+
+ORACLE_CANONICAL_DEDUP = """
+WITH c AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canonical_hash,
+         md5(text) AS raw_hash
+  FROM documents
+)
+SELECT canonical_hash,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_variants
+FROM c GROUP BY 1
+"""
+
+
 # --- winnowing fingerprints -------------------------------------------------
 WINNOW_K = 3
 WINNOW_WINDOW = 4
@@ -3754,7 +3793,12 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_winnow_pairs() -> str:
+def winnow_oracle(
+    k: int = WINNOW_K,
+    window: int = WINNOW_WINDOW,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> str:
     from metrics_service_spark.operators.sampling import sql_hex4_int
 
     h8 = (
@@ -3766,15 +3810,15 @@ WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), grams AS (
   SELECT doc_id,
-         [array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')
-          FOR i IN range(1, greatest(len(toks) - {WINNOW_K - 1}, 1) + 1)] AS gs
+         [array_to_string(toks[i:i+{k - 1}], ' ')
+          FOR i IN range(1, greatest(len(toks) - {k - 1}, 1) + 1)] AS gs
   FROM t
 ), hashes AS (
   SELECT doc_id, [{h8} FOR x IN gs] AS hs FROM grams
 ), sel AS (
   SELECT doc_id,
-         list_distinct([list_min(hs[p:p+{WINNOW_WINDOW - 1}])
-          FOR p IN range(1, greatest(len(hs) - {WINNOW_WINDOW} + 1, 1) + 1)])
+         list_distinct([list_min(hs[p:p+{window - 1}])
+          FOR p IN range(1, greatest(len(hs) - {window} + 1, 1) + 1)])
              AS fps
   FROM hashes
 ), fp AS (
@@ -3782,16 +3826,16 @@ WITH t AS (
 ), hot AS (
   SELECT fp, count(*) AS df FROM fp GROUP BY 1
 ), kept AS (
-  SELECT fp.* FROM fp JOIN hot USING (fp) WHERE hot.df <= {WINNOW_MAX_DF}
+  SELECT fp.* FROM fp JOIN hot USING (fp) WHERE hot.df <= {max_df}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS shared
 FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
 
 
-ORACLE_WINNOW_PAIRS = _oracle_winnow_pairs()
+ORACLE_WINNOW_PAIRS = winnow_oracle()
 
 
 ORACLE_FUZZY_PREFIX_PAIRS = f"""
@@ -4547,6 +4591,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_WINNOW_PAIRS,
         "winnowing (MOSS) copy-detection pairs: windowed-min "
         "fingerprints + hot-fp guard + fingerprint equi-join",
+        ("llm",),
+    ),
+    "doc_canonical_dedup": QuerySpec(
+        q_doc_canonical_dedup,
+        ORACLE_CANONICAL_DEDUP,
+        "normalize-then-dedup: canonical-form hash groups with "
+        "raw-variant counts (the exact-dedup blind spot)",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

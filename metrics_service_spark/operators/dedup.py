@@ -1511,3 +1511,39 @@ def winnow_pairs(
             F.col("shared"),
         )
     )
+
+
+def canonical_text(text: Column) -> Column:
+    """CCNet-style canonical form: lowercase, non-alphanumerics to
+    spaces, whitespace collapsed, trimmed.  Both engines express it
+    with the same two regex rewrites, so the canonical form (and
+    everything keyed on it) replays in a SQL oracle byte-for-byte."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def canonical_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization — catches the case/
+    punctuation/whitespace variants plain content hashing misses (the
+    normalize-then-dedup pass CCNet/RefinedWeb run before any fuzzy
+    stage).  One hash-groupBy like `exact_dedup`, plus `n_variants` =
+    distinct RAW contents merged into each canonical group — the
+    measure of what canonicalization bought over exact dedup (groups
+    with n_variants > 1 are invisible to `exact_dedup`).  Map-side
+    combine collapses the corpus before the shuffle; 100 TB-safe."""
+    return (
+        df.select(
+            F.md5(canonical_text(F.col(text_col))).alias("canonical_hash"),
+            F.md5(F.col(text_col)).alias("__raw_hash"),
+            F.col(id_col),
+        )
+        .groupBy("canonical_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("__raw_hash").alias("n_variants"),
+        )
+    )

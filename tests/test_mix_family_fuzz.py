@@ -1,0 +1,106 @@
+"""Differential fuzz for the r12 mixing/chunking/fingerprint family.
+
+The fixed catalog constants exercise one regime each (e.g. the
+epoch-cap waterfill at sf0.01 saturates exactly one source); these
+sweep budget/k/window parameters over adversarial tiny corpora —
+empty docs, single tokens, all-duplicate groups, punctuation noise —
+and require the Spark pipelines and their parameterized DuckDB
+oracles to agree bitwise on every draw.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from metrics_service_spark.catalog.llm import (
+    ORACLE_CANONICAL_DEDUP,
+    chunk_overlap_oracle,
+    epoch_cap_oracle,
+    winnow_oracle,
+)
+from metrics_service_spark.operators.dedup import canonical_dedup, winnow_pairs
+from metrics_service_spark.operators.sampling import epoch_cap_source_sample
+from metrics_service_spark.operators.text import chunk_overlap
+from metrics_service_spark.testing.oracle import compare_query
+
+_doc = st.lists(
+    st.sampled_from(["a", "b", "c", "A.", "b,c", "  ", "d!"]),
+    min_size=0,
+    max_size=20,
+).map(" ".join)
+_langs = st.sampled_from(["en", "de", "fr"])
+
+
+def _write(tmp_path, texts, langs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(["src"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int32()),
+            }
+        ),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    return sf_dir
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    budget=st.integers(min_value=1, max_value=120),
+    k=st.integers(min_value=1, max_value=4),
+    chunk=st.integers(min_value=2, max_value=9),
+)
+def test_mix_family_matches_oracle_on_adversarial_corpora(
+    spark, tmp_path, data, budget, k, chunk
+):
+    texts = data.draw(st.lists(_doc, min_size=1, max_size=10))
+    langs = [data.draw(_langs) for _ in texts]
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    sf_dir = _write(tmp_path, texts, langs)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    compare_query(
+        epoch_cap_source_sample(
+            docs, "lang", "doc_id", budget=budget, max_epochs=k
+        ),
+        epoch_cap_oracle(budget, k),
+        sf_dir,
+        "fuzz:epoch_cap",
+    )
+    compare_query(
+        chunk_overlap(
+            docs, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+        ),
+        chunk_overlap_oracle(chunk, overlap),
+        sf_dir,
+        "fuzz:chunk_overlap",
+    )
+    compare_query(
+        canonical_dedup(docs, "doc_id", "text"),
+        ORACLE_CANONICAL_DEDUP,
+        sf_dir,
+        "fuzz:canonical_dedup",
+    )
+    compare_query(
+        winnow_pairs(
+            docs, "doc_id", "text", k=2, window=3, max_df=8, min_shared=1
+        ),
+        winnow_oracle(2, 3, 8, 1),
+        sf_dir,
+        "fuzz:winnow_pairs",
+    )

@@ -168,6 +168,9 @@ QUERIES = [
     # are token-disjoint so cross-copy fingerprints decorrelate;
     # expected to track the shingle-mass family
     "doc_winnow_pairs",
+    # r12: canonical-form hash groupBy — the doc_exact_dedup class
+    # with two regex rewrites on the map side; expected ~linear
+    "doc_canonical_dedup",
 ]
 
 
