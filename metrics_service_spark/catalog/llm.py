@@ -3751,11 +3751,13 @@ def q_doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_dedup(docs, "doc_id", "text")
 
 
-ORACLE_CANONICAL_DEDUP = """
+def _oracle_canonical_dedup() -> str:
+    from metrics_service_spark.operators.dedup import sql_canonical_text
+
+    return f"""
 WITH c AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(regexp_replace(lower(text),
-             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS canonical_hash,
+         md5({sql_canonical_text("text")}) AS canonical_hash,
          md5(text) AS raw_hash
   FROM documents
 )
@@ -3765,6 +3767,9 @@ SELECT canonical_hash,
        CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_variants
 FROM c GROUP BY 1
 """
+
+
+ORACLE_CANONICAL_DEDUP = _oracle_canonical_dedup()
 
 
 # --- winnowing fingerprints -------------------------------------------------
