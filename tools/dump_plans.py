@@ -76,6 +76,14 @@ COMMENTARY = {
     "doc_temperature_mix": "count agg collapses to ~n_sources rows map-side; the exact-isqrt weight + round_frac_bigint quota is a pure projection over that tiny frame; quotas broadcast back; ONE source-keyed exchange for the rank window (variable quota, so the limit can't push — still a single streaming pass per partition)",
     "emb_ann_recall": "both arms in one plan: the exact arm broadcasts the 8-query frame over one corpus scan, the IVF arm reuses its audited assign/probe shape; the intersection join moves k-bounded rows per query; recall arithmetic is a plain-BIGINT projection — |queries| is the knob that bounds the whole eval",
     "doc_minhash_estimate": "the md5 near-dup entry's audited banded skeleton (signatures checkpointed once, hot-bucket guard); the calibration adds two joins back to the signature + shingle frames on the k-bounded candidate set; estimate/exact/err are integer projections",
+    "gold_star_bucketed": "bucketed catalog scans on both fact sides: SortMergeJoin with ZERO Exchange below it (the layout pre-pays the shuffle and the sortBy pre-pays the sort); the whole query's only exchange is the final two-key rollup",
+    "doc_epoch_cap_mix": "count agg collapses the corpus to m rows; the waterfill (prefix-sum saturation) is two windows + one agg over that tiny frame (the SinglePartition exchanges move m rows); quotas broadcast back; ONE source-keyed exchange for the rank window + a per-row epoch explode",
+    "doc_cms_ngram_error": "ONE corpus-mass shuffle (the exact ngram count agg, _spread above it so the interpreted shingle transform fills all cores, checkpointed for its two consumers); the WEIGHTED sketch build and the top-25 both run over distinct-ngram mass; estimation is a broadcast join of <=4096 cells onto 25 probes",
+    "doc_chunk_overlap": "pure per-row codegen: split + closed-form chunk count + sequence explode + slice hashing; ZERO exchanges",
+    "doc_classifier_eval": "two per-doc projections over a _spread scan (rule battery is pure column arithmetic, classifier is explode + map-side-combined hash agg) joined on the id; the confusion matrix is a 4-row aggregate and the basis-point fractions a plain-BIGINT projection over it",
+    "doc_fuzzy_prefix_pairs": "strict-block equi-join (lang, first-4-chars) over a _spread checkpointed prefix frame; per-candidate codegen levenshtein; max_cell broadcast prune drops overfull cells before the join",
+    "doc_winnow_pairs": "positional grams EXPLODE to rows so md5/hex8 runs in codegen; sliding-window MIN is a row-frame window over (doc,pos) — one doc-keyed exchange of gram mass; hot-fingerprint broadcast prune, then the fp equi-join moves df-bounded candidate pairs",
+    "doc_canonical_dedup": "map-side: translate char-map + split/filter/join canonical form + two md5s (no java-regex scan — measured 14x slower); ONE map-side-combined hash agg; countDistinct adds the standard two-level agg over collapsed groups",
 }
 
 
