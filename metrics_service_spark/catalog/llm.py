@@ -2709,8 +2709,13 @@ def q_doc_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-salad text scores low here while passing unigram checks).
     Exact integer counts + one final rounded division keep it
     oracle-safe; the vocabulary join is the same big-vocab
-    shuffle-join pattern."""
-    docs = load_table(spark, sf_dir, "documents")
+    shuffle-join pattern.  _spread: the interpreted bigram transform
+    runs TWICE (counts build + probe side) and serialized on the
+    few-partition scan — re-probed 36.4x at 50x before the spread
+    (r12; the straggler class SCALE.md documents)."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     bgs = toks.select(
         "doc_id",
