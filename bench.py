@@ -117,6 +117,7 @@ HEADLINE = [
     "doc_fuzzy_prefix_pairs",
     "doc_winnow_pairs",
     "doc_canonical_dedup",
+    "doc_sorted_neighborhood",
 ]
 
 

@@ -50,6 +50,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_fuzzy_prefix_pairs",
     "doc_winnow_pairs",
     "doc_canonical_dedup",
+    "doc_sorted_neighborhood",
     "doc_dedup_tiers",
     "doc_dedup_clusters",
     "mm_dedup_clusters",
@@ -92,9 +93,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_paragraph_dedup",
     "doc_quality",
     "doc_quality_filter",
-    "doc_quality_filter_exact",
     # -- buffer past the 50-entry sample line (rest of r9; all
     #    differentially pytest-checked every session) ----------------
+    "doc_quality_filter_exact",
     "doc_repetition",
     "doc_shuffle_shard",
     "doc_tfidf_topk",

@@ -3777,6 +3777,50 @@ FROM c GROUP BY 1
 ORACLE_CANONICAL_DEDUP = _oracle_canonical_dedup()
 
 
+SN_NEIGHBORHOOD = 6
+
+
+def q_doc_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández-Stolfo), the
+    complement of doc_fuzzy_prefix_pairs' strict blocking: rank within
+    each lang by the 80-char prefix, compare each doc against its next
+    5 rank-neighbors, keep pairs within levenshtein 48.  A near-dup
+    whose edit touches the first 4 characters escapes the strict
+    block but still sorts adjacent — the standard multi-pass linkage
+    runs both passes and unions.  Candidate mass exactly
+    N*(neighborhood-1).  NEW r12 surface."""
+    from metrics_service_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text",
+        neighborhood=SN_NEIGHBORHOOD,
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+    )
+
+
+ORACLE_SORTED_NEIGHBORHOOD = f"""
+WITH b AS (
+  SELECT doc_id, lang, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY substr(text, 1, {FUZZY_PREFIX_CHARS}),
+                                     doc_id) AS rk
+  FROM documents
+)
+SELECT least(a.doc_id, c.doc_id) AS id_a,
+       greatest(a.doc_id, c.doc_id) AS id_b,
+       CAST(levenshtein(a.pfx, c.pfx) AS INT) AS dist
+FROM b a JOIN b c
+  ON a.lang = c.lang
+ AND c.rk BETWEEN a.rk + 1 AND a.rk + {SN_NEIGHBORHOOD - 1}
+WHERE levenshtein(a.pfx, c.pfx) <= {FUZZY_MAX_DIST}
+"""
+
+
 # --- winnowing fingerprints -------------------------------------------------
 WINNOW_K = 3
 WINNOW_WINDOW = 4
@@ -4608,6 +4652,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_CANONICAL_DEDUP,
         "normalize-then-dedup: canonical-form hash groups with "
         "raw-variant counts (the exact-dedup blind spot)",
+        ("llm",),
+    ),
+    "doc_sorted_neighborhood": QuerySpec(
+        q_doc_sorted_neighborhood,
+        ORACLE_SORTED_NEIGHBORHOOD,
+        "sorted-neighborhood linkage: block-keyed rank window, "
+        "next-5-neighbor levenshtein (the strict-block complement)",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

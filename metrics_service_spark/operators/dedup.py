@@ -1577,3 +1577,82 @@ def canonical_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.countDistinct("__raw_hash").alias("n_variants"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    neighborhood: int = 6,
+    prefix_chars: int = 80,
+    max_dist: int = 48,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández & Stolfo 1995 —
+    the OTHER classic blocking, complementing `fuzzy_prefix_pairs`'
+    strict prefix blocks): rank documents within each block by their
+    sort key (the text prefix), compare every document against its
+    next ``neighborhood - 1`` neighbors in rank order, and keep pairs
+    within ``max_dist`` prefix levenshtein.  Strict blocking misses a
+    near-dup whose edit touches the block key's first characters;
+    sorted neighborhood still sees it as long as the pair sorts
+    nearby — the standard multi-pass linkage runs both and unions.
+
+    Shape: one block-keyed rank window, an offset explode (candidate
+    mass exactly N*(neighborhood-1)), a (block, rank) equi-join, and
+    per-candidate codegen levenshtein.  The block-keyed window puts
+    each block's sort on one task — fine for high-cardinality blocks;
+    for few/hot blocks at cluster scale, swap the rank source for the
+    bucketed global-monotone machinery in `operators/rank.py` (the
+    ev_sessionize_global pattern).  Output (id_a, id_b, dist) with
+    id_a < id_b; each unordered pair appears once (positive offsets
+    only)."""
+    from pyspark.sql import Window
+
+    from metrics_service_spark.operators.similarity import _spread
+
+    block_cols = block_cols or []
+    w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(
+        F.col("__pfx").asc(), F.col("__id").asc()
+    )
+    base = (
+        _spread(
+            df.select(
+                *[F.col(c) for c in block_cols],
+                F.col(id_col).alias("__id"),
+                F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
+            )
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .localCheckpoint(eager=False)
+    )
+    probe = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in block_cols],
+        F.col("__id").alias("__id2"),
+        F.col("__pfx").alias("__pfx2"),
+        F.explode(
+            F.sequence(
+                F.col("__rk") - (neighborhood - 1), F.col("__rk") - 1
+            )
+        ).alias("__rk"),
+    ).filter(F.col("__rk") >= 1)
+    joined = base.join(
+        probe,
+        [
+            *[
+                base[c] == probe[f"__r_{c}"]
+                for c in block_cols
+            ],
+            base["__rk"] == probe["__rk"],
+        ],
+    )
+    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+    return (
+        joined.filter(dist <= F.lit(max_dist))
+        .select(
+            F.least("__id", "__id2").alias("id_a"),
+            F.greatest("__id", "__id2").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

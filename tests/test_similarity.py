@@ -678,3 +678,37 @@ def test_winnow_guarantee_and_density(spark):
         df, "doc_id", "text", k=3, window=4, max_df=1, min_shared=1
     ).collect()
     assert none == []
+
+
+def test_sorted_neighborhood_complements_strict_blocking(spark):
+    # a near-dup whose edit hits the FIRST character escapes the
+    # strict prefix block but sorts adjacent — sorted neighborhood
+    # must find it; and candidate mass is exactly N*(w-1) per block
+    from metrics_service_spark.operators.dedup import (
+        fuzzy_prefix_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "g", "abcd hello world one two"),
+        (2, "g", "bbcd hello world one two"),   # first char differs
+        (3, "g", "zzzz totally different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    strict = fuzzy_prefix_pairs(
+        df, "doc_id", "text", prefix_chars=80, block_chars=4,
+        max_dist=10, block_cols=["grp"],
+    ).collect()
+    assert strict == []  # blocked apart by the first-4 key
+    sn = sorted_neighborhood_pairs(
+        df, "doc_id", "text", neighborhood=2, prefix_chars=80,
+        max_dist=10, block_cols=["grp"],
+    ).collect()
+    assert {(r.id_a, r.id_b, r.dist) for r in sn} == {(1, 2, 1)}
+    # neighborhood=3 on 3 docs: candidates = 2+1 = 3; with max_dist
+    # wide open all 3 candidate pairs come back
+    allp = sorted_neighborhood_pairs(
+        df, "doc_id", "text", neighborhood=3, prefix_chars=80,
+        max_dist=100, block_cols=["grp"],
+    ).collect()
+    assert len(allp) == 3

@@ -169,8 +169,12 @@ QUERIES = [
     # expected to track the shingle-mass family
     "doc_winnow_pairs",
     # r12: canonical-form hash groupBy — the doc_exact_dedup class
-    # with two regex rewrites on the map side; expected ~linear
+    # with translate on the map side; expected ~linear
     "doc_canonical_dedup",
+    # r12: sorted-neighborhood — block-keyed rank window + offset
+    # explode (candidates exactly N*(w-1)) + codegen levenshtein;
+    # expected ~linear, window skew bounded by block cardinality
+    "doc_sorted_neighborhood",
 ]
 
 
