@@ -84,6 +84,7 @@ COMMENTARY = {
     "doc_fuzzy_prefix_pairs": "strict-block equi-join (lang, first-4-chars) over a _spread checkpointed prefix frame; per-candidate codegen levenshtein; max_cell broadcast prune drops overfull cells before the join",
     "doc_winnow_pairs": "positional grams EXPLODE to rows so md5/hex8 runs in codegen; sliding-window MIN is a row-frame window over (doc,pos) — one doc-keyed exchange of gram mass; hot-fingerprint broadcast prune, then the fp equi-join moves df-bounded candidate pairs",
     "doc_canonical_dedup": "map-side: translate char-map + split/filter/join canonical form + two md5s (no java-regex scan — measured 14x slower); ONE map-side-combined hash agg; countDistinct adds the standard two-level agg over collapsed groups",
+    "doc_sorted_neighborhood": "block-keyed rank window over the _spread checkpointed prefix frame; offset explode caps candidates at N*(w-1); (block, rank) equi-join + per-candidate codegen levenshtein — the strict-block complement, unioned by multi-pass linkage",
 }
 
 
