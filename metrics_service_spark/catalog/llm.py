@@ -3803,11 +3803,16 @@ def q_doc_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SORTED_NEIGHBORHOOD = f"""
+def sorted_neighborhood_oracle(
+    neighborhood: int = SN_NEIGHBORHOOD,
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+) -> str:
+    return f"""
 WITH b AS (
-  SELECT doc_id, lang, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx,
+  SELECT doc_id, lang, substr(text, 1, {prefix_chars}) AS pfx,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY substr(text, 1, {FUZZY_PREFIX_CHARS}),
+                            ORDER BY substr(text, 1, {prefix_chars}),
                                      doc_id) AS rk
   FROM documents
 )
@@ -3816,9 +3821,12 @@ SELECT least(a.doc_id, c.doc_id) AS id_a,
        CAST(levenshtein(a.pfx, c.pfx) AS INT) AS dist
 FROM b a JOIN b c
   ON a.lang = c.lang
- AND c.rk BETWEEN a.rk + 1 AND a.rk + {SN_NEIGHBORHOOD - 1}
-WHERE levenshtein(a.pfx, c.pfx) <= {FUZZY_MAX_DIST}
+ AND c.rk BETWEEN a.rk + 1 AND a.rk + {neighborhood - 1}
+WHERE levenshtein(a.pfx, c.pfx) <= {max_dist}
 """
+
+
+ORACLE_SORTED_NEIGHBORHOOD = sorted_neighborhood_oracle()
 
 
 # --- winnowing fingerprints -------------------------------------------------
@@ -3892,24 +3900,33 @@ GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 ORACLE_WINNOW_PAIRS = winnow_oracle()
 
 
-ORACLE_FUZZY_PREFIX_PAIRS = f"""
+def fuzzy_prefix_oracle(
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    block_chars: int = FUZZY_BLOCK_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_cell: int = FUZZY_MAX_CELL,
+) -> str:
+    return f"""
 WITH b AS (
   SELECT doc_id, lang,
-         substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx,
-         substr(text, 1, {FUZZY_BLOCK_CHARS}) AS bk
+         substr(text, 1, {prefix_chars}) AS pfx,
+         substr(text, 1, {block_chars}) AS bk
   FROM documents
 ), cells AS (
   SELECT lang, bk, count(*) AS cn FROM b GROUP BY 1, 2
 ), kept AS (
   SELECT b.* FROM b JOIN cells USING (lang, bk)
-  WHERE cells.cn <= {FUZZY_MAX_CELL}
+  WHERE cells.cn <= {max_cell}
 )
 SELECT a.doc_id AS id_a, c.doc_id AS id_b,
        CAST(levenshtein(a.pfx, c.pfx) AS INT) AS dist
 FROM kept a JOIN kept c
   ON a.lang = c.lang AND a.bk = c.bk AND a.doc_id < c.doc_id
-WHERE levenshtein(a.pfx, c.pfx) <= {FUZZY_MAX_DIST}
+WHERE levenshtein(a.pfx, c.pfx) <= {max_dist}
 """
+
+
+ORACLE_FUZZY_PREFIX_PAIRS = fuzzy_prefix_oracle()
 
 
 # --- prototypicality-based data pruning -----------------------------------

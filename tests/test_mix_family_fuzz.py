@@ -104,3 +104,54 @@ def test_mix_family_matches_oracle_on_adversarial_corpora(
         sf_dir,
         "fuzz:winnow_pairs",
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    neighborhood=st.integers(min_value=2, max_value=5),
+    block_chars=st.integers(min_value=1, max_value=4),
+    max_dist=st.integers(min_value=0, max_value=60),
+)
+def test_linkage_family_matches_oracle_on_adversarial_corpora(
+    spark, tmp_path, data, neighborhood, block_chars, max_dist
+):
+    from metrics_service_spark.catalog.llm import (
+        fuzzy_prefix_oracle,
+        sorted_neighborhood_oracle,
+    )
+    from metrics_service_spark.operators.dedup import (
+        fuzzy_prefix_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    texts = data.draw(st.lists(_doc, min_size=1, max_size=10))
+    langs = [data.draw(_langs) for _ in texts]
+    max_cell = data.draw(st.integers(min_value=1, max_value=12))
+    sf_dir = _write(tmp_path, texts, langs)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    compare_query(
+        fuzzy_prefix_pairs(
+            docs, "doc_id", "text",
+            prefix_chars=40, block_chars=block_chars,
+            max_dist=max_dist, block_cols=["lang"], max_cell=max_cell,
+        ),
+        fuzzy_prefix_oracle(40, block_chars, max_dist, max_cell),
+        sf_dir,
+        "fuzz:fuzzy_prefix",
+    )
+    compare_query(
+        sorted_neighborhood_pairs(
+            docs, "doc_id", "text",
+            neighborhood=neighborhood, prefix_chars=40,
+            max_dist=max_dist, block_cols=["lang"],
+        ),
+        sorted_neighborhood_oracle(neighborhood, 40, max_dist),
+        sf_dir,
+        "fuzz:sorted_neighborhood",
+    )
