@@ -107,12 +107,13 @@ def q_gold_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     managed tables (sources/bucketed.py — fingerprint-keyed, so a
     regenerated fixture always rebuilds), then joined with ZERO
     exchange on either side — the whole query's only shuffle is the
-    final two-key rollup.  This is the storage-side answer to the
-    reference's repeated star-join refresh over the same fact pair
-    (the mat-view rebuild loop,
-    src/sql/02-metrics-materialized-views.sql:1-21): at 100 TB the
-    per-refresh fact shuffle is the dominant stage class, and bucketing
-    converts it into a zipped per-bucket merge paid once at write time.
+    final two-key rollup.  The reference's mat-view rebuild loop
+    (src/sql/02-metrics-materialized-views.sql:1-21) is a repeated
+    full-table rollup refresh over the same fact — single-table, no
+    join; the fact⋈fact case here is the TPC-H-shaped generalization
+    of that repeated-refresh pattern.  At 100 TB the per-refresh fact
+    shuffle is the dominant stage class, and bucketing converts it
+    into a zipped per-bucket merge paid once at write time.
     The oracle computes the identical aggregate from the raw parquet —
     layout must be result-invisible.  Plan-gated (SortMergeJoin, no
     Exchange below the join) in tests/test_bucketed_join.py."""

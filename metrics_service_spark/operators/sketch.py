@@ -82,7 +82,10 @@ def cms_build(
     is identical arithmetic (a bucket's count is the sum over its
     keys' counts) and the form a calibration pipeline wants, since it
     must compute the exact counts anyway."""
-    if not 0 < width <= 65536:
+    if not (0 < width <= 65536 and 65536 % width == 0):
+        # the bucket is hash16 % width; a non-divisor width would give
+        # modulo-biased buckets (estimates stay valid upper bounds, but
+        # the uniformity term in the CMS error bound silently weakens)
         raise ValueError("cms width must divide the 16-bit hash space")
     if not 0 < depth <= 8:
         raise ValueError("cms depth must fit the md5 digest (<= 8 windows)")

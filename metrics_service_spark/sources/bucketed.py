@@ -21,6 +21,8 @@ match, halving exchange volume).
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -52,19 +54,92 @@ def cojoin_ready(spark: SparkSession, left: str, right: str) -> tuple[DataFrame,
 
 
 def _fixture_fingerprint(paths: list[str]) -> str:
-    """Content fingerprint of the source parquet fixtures (path, mtime,
-    size).  The bucketed copy is keyed by it so a REGENERATED fixture
-    can never be served from a stale bucketed table — the failure mode
-    that would silently diverge the co-located join from an oracle
-    reading the fresh parquet."""
+    """Content fingerprint of the source parquet fixtures: (path,
+    mtime, size) PLUS an md5 of the file tail (the parquet footer —
+    row-group offsets/stats — lives there, so regenerated content
+    shows up even when mtime and size are preserved, e.g. a cache
+    restore or `cp -p` of a same-sized rewrite).  The bucketed copy is
+    keyed by it so a REGENERATED fixture can never be served from a
+    stale bucketed table — the failure mode that would silently
+    diverge the co-located join from an oracle reading the fresh
+    parquet."""
     import hashlib
     import os
 
     parts = []
     for p in paths:
         st = os.stat(p)
-        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+        with open(p, "rb") as f:
+            f.seek(max(0, st.st_size - 65536))
+            tail_md5 = hashlib.md5(f.read()).hexdigest()
+        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}:{tail_md5}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _local_warehouse_dir(spark: SparkSession) -> str | None:
+    """The warehouse dir as a local filesystem path, or None when the
+    warehouse lives behind a non-local scheme (hdfs://, s3a://, ...) —
+    os.path/shutil operations would silently no-op or mis-resolve
+    there, so callers skip local-only maintenance for those."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(wh).path or None
+    if "://" in wh:
+        return None
+    return wh
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    source_paths: list[str],
+    tables: list[tuple[str, Callable[[], DataFrame], str, int, tuple[str, ...]]],
+) -> list[DataFrame]:
+    """Idempotently materialize a set of bucketed tables derived from
+    ``source_paths`` and hand them back catalog-read (bucket metadata
+    intact).  ``tables`` rows are (name, build, bucket_col, n_buckets,
+    sort_cols) — ``build`` is called only on a miss.  Build-once
+    semantics: the database name embeds the fixture fingerprint, so
+    within a warehouse each layout is written exactly once per
+    distinct fixture state and every later call is a pure catalog
+    read — the storage layout's whole point is paying the layout
+    shuffle at WRITE time, once, instead of per query."""
+    import os
+
+    db = f"bkt_{_fixture_fingerprint(source_paths)}"
+    names = [f"{db}.{name}" for name, *_ in tables]
+    if not all(spark.catalog.tableExists(n) for n in names):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        # a FRESH session's in-memory catalog doesn't know tables whose
+        # data a previous session left in the warehouse; saveAsTable
+        # refuses to reuse the orphaned location, so clear it (bucket
+        # metadata lives in the catalog, not the files — re-registering
+        # the old files can't be trusted, rewriting can).  Local
+        # warehouses only: behind hdfs://s3a:// the stale location
+        # can't be cleared from here, and saveAsTable's refusal is a
+        # loud error rather than silent staleness.
+        import shutil
+
+        wh = _local_warehouse_dir(spark)
+        if wh is not None:
+            for name, *_ in tables:
+                loc = os.path.join(wh, f"{db}.db", name)
+                if os.path.exists(loc) and not spark.catalog.tableExists(
+                    f"{db}.{name}"
+                ):
+                    shutil.rmtree(loc, ignore_errors=True)
+        for (name, build, bucket_col, n_buckets, sort_cols), full in zip(
+            tables, names
+        ):
+            write_bucketed(
+                build(),
+                full,
+                bucket_col=bucket_col,
+                n_buckets=n_buckets,
+                sort_cols=sort_cols,
+            )
+    return [spark.table(n) for n in names]
 
 
 def ensure_bucketed_pair(
@@ -73,13 +148,7 @@ def ensure_bucketed_pair(
     *,
     n_buckets: int = 16,
 ) -> tuple[DataFrame, DataFrame]:
-    """Idempotently materialize the bucketed orders/lineitem pair for
-    ``sf_dir`` and hand both back catalog-read (bucket metadata
-    intact).  Build-once semantics: the database name embeds the
-    fixture fingerprint, so within a warehouse the pair is written
-    exactly once per distinct fixture state and every later call is a
-    pure catalog read — the storage layout's whole point is paying the
-    layout shuffle at WRITE time, once, instead of per query.
+    """The bucketed orders/lineitem co-join pair for ``sf_dir``.
 
     ``n_buckets`` fixes the co-location contract (both sides must
     agree); 16 suits the test SFs — at cluster scale pick
@@ -90,36 +159,24 @@ def ensure_bucketed_pair(
     from metrics_service_spark.sources.tables import load_table
 
     paths = [os.path.join(sf_dir, f"{t}.parquet") for t in ("orders", "lineitem")]
-    db = f"bkt_{_fixture_fingerprint(paths)}"
-    left, right = f"{db}.orders_b", f"{db}.lineitem_b"
-    if not (spark.catalog.tableExists(left) and spark.catalog.tableExists(right)):
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        # a FRESH session's in-memory catalog doesn't know tables whose
-        # data a previous session left in the warehouse; saveAsTable
-        # refuses to reuse the orphaned location, so clear it (bucket
-        # metadata lives in the catalog, not the files — re-registering
-        # the old files can't be trusted, rewriting can)
-        import shutil
-
-        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        for t in ("orders_b", "lineitem_b"):
-            loc = os.path.join(wh, f"{db}.db", t)
-            if os.path.exists(loc) and not spark.catalog.tableExists(
-                f"{db}.{t}"
-            ):
-                shutil.rmtree(loc, ignore_errors=True)
-        write_bucketed(
-            load_table(spark, sf_dir, "orders"),
-            left,
-            bucket_col="o_orderkey",
-            n_buckets=n_buckets,
-            sort_cols=("o_orderkey",),
-        )
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem"),
-            right,
-            bucket_col="l_orderkey",
-            n_buckets=n_buckets,
-            sort_cols=("l_orderkey",),
-        )
-    return cojoin_ready(spark, left, right)
+    left, right = ensure_bucketed(
+        spark,
+        paths,
+        [
+            (
+                "orders_b",
+                lambda: load_table(spark, sf_dir, "orders"),
+                "o_orderkey",
+                n_buckets,
+                ("o_orderkey",),
+            ),
+            (
+                "lineitem_b",
+                lambda: load_table(spark, sf_dir, "lineitem"),
+                "l_orderkey",
+                n_buckets,
+                ("l_orderkey",),
+            ),
+        ],
+    )
+    return left, right
