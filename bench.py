@@ -118,6 +118,14 @@ HEADLINE = [
     "doc_winnow_pairs",
     "doc_canonical_dedup",
     "doc_sorted_neighborhood",
+    # round-13: the hot-block-safe rank twin (prices the bucketed
+    # global numbering vs the one-task block window above) and the
+    # multi-pass linkage union; the bucketed metrics star is benched
+    # as the metrics_refresh_bucketed/metrics_refresh_pathbased micro
+    # pair (named apart from the metrics_star_bucketed CATALOG entry —
+    # bench micro names must not shadow catalog timings)
+    "doc_sorted_neighborhood_global",
+    "doc_linkage_multipass",
 ]
 
 
@@ -243,6 +251,36 @@ def _micro_star_join_pathbased(spark, sf_dir):
     return run, lambda: None
 
 
+def _micro_metrics_star_bucketed(spark, sf_dir):
+    """The PRODUCT refresh on the bucketed layout (r13): metrics star
+    over the pid-bucketed eventlog — zero exchanges, the grain groupBy
+    is scan-local.  Layout write runs OUTSIDE the timed region (paid
+    once, amortized over every refresh); compare against
+    metrics_refresh_pathbased, the identical star paying the full
+    eventlog shuffle each run."""
+    from metrics_service_spark.catalog.gold import q_metrics_star_bucketed
+    from metrics_service_spark.sources.bucketed import ensure_bucketed_eventlog
+
+    ensure_bucketed_eventlog(spark, sf_dir)
+
+    def run() -> None:
+        q_metrics_star_bucketed(spark, sf_dir).collect()
+
+    return run, lambda: None
+
+
+def _micro_metrics_star_pathbased(spark, sf_dir):
+    """The path-based twin of metrics_refresh_bucketed: same star
+    aggregation over the adapter view on the raw parquet, paying the
+    full-eventlog grain shuffle the bucketed layout elides."""
+    from metrics_service_spark.catalog.gold import q_metrics_star
+
+    def run() -> None:
+        q_metrics_star(spark, sf_dir).collect()
+
+    return run, lambda: None
+
+
 #: Micro-benches: operators with no catalog entry (table mutations).
 #: Each value is a factory (spark, sf_dir) -> (run, cleanup).
 MICRO = {
@@ -251,6 +289,8 @@ MICRO = {
     "semantic_gate_admit": _micro_semantic_admit,
     "star_join_bucketed": _micro_star_join_bucketed,
     "star_join_pathbased": _micro_star_join_pathbased,
+    "metrics_refresh_bucketed": _micro_metrics_star_bucketed,
+    "metrics_refresh_pathbased": _micro_metrics_star_pathbased,
 }
 
 

@@ -123,6 +123,28 @@ def q_gold_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _star_priority_agg(o, li)
 
 
+def q_metrics_star_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCT query on the bucketed layout: the reference's
+    mat-view refresh re-aggregates the metrics star from the event
+    stream on every rebuild
+    (src/sql/02-metrics-materialized-views.sql:1-21) — in Spark the
+    star groupBy hash-partitions the full eventlog on the grain keys,
+    a full-fabric fact shuffle per refresh at 100 TB.  Here the
+    adapted eventlog is persisted ONCE bucketed by pid
+    (sources/bucketed.py — HashPartitioning(pid) satisfies the
+    9-key grain's clustering requirement because pid is a subset of
+    it, and alias propagation carries pid→dataset_id through the
+    star's projection), so the whole refresh plans as scan → filter →
+    project → partial+final HashAggregate with ZERO exchanges
+    (plan-gated in tests/test_bucketed_join.py).  The oracle computes
+    the identical star from the raw parquet — the layout must be
+    result-invisible.  NEW r13 surface; bench twin:
+    metrics_star_pathbased."""
+    from metrics_service_spark.sources.bucketed import ensure_bucketed_eventlog
+
+    return metrics_star(ensure_bucketed_eventlog(spark, sf_dir))
+
+
 def q_gold_star_pathbased(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same star rollup over the plain path-based parquet scans —
     the bench twin that prices the exchange the bucketed layout
@@ -157,6 +179,13 @@ QUERIES = {
         ORACLE_METRICS_STAR,
         "COUNTER-filtered star fact aggregation",
         ("gold",),
+    ),
+    "metrics_star_bucketed": QuerySpec(
+        q_metrics_star_bucketed,
+        ORACLE_METRICS_STAR,
+        "the metrics star over the pid-bucketed eventlog: the "
+        "reference's refresh aggregation with zero exchanges",
+        ("gold", "layout"),
     ),
     "matview_routed_repo": QuerySpec(
         q_matview_routed_repo,

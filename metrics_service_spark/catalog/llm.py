@@ -3829,6 +3829,76 @@ WHERE levenshtein(a.pfx, c.pfx) <= {max_dist}
 ORACLE_SORTED_NEIGHBORHOOD = sorted_neighborhood_oracle()
 
 
+SN_RANK_BUCKET_CHARS = 2
+
+
+def q_doc_sorted_neighborhood_global(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-block-safe twin of doc_sorted_neighborhood: identical
+    linkage semantics, but ranks come from operators/rank.py's
+    bucketed global-monotone numbering (the ev_sessionize_global
+    pattern) instead of a block-keyed window.  With `lang` blocks a
+    100 TB corpus has FEW hot blocks — one language can be 60% of the
+    data, and partitionBy(lang) serializes that block's sort on one
+    task; bucketing the rank by (lang, first 2 prefix chars) fans the
+    same total order across ~|charset|^2 parallel sorts plus a tiny
+    broadcast offset frame.  Within a block rank DIFFERENCES are
+    unchanged, so the pair set is bit-identical — same oracle as the
+    window form, and tests/test_r13_guards.py gates both the pair
+    equality and the no-single-block-sort plan shape.  NEW r13
+    surface."""
+    from metrics_service_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text",
+        neighborhood=SN_NEIGHBORHOOD,
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        rank_bucket_chars=SN_RANK_BUCKET_CHARS,
+    )
+
+
+def q_doc_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard multi-pass record linkage both arm docstrings
+    promise (Hernández & Stolfo: several cheap blocking passes whose
+    UNION approximates expensive wide blocking): strict-prefix blocked
+    pairs ∪ sorted-neighborhood pairs, distinct on the (pair, dist)
+    row.  Both arms score the same 80-char-prefix levenshtein, so a
+    pair caught twice collapses to one row; each arm catches what the
+    other's blocking misses (an edit inside the first 4 chars escapes
+    the strict block but sorts nearby; an edit that moves the sort far
+    escapes the neighborhood but keeps the block key).  One distinct
+    shuffle over the union of two linear candidate sets — multi-pass
+    costs the sum of its passes, never corpus².  NEW r13 surface."""
+    from metrics_service_spark.operators.dedup import (
+        fuzzy_prefix_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    strict = fuzzy_prefix_pairs(
+        docs, "doc_id", "text",
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        block_chars=FUZZY_BLOCK_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        max_cell=FUZZY_MAX_CELL,
+    )
+    sn = sorted_neighborhood_pairs(
+        docs, "doc_id", "text",
+        neighborhood=SN_NEIGHBORHOOD,
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+    )
+    return strict.union(sn).distinct()
+
+
 # --- winnowing fingerprints -------------------------------------------------
 WINNOW_K = 3
 WINNOW_WINDOW = 4
@@ -3927,6 +3997,14 @@ WHERE levenshtein(a.pfx, c.pfx) <= {max_dist}
 
 
 ORACLE_FUZZY_PREFIX_PAIRS = fuzzy_prefix_oracle()
+
+ORACLE_LINKAGE_MULTIPASS = f"""
+WITH strict_pass AS ({ORACLE_FUZZY_PREFIX_PAIRS}),
+     sn_pass AS ({ORACLE_SORTED_NEIGHBORHOOD})
+SELECT id_a, id_b, dist FROM strict_pass
+UNION
+SELECT id_a, id_b, dist FROM sn_pass
+"""
 
 
 # --- prototypicality-based data pruning -----------------------------------
@@ -4676,6 +4754,20 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SORTED_NEIGHBORHOOD,
         "sorted-neighborhood linkage: block-keyed rank window, "
         "next-5-neighbor levenshtein (the strict-block complement)",
+        ("llm",),
+    ),
+    "doc_sorted_neighborhood_global": QuerySpec(
+        q_doc_sorted_neighborhood_global,
+        ORACLE_SORTED_NEIGHBORHOOD,
+        "hot-block-safe sorted neighborhood: same linkage via the "
+        "bucketed global-monotone rank (no one-task block sort)",
+        ("llm",),
+    ),
+    "doc_linkage_multipass": QuerySpec(
+        q_doc_linkage_multipass,
+        ORACLE_LINKAGE_MULTIPASS,
+        "multi-pass linkage: strict-prefix pairs ∪ sorted-neighborhood "
+        "pairs, distinct — each pass covers the other's blocking gap",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

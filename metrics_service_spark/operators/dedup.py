@@ -1588,6 +1588,7 @@ def sorted_neighborhood_pairs(
     prefix_chars: int = 80,
     max_dist: int = 48,
     block_cols: list[str] | None = None,
+    rank_bucket_chars: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood record linkage (Hernández & Stolfo 1995 —
     the OTHER classic blocking, complementing `fuzzy_prefix_pairs`'
@@ -1599,34 +1600,59 @@ def sorted_neighborhood_pairs(
     sorted neighborhood still sees it as long as the pair sorts
     nearby — the standard multi-pass linkage runs both and unions.
 
-    Shape: one block-keyed rank window, an offset explode (candidate
-    mass exactly N*(neighborhood-1)), a (block, rank) equi-join, and
-    per-candidate codegen levenshtein.  The block-keyed window puts
-    each block's sort on one task — fine for high-cardinality blocks;
-    for few/hot blocks at cluster scale, swap the rank source for the
-    bucketed global-monotone machinery in `operators/rank.py` (the
-    ev_sessionize_global pattern).  Output (id_a, id_b, dist) with
-    id_a < id_b; each unordered pair appears once (positive offsets
-    only)."""
+    Shape: one rank assignment, an offset explode (candidate mass
+    exactly N*(neighborhood-1)), a (block, rank) equi-join, and
+    per-candidate codegen levenshtein.  Output (id_a, id_b, dist)
+    with id_a < id_b; each unordered pair appears once (positive
+    offsets only).
+
+    Rank source — the hot-block knob.  Default (``rank_bucket_chars
+    = None``): one block-keyed row_number window, which puts each
+    block's sort on ONE task — fine while blocks are plentiful, a
+    scale-killer when they're few and hot (one language = 60% of a
+    100 TB corpus serializes a 60 TB sort).  With
+    ``rank_bucket_chars = B``: ranks come from `operators/rank.py`'s
+    `global_row_number` (the ev_sessionize_global pattern) under the
+    total order (block, prefix, id), bucketed by (block, first B
+    prefix chars) — each hot block fans out over ~alphabet^B
+    parallel sort tasks plus one tiny broadcast offset frame.  The
+    numbering is the same total order, so within a block rank
+    DIFFERENCES — all the neighborhood join consumes — are identical,
+    and cross-block rank adjacencies are discarded by the join's
+    block-equality conjunct: both modes return bit-identical pairs
+    (gated in tests/test_r13_guards.py)."""
     from pyspark.sql import Window
 
+    from metrics_service_spark.operators.rank import global_row_number
     from metrics_service_spark.operators.similarity import _spread
 
     block_cols = block_cols or []
-    w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(
-        F.col("__pfx").asc(), F.col("__id").asc()
-    )
-    base = (
-        _spread(
-            df.select(
-                *[F.col(c) for c in block_cols],
-                F.col(id_col).alias("__id"),
-                F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
-            )
+    base = _spread(
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("__id"),
+            F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
         )
-        .withColumn("__rk", F.row_number().over(w))
-        .localCheckpoint(eager=False)
     )
+    if rank_bucket_chars is None:
+        w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(
+            F.col("__pfx").asc(), F.col("__id").asc()
+        )
+        base = base.withColumn("__rk", F.row_number().over(w))
+    else:
+        # truncation is monotone under binary string comparison, so
+        # (block, substr(pfx, 1, B)) is a coarsening prefix of the
+        # total order (block, pfx, id) — global_row_number's contract
+        base = global_row_number(
+            base,
+            bucket=F.struct(
+                *[F.col(c) for c in block_cols],
+                F.substring(F.col("__pfx"), 1, rank_bucket_chars),
+            ),
+            order=[F.col("__pfx").asc(), F.col("__id").asc()],
+            out_col="__rk",
+        )
+    base = base.localCheckpoint(eager=False)
     probe = base.select(
         *[F.col(c).alias(f"__r_{c}") for c in block_cols],
         F.col("__id").alias("__id2"),

@@ -142,6 +142,49 @@ def ensure_bucketed(
     return [spark.table(n) for n in names]
 
 
+def ensure_bucketed_eventlog(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """The bucketed ADAPTED eventlog — the silver table under the
+    metrics-service gold refresh (plans/gold.py).  The reference
+    rebuilds its mat-views by re-aggregating the metrics star from the
+    raw event stream on every refresh
+    (src/sql/02-metrics-materialized-views.sql:1-21); in Spark that
+    star aggregation's shuffle hash-partitions the FULL event log on
+    the grain keys — at 100 TB a full-fabric fact shuffle per refresh.
+    Storing the adapter output bucketed by ``pid`` (the grain's
+    leading key: HashPartitioning on a subset of the groupBy keys
+    satisfies the aggregation's clustering requirement, and Spark's
+    alias-aware propagation carries pid→dataset_id through the star's
+    projection) makes every refresh aggregate scan-local: zero
+    exchanges until the (tiny) post-star mat-view rollups.  Paid once
+    at write time, amortized over every refresh — the same trade as
+    `ensure_bucketed_pair`, applied to the product query."""
+    import os
+
+    from metrics_service_spark.sources.eventlog import eventlog_view
+    from metrics_service_spark.sources.tables import load_table
+
+    path = os.path.join(sf_dir, "events.parquet")
+    (tbl,) = ensure_bucketed(
+        spark,
+        [path],
+        [
+            (
+                "eventlog_b",
+                lambda: eventlog_view(load_table(spark, sf_dir, "events")),
+                "pid",
+                n_buckets,
+                ("pid",),
+            )
+        ],
+    )
+    return tbl
+
+
 def ensure_bucketed_pair(
     spark: SparkSession,
     sf_dir: str,

@@ -154,3 +154,24 @@ def test_bucket_pruned_point_lookup(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     assert "SelectedBucketsCount: 1 out of" in plan, plan
+
+
+def test_metrics_star_bucketed_plan_is_exchange_free(spark, sf_dir):
+    # r13: the PRODUCT refresh on the layout — the 9-key grain groupBy
+    # over the pid-bucketed eventlog must plan with ZERO exchanges
+    # (HashPartitioning(pid) is a subset of the grain keys and alias
+    # propagation carries pid→dataset_id through the projection);
+    # result must equal the path-based star bit-for-bit
+    from metrics_service_spark.catalog.gold import (
+        q_metrics_star,
+        q_metrics_star_bucketed,
+    )
+
+    df = q_metrics_star_bucketed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+
+    got = {tuple(r) for r in df.collect()}
+    expect = {tuple(r) for r in q_metrics_star(spark, sf_dir).collect()}
+    assert got == expect
