@@ -126,6 +126,7 @@ HEADLINE = [
     # bench micro names must not shadow catalog timings)
     "doc_sorted_neighborhood_global",
     "doc_linkage_multipass",
+    "doc_linkage_recall",
 ]
 
 

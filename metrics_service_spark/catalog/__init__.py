@@ -36,65 +36,21 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r12 impl-changed/new first (rotation policy): the CAST-fixed
-    #    dup-spans v1 (VERDICT r11 #1 — the last red in the catalog),
-    #    the two NEW entries (bucketed co-located star join,
-    #    UniMax epoch-capped mixing), and the three entries whose CC
-    #    call gained require_converged this round ------------------
-    "doc_dup_spans",
-    "gold_star_bucketed",
-    "doc_epoch_cap_mix",
-    "doc_cms_ngram_error",
-    "doc_chunk_overlap",
-    "doc_classifier_eval",
-    "doc_fuzzy_prefix_pairs",
-    "doc_winnow_pairs",
-    "doc_canonical_dedup",
+    # -- r13 impl-changed/new first (rotation policy): the four NEW
+    #    entries (hot-block-safe sorted neighborhood, multi-pass
+    #    linkage union, linkage recall calibration, bucketed metrics
+    #    star), the rewritten sorted-neighborhood operator's window
+    #    form, and the two entries whose seams changed this round
+    #    (ensure_bucketed* fingerprint/content-sample, CMS width
+    #    divisor guard) --------------------------------------------
+    "doc_sorted_neighborhood_global",
+    "doc_linkage_multipass",
+    "doc_linkage_recall",
+    "metrics_star_bucketed",
     "doc_sorted_neighborhood",
-    "doc_dedup_tiers",
-    "doc_dedup_clusters",
-    "mm_dedup_clusters",
-    # -- the whole r8-stale generation (28 entries, VERDICT r11 #4) --
-    "emb_pq_topk_int",
-    "emb_sq8_topk_int",
-    "ev_asof_orders",
-    "ev_day_spine",
-    "ev_filter_project",
-    "ev_funnel",
-    "ev_hash_sessions",
-    "ev_interevent_gap",
-    "ev_last_per_user",
-    "ev_monthly_stats",
-    "ev_pivot_daily",
-    "ev_rolling_7d",
-    "ev_session_having",
-    "ev_sessionize",
-    "ev_sessionize_bucketed",
-    "ev_sessionize_global",
-    "ev_tag_membership",
-    "ev_top3_per_type",
-    "ev_value_tiers",
-    "except_non_purchasers",
-    "full_outer_daily",
-    "pid_family_closure",
-    "semi_join_purchasers",
-    "sushi_instances",
-    "theta_contains",
-    "tpch_q10",
-    "union_distinct_ids",
-    "user_event_family",
-    # -- fill to the 50 line with the oldest (r9) generation ---------
-    "doc_bigram_coherence",
-    "doc_ccnet_bucket",
-    "doc_curation_pipeline",
-    "doc_dsir_vote",
-    "doc_gopher_rules",
-    "doc_hash_classifier",
-    "doc_paragraph_dedup",
-    "doc_quality",
-    "doc_quality_filter",
-    # -- buffer past the 50-entry sample line (rest of r9; all
-    #    differentially pytest-checked every session) ----------------
+    "gold_star_bucketed",
+    "doc_cms_ngram_error",
+    # -- the whole r9-stale generation (30 entries, VERDICT r12 #2) --
     "doc_quality_filter_exact",
     "doc_repetition",
     "doc_shuffle_shard",
@@ -125,6 +81,59 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q5",
     "tpch_q6",
     "tpch_q8",
+    # -- fill to the 50 line with the oldest (r10) generation: the
+    #    three r12 bench movers under attribution this round, the
+    #    gold/matview family (catalog/gold.py gained entries in r13),
+    #    and the corpus datasheet --------------------------------
+    "doc_span_scrub",
+    "mm_phash_neardup",
+    "emb_knn_hubness",
+    "matview_landingpage",
+    "matview_routed_repo",
+    "matview_awardcharts",
+    "matview_awardmetrics",
+    "matview_repocharts",
+    "matview_repometrics",
+    "matview_userprofilecharts",
+    "matview_userprofilemetrics",
+    "landing_page_daily",
+    "doc_corpus_datasheet",
+    # -- buffer past the 50-entry sample line (rest of r10; all
+    #    differentially pytest-checked every session) ----------------
+    "doc_domain_filter",
+    "doc_fingerprint",
+    "doc_length_histogram",
+    "doc_mixture",
+    "doc_pii_scrub",
+    "doc_simhash",
+    "doc_simhash_md5",
+    "doc_simhash_neardup",
+    "doc_simhash_neardup_md5",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    "emb_cluster_sample",
+    "emb_curation_pipeline",
+    "emb_hard_negatives",
+    "emb_knn_graph",
+    "emb_pq_rerank",
+    "emb_semdedup_hier",
+    "emb_topk_bruteforce",
+    "ev_dau_stickiness_approx_hll",
+    "ev_monthly_stats_approx",
+    "mm_audio_meta",
+    "mm_frame_sample",
+    "mm_image_features",
+    "mm_image_meta",
+    "mm_image_meta_real",
+    "mm_phash",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q7",
+    "tpch_q9",
 )
 
 

@@ -3807,6 +3807,7 @@ def sorted_neighborhood_oracle(
     neighborhood: int = SN_NEIGHBORHOOD,
     prefix_chars: int = FUZZY_PREFIX_CHARS,
     max_dist: int = FUZZY_MAX_DIST,
+    source: str = "documents",
 ) -> str:
     return f"""
 WITH b AS (
@@ -3814,7 +3815,7 @@ WITH b AS (
          row_number() OVER (PARTITION BY lang
                             ORDER BY substr(text, 1, {prefix_chars}),
                                      doc_id) AS rk
-  FROM documents
+  FROM {source}
 )
 SELECT least(a.doc_id, c.doc_id) AS id_a,
        greatest(a.doc_id, c.doc_id) AS id_b,
@@ -3975,13 +3976,14 @@ def fuzzy_prefix_oracle(
     block_chars: int = FUZZY_BLOCK_CHARS,
     max_dist: int = FUZZY_MAX_DIST,
     max_cell: int = FUZZY_MAX_CELL,
+    source: str = "documents",
 ) -> str:
     return f"""
 WITH b AS (
   SELECT doc_id, lang,
          substr(text, 1, {prefix_chars}) AS pfx,
          substr(text, 1, {block_chars}) AS bk
-  FROM documents
+  FROM {source}
 ), cells AS (
   SELECT lang, bk, count(*) AS cn FROM b GROUP BY 1, 2
 ), kept AS (
@@ -4005,6 +4007,79 @@ SELECT id_a, id_b, dist FROM strict_pass
 UNION
 SELECT id_a, id_b, dist FROM sn_pass
 """
+
+
+LINKAGE_RECALL_SAMPLE_MOD = 4
+LINKAGE_RECALL_SALT = "lrs"
+
+
+def q_doc_linkage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-linkage recall calibration (the linkage sibling of
+    doc_minhash_estimate's error matrix): a deterministic md5 sample
+    of the corpus, the exact GUARDED all-pairs truth (every pair
+    within levenshtein 48 on the 80-char prefix — no blocking, so
+    cross-block misses count), and per-strategy recall for the strict
+    prefix pass, the sorted-neighborhood pass, and their multi-pass
+    union.  Completes the self-evaluation layer over the r12 linkage
+    family: the pipeline that RUNS the blocking also measures what the
+    blocking loses.  NEW r13 surface."""
+    from metrics_service_spark.operators.dedup import linkage_recall_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linkage_recall_matrix(
+        docs, "doc_id", "text",
+        sample_mod=LINKAGE_RECALL_SAMPLE_MOD,
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_chars=FUZZY_BLOCK_CHARS,
+        max_cell=FUZZY_MAX_CELL,
+        neighborhood=SN_NEIGHBORHOOD,
+        block_cols=["lang"],
+        salt=LINKAGE_RECALL_SALT,
+    )
+
+
+def _oracle_linkage_recall() -> str:
+    from metrics_service_spark.operators.sampling import sql_hex4_int
+
+    pick = sql_hex4_int(
+        f"md5('{LINKAGE_RECALL_SALT}' || CAST(doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH s AS (
+  SELECT * FROM documents
+  WHERE ({pick}) % {LINKAGE_RECALL_SAMPLE_MOD} = 0
+), p AS (
+  SELECT doc_id, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx FROM s
+), truth AS (
+  SELECT count(*) AS true_pairs FROM p a JOIN p b
+    ON a.doc_id < b.doc_id
+   AND levenshtein(a.pfx, b.pfx) <= {FUZZY_MAX_DIST}
+), strict_arm AS ({fuzzy_prefix_oracle(source="s")}),
+   sn_arm AS ({sorted_neighborhood_oracle(source="s")}),
+   mp_arm AS (
+     SELECT id_a, id_b, dist FROM strict_arm
+     UNION
+     SELECT id_a, id_b, dist FROM sn_arm
+), counts AS (
+  SELECT 'strict_prefix' AS method,
+         (SELECT count(*) FROM strict_arm) AS found_pairs
+  UNION ALL
+  SELECT 'sorted_neighborhood', (SELECT count(*) FROM sn_arm)
+  UNION ALL
+  SELECT 'multipass', (SELECT count(*) FROM mp_arm)
+)
+SELECT method,
+       CAST(true_pairs AS BIGINT) AS true_pairs,
+       CAST(found_pairs AS BIGINT) AS found_pairs,
+       CASE WHEN true_pairs > 0
+            THEN CAST(found_pairs AS DOUBLE) / true_pairs
+       END AS recall
+FROM counts, truth
+"""
+
+
+ORACLE_LINKAGE_RECALL = _oracle_linkage_recall()
 
 
 # --- prototypicality-based data pruning -----------------------------------
@@ -4768,6 +4843,13 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_LINKAGE_MULTIPASS,
         "multi-pass linkage: strict-prefix pairs ∪ sorted-neighborhood "
         "pairs, distinct — each pass covers the other's blocking gap",
+        ("llm",),
+    ),
+    "doc_linkage_recall": QuerySpec(
+        q_doc_linkage_recall,
+        ORACLE_LINKAGE_RECALL,
+        "linkage recall calibration: guarded all-pairs truth on a hash "
+        "sample, per-strategy recall (strict/sorted-nbhd/multipass)",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

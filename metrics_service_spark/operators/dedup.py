@@ -1682,3 +1682,112 @@ def sorted_neighborhood_pairs(
             dist.cast("int").alias("dist"),
         )
     )
+
+
+def linkage_recall_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sample_mod: int = 4,
+    max_sample: int = 4000,
+    prefix_chars: int = 80,
+    max_dist: int = 48,
+    block_chars: int = 4,
+    max_cell: int = 64,
+    neighborhood: int = 6,
+    block_cols: list[str] | None = None,
+    salt: str = "lrs",
+) -> DataFrame:
+    """Blocked-linkage recall calibration — the linkage sibling of
+    `minhash_estimate_error`: on a deterministic hash sample of the
+    corpus, compute the EXACT all-pairs truth (every pair within
+    ``max_dist`` prefix levenshtein, no blocking, cross-block pairs
+    included) and score each blocking strategy's recall against it.
+    Blocking trades recall for linear candidate mass; this entry puts
+    a measured number on what each pass gives up — per method
+    (strict_prefix / sorted_neighborhood / multipass):
+    (method, true_pairs, found_pairs, recall).
+
+    Every arm's pair set is a SUBSET of the truth (arms score the same
+    prefix levenshtein and only ever restrict candidates), so recall
+    is found/true — one exact integer division per row, bit-identical
+    across engines.
+
+    Scale: the truth is all-pairs and is therefore GUARDED the same
+    way as `cosine_near_duplicates_np` — ``sample_mod`` keeps the
+    hash sample calibration-sized and the ``max_sample`` limit-probe
+    raises rather than letting the quadratic run away; at 100 TB set
+    sample_mod ~ N/2000 (a few thousand docs bound the truth join at
+    ~10^7 codegen levenshtein calls, seconds on one executor wave,
+    while blocked-arm recall estimates converge like any fixed-size
+    survey sample).  The sample predicate is the md5 window used by
+    every sampling entry, so the oracle replays it exactly."""
+    from metrics_service_spark.operators.sampling import _hex4_int
+    from metrics_service_spark.operators.similarity import _spread
+
+    block_cols = block_cols or []
+    pick = (
+        _hex4_int(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))))
+        % sample_mod
+        == 0
+    )
+    sample = df.filter(pick).localCheckpoint(eager=False)
+    if sample.limit(max_sample + 1).count() > max_sample:
+        raise ValueError(
+            f"linkage_recall_matrix truth is all-pairs over the sample "
+            f"(max_sample={max_sample}); raise sample_mod to keep the "
+            f"calibration sample bounded"
+        )
+
+    pfx = _spread(
+        sample.select(
+            F.col(id_col).alias("__id"),
+            F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
+        )
+    )
+    other = pfx.select(
+        F.col("__id").alias("__id2"), F.col("__pfx").alias("__pfx2")
+    )
+    truth = (
+        pfx.join(
+            other,
+            (F.col("__id") < F.col("__id2"))
+            & (
+                F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+                <= F.lit(max_dist)
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("true_pairs"))
+    )
+
+    arm_kw = dict(
+        prefix_chars=prefix_chars, max_dist=max_dist, block_cols=block_cols
+    )
+    strict = fuzzy_prefix_pairs(
+        sample, id_col, text_col,
+        block_chars=block_chars, max_cell=max_cell, **arm_kw,
+    ).localCheckpoint(eager=False)
+    sn = sorted_neighborhood_pairs(
+        sample, id_col, text_col, neighborhood=neighborhood, **arm_kw
+    ).localCheckpoint(eager=False)
+    arms = {
+        "multipass": strict.union(sn).distinct(),
+        "sorted_neighborhood": sn,
+        "strict_prefix": strict,
+    }
+    found = None
+    for method, pairs in arms.items():
+        row = pairs.agg(F.count(F.lit(1)).alias("found_pairs")).select(
+            F.lit(method).alias("method"), "found_pairs"
+        )
+        found = row if found is None else found.union(row)
+    return found.crossJoin(F.broadcast(truth)).select(
+        "method",
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.col("found_pairs").cast("long").alias("found_pairs"),
+        F.when(
+            F.col("true_pairs") > 0,
+            F.col("found_pairs").cast("double") / F.col("true_pairs"),
+        ).alias("recall"),
+    )

@@ -37,7 +37,16 @@ MOVERS = [
     "doc_curation_pipeline",
     "doc_temperature_mix",
 ]
-CONTROLS = ["tpch_q1", "doc_exact_dedup"]
+CONTROLS = [
+    "tpch_q1",
+    "doc_exact_dedup",
+    # file-sibling controls: share the movers' modules (dedup.py span
+    # family, the knn-graph seam) but were in-band in r12 — if they
+    # move with the movers the cause is module/infra-level, if they
+    # stay flat it's entry-specific
+    "doc_dup_spans",
+    "emb_knn_graph",
+]
 
 
 def _median(xs: list[float]) -> float:
@@ -57,9 +66,18 @@ def main() -> None:
             rec = json.load(f)
         if "queries" not in rec and "tail" in rec:
             # driver wrapper: its "tail" string is the captured bench
-            # stdout whose LAST headline record is the one of record
-            marker = '{"metric": "headline_queries_total_wall"'
-            rec = json.loads(marker + rec["tail"].rsplit(marker, 1)[1])
+            # stdout, possibly TRUNCATED mid-record (r12) — recover the
+            # last "queries": {...} object by brace-matching instead of
+            # requiring the full headline marker
+            tail = rec["tail"]
+            start = tail.rindex('"queries": {') + len('"queries": ')
+            depth, end = 0, start
+            for i in range(start, len(tail)):
+                depth += {"{": 1, "}": -1}.get(tail[i], 0)
+                if depth == 0:
+                    end = i + 1
+                    break
+            rec = {"queries": json.loads(tail[start:end])}
         prior[r] = rec.get("queries", {})
 
     spark = get_spark("ab-r13-movers")

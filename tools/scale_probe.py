@@ -175,6 +175,18 @@ QUERIES = [
     # explode (candidates exactly N*(w-1)) + codegen levenshtein;
     # expected ~linear, window skew bounded by block cardinality
     "doc_sorted_neighborhood",
+    # r13: the hot-block-safe rank twin — same candidate mass, but the
+    # rank is the bucketed global numbering: per-bucket sorts + one
+    # broadcast offset frame instead of one task per block; expected
+    # to track doc_sorted_neighborhood with the block-sort skew gone
+    "doc_sorted_neighborhood_global",
+    # r13: multi-pass union — the sum of its two (linear) passes plus
+    # one distinct shuffle over the unioned pair set
+    "doc_linkage_multipass",
+    # r13: the product refresh on the bucketed layout — warm-up rep
+    # builds the pid-bucketed eventlog once, timed rep is the
+    # zero-exchange star agg; expected ~linear (scan + local agg fill)
+    "metrics_star_bucketed",
 ]
 
 
@@ -295,7 +307,42 @@ def main() -> None:
             li, orders, "l_orderkey", "o_orderkey", m_bits=1 << 16, k=5
         ).groupBy("l_returnflag").count()
 
-    EXTRA = {"bloom_semi_fixed_m16": bloom_semi_fixed}
+    def linkage_recall_scaled(spark, sf_dir):
+        # r13: the catalog entry's fixed sample_mod would trip its own
+        # max_sample guard at k-fold corpus mass (BY DESIGN — the truth
+        # is all-pairs and must stay calibration-sized), so the probe
+        # applies the operator docstring's production rule instead:
+        # sample_mod scales with N, holding the sample ~constant.  The
+        # claim under test: recall calibration cost is the SAMPLE's,
+        # not the corpus's — expected ~flat beyond the sampling scan.
+        from metrics_service_spark.catalog.llm import (
+            FUZZY_BLOCK_CHARS,
+            FUZZY_MAX_CELL,
+            FUZZY_MAX_DIST,
+            FUZZY_PREFIX_CHARS,
+            SN_NEIGHBORHOOD,
+        )
+        from metrics_service_spark.operators.dedup import (
+            linkage_recall_matrix,
+        )
+
+        mod = 4 * (k if sf_dir != base else 1)
+        return linkage_recall_matrix(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id", "text",
+            sample_mod=mod,
+            prefix_chars=FUZZY_PREFIX_CHARS,
+            max_dist=FUZZY_MAX_DIST,
+            block_chars=FUZZY_BLOCK_CHARS,
+            max_cell=FUZZY_MAX_CELL,
+            neighborhood=SN_NEIGHBORHOOD,
+            block_cols=["lang"],
+        )
+
+    EXTRA = {
+        "bloom_semi_fixed_m16": bloom_semi_fixed,
+        "doc_linkage_recall_scaledmod": linkage_recall_scaled,
+    }
 
     def micro_semantic_admit(spark, sf_dir):
         """Streaming gate at k-fold INDEX mass: bootstrap the whole
