@@ -335,6 +335,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark)
 
+    # GC stranded bucketed layouts (each driver round's fixture
+    # regeneration orphans the previous round's fingerprint-keyed
+    # dbs); keep every layout any CURRENT fixture dir would serve
+    from metrics_service_spark.sources.bucketed import prune_stale_bucketed
+
+    prune_stale_bucketed(
+        spark,
+        [sf_dir]
+        + [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")],
+    )
+
     catalog = all_queries()
     timings: dict[str, float] = {}
     lo: dict[str, float] = {}

@@ -3875,7 +3875,12 @@ def q_doc_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     the strict block but sorts nearby; an edit that moves the sort far
     escapes the neighborhood but keeps the block key).  One distinct
     shuffle over the union of two linear candidate sets — multi-pass
-    costs the sum of its passes, never corpus².  NEW r13 surface."""
+    costs the sum of its passes, never corpus².  The SN arm runs in
+    its hot-block-safe global-rank form: `lang` blocks are few and
+    hot by construction, and the 50× probe prices the difference at
+    16.7× (window) vs 1.9× (global) — the composed entry ships the
+    production shape (the pair set is bit-identical either way, so
+    the oracle is unchanged).  NEW r13 surface."""
     from metrics_service_spark.operators.dedup import (
         fuzzy_prefix_pairs,
         sorted_neighborhood_pairs,
@@ -3896,6 +3901,7 @@ def q_doc_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_chars=FUZZY_PREFIX_CHARS,
         max_dist=FUZZY_MAX_DIST,
         block_cols=["lang"],
+        rank_bucket_chars=SN_RANK_BUCKET_CHARS,
     )
     return strict.union(sn).distinct()
 

@@ -66,13 +66,27 @@ def _fixture_fingerprint(paths: list[str]) -> str:
     import hashlib
     import os
 
-    parts = []
-    for p in paths:
+    def one(p: str) -> str:
         st = os.stat(p)
         with open(p, "rb") as f:
             f.seek(max(0, st.st_size - 65536))
             tail_md5 = hashlib.md5(f.read()).hexdigest()
-        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}:{tail_md5}")
+        return f"{p}:{st.st_mtime_ns}:{st.st_size}:{tail_md5}"
+
+    parts = []
+    for p in paths:
+        if os.path.isdir(p):
+            # Spark-written datasets are DIRECTORIES of part files
+            # (the scale-probe scratch tables); fingerprint every data
+            # file so a partial rewrite can't alias the old layout
+            for root, _dirs, files in sorted(os.walk(p)):
+                parts.extend(
+                    one(os.path.join(root, fn))
+                    for fn in sorted(files)
+                    if not fn.startswith((".", "_"))
+                )
+        else:
+            parts.append(one(p))
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
@@ -183,6 +197,60 @@ def ensure_bucketed_eventlog(
         ],
     )
     return tbl
+
+
+def prune_stale_bucketed(spark: SparkSession, keep_sf_dirs: list[str]) -> int:
+    """Drop every ``bkt_*`` database whose fingerprint no longer
+    matches any CURRENT fixture state under ``keep_sf_dirs`` — the
+    build-once layout's garbage collector.  Fingerprint-keyed dbs are
+    immutable by design (a regenerated fixture gets a NEW db, never a
+    rewrite), so staleness is purely additive: each driver round's
+    fixture regeneration and each scale-probe scratch rewrite strands
+    the previous layout's files in the warehouse.  Recomputing the
+    live fingerprints from the kept dirs and dropping the rest is
+    exact — a db this keeps is byte-identical to what the next
+    `ensure_bucketed` call for that dir would serve.  Returns the
+    number of databases dropped."""
+    import os
+
+    live: set[str] = set()
+    for d in keep_sf_dirs:
+        for group in (
+            [os.path.join(d, f"{t}.parquet") for t in ("orders", "lineitem")],
+            [os.path.join(d, "events.parquet")],
+        ):
+            try:
+                live.add(f"bkt_{_fixture_fingerprint(group)}")
+            except OSError:
+                continue
+    dropped = 0
+    for row in spark.sql("SHOW DATABASES").collect():
+        db = row[0]
+        if db.startswith("bkt_") and db not in live:
+            spark.sql(f"DROP DATABASE {db} CASCADE")
+            dropped += 1
+    # a fresh session's in-memory catalog doesn't list databases
+    # previous sessions created, but their FILES still occupy the
+    # warehouse (the driver regenerates fixtures every round, so each
+    # round strands the last round's layouts) — sweep those directly.
+    # Local warehouses only, same contract as ensure_bucketed's
+    # orphan-location cleanup.
+    wh = _local_warehouse_dir(spark)
+    if wh is not None and os.path.isdir(wh):
+        import shutil
+
+        registered = {
+            row[0] for row in spark.sql("SHOW DATABASES").collect()
+        }
+        for entry in os.listdir(wh):
+            if not (entry.startswith("bkt_") and entry.endswith(".db")):
+                continue
+            db = entry[: -len(".db")]
+            if db in live or db in registered:
+                continue
+            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+            dropped += 1
+    return dropped
 
 
 def ensure_bucketed_pair(

@@ -175,3 +175,26 @@ def test_metrics_star_bucketed_plan_is_exchange_free(spark, sf_dir):
     got = {tuple(r) for r in df.collect()}
     expect = {tuple(r) for r in q_metrics_star(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_prune_stale_bucketed_drops_only_dead_layouts(spark, sf_dir):
+    # GC contract: a db whose fingerprint matches a CURRENT fixture
+    # survives; a stranded bkt_* db (orphaned by fixture regeneration
+    # or a deleted probe scratch) is dropped with its files
+    from metrics_service_spark.sources.bucketed import (
+        ensure_bucketed_pair,
+        prune_stale_bucketed,
+    )
+
+    ensure_bucketed_pair(spark, sf_dir)
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_deadbeef0000")
+    keep = [sf_dir] + [
+        f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")
+    ]
+    dropped = prune_stale_bucketed(spark, keep)
+    assert dropped >= 1
+    names = {r[0] for r in spark.sql("SHOW DATABASES").collect()}
+    assert "bkt_deadbeef0000" not in names
+    # the live pair still serves without a rebuild
+    o, li = ensure_bucketed_pair(spark, sf_dir)
+    assert o.count() > 0 and li.count() > 0

@@ -444,6 +444,15 @@ def main() -> None:
         print(f"{name}: {times}", file=sys.stderr)
     print(json.dumps(out))
     shutil.rmtree(scratch, ignore_errors=True)
+    # GC the bucketed layouts the replicated scratch just stranded
+    # (fingerprint-keyed dbs are immutable; the scratch is gone, so
+    # its layouts can never be served again) — keep the real fixtures'
+    from metrics_service_spark.sources.bucketed import prune_stale_bucketed
+
+    n = prune_stale_bucketed(
+        spark, [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+    )
+    print(f"pruned {n} stale bucketed database(s)", file=sys.stderr)
 
 
 if __name__ == "__main__":
