@@ -155,3 +155,52 @@ def test_linkage_family_matches_oracle_on_adversarial_corpora(
         sf_dir,
         "fuzz:sorted_neighborhood",
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    nbhd=st.integers(min_value=2, max_value=5),
+    pfx=st.integers(min_value=1, max_value=12),
+    bchars=st.integers(min_value=1, max_value=3),
+)
+def test_sorted_neighborhood_rank_modes_agree(
+    spark, tmp_path, data, nbhd, pfx, bchars
+):
+    # r13 invariant: the hot-block-safe bucketed-global-rank mode must
+    # return the bit-identical pair set as the block-keyed window mode
+    # for ANY corpus, block structure, and bucket width — including
+    # single hot blocks, duplicate prefixes (rank ties broken by id),
+    # empty texts, and prefixes shorter than the bucket chunk
+    from metrics_service_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    texts = data.draw(st.lists(_doc, min_size=1, max_size=12))
+    hot = data.draw(st.booleans())  # one-block corpus vs mixed langs
+    langs = ["xx"] * len(texts) if hot else [
+        data.draw(_langs) for _ in texts
+    ]
+    sf_dir = _write(tmp_path, texts, langs)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kw = dict(
+        neighborhood=nbhd, prefix_chars=pfx, max_dist=pfx,
+        block_cols=["lang"],
+    )
+    w = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            docs, "doc_id", "text", **kw
+        ).collect()
+    )
+    g = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            docs, "doc_id", "text", rank_bucket_chars=bchars, **kw
+        ).collect()
+    )
+    assert w == g
