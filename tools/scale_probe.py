@@ -187,6 +187,11 @@ QUERIES = [
     # builds the pid-bucketed eventlog once, timed rep is the
     # zero-exchange star agg; expected ~linear (scan + local agg fill)
     "metrics_star_bucketed",
+    # r13: the path-based twin, probed at the same K so the
+    # layout-vs-shuffle ratio has a measured GROWTH curve (at sf0.1
+    # the pair is 1.64×; the elided exchange is corpus-mass, so the
+    # ratio should widen as the eventlog grows)
+    "metrics_star",
 ]
 
 
