@@ -4006,13 +4006,24 @@ WHERE levenshtein(a.pfx, c.pfx) <= {max_dist}
 
 ORACLE_FUZZY_PREFIX_PAIRS = fuzzy_prefix_oracle()
 
-ORACLE_LINKAGE_MULTIPASS = f"""
-WITH strict_pass AS ({ORACLE_FUZZY_PREFIX_PAIRS}),
-     sn_pass AS ({ORACLE_SORTED_NEIGHBORHOOD})
+def linkage_multipass_oracle(
+    neighborhood: int = SN_NEIGHBORHOOD,
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    block_chars: int = FUZZY_BLOCK_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_cell: int = FUZZY_MAX_CELL,
+    source: str = "documents",
+) -> str:
+    return f"""
+WITH strict_pass AS ({fuzzy_prefix_oracle(prefix_chars, block_chars, max_dist, max_cell, source)}),
+     sn_pass AS ({sorted_neighborhood_oracle(neighborhood, prefix_chars, max_dist, source)})
 SELECT id_a, id_b, dist FROM strict_pass
 UNION
 SELECT id_a, id_b, dist FROM sn_pass
 """
+
+
+ORACLE_LINKAGE_MULTIPASS = linkage_multipass_oracle()
 
 
 LINKAGE_RECALL_SAMPLE_MOD = 4
@@ -4045,24 +4056,30 @@ def q_doc_linkage_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_linkage_recall() -> str:
+def linkage_recall_oracle(
+    sample_mod: int = LINKAGE_RECALL_SAMPLE_MOD,
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+    block_chars: int = FUZZY_BLOCK_CHARS,
+    max_cell: int = FUZZY_MAX_CELL,
+    neighborhood: int = SN_NEIGHBORHOOD,
+    salt: str = LINKAGE_RECALL_SALT,
+) -> str:
     from metrics_service_spark.operators.sampling import sql_hex4_int
 
-    pick = sql_hex4_int(
-        f"md5('{LINKAGE_RECALL_SALT}' || CAST(doc_id AS VARCHAR))"
-    )
+    pick = sql_hex4_int(f"md5('{salt}' || CAST(doc_id AS VARCHAR))")
     return f"""
 WITH s AS (
   SELECT * FROM documents
-  WHERE ({pick}) % {LINKAGE_RECALL_SAMPLE_MOD} = 0
+  WHERE ({pick}) % {sample_mod} = 0
 ), p AS (
-  SELECT doc_id, substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx FROM s
+  SELECT doc_id, substr(text, 1, {prefix_chars}) AS pfx FROM s
 ), truth AS (
   SELECT count(*) AS true_pairs FROM p a JOIN p b
     ON a.doc_id < b.doc_id
-   AND levenshtein(a.pfx, b.pfx) <= {FUZZY_MAX_DIST}
-), strict_arm AS ({fuzzy_prefix_oracle(source="s")}),
-   sn_arm AS ({sorted_neighborhood_oracle(source="s")}),
+   AND levenshtein(a.pfx, b.pfx) <= {max_dist}
+), strict_arm AS ({fuzzy_prefix_oracle(prefix_chars, block_chars, max_dist, max_cell, "s")}),
+   sn_arm AS ({sorted_neighborhood_oracle(neighborhood, prefix_chars, max_dist, "s")}),
    mp_arm AS (
      SELECT id_a, id_b, dist FROM strict_arm
      UNION
@@ -4085,7 +4102,7 @@ FROM counts, truth
 """
 
 
-ORACLE_LINKAGE_RECALL = _oracle_linkage_recall()
+ORACLE_LINKAGE_RECALL = linkage_recall_oracle()
 
 
 # --- prototypicality-based data pruning -----------------------------------

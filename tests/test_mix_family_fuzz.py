@@ -204,3 +204,91 @@ def test_sorted_neighborhood_rank_modes_agree(
         ).collect()
     )
     assert w == g
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    nbhd=st.integers(min_value=2, max_value=5),
+    pfx=st.integers(min_value=2, max_value=12),
+    bchars=st.integers(min_value=1, max_value=3),
+    cell=st.integers(min_value=1, max_value=8),
+)
+def test_linkage_multipass_matches_oracle_on_adversarial_corpora(
+    spark, tmp_path, data, nbhd, pfx, bchars, cell
+):
+    # r13: the composed multi-pass union must agree bitwise with the
+    # composed parameterized oracle on tiny adversarial corpora —
+    # all-duplicate blocks (max_cell fires), empty texts, block keys
+    # shorter than block_chars, hot single-lang corpora
+    from metrics_service_spark.catalog.llm import linkage_multipass_oracle
+    from metrics_service_spark.operators.dedup import (
+        fuzzy_prefix_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    texts = data.draw(st.lists(_doc, min_size=1, max_size=12))
+    hot = data.draw(st.booleans())
+    langs = ["xx"] * len(texts) if hot else [
+        data.draw(_langs) for _ in texts
+    ]
+    sf_dir = _write(tmp_path, texts, langs)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    strict = fuzzy_prefix_pairs(
+        docs, "doc_id", "text",
+        prefix_chars=pfx, block_chars=bchars, max_dist=pfx,
+        block_cols=["lang"], max_cell=cell,
+    )
+    sn = sorted_neighborhood_pairs(
+        docs, "doc_id", "text",
+        neighborhood=nbhd, prefix_chars=pfx, max_dist=pfx,
+        block_cols=["lang"],
+        rank_bucket_chars=data.draw(st.sampled_from([None, 1, 2])),
+    )
+    compare_query(
+        strict.union(sn).distinct(),
+        linkage_multipass_oracle(nbhd, pfx, bchars, pfx, cell),
+        sf_dir,
+        "fuzz:linkage_multipass",
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    mod=st.integers(min_value=1, max_value=4),
+    pfx=st.integers(min_value=2, max_value=10),
+)
+def test_linkage_recall_matches_oracle_on_adversarial_corpora(
+    spark, tmp_path, data, mod, pfx
+):
+    # r13: the recall calibration must agree bitwise with its
+    # parameterized oracle — including empty samples (mod picks no
+    # doc: true_pairs 0, recall NULL in both engines), one-doc
+    # samples (no pairs), and the subset/division arithmetic
+    from metrics_service_spark.catalog.llm import linkage_recall_oracle
+    from metrics_service_spark.operators.dedup import linkage_recall_matrix
+
+    texts = data.draw(st.lists(_doc, min_size=1, max_size=10))
+    langs = [data.draw(_langs) for _ in texts]
+    sf_dir = _write(tmp_path, texts, langs)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    compare_query(
+        linkage_recall_matrix(
+            docs, "doc_id", "text",
+            sample_mod=mod, prefix_chars=pfx, max_dist=pfx,
+            block_chars=2, max_cell=6, neighborhood=3,
+            block_cols=["lang"],
+        ),
+        linkage_recall_oracle(mod, pfx, pfx, 2, 6, 3),
+        sf_dir,
+        "fuzz:linkage_recall",
+    )
