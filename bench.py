@@ -282,6 +282,32 @@ def _micro_metrics_star_pathbased(spark, sf_dir):
     return run, lambda: None
 
 
+def _micro_metrics_star_silver(spark, sf_dir):
+    """The decomposition arm: the star over a MATERIALIZED-but-
+    UNBUCKETED silver copy of the adapted eventlog (written outside
+    the timed region).  The bucketed arm's win over path-based mixes
+    two effects — the pre-paid adapter expressions and the elided
+    grain exchange; this arm pre-pays the adapter but still shuffles,
+    so (silver − bucketed) isolates the exchange and
+    (pathbased − silver) isolates the adapter cost."""
+    import shutil
+    import tempfile
+
+    from metrics_service_spark.plans.gold import metrics_star
+    from metrics_service_spark.sources.eventlog import eventlog_view
+    from metrics_service_spark.sources.tables import load_table
+
+    tdir = tempfile.mkdtemp(prefix="bench_silver_")
+    eventlog_view(load_table(spark, sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(f"{tdir}/eventlog")
+
+    def run() -> None:
+        metrics_star(spark.read.parquet(f"{tdir}/eventlog")).collect()
+
+    return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
+
 #: Micro-benches: operators with no catalog entry (table mutations).
 #: Each value is a factory (spark, sf_dir) -> (run, cleanup).
 MICRO = {
@@ -292,6 +318,7 @@ MICRO = {
     "star_join_pathbased": _micro_star_join_pathbased,
     "metrics_refresh_bucketed": _micro_metrics_star_bucketed,
     "metrics_refresh_pathbased": _micro_metrics_star_pathbased,
+    "metrics_refresh_silver": _micro_metrics_star_silver,
 }
 
 

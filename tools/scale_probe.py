@@ -344,9 +344,33 @@ def main() -> None:
             block_cols=["lang"],
         )
 
+    _silver_cache: dict[str, str] = {}
+
+    def metrics_star_silver(spark, sf_dir):
+        # r13 decomposition arm: adapter pre-paid (materialized silver
+        # copy, written ONCE per sf_dir so the timed rep never pays
+        # it), grain shuffle still paid — (silver − bucketed) isolates
+        # the exchange the layout elides, (path − silver) isolates the
+        # adapter expressions
+        import tempfile
+
+        from metrics_service_spark.plans.gold import metrics_star
+        from metrics_service_spark.sources.eventlog import eventlog_view
+
+        if sf_dir not in _silver_cache:
+            tdir = tempfile.mkdtemp(prefix="probe_silver_")
+            eventlog_view(load_table(spark, sf_dir, "events")).write.mode(
+                "overwrite"
+            ).parquet(f"{tdir}/eventlog")
+            _silver_cache[sf_dir] = tdir
+        return metrics_star(
+            spark.read.parquet(f"{_silver_cache[sf_dir]}/eventlog")
+        )
+
     EXTRA = {
         "bloom_semi_fixed_m16": bloom_semi_fixed,
         "doc_linkage_recall_scaledmod": linkage_recall_scaled,
+        "metrics_star_silver": metrics_star_silver,
     }
 
     def micro_semantic_admit(spark, sf_dir):
