@@ -294,16 +294,15 @@ def _micro_metrics_star_silver(spark, sf_dir):
     import tempfile
 
     from metrics_service_spark.plans.gold import metrics_star
-    from metrics_service_spark.sources.eventlog import eventlog_view
-    from metrics_service_spark.sources.tables import load_table
+    from metrics_service_spark.sources.bucketed import (
+        materialize_silver_eventlog,
+    )
 
     tdir = tempfile.mkdtemp(prefix="bench_silver_")
-    eventlog_view(load_table(spark, sf_dir, "events")).write.mode(
-        "overwrite"
-    ).parquet(f"{tdir}/eventlog")
+    silver = materialize_silver_eventlog(spark, sf_dir, tdir)
 
     def run() -> None:
-        metrics_star(spark.read.parquet(f"{tdir}/eventlog")).collect()
+        metrics_star(silver).collect()
 
     return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 

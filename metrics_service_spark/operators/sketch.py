@@ -41,6 +41,18 @@ def _cms_bucket(digest: Column, j: int, width: int) -> Column:
     ).cast("int")
 
 
+def _check_geometry(width: int, depth: int) -> None:
+    """Shared build/estimate-side geometry guard: parameters must match
+    across the seam, so BOTH sides reject what either would."""
+    if not (0 < width <= 65536 and 65536 % width == 0):
+        # the bucket is hash16 % width; a non-divisor width would give
+        # modulo-biased buckets (estimates stay valid upper bounds, but
+        # the uniformity term in the CMS error bound silently weakens)
+        raise ValueError("cms width must divide the 16-bit hash space")
+    if not 0 < depth <= 8:
+        raise ValueError("cms depth must fit the md5 digest (<= 8 windows)")
+
+
 def _cms_arms(key: Column, width: int, depth: int, salt: str) -> Column:
     """The (j, bucket) probe array: each arm reads a disjoint 4-hex
     window of one digest.  The digest expression appears depth*4 times
@@ -82,13 +94,7 @@ def cms_build(
     is identical arithmetic (a bucket's count is the sum over its
     keys' counts) and the form a calibration pipeline wants, since it
     must compute the exact counts anyway."""
-    if not (0 < width <= 65536 and 65536 % width == 0):
-        # the bucket is hash16 % width; a non-divisor width would give
-        # modulo-biased buckets (estimates stay valid upper bounds, but
-        # the uniformity term in the CMS error bound silently weakens)
-        raise ValueError("cms width must divide the 16-bit hash space")
-    if not 0 < depth <= 8:
-        raise ValueError("cms depth must fit the md5 digest (<= 8 windows)")
+    _check_geometry(width, depth)
     w = F.col(weight_col) if weight_col else F.lit(1)
     return (
         df.select(
@@ -114,6 +120,7 @@ def cms_estimate(
     key's depth buckets, broadcast-join the (tiny) sketch, and take the
     per-key MIN.  Adds a ``cms_est`` column; parameters must match the
     build or the estimates are garbage (same salt/width/depth)."""
+    _check_geometry(width, depth)
     probes = keys.select(
         F.col(key_col),
         F.explode(_cms_arms(F.col(key_col), width, depth, salt)).alias("a"),

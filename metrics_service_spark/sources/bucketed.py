@@ -199,6 +199,26 @@ def ensure_bucketed_eventlog(
     return tbl
 
 
+def materialize_silver_eventlog(
+    spark: SparkSession, sf_dir: str, target_dir: str
+) -> DataFrame:
+    """Write the adapted eventlog as a plain (UNBUCKETED) parquet copy
+    under ``target_dir`` and hand back the path-read frame — the
+    decomposition arm the bench and the scale probe share: it pre-pays
+    the adapter expressions like the bucketed silver table but still
+    pays the grain exchange, so (silver − bucketed) isolates the
+    layout's elided shuffle and (path − silver) the adapter cost.
+    Defined ONCE here so both harnesses measure the identical arm."""
+    from metrics_service_spark.sources.eventlog import eventlog_view
+    from metrics_service_spark.sources.tables import load_table
+
+    path = f"{target_dir}/eventlog"
+    eventlog_view(load_table(spark, sf_dir, "events")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def prune_stale_bucketed(spark: SparkSession, keep_sf_dirs: list[str]) -> int:
     """Drop every ``bkt_*`` database whose fingerprint no longer
     matches any CURRENT fixture state under ``keep_sf_dirs`` — the
@@ -210,7 +230,9 @@ def prune_stale_bucketed(spark: SparkSession, keep_sf_dirs: list[str]) -> int:
     live fingerprints from the kept dirs and dropping the rest is
     exact — a db this keeps is byte-identical to what the next
     `ensure_bucketed` call for that dir would serve.  Returns the
-    number of databases dropped."""
+    number of stale layouts removed: catalog databases dropped plus
+    orphaned ``bkt_*.db`` warehouse directories swept (prior sessions'
+    dbs have files but no catalog entry)."""
     import os
 
     live: set[str] = set()

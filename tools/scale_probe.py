@@ -347,21 +347,22 @@ def main() -> None:
     _silver_cache: dict[str, str] = {}
 
     def metrics_star_silver(spark, sf_dir):
-        # r13 decomposition arm: adapter pre-paid (materialized silver
-        # copy, written ONCE per sf_dir so the timed rep never pays
-        # it), grain shuffle still paid — (silver − bucketed) isolates
-        # the exchange the layout elides, (path − silver) isolates the
-        # adapter expressions
+        # r13 decomposition arm: adapter pre-paid (the SHARED
+        # materialize_silver_eventlog helper, written ONCE per sf_dir
+        # so the timed rep never pays it), grain shuffle still paid —
+        # (silver − bucketed) isolates the exchange the layout elides,
+        # (path − silver) isolates the adapter expressions.  The cache
+        # dirs are removed at probe exit alongside the scratch.
         import tempfile
 
         from metrics_service_spark.plans.gold import metrics_star
-        from metrics_service_spark.sources.eventlog import eventlog_view
+        from metrics_service_spark.sources.bucketed import (
+            materialize_silver_eventlog,
+        )
 
         if sf_dir not in _silver_cache:
             tdir = tempfile.mkdtemp(prefix="probe_silver_")
-            eventlog_view(load_table(spark, sf_dir, "events")).write.mode(
-                "overwrite"
-            ).parquet(f"{tdir}/eventlog")
+            materialize_silver_eventlog(spark, sf_dir, tdir)
             _silver_cache[sf_dir] = tdir
         return metrics_star(
             spark.read.parquet(f"{_silver_cache[sf_dir]}/eventlog")
@@ -481,7 +482,9 @@ def main() -> None:
     n = prune_stale_bucketed(
         spark, [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
     )
-    print(f"pruned {n} stale bucketed database(s)", file=sys.stderr)
+    print(f"pruned {n} stale bucketed layout(s)", file=sys.stderr)
+    for d in _silver_cache.values():
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
