@@ -127,6 +127,7 @@ HEADLINE = [
     "doc_sorted_neighborhood_global",
     "doc_linkage_multipass",
     "doc_linkage_recall",
+    "doc_linkage_clusters",
 ]
 
 

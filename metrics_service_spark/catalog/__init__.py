@@ -36,16 +36,18 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r13 impl-changed/new first (rotation policy): the four NEW
+    # -- r13 impl-changed/new first (rotation policy): the five NEW
     #    entries (hot-block-safe sorted neighborhood, multi-pass
-    #    linkage union, linkage recall calibration, bucketed metrics
-    #    star), the rewritten sorted-neighborhood operator's window
+    #    linkage union, linkage recall calibration, linkage keep-list
+    #    clusters, bucketed metrics star), the rewritten
+    #    sorted-neighborhood operator's window
     #    form, and the two entries whose seams changed this round
     #    (ensure_bucketed* fingerprint/content-sample, CMS width
     #    divisor guard) --------------------------------------------
     "doc_sorted_neighborhood_global",
     "doc_linkage_multipass",
     "doc_linkage_recall",
+    "doc_linkage_clusters",
     "metrics_star_bucketed",
     "doc_sorted_neighborhood",
     "gold_star_bucketed",
@@ -97,9 +99,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "matview_userprofilecharts",
     "matview_userprofilemetrics",
     "landing_page_daily",
-    "doc_corpus_datasheet",
     # -- buffer past the 50-entry sample line (rest of r10; all
     #    differentially pytest-checked every session) ----------------
+    "doc_corpus_datasheet",
     "doc_domain_filter",
     "doc_fingerprint",
     "doc_length_histogram",

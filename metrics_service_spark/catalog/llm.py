@@ -4026,6 +4026,96 @@ SELECT id_a, id_b, dist FROM sn_pass
 ORACLE_LINKAGE_MULTIPASS = linkage_multipass_oracle()
 
 
+def q_doc_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list stage for the record-linkage family — the
+    linkage sibling of doc_dedup_clusters: multi-pass linkage pairs
+    (strict-prefix ∪ sorted-neighborhood, the doc_linkage_multipass
+    edge set) -> connected components -> one row per doc with its
+    cluster id and whether it is the cluster's canonical (minimum-id)
+    representative.  Completes pairs -> clusters -> keep-list for the
+    linkage passes exactly as the Jaccard family has it; the SN arm
+    runs hot-block-safe (global rank).
+
+    CC variant choice is LOAD-BEARING here: sorted-neighborhood edges
+    are rank-adjacency, so near-dup runs form PATH-shaped components
+    whose diameter grows with the duplicate-run length — min-label
+    propagation (fine for the Jaccard family's clique-ish graphs)
+    needs diameter rounds and the 50x probe blew its round budget;
+    the alternating large/small-star form (Kiveris et al.) converges
+    in O(log n) rounds regardless of diameter.  NEW r13 surface."""
+    from metrics_service_spark.operators.closure import (
+        connected_components_star,
+    )
+    from metrics_service_spark.operators.dedup import (
+        fuzzy_prefix_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    strict = fuzzy_prefix_pairs(
+        docs, "doc_id", "text",
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        block_chars=FUZZY_BLOCK_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        max_cell=FUZZY_MAX_CELL,
+    )
+    sn = sorted_neighborhood_pairs(
+        docs, "doc_id", "text",
+        neighborhood=SN_NEIGHBORHOOD,
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        rank_bucket_chars=SN_RANK_BUCKET_CHARS,
+    )
+    pairs = strict.union(sn).select("id_a", "id_b").distinct()
+    cc = connected_components_star(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster"))
+    )
+
+
+def linkage_clusters_oracle(
+    neighborhood: int = SN_NEIGHBORHOOD,
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    block_chars: int = FUZZY_BLOCK_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_cell: int = FUZZY_MAX_CELL,
+) -> str:
+    # same recursive-CTE component walk as ORACLE_DEDUP_CLUSTERS, over
+    # the multi-pass linkage edge set (UNION dedups globally, so the
+    # walk terminates on cycles; component = min reachable id incl.
+    # self)
+    return f"""
+WITH RECURSIVE strict_pass AS ({fuzzy_prefix_oracle(prefix_chars, block_chars, max_dist, max_cell)}),
+sn_pass AS ({sorted_neighborhood_oracle(neighborhood, prefix_chars, max_dist)}),
+pairs AS (
+  SELECT id_a, id_b FROM strict_pass
+  UNION
+  SELECT id_a, id_b FROM sn_pass
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk AS (
+  SELECT a AS node, b AS reach FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON e.a = w.reach
+), comp AS (
+  SELECT node, least(node, min(reach)) AS cluster FROM walk GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster, doc_id = cluster AS is_canonical FROM assigned
+"""
+
+
 LINKAGE_RECALL_SAMPLE_MOD = 4
 LINKAGE_RECALL_SALT = "lrs"
 
@@ -4873,6 +4963,14 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_LINKAGE_RECALL,
         "linkage recall calibration: guarded all-pairs truth on a hash "
         "sample, per-strategy recall (strict/sorted-nbhd/multipass)",
+        ("llm",),
+    ),
+    "doc_linkage_clusters": QuerySpec(
+        q_doc_linkage_clusters,
+        linkage_clusters_oracle(),
+        "linkage keep-list: multi-pass pairs -> connected components "
+        "-> per-doc cluster + canonical flag (the dedup_clusters "
+        "sibling on the linkage edge set)",
         ("llm",),
     ),
     "emb_knn_graph": QuerySpec(

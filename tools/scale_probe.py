@@ -183,6 +183,11 @@ QUERIES = [
     # r13: multi-pass union — the sum of its two (linear) passes plus
     # one distinct shuffle over the unioned pair set
     "doc_linkage_multipass",
+    # r13: linkage keep-list — the multipass edge set (global-rank SN
+    # arm) feeding log-round CC; edge mass ~linear by blocking, CC
+    # rounds log in the largest cluster; expected to track
+    # doc_linkage_multipass plus the closure family's job-launch floor
+    "doc_linkage_clusters",
     # r13: the product refresh on the bucketed layout — warm-up rep
     # builds the pid-bucketed eventlog once, timed rep is the
     # zero-exchange star agg; expected ~linear (scan + local agg fill)
