@@ -3744,6 +3744,46 @@ def q_doc_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fuzzy_prefix_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_fuzzy_prefix_pairs planned from the bucketed linkage-silver
+    documents layout (sources/bucketed.py `ensure_bucketed_documents`)
+    — the third application of the build-once co-located layout, after
+    the orders/lineitem pair and the eventlog star.  The path-based
+    form hash-partitions the corpus TWICE per linkage pass (the cell
+    count and the block self-join, both keyed on (lang, bk)); the
+    silver table is stored hash-bucketed on exactly that composite
+    key with the prefix derivation pre-paid, so both wide ops plan
+    scan-local — zero exchanges until the pair emission itself
+    (plan-gated in tests/test_bucketed_join.py).  Same rows as
+    doc_fuzzy_prefix_pairs; the oracle reads the raw parquet, so the
+    layout is result-invisible by construction.  NEW r14 surface."""
+    from metrics_service_spark.operators.dedup import (
+        fuzzy_prefix_pairs_blocked,
+    )
+    from metrics_service_spark.sources.bucketed import (
+        ensure_bucketed_documents,
+    )
+
+    silver = ensure_bucketed_documents(
+        spark, sf_dir,
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        block_chars=FUZZY_BLOCK_CHARS,
+    )
+    base = silver.select(
+        "lang",
+        F.col("doc_id").alias("__id"),
+        F.col("pfx").alias("__pfx"),
+        F.col("bk").alias("__bk"),
+    )
+    return fuzzy_prefix_pairs_blocked(
+        base,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        max_cell=FUZZY_MAX_CELL,
+        materialize=False,
+    )
+
+
 def q_doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize-then-dedup (the CCNet/RefinedWeb pre-pass): exact
     groups over the canonical form (lowercase, punctuation to spaces,
@@ -4071,6 +4111,7 @@ def q_doc_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = strict.union(sn).select("id_a", "id_b").distinct()
     cc = connected_components_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        require_converged=True,
     )
     return (
         docs.select("doc_id")
@@ -4921,6 +4962,14 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_FUZZY_PREFIX_PAIRS,
         "blocked levenshtein record linkage over 80-char prefixes "
         "(standard blocking + deterministic max_cell drop)",
+        ("llm",),
+    ),
+    "doc_fuzzy_prefix_bucketed": QuerySpec(
+        q_doc_fuzzy_prefix_bucketed,
+        ORACLE_FUZZY_PREFIX_PAIRS,
+        "the same blocked-levenshtein linkage from the bucketed "
+        "linkage-silver layout: cell count + block self-join both "
+        "scan-local, zero exchanges (oracle reads raw parquet)",
         ("llm",),
     ),
     "doc_winnow_pairs": QuerySpec(

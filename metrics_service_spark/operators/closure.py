@@ -452,6 +452,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 20,
+    require_converged: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -464,6 +465,14 @@ def connected_components_star(
     are the component minima.  Each half-round is one groupBy + one
     join; convergence is detected by an order-insensitive edge-set
     fingerprint (sum of pair hashes), one tiny aggregate per round.
+
+    Like ``connected_components``, iterative operators here fail LOUD:
+    with ``require_converged`` (default) a fingerprint that is still
+    moving after ``max_iters`` rounds raises instead of emitting a
+    possibly-split labeling — at sf0.01 an oracle would catch the
+    silent form, at 100 TB nothing would.  O(log n) rounds means 20
+    covers ~10^6-node components, so the raise is a guard, not a
+    practical ceiling.
 
     Returns (node, component), component = min node id.
     """
@@ -496,12 +505,23 @@ def connected_components_star(
         return (row["h"], row["n"])
 
     prev = fingerprint(e)
+    converged = False
     for _ in range(max_iters):
         e = star(star(e, large=True), large=False).localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"connected_components_star: edge-set fingerprint still "
+            f"moving after {max_iters} rounds; the star contraction has "
+            "not reached a fixpoint — raise max_iters (rounds are "
+            "O(log n), so this indicates astronomically large components "
+            "or a data problem), or pass require_converged=False to "
+            "accept a possibly-split labeling"
+        )
     # converged: every node is adjacent to its component minimum
     comp = (
         e.groupBy("u")

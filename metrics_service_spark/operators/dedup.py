@@ -1360,6 +1360,33 @@ def fuzzy_prefix_pairs(
             F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
         )
     ).withColumn("__bk", F.substring(F.col("__pfx"), 1, block_chars))
+    return fuzzy_prefix_pairs_blocked(
+        base,
+        max_dist=max_dist,
+        block_cols=block_cols,
+        max_cell=max_cell,
+    )
+
+
+def fuzzy_prefix_pairs_blocked(
+    base: DataFrame,
+    *,
+    max_dist: int = 48,
+    block_cols: list[str] | None = None,
+    max_cell: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """`fuzzy_prefix_pairs` from a PRE-BLOCKED frame: ``base`` already
+    carries (``block_cols``…, ``__id``, ``__pfx``, ``__bk``); this
+    runs only the cell cap and the block-keyed self-join.  The seam
+    exists for the bucketed documents layout
+    (sources/bucketed.py `ensure_bucketed_documents`): a table stored
+    hash-bucketed on the block key makes BOTH the cell count and the
+    self-join scan-local — pass ``materialize=False`` there, because a
+    localCheckpoint would erase the scan's outputPartitioning and
+    reintroduce the exchanges the layout exists to elide (the table
+    itself is already the materialization)."""
+    block_cols = block_cols or []
     if max_cell is not None:
         cells = base.groupBy(*block_cols, "__bk").agg(
             F.count(F.lit(1)).alias("__cn")
@@ -1368,8 +1395,9 @@ def fuzzy_prefix_pairs(
             F.broadcast(cells.filter(F.col("__cn") <= max_cell)),
             [*block_cols, "__bk"],
         ).drop("__cn")
-    # one materialization feeds both self-join sides
-    base = base.localCheckpoint(eager=False)
+    if materialize:
+        # one materialization feeds both self-join sides
+        base = base.localCheckpoint(eager=False)
     right = base.select(
         *[F.col(c).alias(f"__r_{c}") for c in block_cols],
         F.col("__id").alias("__id2"),

@@ -24,23 +24,28 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
     df: DataFrame,
     table: str,
     *,
-    bucket_col: str,
+    bucket_col: str | tuple[str, ...],
     n_buckets: int,
     sort_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist ``df`` as a managed parquet table hash-bucketed on
-    ``bucket_col`` (optionally sorted within buckets, which upgrades
-    the co-located join's per-bucket sort to a pure merge).  The
-    bucket count must MATCH across tables meant to co-join — Spark
-    only elides the exchange when both sides agree on (key, count)."""
+    ``bucket_col`` — a single column or a composite key tuple
+    (optionally sorted within buckets, which upgrades the co-located
+    join's per-bucket sort to a pure merge).  The bucket count must
+    MATCH across tables meant to co-join — Spark only elides the
+    exchange when both sides agree on (key, count); a composite key
+    is only recognized when the join/aggregate clusters on ALL of its
+    columns."""
+    cols = (bucket_col,) if isinstance(bucket_col, str) else tuple(bucket_col)
     w = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, bucket_col
+        n_buckets, cols[0], *cols[1:]
     )
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -103,6 +108,40 @@ def _local_warehouse_dir(spark: SparkSession) -> str | None:
     if "://" in wh:
         return None
     return wh
+
+
+def _group_orders_lineitem(sf_dir: str) -> list[str]:
+    import os
+
+    return [os.path.join(sf_dir, f"{t}.parquet") for t in ("orders", "lineitem")]
+
+
+def _group_events(sf_dir: str) -> list[str]:
+    import os
+
+    return [os.path.join(sf_dir, "events.parquet")]
+
+
+def _group_documents(sf_dir: str) -> list[str]:
+    import os
+
+    return [os.path.join(sf_dir, "documents.parquet")]
+
+
+#: Registry of the fixture groups backing build-once layouts, keyed by
+#: group name -> (sf_dir -> source paths).  Every ensure_bucketed_*
+#: caller resolves its source paths through here, and
+#: prune_stale_bucketed derives its LIVE fingerprint set from the same
+#: entries — so registering a new layout's group once both feeds the
+#: ensure_* fingerprint and protects the layout from GC.  (Previously
+#: prune duplicated the groups; a caller missing there would have its
+#: layout collected on every bench/probe run, silently re-paying the
+#: build-once write.)
+SOURCE_GROUPS: dict[str, Callable[[str], list[str]]] = {
+    "orders_lineitem": _group_orders_lineitem,
+    "events": _group_events,
+    "documents": _group_documents,
+}
 
 
 def ensure_bucketed(
@@ -177,15 +216,12 @@ def ensure_bucketed_eventlog(
     exchanges until the (tiny) post-star mat-view rollups.  Paid once
     at write time, amortized over every refresh — the same trade as
     `ensure_bucketed_pair`, applied to the product query."""
-    import os
-
     from metrics_service_spark.sources.eventlog import eventlog_view
     from metrics_service_spark.sources.tables import load_table
 
-    path = os.path.join(sf_dir, "events.parquet")
     (tbl,) = ensure_bucketed(
         spark,
-        [path],
+        SOURCE_GROUPS["events"](sf_dir),
         [
             (
                 "eventlog_b",
@@ -193,6 +229,58 @@ def ensure_bucketed_eventlog(
                 "pid",
                 n_buckets,
                 ("pid",),
+            )
+        ],
+    )
+    return tbl
+
+
+def ensure_bucketed_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    prefix_chars: int = 80,
+    block_chars: int = 4,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The bucketed LINKAGE-SILVER documents table — the third
+    application of the build-once co-located layout, this time under
+    the record-linkage/dedup family.  `fuzzy_prefix_pairs`' candidate
+    generation is a self-join on the block key (block_cols, first
+    ``block_chars`` prefix chars) plus one cell-count aggregate on the
+    same key; from path-based parquet both hash-partition the full
+    corpus per query — at 100 TB, two full-fabric document shuffles
+    per linkage pass.  Storing (lang, doc_id, pfx, bk) hash-bucketed
+    on the composite (lang, bk) makes both scan-local: the cell count
+    clusters on exactly the bucket key and the self-join's equi-keys
+    are the bucket key, so Spark proves the exchanges away on both
+    sides (gated in tests/test_bucketed_join.py).  The prefix
+    derivation (substring) is pre-paid at write time like the
+    eventlog adapter.  Parameters are baked into the layout, so they
+    participate in the table name; the db name carries the fixture
+    fingerprint as always."""
+    from metrics_service_spark.sources.tables import load_table
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pfx = F.substring(F.col("text"), 1, prefix_chars)
+        return docs.select(
+            "lang",
+            "doc_id",
+            pfx.alias("pfx"),
+            F.substring(pfx, 1, block_chars).alias("bk"),
+        )
+
+    (tbl,) = ensure_bucketed(
+        spark,
+        SOURCE_GROUPS["documents"](sf_dir),
+        [
+            (
+                f"documents_linkage_b_p{prefix_chars}_k{block_chars}",
+                build,
+                ("lang", "bk"),
+                n_buckets,
+                ("lang", "bk", "pfx", "doc_id"),
             )
         ],
     )
@@ -232,17 +320,21 @@ def prune_stale_bucketed(spark: SparkSession, keep_sf_dirs: list[str]) -> int:
     `ensure_bucketed` call for that dir would serve.  Returns the
     number of stale layouts removed: catalog databases dropped plus
     orphaned ``bkt_*.db`` warehouse directories swept (prior sessions'
-    dbs have files but no catalog entry)."""
+    dbs have files but no catalog entry).
+
+    The live set is derived from ``SOURCE_GROUPS`` — the same registry
+    the ensure_* callers fingerprint through — so it cannot drift from
+    the layouts actually being built.  Single-process assumption: this
+    rmtree/DROPs warehouse state, so do not run it while another
+    session is serving the same warehouse (the bench and scale probe,
+    its two callers, each own their session)."""
     import os
 
     live: set[str] = set()
     for d in keep_sf_dirs:
-        for group in (
-            [os.path.join(d, f"{t}.parquet") for t in ("orders", "lineitem")],
-            [os.path.join(d, "events.parquet")],
-        ):
+        for group_paths in SOURCE_GROUPS.values():
             try:
-                live.add(f"bkt_{_fixture_fingerprint(group)}")
+                live.add(f"bkt_{_fixture_fingerprint(group_paths(d))}")
             except OSError:
                 continue
     dropped = 0
@@ -287,14 +379,11 @@ def ensure_bucketed_pair(
     agree); 16 suits the test SFs — at cluster scale pick
     ``total_size / target_bucket_size`` (e.g. ~128 MB buckets) and keep
     it stable across the tables meant to co-join."""
-    import os
-
     from metrics_service_spark.sources.tables import load_table
 
-    paths = [os.path.join(sf_dir, f"{t}.parquet") for t in ("orders", "lineitem")]
     left, right = ensure_bucketed(
         spark,
-        paths,
+        SOURCE_GROUPS["orders_lineitem"](sf_dir),
         [
             (
                 "orders_b",

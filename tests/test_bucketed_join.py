@@ -177,6 +177,35 @@ def test_metrics_star_bucketed_plan_is_exchange_free(spark, sf_dir):
     assert got == expect
 
 
+def test_fuzzy_prefix_bucketed_plan_and_result(spark, sf_dir):
+    # r14: the LINKAGE family on the layout — fuzzy_prefix_pairs' two
+    # wide ops (cell count + block self-join, both keyed (lang, bk))
+    # must plan scan-local from the composite-bucketed silver table.
+    # At test SF the planner would broadcast the self-join (hiding the
+    # layout), so pin the 100 TB shape: with auto-broadcast off, the
+    # self-join must be a SortMergeJoin with NO shuffle exchange
+    # anywhere — the only Exchanges are the operator's own EXPLICIT
+    # broadcast of the (tiny, post-aggregate) kept-cells frame
+    from metrics_service_spark.catalog.llm import (
+        q_doc_fuzzy_prefix_bucketed,
+        q_doc_fuzzy_prefix_pairs,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_doc_fuzzy_prefix_bucketed(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SelectedBucketsCount: 32 out of 32" in plan, plan
+
+    got = {tuple(r) for r in q_doc_fuzzy_prefix_bucketed(spark, sf_dir).collect()}
+    expect = {tuple(r) for r in q_doc_fuzzy_prefix_pairs(spark, sf_dir).collect()}
+    assert got == expect
+
+
 def test_prune_stale_bucketed_drops_only_dead_layouts(spark, sf_dir):
     # GC contract: a db whose fingerprint matches a CURRENT fixture
     # survives; a stranded bkt_* db (orphaned by fixture regeneration

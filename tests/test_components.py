@@ -64,6 +64,22 @@ def test_star_long_chain_few_rounds(spark):
     assert len(got) == 201
 
 
+def test_star_raises_when_round_budget_exhausted(spark):
+    # require_converged (default True) must fail LOUD when the edge-set
+    # fingerprint is still moving at max_iters — mirrors the min-label
+    # variant's guard; a path needs >1 star round, so max_iters=1 on a
+    # long chain cannot reach the fixpoint
+    edges = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="still\\s+moving"):
+        connected_components_star(df, max_iters=1).collect()
+    # opting out returns a (possibly split) labeling instead of raising
+    got = connected_components_star(
+        df, max_iters=1, require_converged=False
+    ).collect()
+    assert len(got) == 65
+
+
 def test_expand_family_components_equals_seeded_bfs(spark):
     """The bulk component-join closure must produce exactly the BFS
     (seed, member) pairs, including (seed, seed) singletons for seeds
