@@ -308,6 +308,27 @@ def _micro_metrics_star_silver(spark, sf_dir):
     return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 
 
+def _micro_linkage_pairs_bucketed(spark, sf_dir):
+    """The LINKAGE family on the bucketed documents layout (r14):
+    fuzzy_prefix_pairs' cell count + block self-join planned scan-local
+    from the (lang, bk)-bucketed linkage-silver table.  Layout write
+    runs OUTSIDE the timed region (paid once, amortized over every
+    linkage pass); the path-based twin is the HEADLINE
+    doc_fuzzy_prefix_pairs entry, which re-derives and re-shuffles the
+    corpus per run."""
+    from metrics_service_spark.catalog.llm import q_doc_fuzzy_prefix_bucketed
+    from metrics_service_spark.sources.bucketed import (
+        ensure_bucketed_documents,
+    )
+
+    ensure_bucketed_documents(spark, sf_dir)
+
+    def run() -> None:
+        q_doc_fuzzy_prefix_bucketed(spark, sf_dir).collect()
+
+    return run, lambda: None
+
+
 #: Micro-benches: operators with no catalog entry (table mutations).
 #: Each value is a factory (spark, sf_dir) -> (run, cleanup).
 MICRO = {
@@ -319,6 +340,7 @@ MICRO = {
     "metrics_refresh_bucketed": _micro_metrics_star_bucketed,
     "metrics_refresh_pathbased": _micro_metrics_star_pathbased,
     "metrics_refresh_silver": _micro_metrics_star_silver,
+    "linkage_pairs_bucketed": _micro_linkage_pairs_bucketed,
 }
 
 

@@ -36,71 +36,20 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r13 impl-changed/new first (rotation policy): the five NEW
-    #    entries (hot-block-safe sorted neighborhood, multi-pass
-    #    linkage union, linkage recall calibration, linkage keep-list
-    #    clusters, bucketed metrics star), the rewritten
-    #    sorted-neighborhood operator's window
-    #    form, and the two entries whose seams changed this round
-    #    (ensure_bucketed* fingerprint/content-sample, CMS width
-    #    divisor guard) --------------------------------------------
-    "doc_sorted_neighborhood_global",
+    # -- r14 impl-changed/new first (rotation policy): the NEW
+    #    bucketed-linkage entry, then every entry consuming the
+    #    refactored fuzzy_prefix_pairs seam (now routed through
+    #    fuzzy_prefix_pairs_blocked) and the star-CC convergence
+    #    guard ---------------------------------------------------
+    "doc_fuzzy_prefix_bucketed",
+    "doc_cluster_best",
+    "doc_fuzzy_prefix_pairs",
+    "doc_linkage_clusters",
     "doc_linkage_multipass",
     "doc_linkage_recall",
-    "doc_linkage_clusters",
-    "metrics_star_bucketed",
-    "doc_sorted_neighborhood",
-    "gold_star_bucketed",
-    "doc_cms_ngram_error",
-    # -- the whole r9-stale generation (30 entries, VERDICT r12 #2) --
-    "doc_quality_filter_exact",
-    "doc_repetition",
-    "doc_shuffle_shard",
-    "doc_tfidf_topk",
-    "doc_unigram_freq",
-    "emb_centroids",
-    "emb_contamination",
-    "emb_cosine_neardup",
-    "emb_ivfpq_topk_int",
-    "emb_kmeans_step",
-    "emb_kmeans_train",
-    "emb_proto_prune",
-    "emb_prototypicality",
-    "emb_semdedup",
-    "emb_semdedup_incr",
-    "emb_semdedup_int",
-    "ev_dau_stickiness",
-    "ev_dau_stickiness_kmv",
-    "mm_image_features_exact",
-    "tpch_q1",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q8",
-    # -- fill to the 50 line with the oldest (r10) generation: the
-    #    three r12 bench movers under attribution this round, the
-    #    gold/matview family (catalog/gold.py gained entries in r13),
-    #    and the corpus datasheet --------------------------------
-    "doc_span_scrub",
-    "mm_phash_neardup",
-    "emb_knn_hubness",
-    "matview_landingpage",
-    "matview_routed_repo",
-    "matview_awardcharts",
-    "matview_awardmetrics",
-    "matview_repocharts",
-    "matview_repometrics",
-    "matview_userprofilecharts",
-    "matview_userprofilemetrics",
-    "landing_page_daily",
-    # -- buffer past the 50-entry sample line (rest of r10; all
-    #    differentially pytest-checked every session) ----------------
+    # -- the whole r10-stale generation (35 catalog entries,
+    #    VERDICT r13 "What's missing" #2; the 36th, doc_dup_spans_v2,
+    #    was superseded by the r11 bisect arms) -------------------
     "doc_corpus_datasheet",
     "doc_domain_filter",
     "doc_fingerprint",
@@ -136,6 +85,19 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q7",
     "tpch_q9",
+    # -- fill to the 50 line from the next-oldest (r11) generation:
+    #    the closure-family consumers (operators/closure.py changed
+    #    this round, connected_components itself untouched), the
+    #    gold star's raw form, and broad-coverage suites ----------
+    "order_chains",
+    "order_components",
+    "metrics_star",
+    "func_scalar_suite",
+    "tpch_q21",
+    "tpch_q22",
+    "doc_jaccard_pairs",
+    "doc_minhash_dedup",
+    "doc_multi_signal_pairs",
 )
 
 

@@ -361,6 +361,73 @@ FROM assigned
 # --- tiered dedup keep-list (exact tier -> near tier) ------------------------
 
 
+def q_doc_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the keep-list upgrade every
+    production dedup eventually wants: instead of keeping each near-dup
+    cluster's MINIMUM-id member (doc_dedup_clusters' arbitrary-but-
+    deterministic rule), keep its highest-QUALITY member.  Clusters
+    come from the same blocked-Jaccard + CC edge set; quality is the
+    exact quality_score features, ranked type_token_ratio desc (richest
+    vocabulary wins), then n_tokens desc, then doc_id asc — every key
+    integer- or decimal-typed, so the argmax is bit-deterministic in
+    both engines.  Output one row per cluster: (cluster, keep_id,
+    n_members, type_token_ratio of the winner).
+
+    Scale: the ranking is one row_number window partitioned by cluster
+    — cluster cardinality is ~corpus size with tiny groups, so the
+    window's hash exchange is the same mass as the dedup groupBy it
+    follows; no skew (a cluster's size is bounded by the near-dup
+    family's cell caps).  NEW r14 surface."""
+    from metrics_service_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = q_doc_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    q = quality_score(docs, "doc_id", "text")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("type_token_ratio").desc(),
+        F.col("n_tokens").desc(),
+        F.col("doc_id").asc(),
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        clusters.join(q, "doc_id")
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keep_id"),
+            "n_tokens",
+            "type_token_ratio",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("cluster", "keep_id", "n_members", "type_token_ratio")
+    )
+
+
+ORACLE_CLUSTER_BEST = """
+, q AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents
+), ranked AS (
+  SELECT a.cluster, a.doc_id,
+         q.n_tokens,
+         {ttr} AS type_token_ratio,
+         row_number() OVER (
+           PARTITION BY a.cluster
+           ORDER BY {ttr} DESC, q.n_tokens DESC, a.doc_id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY a.cluster) AS n_members
+  FROM assigned a JOIN q ON q.doc_id = a.doc_id
+)
+SELECT cluster, doc_id AS keep_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       type_token_ratio
+FROM ranked WHERE rn = 1
+""".format(ttr=sql_round_frac("q.n_distinct", "q.n_tokens", 4))
+
+
 def q_doc_dedup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tiered keep-list a production run ships (NEW r11): exact
     content-hash dedup first (removes the bulk of duplicate mass with
@@ -2460,6 +2527,57 @@ GROUP BY 1
 """
 
 
+LENGTH_QUANTILE_PERCENTS = [25, 50, 75, 90, 99]
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p25/p50/p75/p90/p99 of
+    n_chars) — the corpus-calibration numbers every length-based
+    quality rule (gopher, ccnet buckets) is tuned against.  Computed
+    by operators/rank.py `exact_group_quantiles`: histogram +
+    cumulative-count, so the only full-data shuffle is one
+    combiner-friendly (lang, n_chars) groupBy and the per-lang window
+    runs over DISTINCT lengths (thousands) rather than rows — the
+    hot-language corpus (one lang = 60% of 100 TB) costs its value
+    cardinality, not a one-task row sort.  Exact and integer-only,
+    unlike percentile_approx; the oracle replays the same histogram
+    arithmetic.  NEW r14 surface."""
+    from metrics_service_spark.operators.rank import exact_group_quantiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = exact_group_quantiles(
+        docs, ["lang"], "n_chars", percents=LENGTH_QUANTILE_PERCENTS
+    )
+    return q.select(
+        "lang",
+        *[
+            F.col(f"p{p}").cast("long").alias(f"p{p}")
+            for p in LENGTH_QUANTILE_PERCENTS
+        ],
+    )
+
+
+ORACLE_LENGTH_QUANTILES = f"""
+WITH h AS (
+  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2
+), c AS (
+  SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum FROM h
+), n AS (
+  SELECT lang, sum(cnt) AS n FROM h GROUP BY 1
+), t AS (
+  SELECT lang, p, CAST(floor((n * p + 99) / 100.0) AS BIGINT) AS tgt
+  FROM n CROSS JOIN (SELECT unnest({LENGTH_QUANTILE_PERCENTS}) AS p)
+), q AS (
+  SELECT t.lang, t.p, min(c.v) AS qv
+  FROM t JOIN c ON c.lang = t.lang AND c.cum >= t.tgt
+  GROUP BY 1, 2
+)
+SELECT lang,
+{",".join(f"       CAST(max(CASE WHEN p = {p} THEN qv END) AS BIGINT) AS p{p}" for p in LENGTH_QUANTILE_PERCENTS)}
+FROM q GROUP BY lang
+"""
+
+
 def q_doc_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style domain blocklist filter over deterministically
     synthesized URLs (host = cdn.<source>.org, some with ports, so
@@ -4550,6 +4668,13 @@ QUERIES: dict[str, QuerySpec] = {
         "corpus profile: (lang, log2-length) doc counts + char mass",
         ("llm",),
     ),
+    "doc_length_quantiles": QuerySpec(
+        q_doc_length_quantiles,
+        ORACLE_LENGTH_QUANTILES,
+        "exact per-lang length percentiles via histogram+cumulative "
+        "rank (no per-row sort; hot-lang safe)",
+        ("llm",),
+    ),
     "doc_jaccard_pairs": QuerySpec(
         q_doc_jaccard_pairs, ORACLE_JACCARD, "blocked n-gram Jaccard", ("llm",)
     ),
@@ -4557,6 +4682,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_dedup_clusters,
         ORACLE_DEDUP_CLUSTERS,
         "near-dup pairs -> connected components -> canonical keep-list",
+        ("llm",),
+    ),
+    "doc_cluster_best": QuerySpec(
+        q_doc_cluster_best,
+        _CLUSTERS_CTE + ORACLE_CLUSTER_BEST,
+        "quality-aware canonical selection: per near-dup cluster keep "
+        "the richest-vocabulary member (ttr/tokens/id argmax)",
         ("llm",),
     ),
     "doc_split_leakage_safe": QuerySpec(

@@ -1750,7 +1750,13 @@ def linkage_recall_matrix(
     ~10^7 codegen levenshtein calls, seconds on one executor wave,
     while blocked-arm recall estimates converge like any fixed-size
     survey sample).  The sample predicate is the md5 window used by
-    every sampling entry, so the oracle replays it exactly."""
+    every sampling entry, so the oracle replays it exactly.
+
+    NOTE the limit-probe is EAGER by design: merely BUILDING this
+    frame runs one small Spark job (`limit(max_sample+1).count()` on
+    the checkpointed sample) so an oversized sample fails at
+    construction, before any caller schedules the quadratic — the one
+    deliberate exception to this module's otherwise-lazy builders."""
     from metrics_service_spark.operators.sampling import _hex4_int
     from metrics_service_spark.operators.similarity import _spread
 

@@ -49,6 +49,70 @@ def global_row_number(
     )
 
 
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    percents: list[int],
+) -> DataFrame:
+    """Exact per-group discrete quantiles WITHOUT a per-row sort: the
+    p-th percentile of each group is the smallest value whose
+    cumulative count reaches ceil(n * p / 100) — computed over the
+    (group, value) HISTOGRAM, not the rows.  One combiner-friendly
+    groupBy builds the histogram (the only full-data shuffle), the
+    cumulative count is a window over the histogram partitioned by
+    group (per-partition mass = the group's DISTINCT value count, not
+    its row count — a 60%-of-corpus hot group costs its value
+    cardinality, which for bounded-domain measures like lengths is
+    thousands, not billions), and the target ranks use pure integer
+    arithmetic ((n*p + 99) div 100, never float·n, so a
+    mathematically-integral p·n can't ceil past itself).
+
+    Contrast with ``percentile_approx``: this is exact and
+    engine-portable (an ANSI-SQL oracle replays it bit-for-bit), at
+    the cost of one histogram shuffle — the right trade whenever the
+    value domain is bounded (lengths, counts, scores).
+
+    Output: one row per group, one LONG column ``p{p}`` per requested
+    percent (value type preserved via min)."""
+    gcols = [F.col(c) for c in group_cols]
+    hist = df.groupBy(*gcols, F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy("__v")
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(wcum))
+    totals = hist.groupBy(*group_cols).agg(F.sum("__cnt").alias("__n"))
+    targets = totals.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("__p"),
+                        F.floor(
+                            (F.col("__n") * p + F.lit(99)) / F.lit(100.0)
+                        ).cast("long").alias("__tgt"),
+                    )
+                    for p in percents
+                ]
+            )
+        ).alias("__t"),
+    ).select(*group_cols, "__t.__p", "__t.__tgt")
+    q = (
+        cum.join(targets, group_cols)
+        .filter(F.col("__cum") >= F.col("__tgt"))
+        .groupBy(*group_cols, "__p")
+        .agg(F.min("__v").alias("__q"))
+    )
+    return q.groupBy(*group_cols).agg(
+        *[
+            F.max(F.when(F.col("__p") == p, F.col("__q"))).alias(f"p{p}")
+            for p in percents
+        ]
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     value: Column,

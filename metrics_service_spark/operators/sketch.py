@@ -93,7 +93,13 @@ def cms_build(
     runs over distinct-key mass instead of raw occurrence mass, which
     is identical arithmetic (a bucket's count is the sum over its
     keys' counts) and the form a calibration pipeline wants, since it
-    must compute the exact counts anyway."""
+    must compute the exact counts anyway.
+
+    Geometry: ``width`` must divide the 16-bit hash space (65536 % width
+    == 0, e.g. 512/1024/2048 — a non-divisor like 1000 raises; modulo
+    bias would silently weaken the uniformity term in the CMS error
+    bound) and ``depth`` <= 8; `cms_estimate` enforces the identical
+    rule so a mismatch fails loudly on either side of the seam."""
     _check_geometry(width, depth)
     w = F.col(weight_col) if weight_col else F.lit(1)
     return (
@@ -119,7 +125,8 @@ def cms_estimate(
     """Point-query the sketch for every row of ``keys``: re-derive the
     key's depth buckets, broadcast-join the (tiny) sketch, and take the
     per-key MIN.  Adds a ``cms_est`` column; parameters must match the
-    build or the estimates are garbage (same salt/width/depth)."""
+    build or the estimates are garbage (same salt/width/depth, and the
+    same geometry rule: width a divisor of 65536, depth <= 8)."""
     _check_geometry(width, depth)
     probes = keys.select(
         F.col(key_col),

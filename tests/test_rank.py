@@ -185,3 +185,33 @@ def test_asof_join_rejects_value_col_collision(spark):
             left_ts="ts", right_ts="ts",
             value_cols=["price"],
         )
+
+
+def test_exact_group_quantiles_matches_bruteforce(spark):
+    """Histogram-rank quantiles must equal the textbook discrete
+    quantile (smallest value whose rank reaches ceil(n*p/100)) on
+    random multisets with heavy ties."""
+    import math
+    import random
+
+    from metrics_service_spark.operators.rank import exact_group_quantiles
+
+    rng = random.Random(3)
+    rows = [
+        (f"g{rng.randrange(3)}", rng.randrange(20)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    percents = [1, 25, 50, 75, 90, 99, 100]
+    got = {
+        r.g: [r[f"p{p}"] for p in percents]
+        for r in exact_group_quantiles(
+            df, ["g"], "v", percents=percents
+        ).collect()
+    }
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        want = [vs[math.ceil(len(vs) * p / 100) - 1] for p in percents]
+        assert got[g] == want, (g, got[g], want)

@@ -20,12 +20,13 @@ Usage: python tools/ab_r13_movers.py [reps]
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.bench_io import load_bench_queries  # noqa: E402
 
 from metrics_service_spark.catalog import all_queries  # noqa: E402
 from metrics_service_spark.session import get_spark  # noqa: E402
@@ -61,24 +62,14 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prior = {}
     for r in ("BENCH_r11.json", "BENCH_r12.json"):
-        path = os.path.join(repo, r)
-        with open(path) as f:
-            rec = json.load(f)
-        if "queries" not in rec and "tail" in rec:
-            # driver wrapper: its "tail" string is the captured bench
-            # stdout, possibly TRUNCATED mid-record (r12) — recover the
-            # last "queries": {...} object by brace-matching instead of
-            # requiring the full headline marker
-            tail = rec["tail"]
-            start = tail.rindex('"queries": {') + len('"queries": ')
-            depth, end = 0, start
-            for i in range(start, len(tail)):
-                depth += {"{": 1, "}": -1}.get(tail[i], 0)
-                if depth == 0:
-                    end = i + 1
-                    break
-            rec = {"queries": json.loads(tail[start:end])}
-        prior[r] = rec.get("queries", {})
+        # shared robust reader (tools/bench_io.py): handles all three
+        # artifact shapes incl. tails truncated at either end, raises
+        # a named error instead of a bare rindex ValueError
+        try:
+            prior[r] = load_bench_queries(os.path.join(repo, r))
+        except (OSError, ValueError) as exc:
+            print(f"skipping {r}: {exc}", file=sys.stderr)
+            prior[r] = {}
 
     spark = get_spark("ab-r13-movers")
     spark.sparkContext.setLogLevel("ERROR")
@@ -99,7 +90,8 @@ def main() -> None:
         r11 = prior["BENCH_r11.json"].get(n)
         r12 = prior["BENCH_r12.json"].get(n)
         med = _median(samples[n])
-        base = min(x for x in (r11, r12) if x is not None) if (r11 or r12) else med
+        priors = [x for x in (r11, r12) if x is not None]
+        base = min(priors) if priors else med
         tag = "control" if n in CONTROLS else (
             "reverted/box" if med <= 1.15 * base else "REAL +%d%%" % round(100 * (med / base - 1))
         )
