@@ -43,6 +43,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     #    guard ---------------------------------------------------
     "doc_fuzzy_prefix_bucketed",
     "doc_cluster_best",
+    "doc_source_overlap",
+    "doc_length_quantiles",
     "doc_fuzzy_prefix_pairs",
     "doc_linkage_clusters",
     "doc_linkage_multipass",
@@ -96,8 +98,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "doc_jaccard_pairs",
-    "doc_minhash_dedup",
-    "doc_multi_signal_pairs",
 )
 
 

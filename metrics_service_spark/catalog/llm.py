@@ -972,6 +972,54 @@ GROUP BY 1
 """
 
 
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap forensics — the corpus-provenance matrix a
+    mixture decision reads before weighting sources: for every source
+    pair, the number of DISTINCT 5-grams (CONTAM_N, the contamination
+    entry's unit) both sources contain.  High overlap between two
+    crawls means their mixture weights double-count the same text.
+
+    Scale: the only corpus-mass op is one explode + distinct to the
+    (source, gram) level; the self-join's per-gram fan-out is bounded
+    by SOURCE CARDINALITY (a gram appears at most once per source
+    after the distinct, so even a boilerplate gram in every source
+    yields C(n_sources, 2) pairs, not corpus² candidates) — the
+    opposite failure mode profile from document self-joins, needing
+    no cell cap.  NEW r14 surface."""
+    from metrics_service_spark.operators.dedup import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        docs.select(
+            "source", F.explode(shingle_array(toks, CONTAM_N)).alias("g")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    other = sh.select(F.col("source").alias("source_b"), "g")
+    return (
+        sh.join(other, "g")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct([array_to_string(toks[i:i+{CONTAM_N - 1}], ' ')
+                FOR i IN range(1, greatest(len(toks) - {CONTAM_N - 1}, 1) + 1)])) AS g
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # --- deterministic split / stratified sampling ----------------------------
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.75}
 
@@ -4719,6 +4767,13 @@ QUERIES: dict[str, QuerySpec] = {
         q_doc_contamination,
         ORACLE_CONTAMINATION,
         "benchmark-contamination n-gram scan",
+        ("llm",),
+    ),
+    "doc_source_overlap": QuerySpec(
+        q_doc_source_overlap,
+        ORACLE_SOURCE_OVERLAP,
+        "cross-source provenance matrix: distinct shared 5-grams per "
+        "source pair (fan-out bounded by source cardinality)",
         ("llm",),
     ),
     "doc_sample_stratified": QuerySpec(

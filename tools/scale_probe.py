@@ -197,6 +197,25 @@ QUERIES = [
     # the pair is 1.64×; the elided exchange is corpus-mass, so the
     # ratio should widen as the eventlog grows)
     "metrics_star",
+    # r14: the linkage family on the bucketed documents layout — the
+    # warm-up rep builds the (lang, bk)-bucketed silver table once
+    # (fingerprint-keyed), the timed rep plans the cell count + block
+    # self-join scan-local; compare against the doc_fuzzy_prefix_pairs
+    # row above at the same K for the layout-vs-shuffle growth curve.
+    # NOTE both rows run under replication's cross-copy block-key
+    # collisions (the max_cell guard fires wholesale, as documented on
+    # the path row), so the pair compares identical work
+    "doc_fuzzy_prefix_bucketed",
+    # r14: quality-aware canonical — the dedup_clusters pipeline
+    # (jaccard pairs + CC, the doc_split_leakage_safe class) plus one
+    # quality scan and a cluster-keyed argmax window (cluster sizes
+    # bounded by the cell caps); expected to track that row
+    "doc_cluster_best",
+    # r14: exact per-lang length percentiles — ONE (lang, n_chars)
+    # histogram groupBy (combiner-friendly, output rows bounded by the
+    # value domain, FLAT under replication) + windows over the
+    # histogram only; expected ~linear scan fill, near-flat tail
+    "doc_length_quantiles",
 ]
 
 
@@ -373,10 +392,65 @@ def main() -> None:
             spark.read.parquet(f"{_silver_cache[sf_dir]}/eventlog")
         )
 
+    _prefixed_cache: dict[str, str] = {}
+
+    def _prefixed_docs_dir(spark, sf_dir) -> str:
+        # r14: the token-SUFFIX replication scheme makes first-4-char
+        # block keys collide across copies, so the fuzzy-prefix rows
+        # above measure the max_cell guard regime (cells x50, wholesale
+        # drops — tiny join mass).  To measure the exchange the
+        # bucketed layout elides, this scratch salts each copy's LANG
+        # (a block_cols component) with its copy id: text untouched, so
+        # (lang_cN, first-4-chars) blocks are copy-disjoint and every
+        # copy reproduces the base's cell populations and candidate
+        # mass exactly — lang cardinality x k, the "more languages"
+        # regime real corpora are in.  (A first attempt PREFIXED the
+        # text instead; the 4-char copy marker then WAS the block key,
+        # one overfull cell per copy, guard dropped everything.)
+        if sf_dir == base:
+            return base
+        if sf_dir not in _prefixed_cache:
+            d = f"{scratch}_prefixed"
+            docs = load_table(spark, base, "documents")
+            pref = docs.crossJoin(
+                F.broadcast(spark.range(k).withColumnRenamed("id", "__copy"))
+            ).select(
+                (F.col("doc_id") + F.col("__copy") * 10_000_000).alias(
+                    "doc_id"
+                ),
+                "text",
+                F.concat(
+                    F.col("lang"), F.lit("_c"), F.col("__copy").cast("string")
+                ).alias("lang"),
+                "source",
+                "n_chars",
+            )
+            pref.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+            _prefixed_cache[sf_dir] = d
+        return _prefixed_cache[sf_dir]
+
+    def fuzzy_prefix_pathbased_disjoint(spark, sf_dir):
+        from metrics_service_spark.catalog.llm import (
+            q_doc_fuzzy_prefix_pairs,
+        )
+
+        return q_doc_fuzzy_prefix_pairs(spark, _prefixed_docs_dir(spark, sf_dir))
+
+    def fuzzy_prefix_bucketed_disjoint(spark, sf_dir):
+        from metrics_service_spark.catalog.llm import (
+            q_doc_fuzzy_prefix_bucketed,
+        )
+
+        return q_doc_fuzzy_prefix_bucketed(
+            spark, _prefixed_docs_dir(spark, sf_dir)
+        )
+
     EXTRA = {
         "bloom_semi_fixed_m16": bloom_semi_fixed,
         "doc_linkage_recall_scaledmod": linkage_recall_scaled,
         "metrics_star_silver": metrics_star_silver,
+        "fuzzy_prefix_pathbased_disjoint": fuzzy_prefix_pathbased_disjoint,
+        "fuzzy_prefix_bucketed_disjoint": fuzzy_prefix_bucketed_disjoint,
     }
 
     def micro_semantic_admit(spark, sf_dir):
@@ -489,6 +563,8 @@ def main() -> None:
     )
     print(f"pruned {n} stale bucketed layout(s)", file=sys.stderr)
     for d in _silver_cache.values():
+        shutil.rmtree(d, ignore_errors=True)
+    for d in _prefixed_cache.values():
         shutil.rmtree(d, ignore_errors=True)
 
 
