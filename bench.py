@@ -128,6 +128,16 @@ HEADLINE = [
     "doc_linkage_multipass",
     "doc_linkage_recall",
     "doc_linkage_clusters",
+    # round-14: quality-aware canonical selection, exact per-lang
+    # length percentiles (histogram rank — FLAT at the 50× probe),
+    # cross-source 5-gram overlap matrix, and video scene cuts; the
+    # bucketed linkage layout is benched as the linkage_pairs_bucketed
+    # micro (layout write outside the timed region) against the
+    # doc_fuzzy_prefix_pairs path twin above
+    "doc_cluster_best",
+    "doc_length_quantiles",
+    "doc_source_overlap",
+    "mm_scene_cuts",
 ]
 
 

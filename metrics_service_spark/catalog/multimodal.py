@@ -67,6 +67,32 @@ FROM documents,
 """
 
 
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the sampled frame grid: Arrow-seam
+    frame signatures (deterministic fake — a real build hashes a luma
+    histogram per frame) + ONE per-media lag window over frame rows.
+    NEW r14 surface."""
+    from metrics_service_spark.operators.multimodal import scene_cuts
+
+    return scene_cuts(_media(spark, sf_dir), stride=4, max_frames=24)
+
+
+ORACLE_SCENE_CUTS = """
+WITH f AS (
+  SELECT doc_id AS media_id, CAST(g AS INT) AS frame_idx,
+         CAST((octet_length(encode(text)) * (g + 1)) % 251 AS INT) AS sig
+  FROM documents,
+       LATERAL unnest(range(0, 1 + octet_length(encode(text)) % 24, 4)) AS t(g)
+), d AS (
+  SELECT media_id, frame_idx, sig,
+         lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+  FROM f
+)
+SELECT media_id, frame_idx, sig
+FROM d WHERE prev IS NULL OR abs(sig - prev) > 96
+"""
+
+
 def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(_media(spark, sf_dir))
 
@@ -392,6 +418,13 @@ QUERIES = {
         q_mm_frame_sample,
         ORACLE_FRAME_SAMPLE,
         "video frame sampling, 1->N mapInPandas",
+        ("multimodal",),
+    ),
+    "mm_scene_cuts": QuerySpec(
+        q_mm_scene_cuts,
+        ORACLE_SCENE_CUTS,
+        "video scene-cut detection: Arrow-seam frame signatures + "
+        "per-media lag window over frame rows",
         ("multimodal",),
     ),
     "mm_audio_meta": QuerySpec(

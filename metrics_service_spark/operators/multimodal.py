@@ -509,6 +509,79 @@ def frame_sample(
     )
 
 
+SCENE_SIG_SCHEMA = "media_id long, frame_idx int, sig int"
+
+
+def frame_signatures(
+    media: DataFrame,
+    *,
+    stride: int = 4,
+    max_frames: int = 24,
+    modulus: int = 251,
+) -> DataFrame:
+    """Per-sampled-frame content signature through the Arrow media
+    seam — the input to temporal segmentation.  Same frame grid as
+    `frame_sample` (every `stride`-th of the deterministic fake frame
+    count); the signature is the deterministic fake
+    ``(n_bytes * (frame_idx + 1)) % modulus`` so the whole pipeline
+    replays in SQL — a real build decodes the frame and hashes a luma
+    histogram here instead (same schema, same downstream ops)."""
+
+    def _sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                n = len(raw)
+                n_frames = 1 + n % max_frames
+                for i in range(0, n_frames, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sigs.append((n * (i + 1)) % modulus)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "sig": pd.Series(sigs, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _sigs, schema=SCENE_SIG_SCHEMA
+    )
+
+
+def scene_cuts(
+    media: DataFrame,
+    *,
+    stride: int = 4,
+    max_frames: int = 24,
+    modulus: int = 251,
+    threshold: int = 96,
+) -> DataFrame:
+    """Video scene-cut detection: a sampled frame opens a new scene
+    when its signature jumps more than ``threshold`` from the previous
+    sampled frame (frame 0 always opens one) — the shot-segmentation
+    primitive a video-curation pipeline keyframes on.  One lag window
+    per media over the FRAME rows (tens per video, never payload
+    bytes), so the window mass is sampled-frame count, not media
+    size; the signature pass is the Arrow seam above."""
+    from pyspark.sql import Window
+
+    sigs = frame_signatures(
+        media, stride=stride, max_frames=max_frames, modulus=modulus
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("sig").over(w)
+    return (
+        sigs.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.abs(F.col("sig") - F.col("__prev")) > threshold)
+        )
+        .select("media_id", "frame_idx", "sig")
+    )
+
+
 def wav_meta(data: bytes) -> tuple[int, int, int]:
     """Parse a RIFF/WAVE header: (sample_rate, n_channels, n_frames).
     Pure stdlib (`wave` over BytesIO); raises on a non-WAV payload.

@@ -264,6 +264,7 @@ PANDAS_WHITELIST = {
     "mm_image_meta_real_mixed",
     "mm_image_meta",
     "mm_frame_sample",
+    "mm_scene_cuts",
     "mm_audio_meta",
     "mm_image_features",
     "mm_image_features_exact",

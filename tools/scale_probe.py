@@ -216,6 +216,13 @@ QUERIES = [
     # value domain, FLAT under replication) + windows over the
     # histogram only; expected ~linear scan fill, near-flat tail
     "doc_length_quantiles",
+    # r14: source-pair 5-gram overlap — explode + (source, gram)
+    # distinct, then a join whose per-gram fan-out is bounded by
+    # source cardinality; expected to track the shingle-mass family
+    "doc_source_overlap",
+    # r14: scene cuts — Arrow-seam signature pass (frame rows ~ media
+    # count) + per-media lag window over frames; expected ~linear
+    "mm_scene_cuts",
 ]
 
 
