@@ -138,6 +138,7 @@ HEADLINE = [
     "doc_length_quantiles",
     "doc_source_overlap",
     "mm_scene_cuts",
+    "ev_session_quantiles",
 ]
 
 

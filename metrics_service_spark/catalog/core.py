@@ -470,6 +470,72 @@ def q_ev_sessionize_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_QUANTILE_PERCENTS = [50, 90, 99]
+
+
+def q_ev_session_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session-duration percentiles (p50/p90/p99 of duration in
+    SECONDS) — the latency-style SLO view of the sessionizer's output,
+    and the events-side consumer of `operators/rank.py
+    exact_group_quantiles`: durations quantize to whole seconds, so
+    the (day, duration) histogram is value-domain-bounded and the
+    per-day window runs over distinct durations, never session rows.
+    Exact and integer-only end to end (epoch-µs difference, floor-div
+    to seconds, histogram-rank targets).  NEW r14 surface."""
+    from metrics_service_spark.operators.rank import exact_group_quantiles
+    from metrics_service_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, "user_id", "ts", gap_minutes=60, order_tiebreak=["event_id"]
+    )
+    bounds = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    d = bounds.select(
+        F.date_format("st", "yyyy-MM-dd").alias("day"),
+        F.floor(
+            (F.unix_micros("en") - F.unix_micros("st")) / F.lit(1_000_000)
+        ).alias("dur_s"),
+    )
+    q = exact_group_quantiles(
+        d, ["day"], "dur_s", percents=SESSION_QUANTILE_PERCENTS
+    )
+    return q.select(
+        "day",
+        *[
+            F.col(f"p{p}").cast("long").alias(f"p{p}")
+            for p in SESSION_QUANTILE_PERCENTS
+        ],
+    )
+
+
+ORACLE_EV_SESSION_QUANTILES = f"""
+WITH sess_rows AS ({{sessions}}),
+d AS (
+  SELECT strftime(make_timestamp(session_start_us), '%Y-%m-%d') AS day,
+         (session_end_us - session_start_us) // 1000000 AS dur_s
+  FROM sess_rows
+), h AS (
+  SELECT day, dur_s AS v, count(*) AS cnt FROM d GROUP BY 1, 2
+), c AS (
+  SELECT day, v, sum(cnt) OVER (PARTITION BY day ORDER BY v) AS cum FROM h
+), n AS (
+  SELECT day, sum(cnt) AS n FROM h GROUP BY 1
+), t AS (
+  SELECT day, p, CAST(floor((n * p + 99) / 100.0) AS BIGINT) AS tgt
+  FROM n CROSS JOIN (SELECT unnest({SESSION_QUANTILE_PERCENTS}) AS p)
+), q AS (
+  SELECT t.day, t.p, min(c.v) AS qv
+  FROM t JOIN c ON c.day = t.day AND c.cum >= t.tgt
+  GROUP BY 1, 2
+)
+SELECT day,
+{",".join(f"       CAST(max(CASE WHEN p = {p} THEN qv END) AS BIGINT) AS p{p}" for p in SESSION_QUANTILE_PERCENTS)}
+FROM q GROUP BY day
+"""
+
+
 ORACLE_EV_SESS_GLOBAL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -926,6 +992,13 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ev_sessionize": QuerySpec(
         q_ev_sessionize, _oracle_sessions(""), "W2 gap sessionization", ("core",)
+    ),
+    "ev_session_quantiles": QuerySpec(
+        q_ev_session_quantiles,
+        ORACLE_EV_SESSION_QUANTILES.format(sessions=_oracle_sessions("")),
+        "per-day session-duration percentiles via histogram rank "
+        "(exact, integer-only; window over distinct seconds)",
+        ("core",),
     ),
     "ev_rolling_7d": QuerySpec(
         q_ev_rolling_7d,

@@ -223,6 +223,10 @@ QUERIES = [
     # r14: scene cuts — Arrow-seam signature pass (frame rows ~ media
     # count) + per-media lag window over frames; expected ~linear
     "mm_scene_cuts",
+    # r14: per-day session-duration percentiles — sessionize cost plus
+    # a (day, seconds) histogram whose per-day window mass is distinct
+    # durations; expected to track the ev_sessionize row
+    "ev_session_quantiles",
 ]
 
 
