@@ -139,6 +139,7 @@ HEADLINE = [
     "doc_source_overlap",
     "mm_scene_cuts",
     "ev_session_quantiles",
+    "doc_linkage_incremental",
 ]
 
 

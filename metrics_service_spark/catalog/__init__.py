@@ -47,6 +47,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_length_quantiles",
     "mm_scene_cuts",
     "ev_session_quantiles",
+    "doc_linkage_incremental",
     "doc_fuzzy_prefix_pairs",
     "doc_linkage_clusters",
     "doc_linkage_multipass",
@@ -97,7 +98,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "order_components",
     "metrics_star",
     "func_scalar_suite",
-    "tpch_q21",
 )
 
 

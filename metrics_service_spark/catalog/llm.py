@@ -3950,6 +3950,49 @@ def q_doc_fuzzy_prefix_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage admission: which NEW docs (doc_id >=
+    INCR_SPLIT_ID, the same ingest split doc_incremental_dedup uses)
+    fuzzy-match the EXISTING corpus under the standard blocking and
+    prefix-levenshtein?  Batch-vs-corpus block join, never a corpus
+    self-join — the daily ingest path of the linkage family.  NEW r14
+    surface."""
+    from metrics_service_spark.operators.dedup import fuzzy_prefix_admit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_prefix_admit(
+        docs.filter(F.col("doc_id") >= INCR_SPLIT_ID),
+        docs.filter(F.col("doc_id") < INCR_SPLIT_ID),
+        "doc_id", "text",
+        prefix_chars=FUZZY_PREFIX_CHARS,
+        block_chars=FUZZY_BLOCK_CHARS,
+        max_dist=FUZZY_MAX_DIST,
+        block_cols=["lang"],
+        max_cell=FUZZY_MAX_CELL,
+    )
+
+
+ORACLE_LINKAGE_INCREMENTAL = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         substr(text, 1, {FUZZY_PREFIX_CHARS}) AS pfx,
+         substr(text, 1, {FUZZY_BLOCK_CHARS}) AS bk
+  FROM documents
+), cells AS (
+  SELECT lang, bk, count(*) AS cn FROM b
+  WHERE doc_id < {INCR_SPLIT_ID} GROUP BY 1, 2
+), corpus AS (
+  SELECT b.* FROM b JOIN cells USING (lang, bk)
+  WHERE b.doc_id < {INCR_SPLIT_ID} AND cells.cn <= {FUZZY_MAX_CELL}
+)
+SELECT n.doc_id AS new_id, c.doc_id AS old_id,
+       CAST(levenshtein(n.pfx, c.pfx) AS INT) AS dist
+FROM b n JOIN corpus c ON n.lang = c.lang AND n.bk = c.bk
+WHERE n.doc_id >= {INCR_SPLIT_ID}
+  AND levenshtein(n.pfx, c.pfx) <= {FUZZY_MAX_DIST}
+"""
+
+
 def q_doc_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize-then-dedup (the CCNet/RefinedWeb pre-pass): exact
     groups over the canonical form (lowercase, punctuation to spaces,
@@ -5157,6 +5200,13 @@ QUERIES: dict[str, QuerySpec] = {
         "the same blocked-levenshtein linkage from the bucketed "
         "linkage-silver layout: cell count + block self-join both "
         "scan-local, zero exchanges (oracle reads raw parquet)",
+        ("llm",),
+    ),
+    "doc_linkage_incremental": QuerySpec(
+        q_doc_linkage_incremental,
+        ORACLE_LINKAGE_INCREMENTAL,
+        "incremental linkage admission: new batch vs existing corpus "
+        "block join + prefix levenshtein (never a corpus self-join)",
         ("llm",),
     ),
     "doc_winnow_pairs": QuerySpec(

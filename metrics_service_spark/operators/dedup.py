@@ -1419,6 +1419,75 @@ def fuzzy_prefix_pairs_blocked(
     )
 
 
+def fuzzy_prefix_admit(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    prefix_chars: int = 80,
+    block_chars: int = 4,
+    max_dist: int = 48,
+    block_cols: list[str] | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Incremental record-linkage admission — the batch-vs-corpus
+    sibling of `fuzzy_prefix_pairs` (the linkage counterpart of
+    `incremental_near_duplicates_md5`): which NEW records fuzzy-match
+    an EXISTING corpus record under the same (block_cols, prefix
+    block) blocking and prefix-levenshtein scoring?  The daily ingest
+    path: cost is the batch's block mass joined against co-blocked
+    corpus rows, never corpus² — and never a corpus self-join at all.
+
+    ``max_cell`` caps CORPUS cells with the same deterministic
+    wholesale-drop rule as the self-join form (a boilerplate corpus
+    prefix would otherwise fan every matching batch row out by the
+    cell population).  Output (new_id, old_id, dist), dist <=
+    max_dist."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    block_cols = block_cols or []
+
+    def blocked(df: DataFrame) -> DataFrame:
+        return _spread(
+            df.select(
+                *[F.col(c) for c in block_cols],
+                F.col(id_col).alias("__id"),
+                F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
+            )
+        ).withColumn("__bk", F.substring(F.col("__pfx"), 1, block_chars))
+
+    c = blocked(corpus)
+    if max_cell is not None:
+        cells = c.groupBy(*block_cols, "__bk").agg(
+            F.count(F.lit(1)).alias("__cn")
+        )
+        c = c.join(
+            F.broadcast(cells.filter(F.col("__cn") <= max_cell)),
+            [*block_cols, "__bk"],
+        ).drop("__cn")
+    right = c.select(
+        *[F.col(col).alias(f"__r_{col}") for col in block_cols],
+        F.col("__id").alias("__id2"),
+        F.col("__pfx").alias("__pfx2"),
+        F.col("__bk").alias("__bk2"),
+    )
+    n = blocked(new)
+    cond = F.col("__bk") == F.col("__bk2")
+    for col in block_cols:
+        cond = cond & (F.col(col) == F.col(f"__r_{col}"))
+    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+    return (
+        n.join(right, cond)
+        .filter(dist <= F.lit(max_dist))
+        .select(
+            F.col("__id").alias("new_id"),
+            F.col("__id2").alias("old_id"),
+            dist.cast("int").alias("dist"),
+        )
+    )
+
+
 def _hex8_long(h: Column) -> Column:
     """First 8 hex chars of an md5 digest as a BIGINT in [0, 2^32) —
     two 16-bit windows through the engine-portable ascii arithmetic

@@ -227,6 +227,10 @@ QUERIES = [
     # a (day, seconds) histogram whose per-day window mass is distinct
     # durations; expected to track the ev_sessionize row
     "ev_session_quantiles",
+    # r14: incremental linkage admission — batch-vs-corpus block join;
+    # under suffix replication block keys collide so the corpus cap
+    # fires (the guard regime, like the fuzzy self-join rows)
+    "doc_linkage_incremental",
 ]
 
 
