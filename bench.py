@@ -140,6 +140,11 @@ HEADLINE = [
     "mm_scene_cuts",
     "ev_session_quantiles",
     "doc_linkage_incremental",
+    # round-14: the end-to-end MetricsRequest dispatcher entries — the
+    # reference's public API path (family expansion -> COUNTER filter
+    # -> agg -> citations merge -> spine), previously pytest-only
+    "metrics_request_landing",
+    "metrics_request_daily_country",
 ]
 
 

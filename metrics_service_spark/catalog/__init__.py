@@ -37,10 +37,13 @@ class QuerySpec:
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
     # -- r14 impl-changed/new first (rotation policy): the NEW
-    #    bucketed-linkage entry, then every entry consuming the
-    #    refactored fuzzy_prefix_pairs seam (now routed through
+    #    end-to-end MetricsRequest dispatcher entries (VERDICT r13
+    #    #7), the bucketed-linkage entry, then every entry consuming
+    #    the refactored fuzzy_prefix_pairs seam (now routed through
     #    fuzzy_prefix_pairs_blocked) and the star-CC convergence
     #    guard ---------------------------------------------------
+    "metrics_request_landing",
+    "metrics_request_daily_country",
     "doc_fuzzy_prefix_bucketed",
     "doc_cluster_best",
     "doc_source_overlap",
@@ -110,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
         landing,
         llm,
         multimodal,
+        request,
         search,
         tpch,
     )
@@ -125,6 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         gold,
         functions_suite,
         search,
+        request,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
