@@ -5323,3 +5323,63 @@ QUERIES: dict[str, QuerySpec] = {
         ("llm",),
     ),
 }
+
+
+# --- BPE tokenizer training (r14) -----------------------------------------
+# Merge-count choice: 6 rounds keeps the unrolled oracle tractable
+# while exercising multi-character merges (round 5+ merges pairs
+# containing round 0-4 outputs on this corpus).
+BPE_MERGES = 6
+
+
+def q_doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py): one
+    corpus-sized word-frequency shuffle, then vocab-bounded rounds —
+    pair-count partial agg + TakeOrdered(1) argmax + codegen greedy
+    merge scan.  Output: the learned merge table."""
+    from metrics_service_spark.operators.bpe import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES
+    )
+
+
+def q_doc_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply: per-document whitespace token count vs BPE
+    unit count under the learned merges; application is a vocab-sized
+    join, never per-occurrence re-scanning."""
+    from metrics_service_spark.operators.bpe import bpe_apply_counts
+
+    return bpe_apply_counts(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n_merges=BPE_MERGES,
+    )
+
+
+def _bpe_oracles() -> tuple[str, str]:
+    from metrics_service_spark.operators.bpe import (
+        sql_bpe_apply_counts,
+        sql_bpe_merge_table,
+    )
+
+    return sql_bpe_merge_table(BPE_MERGES), sql_bpe_apply_counts(BPE_MERGES)
+
+
+_ORACLE_BPE_TRAIN, _ORACLE_BPE_APPLY = _bpe_oracles()
+
+QUERIES["doc_bpe_train"] = QuerySpec(
+    q_doc_bpe_train,
+    _ORACLE_BPE_TRAIN,
+    "BPE tokenizer training: 6 merge rounds over the word-frequency "
+    "vocab, exact-integer argmax with (count, left, right) tie-break",
+    ("llm",),
+)
+QUERIES["doc_bpe_apply"] = QuerySpec(
+    q_doc_bpe_apply,
+    _ORACLE_BPE_APPLY,
+    "apply the learned BPE merges: per-doc whitespace vs BPE unit "
+    "counts via a vocabulary join",
+    ("llm",),
+)

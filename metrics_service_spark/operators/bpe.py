@@ -1,0 +1,307 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) and
+vocabulary application.
+
+The catalog has tokenization-by-fixed-rule (`bpe_token_count`,
+operators/text.py:56) but until now no tokenizer INDUCTION — the
+train-side operator every large-corpus pipeline runs before counting
+tokens.  This module implements classic byte-pair-encoding merge
+training as a Spark program shaped for 100 TB:
+
+- ONE corpus-sized shuffle up front (the word-frequency groupBy);
+  every merge round thereafter works on the VOCABULARY table (unique
+  filtered words), which is bounded by the language, not the corpus —
+  the classic reason BPE training scales (Sennrich's reference
+  implementation does exactly this collapse, on one machine).
+- Per round: pair counting is a narrow transform+explode with map-side
+  partial aggregation (pair space is vocab-bounded), the argmax is a
+  TakeOrdered(1) — a one-row driver collect, like the Lloyd-loop
+  centroid collect in operators/similarity.py:kmeans_train — and the
+  merge itself is a pure-projection greedy left-to-right scan
+  (F.aggregate, whole-stage codegen, no shuffle).
+- Lineage is cut with a lazy localCheckpoint per round so round k
+  doesn't re-run rounds 0..k-1's scans.
+
+Determinism: counts are exact integers; the argmax tie-breaks
+(pair_count DESC, left, right); the greedy scan merges non-overlapping
+occurrences left to right (so 'aaaa' + (a,a) -> [aa, aa]) — all of
+which `sql_bpe_ctes` mirrors relationally (runs of overlapping
+matches resolved by position parity) so a DuckDB oracle replays the
+whole training run bit-for-bit.
+
+Reference scope note: the reference engine has no tokenizer surface;
+this is part of the training-data-pipeline layer built on top of the
+shared corpus tables (SURVEY.md §2's LLM extension family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bounds the per-word symbol array (and with it the scan-expression
+#: cost) — words longer than this are ignored for training and count
+#: as one unit on apply, like any non-alphabetic token
+MAX_WORD_LEN = 20
+WORD_RE = "^[a-z]+$"
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", *, max_word_len: int = MAX_WORD_LEN
+) -> DataFrame:
+    """(w, freq) over lowercased whitespace tokens restricted to
+    bounded all-alphabetic words — the one corpus-sized aggregation
+    of the whole training run."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def merge_pair_scan(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol array — one codegen F.aggregate scan, no shuffle.  The
+    nullable `prev` slot holds the one-symbol lookbehind; a merge
+    consumes it so the freshly-merged token cannot chain within the
+    same round (classic BPE round semantics)."""
+    merged = left + right
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        take = (
+            acc.prev.isNotNull()
+            & (acc.prev == F.lit(left))
+            & (s == F.lit(right))
+        )
+        flushed = F.when(
+            acc.prev.isNotNull(), F.concat(acc.out, F.array(acc.prev))
+        ).otherwise(acc.out)
+        return F.when(
+            take,
+            F.struct(
+                F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(F.struct(flushed.alias("out"), s.alias("prev")))
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            acc.prev.isNotNull(), F.concat(acc.out, F.array(acc.prev))
+        ).otherwise(acc.out)
+
+    return F.aggregate(syms, zero, step, fin)
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("l"),
+            F.element_at("syms", i + F.lit(1)).alias("r"),
+        ),
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _train(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int,
+    max_word_len: int = MAX_WORD_LEN,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (merge_table, vocab_with_final_syms).  Raises if the
+    corpus runs out of mergeable pairs before n_merges — an
+    under-sized corpus should fail loudly, not return a short table
+    that silently disagrees with the fixed-round oracle."""
+    spark = docs.sparkSession
+    vocab = (
+        word_frequencies(docs, text_col, max_word_len=max_word_len)
+        .select("w", "freq", F.split("w", "").alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("pair_count"), "l", "r")
+            .first()
+        )
+        if best is None:
+            raise ValueError(
+                f"bpe_train: no mergeable pairs left after {rank} merges "
+                f"(requested {n_merges}); corpus too small for this vocab"
+            )
+        merges.append((rank, best["l"], best["r"], best["pair_count"]))
+        vocab = vocab.select(
+            "w",
+            "freq",
+            merge_pair_scan(F.col("syms"), best["l"], best["r"]).alias("syms"),
+        ).localCheckpoint(eager=False)
+    table = spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+    return table, vocab
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 6,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """The learned merge table: (rank, left_sym, right_sym,
+    pair_count), one row per merge in training order."""
+    table, _ = _train(
+        docs, text_col, n_merges=n_merges, max_word_len=max_word_len
+    )
+    return table
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_merges: int = 6,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Train-then-apply: per document, whitespace token count and the
+    BPE unit count under the learned merges.  Application is a JOIN
+    against the vocabulary's final segmentation (vocab-sized work,
+    never per-occurrence re-scanning); tokens outside the trained
+    vocabulary (non-alphabetic, over-long) count as one unit each."""
+    _, vocab = _train(
+        docs, text_col, n_merges=n_merges, max_word_len=max_word_len
+    )
+    units = vocab.select("w", F.size("syms").alias("__units"))
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    return (
+        toks.join(units, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum(F.coalesce("__units", F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_units"),
+        )
+    )
+
+
+# --- DuckDB oracle mirror --------------------------------------------------
+def sql_bpe_ctes(
+    n_merges: int,
+    *,
+    max_word_len: int = MAX_WORD_LEN,
+    docs_table: str = "documents",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """CTE body replaying the full training run relationally; returns
+    (cte_sql, final_vocab_cte_name).  Greedy non-overlap is resolved
+    by run parity: within each maximal run of consecutive pair
+    matches (only same-symbol pairs can overlap), occurrences at even
+    offset from the run head are taken — exactly the left-to-right
+    scan.  Merge CTEs are b0..b{k-1}, vocab states r0..r{k}."""
+    ctes = [
+        f"""words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT t.w FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
+  ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= {max_word_len}
+  GROUP BY w
+)""",
+        """r0 AS (
+  SELECT w, freq,
+         list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+  FROM words
+)""",
+    ]
+    for n in range(n_merges):
+        ctes.append(
+            f"""p{n} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM r{n}, UNNEST(list_transform(generate_series(1, len(syms) - 1),
+        i -> struct_pack(l := syms[i], r := syms[i + 1]))) t(pr)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2
+)""",
+        )
+        ctes.append(
+            f"b{n} AS (SELECT l, r, pair_count FROM p{n} "
+            f"ORDER BY pair_count DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"""m{n} AS (
+  SELECT w, freq, i, sym, br,
+         is_m AND (i - min(CASE WHEN is_m THEN i END) OVER
+             (PARTITION BY w, grp)) % 2 = 0 AS taken
+  FROM (
+    SELECT *, count(*) FILTER (NOT is_m) OVER
+             (PARTITION BY w ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT d.w, d.freq, t.i, d.syms[t.i] AS sym, b.r AS br,
+             (t.i < len(d.syms) AND d.syms[t.i] = b.l
+              AND d.syms[t.i + 1] = b.r) AS is_m
+      FROM r{n} d CROSS JOIN b{n} b,
+           UNNEST(generate_series(1, len(d.syms))) t(i)
+    )
+  )
+)""",
+        )
+        ctes.append(
+            f"""r{n + 1} AS (
+  SELECT w, any_value(freq) AS freq,
+         list(CASE WHEN taken THEN sym || br ELSE sym END ORDER BY i) AS syms
+  FROM (SELECT *, lag(taken) OVER (PARTITION BY w ORDER BY i) AS prev_taken
+        FROM m{n})
+  WHERE NOT coalesce(prev_taken, FALSE)
+  GROUP BY w
+)""",
+        )
+    return ",\n".join(ctes), f"r{n_merges}"
+
+
+def sql_bpe_merge_table(n_merges: int, **kw) -> str:
+    ctes, _ = sql_bpe_ctes(n_merges, **kw)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({n} AS INT) AS rank, l AS left_sym, r AS right_sym, "
+        f"pair_count FROM b{n}"
+        for n in range(n_merges)
+    )
+    return f"WITH {ctes}\n{unions}"
+
+
+def sql_bpe_apply_counts(
+    n_merges: int,
+    *,
+    id_col: str = "doc_id",
+    docs_table: str = "documents",
+    text_col: str = "text",
+    **kw,
+) -> str:
+    ctes, final = sql_bpe_ctes(
+        n_merges, docs_table=docs_table, text_col=text_col, **kw
+    )
+    return f"""WITH {ctes}
+SELECT d.{id_col},
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(coalesce(len(v.syms), 1)) AS BIGINT) AS n_bpe_units
+FROM (SELECT {id_col}, t.w
+      FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
+      WHERE t.w <> '') d
+LEFT JOIN {final} v ON d.w = v.w
+GROUP BY 1"""
