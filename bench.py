@@ -145,6 +145,14 @@ HEADLINE = [
     # -> agg -> citations merge -> spine), previously pytest-only
     "metrics_request_landing",
     "metrics_request_daily_country",
+    # round-14: tokenizer induction (train + vocab-join apply), the
+    # bigram-LM CCNet signal (exact fclass + float ppl twin), and
+    # k-NN-graph PageRank centrality
+    "doc_bpe_train",
+    "doc_bpe_apply",
+    "doc_lm_fclass",
+    "doc_lm_perplexity",
+    "emb_knn_pagerank",
 ]
 
 

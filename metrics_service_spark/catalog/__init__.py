@@ -44,6 +44,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     #    guard ---------------------------------------------------
     "metrics_request_landing",
     "metrics_request_daily_country",
+    "doc_bpe_train",
+    "doc_bpe_apply",
+    "doc_lm_fclass",
+    "emb_knn_pagerank",
     "doc_fuzzy_prefix_bucketed",
     "doc_cluster_best",
     "doc_source_overlap",
@@ -91,12 +95,15 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q16",
     "tpch_q2",
     "tpch_q20",
+    # -- slots 51+: past the driver's 50-entry line.  tpch_q7/q9 are
+    #    the two r10-stale entries the 13 never-checked r14 entries
+    #    displaced (FULLCHECK covers them bitwise; they lead the r15
+    #    rotation), then the rows-only perplexity form whose exact
+    #    twin doc_lm_fclass IS in-window, then the r11-generation
+    #    fill ------------------------------------------------------
     "tpch_q7",
     "tpch_q9",
-    # -- fill to the 50 line from the next-oldest (r11) generation:
-    #    the closure-family consumers (operators/closure.py changed
-    #    this round, connected_components itself untouched), the
-    #    gold star's raw form, and broad-coverage suites ----------
+    "doc_lm_perplexity",
     "order_chains",
     "order_components",
     "metrics_star",

@@ -5383,3 +5383,123 @@ QUERIES["doc_bpe_apply"] = QuerySpec(
     "counts via a vocabulary join",
     ("llm",),
 )
+
+
+# --- bigram-LM perplexity scoring (r14) -------------------------------------
+def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer frequency-class LM score (operators/lm.py) — the
+    CCNet perplexity signal in the form both engines compute
+    bit-identically (binary-length classes, stable-rounded mean)."""
+    from metrics_service_spark.operators.lm import bigram_frequency_class
+
+    return bigram_frequency_class(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float production form: conditional bigram perplexity over the
+    same self-trained counts; rows-only, exactness delegated to the
+    _fclass twin sharing every upstream stage."""
+    from metrics_service_spark.operators.lm import bigram_perplexity
+
+    return bigram_perplexity(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _lm_oracle() -> str:
+    from metrics_service_spark.operators.lm import sql_bigram_fclass
+
+    return sql_bigram_fclass()
+
+
+QUERIES["doc_lm_fclass"] = QuerySpec(
+    q_doc_lm_fclass,
+    _lm_oracle(),
+    "self-trained bigram-LM frequency-class score (exact-integer "
+    "CCNet perplexity proxy): corpus bigram counts -> per-doc mean "
+    "log2-count class",
+    ("llm",),
+)
+QUERIES["doc_lm_perplexity"] = QuerySpec(
+    q_doc_lm_perplexity,
+    None,
+    "conditional bigram perplexity exp(-mean ln(c_lr/c_l)), the float "
+    "production CCNet signal",
+    ("llm",),
+    exact_twin="doc_lm_fclass",
+)
+
+
+# --- k-NN graph PageRank (r14) ----------------------------------------------
+PR_ITERS = 3
+PR_SCALE = 10**12
+
+
+def q_emb_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis centrality over the corpus k-NN graph: 3 rounds
+    of exact integer fixed-point power iteration (pagerank_int,
+    operators/closure.py) — the web-graph quality prior, here scoring
+    embedding-space hub-ness.  Fully lazy: one plan, no driver-held
+    state; N enters as a broadcast one-row aggregate."""
+    from metrics_service_spark.operators.closure import pagerank_int
+    from metrics_service_spark.operators.similarity import knn_graph_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K)
+    return pagerank_int(g, iters=PR_ITERS, scale=PR_SCALE).select(
+        F.col("node").alias("vec_id"), "pr_q"
+    )
+
+
+def _oracle_knn_pagerank() -> str:
+    base_num = 3 * PR_SCALE  # (den-num)*scale at 0.85 damping
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.dst_id AS node, sum(p.p // d.deg) AS s
+  FROM knn e JOIN p{i - 1} p ON e.src_id = p.node
+             JOIN odeg d ON e.src_id = d.node
+  GROUP BY 1
+),
+p{i} AS (
+  SELECT n.node,
+         CAST({base_num} // (20 * t.n) + (17 * coalesce(c.s, 0)) // 20
+              AS BIGINT) AS p
+  FROM nodes n CROSS JOIN tot t LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH {SQL_HIER_ASSIGN_CTES}, prpairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS dot_q
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+knn AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY dot_q DESC, dst_id) AS rank
+    FROM prpairs
+  ) WHERE rank <= {KNN_K}
+),
+nodes AS (SELECT src_id AS node FROM knn UNION SELECT dst_id FROM knn),
+tot AS (SELECT count(*) AS n FROM nodes),
+odeg AS (SELECT src_id AS node, count(*) AS deg FROM knn GROUP BY 1),
+p0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) // t.n AS p FROM nodes, tot t),
+{rounds_sql}
+SELECT node AS vec_id, p AS pr_q FROM p{PR_ITERS}
+"""
+
+
+QUERIES["emb_knn_pagerank"] = QuerySpec(
+    q_emb_knn_pagerank,
+    _oracle_knn_pagerank(),
+    "integer fixed-point PageRank over the k-NN graph (3 power "
+    "rounds, floor-div arithmetic) — embedding centrality prior",
+    ("llm",),
+)

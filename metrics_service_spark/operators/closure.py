@@ -532,3 +532,89 @@ def connected_components_star(
         )
     )
     return comp
+
+
+def pagerank_int(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-round power-iteration PageRank in EXACT integer
+    fixed-point — link-analysis importance over a directed graph (the
+    web-graph quality prior corpus pipelines attach to crawled pages;
+    here driven by the k-NN graph, where it scores embedding-space
+    centrality).
+
+    Determinism contract: masses are integers at ``scale``; each round
+    computes  p' = ((den-num)*scale) div (den*N)
+                 + (num * sum_in(p_u div outdeg_u)) div den
+    with floor division on non-negative longs throughout — sums of
+    longs are order-independent, so the result is bit-identical across
+    engines and an unrolled SQL oracle replays all ``iters`` rounds.
+    Dangling mass is NOT redistributed (a node without out-edges
+    simply leaks its mass), keeping every term local and exact; ranks
+    are therefore comparable within a run, which is all a quality
+    prior needs.
+
+    Scale shape: the edge frame is lazily checkpointed and scanned
+    once per round (plus once each for the node set and out-degrees);
+    every round is one src-keyed shuffle join + one dst-keyed hash
+    aggregation — co-partitioned round to round so AQE reuses the
+    layout.  Nothing is collected; N enters the plan as a broadcast
+    one-row aggregate, never a driver scalar.  Rounds are FIXED
+    (`iters`), not run-to-convergence, so there is no silent
+    non-convergence to guard: the operator computes "iters rounds of
+    power iteration" exactly, and the oracle replays exactly that.
+    Overflow bound: damping_num * scale * iters << 2^63 at the
+    default geometry (masses only ever shrink below ``scale``)."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    total = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base_num = (damping_den - damping_num) * scale
+    ranks = nodes.crossJoin(F.broadcast(total)).select(
+        "node",
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("p"),
+        "__n",
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select("node", "p"), e.src == F.col("node"))
+            .join(outdeg.withColumnRenamed("node", "__dn"), e.src == F.col("__dn"))
+            .select(F.col("dst").alias("node"), F.expr("p div __deg").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(total))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"CAST({base_num} AS BIGINT) div ({damping_den} * __n)")
+                    + F.expr(
+                        f"({damping_num} * coalesce(__s, CAST(0 AS BIGINT))) "
+                        f"div {damping_den}"
+                    )
+                ).alias("p"),
+                "__n",
+            )
+        )
+    return ranks.select("node", F.col("p").alias("pr_q"))

@@ -193,3 +193,24 @@ def test_require_converged_raises_on_exhausted_budget(spark):
         ).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_pagerank_int_hand_checked(spark):
+    """3-round integer fixed-point PageRank on a hand-checkable graph:
+    values replayed in exact floor-div arithmetic (same numbers the
+    DuckDB unrolled oracle produces); dangling node 4 leaks mass and
+    holds the base term only."""
+    from metrics_service_spark.operators.closure import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src_id long, dst_id long"
+    )
+    out = {r["node"]: r["pr_q"] for r in pagerank_int(edges, iters=3).collect()}
+    assert out == {
+        1: 372187500000,
+        2: 195679687500,
+        3: 394632812500,
+        4: 37500000000,
+    }
+    # mass never exceeds scale, every node scored
+    assert sum(out.values()) <= 10**12
