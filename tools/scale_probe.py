@@ -231,6 +231,35 @@ QUERIES = [
     # under suffix replication block keys collide so the corpus cap
     # fires (the guard regime, like the fuzzy self-join rows)
     "doc_linkage_incremental",
+    # r14: end-to-end MetricsRequest dispatcher — family semi-join +
+    # COUNTER filter + bucketed agg over the k-fold eventlog; buckets
+    # are calendar/country-bounded so output is FLAT, expected ~linear
+    # scan/agg fill (the landing_page_daily class)
+    "metrics_request_landing",
+    "metrics_request_daily_country",
+    # r14: BPE training — the corpus-mass term is the ONE word-freq
+    # explode+groupBy; under token-suffix replication the suffixed
+    # copies fail the ^[a-z]+$ training filter, so the vocab (and with
+    # it every per-round term) stays the BASE corpus's: expected
+    # ~linear front (tokenize scan) + flat rounds — exactly the
+    # vocab-bounded-rounds contract the docstring claims
+    "doc_bpe_train",
+    # r14: apply — tokenize + vocab join + per-doc agg, all corpus
+    # mass; expected ~linear (suffixed tokens take the 1-unit fallback
+    # branch, same join probe mass)
+    "doc_bpe_apply",
+    # r14: bigram LM — suffixed tokens make copies bigram-DISJOINT, so
+    # the count table grows x k with per-copy counts identical to the
+    # base (no fabricated cross-copy mass): the train/probe join and
+    # both shuffles are corpus-linear; expected to track the
+    # doc_bigram_coherence row
+    "doc_lm_fclass",
+    "doc_lm_perplexity",
+    # r14: PageRank — knn-graph cost (footer-derived cells, linear by
+    # geometry) + 3 fixed rounds of src-keyed join + dst-keyed agg
+    # over the k-fold edge set; expected to track emb_knn_graph plus a
+    # rounds-proportional term
+    "emb_knn_pagerank",
 ]
 
 
