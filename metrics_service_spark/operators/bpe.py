@@ -50,9 +50,14 @@ def word_frequencies(
 ) -> DataFrame:
     """(w, freq) over lowercased whitespace tokens restricted to
     bounded all-alphabetic words — the one corpus-sized aggregation
-    of the whole training run."""
+    of the whole training run.  `_spread` parallelizes the explode
+    off a one-row-group local source (no-op on a well-partitioned
+    real input)."""
+    from metrics_service_spark.operators.similarity import _spread
+
     return (
-        docs.select(
+        _spread(docs.select(F.col(text_col)))
+        .select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
         )
         .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
@@ -186,11 +191,17 @@ def bpe_apply_counts(
     _, vocab = _train(
         docs, text_col, n_merges=n_merges, max_word_len=max_word_len
     )
+    from metrics_service_spark.operators.similarity import _spread
+
     units = vocab.select("w", F.size("syms").alias("__units"))
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
+    toks = (
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
     return (
         toks.join(units, "w", "left")
         .groupBy(id_col)

@@ -39,8 +39,16 @@ from metrics_service_spark.functions.stable import round_frac, sql_round_frac
 
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, l, r) per bigram occurrence over non-empty lowercased
-    whitespace tokens; shared (lazily checkpointed) by the count and
-    probe sides so the corpus is tokenized once."""
+    whitespace tokens.  NOT checkpointed: the count and probe sides
+    each re-derive it (two scans — inside the plan-gate budget),
+    because materializing the ~20x-corpus exploded bigram set costs
+    far more than a second parquet scan at any scale.  `_spread`
+    parallelizes the explode off a one-row-group local source (no-op
+    on a well-partitioned real input — the r9 serialization trap,
+    re-measured here when the 50x probe pinned this entry to one
+    core before the spread)."""
+    from metrics_service_spark.operators.similarity import _spread
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
@@ -52,10 +60,10 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ),
     )
     return (
-        docs.filter(F.size(toks) >= 2)
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .filter(F.size(toks) >= 2)
         .select(F.col(id_col), F.explode(pair_arr).alias("p"))
         .select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .localCheckpoint(eager=False)
     )
 
 
@@ -95,8 +103,14 @@ def bigram_perplexity(
     production CCNet filter signal.  Float form; exactness lives in
     the `bigram_frequency_class` twin."""
     grams = _doc_bigrams(docs, id_col, text_col)
-    counts = grams.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
-    left_counts = grams.groupBy("l").agg(F.count(F.lit(1)).alias("c_l"))
+    counts = (
+        grams.groupBy("l", "r")
+        .agg(F.count(F.lit(1)).alias("c_lr"))
+        .localCheckpoint(eager=False)
+    )
+    # c_l = bigram occurrences with left l = sum_r c_lr: rolled up from
+    # the (already vocab-sized) count table, not a third corpus scan
+    left_counts = counts.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
     lp = F.log(F.col("c_lr").cast("double") / F.col("c_l").cast("double"))
     return (
         grams.join(counts, ["l", "r"])
