@@ -48,6 +48,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_apply",
     "doc_lm_fclass",
     "emb_knn_pagerank",
+    "doc_classifier_auc",
     "doc_fuzzy_prefix_bucketed",
     "doc_cluster_best",
     "doc_source_overlap",
@@ -94,13 +95,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q15",
     "tpch_q16",
     "tpch_q2",
-    "tpch_q20",
-    # -- slots 51+: past the driver's 50-entry line.  tpch_q7/q9 are
-    #    the two r10-stale entries the 13 never-checked r14 entries
-    #    displaced (FULLCHECK covers them bitwise; they lead the r15
+    # -- slots 51+: past the driver's 50-entry line.  tpch_q20/q7/q9
+    #    are the three r10-stale entries the 14 never-checked r14
+    #    entries displaced (FULLCHECK covers them bitwise; they lead the r15
     #    rotation), then the rows-only perplexity form whose exact
     #    twin doc_lm_fclass IS in-window, then the r11-generation
     #    fill ------------------------------------------------------
+    "tpch_q20",
     "tpch_q7",
     "tpch_q9",
     "doc_lm_perplexity",

@@ -5503,3 +5503,114 @@ QUERIES["emb_knn_pagerank"] = QuerySpec(
     "rounds, floor-div arithmetic) — embedding centrality prior",
     ("llm",),
 )
+
+
+# --- threshold-free classifier eval: exact AUC (r14) -------------------------
+def q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer ROC AUC of the hash-trick classifier scored
+    against the Gopher rule battery as labels — the threshold-free
+    complement of doc_classifier_eval's confusion matrix (Mann-Whitney
+    U with the standard half-credit tie rule).  2U is an exact integer
+    (sum over score-histogram rows of n_pos*(2*cum_neg_below + n_neg)),
+    so AUC = 2U / (2*NP*NN) needs no float until the final
+    stable-rounded basis-point scaling.
+
+    Scale shape: the per-doc join collapses to a SCORE HISTOGRAM
+    (value-domain-bounded, like doc_length_quantiles), and the one
+    global cumulative runs through operators/rank.py global_cumsum —
+    per-bucket sums + broadcast offsets, never a single-partition
+    ORDER BY window."""
+    from metrics_service_spark.functions.stable import round_frac_bigint
+    from metrics_service_spark.operators.rank import global_cumsum
+    from metrics_service_spark.operators.similarity import _spread
+    from metrics_service_spark.operators.text import (
+        gopher_rules,
+        hash_classifier,
+    )
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    rules = gopher_rules(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    clf = hash_classifier(docs, "doc_id", "text").select("doc_id", "score")
+    hist = (
+        rules.join(clf, "doc_id")
+        .groupBy("score")
+        .agg(
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("label"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_neg"),
+        )
+    )
+    # bucket = floor-to-64 of the score: an order-preserving coarsening
+    # (pmod keeps the floor exact on negatives), few enough distinct
+    # values that the offset frame broadcasts
+    cum = global_cumsum(
+        hist,
+        F.col("n_neg"),
+        bucket=F.col("score") - F.pmod(F.col("score"), F.lit(64)),
+        order=[F.col("score")],
+        out_col="__cumneg",
+    )
+    agg = cum.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("n_pos")
+            * (2 * (F.col("__cumneg") - F.col("n_neg")) + F.col("n_neg"))
+        ).alias("__u2"),
+    ).agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum("__u2").alias("u_x2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u_x2",
+        round_frac_bigint(
+            F.col("u_x2"), 2 * F.col("n_pos") * F.col("n_neg"), 4
+        ).alias("auc_scaled"),
+    )
+
+
+def _oracle_classifier_auc() -> str:
+    from metrics_service_spark.functions.stable import sql_round_frac_bigint
+
+    return f"""
+WITH rules AS (
+  SELECT doc_id, keep AS label FROM ({ORACLE_GOPHER_RULES}) g
+), clf AS (
+  SELECT doc_id, score FROM ({ORACLE_HASH_CLASSIFIER}) c
+), hist AS (
+  SELECT score,
+         CAST(count(*) FILTER (label) AS BIGINT) AS n_pos,
+         CAST(count(*) FILTER (NOT label) AS BIGINT) AS n_neg
+  FROM rules JOIN clf USING (doc_id) GROUP BY 1
+), cum AS (
+  SELECT *, sum(n_neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+            AS cumneg
+  FROM hist
+), agg AS (
+  SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(n_neg) AS BIGINT) AS n_neg,
+         CAST(sum(n_pos * (2 * (cumneg - n_neg) + n_neg)) AS BIGINT) AS u_x2
+  FROM cum
+)
+SELECT n_pos, n_neg, u_x2,
+       {sql_round_frac_bigint("u_x2", "2 * n_pos * n_neg", 4)} AS auc_scaled
+FROM agg
+"""
+
+
+QUERIES["doc_classifier_auc"] = QuerySpec(
+    q_doc_classifier_auc,
+    _oracle_classifier_auc(),
+    "exact-integer ROC AUC of the hash classifier vs the Gopher rules "
+    "(Mann-Whitney 2U over the score histogram, half-credit ties, "
+    "distributed prefix sum — no single-partition window)",
+    ("llm",),
+)

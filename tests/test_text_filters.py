@@ -276,3 +276,35 @@ def test_chunk_overlap_param_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_overlap(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_classifier_auc_matches_bruteforce(spark, sf_dir):
+    """The histogram/prefix-sum AUC equals the O(n_pos*n_neg)
+    pair-counting definition (ties half-credit), and the scaled value
+    is the stable-rounded basis-point form."""
+    from metrics_service_spark.catalog.llm import q_doc_classifier_auc
+    from metrics_service_spark.operators.text import (
+        gopher_rules,
+        hash_classifier,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    row = q_doc_classifier_auc(spark, sf_dir).first()
+    docs = load_table(spark, sf_dir, "documents")
+    labels = {
+        r["doc_id"]: r["keep"]
+        for r in gopher_rules(docs, "doc_id", "text").collect()
+    }
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in hash_classifier(docs, "doc_id", "text").collect()
+    }
+    pos = [scores[d] for d, k in labels.items() if k]
+    neg = [scores[d] for d, k in labels.items() if not k]
+    u2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["u_x2"] == u2
+    num, den = u2 * 10**4, 2 * len(pos) * len(neg)
+    assert row["auc_scaled"] == (2 * num + den) // (2 * den)  # round-half-up

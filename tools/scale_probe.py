@@ -260,6 +260,11 @@ QUERIES = [
     # over the k-fold edge set; expected to track emb_knn_graph plus a
     # rounds-proportional term
     "emb_knn_pagerank",
+    # r14: exact AUC — rules + classifier scans collapse to a score
+    # HISTOGRAM (value-domain-bounded, near-flat under replication)
+    # + the broadcast-offset prefix sum; expected ~linear scan fill,
+    # the doc_length_quantiles class
+    "doc_classifier_auc",
 ]
 
 
@@ -554,9 +559,42 @@ def main() -> None:
 
         return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 
+    def micro_linkage_gate(spark, sf_dir):
+        """Streaming linkage gate at k-fold INDEX mass: bootstrap the
+        whole replicated corpus (minus a fixed copy-0 batch) into the
+        persistent block index, then time re-admitting the constant
+        batch.  The claim under test: IN-list bucket pruning keeps
+        admit cost a function of the BATCH's touched blocks — index
+        rows outside them are never read.  (Suffix replication makes
+        copies block-disjoint on the text side, so touched-cell
+        populations stay base-sized as the index grows.)"""
+        import tempfile
+
+        from metrics_service_spark.streaming.linkage_gate import (
+            admit_batch_linkage,
+        )
+
+        tdir = tempfile.mkdtemp(prefix="probe_linkgate_")
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(
+            ~((F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 10 == 0))
+        )
+        admit_batch_linkage(spark, tdir, corpus, block_cols=["lang"])
+        batch = docs.filter(
+            (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 10 == 0)
+        )
+
+        def run():
+            admit_batch_linkage(
+                spark, tdir, batch, block_cols=["lang"]
+            ).count()
+
+        return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
+
     MICRO = {
         "semantic_gate_admit": micro_semantic_admit,
         "paragraph_index_fold": micro_paragraph_fold,
+        "linkage_gate_admit": micro_linkage_gate,
     }
 
     only = None
