@@ -89,6 +89,20 @@ COMMENTARY = {
     "doc_linkage_multipass": "the union of two linear passes (strict-prefix block join + sorted-neighborhood global-rank join) and ONE distinct shuffle over the pair set — candidate mass is the sum of the passes, never corpus^2; the SN arm ships hot-block-safe",
     "doc_linkage_recall": "the all-pairs truth runs ONLY over the guarded md5 sample (limit-probe raises past max_sample; BNLJ streams the _spread side); both blocking arms run on the same checkpointed sample; per-method counts are 1-row aggs crossJoined against the broadcast truth row",
     "metrics_star_bucketed": "pid-bucketed catalog scan -> filter -> project -> partial+final HashAggregate with ZERO exchanges: HashPartitioning(pid) is a subset of the 9 grain keys and alias propagation carries pid->dataset_id through the projection — the refresh aggregation is scan-local at any scale",
+    "doc_fuzzy_prefix_bucketed": "the linkage-silver bucketed scan: cell count AND block self-join both plan scan-local (SortMergeJoin, zero shuffle exchanges under auto-broadcast off — plan-gated); the (lang, bk) derivation is pre-paid at write time",
+    "doc_cluster_best": "the audited jaccard+CC cluster shape feeds one quality projection and a cluster-keyed argmax window — cluster sizes bounded by the cell caps, so window mass is cluster-local",
+    "doc_length_quantiles": "exact per-lang percentiles over the (lang, n_chars) HISTOGRAM: one combiner-friendly groupBy is the only corpus shuffle; windows run over distinct values per lang, not rows — FLAT at the 50x probe",
+    "doc_source_overlap": "explode -> (source, gram) distinct -> self-join whose per-gram fan-out is bounded by source cardinality; grand-total gram count reuses the distinct frame",
+    "mm_scene_cuts": "ONE Arrow pass through the media seam emits frame-signature rows; the cut test is a per-media lag window over FRAME rows (frame mass ~ media count x sample rate, never pixel mass)",
+    "ev_session_quantiles": "the audited sessionizer output collapses to a (day, seconds) histogram; per-day quantile windows run over distinct durations — the ev_sessionize shuffle is the only corpus-mass exchange",
+    "doc_linkage_incremental": "batch-vs-corpus block equi-join (never a corpus self-join); the corpus-cell max_cell broadcast prune fires BEFORE the join; per-candidate codegen levenshtein",
+    "metrics_request_landing": "the dispatcher end-to-end: identifier family broadcast semi-join, COUNTER filter pushed to the scan, monthly agg, citations theta-join (broadcast nested loop over the constant dim), full-outer merge — process boundaries in the reference, stages here",
+    "metrics_request_daily_country": "adds the date-range scope (strict-gt/lte pushed through the adapter aliases to PushedFilters — plan-gated), day x country agg, end-exclusive spine crossJoin(broadcast countries), bucket-only citations join",
+    "doc_bpe_train": "the returned frame is the k-row merge table built from the per-round argmax collects, so the dumped plan is a local scan BY DESIGN; the training work runs as per-round jobs over the checkpointed vocab — word-freq groupBy is the only corpus shuffle, the greedy merge scan is a pure projection (no per-round exchange) and pair counts map-side combine, all pinned by tests/test_r14_guards.py",
+    "doc_bpe_apply": "re-tokenization is a JOIN against the vocabulary's final segmentation — explode + vocab join + per-doc agg; out-of-vocab tokens take the coalesce fallback, never a per-occurrence merge scan",
+    "doc_lm_fclass": "TWO occurrence-mass shuffles by design (bigram count build + train/probe join, the doc_bigram_coherence class twice); _spread above the explode; frequency class is integer binary-length, computed after the join on count rows",
+    "emb_knn_pagerank": "the audited knn-graph plan feeds 3 FIXED integer power rounds: per round one src-keyed join + one dst-keyed map-side-combined agg; N enters as a broadcast one-row aggregate; no collect, no convergence tail",
+    "doc_classifier_auc": "rules + classifier projections collapse to a SCORE histogram; the cumulative is global_cumsum (per-bucket sums + broadcast offsets — the only SinglePartition exchanges move the tiny offset frame and the final row); AUC arithmetic is a one-row integer projection",
 }
 
 
