@@ -145,6 +145,8 @@ HEADLINE = [
     # -> agg -> citations merge -> spine), previously pytest-only
     "metrics_request_landing",
     "metrics_request_daily_country",
+    "metrics_request_user",
+    "metrics_request_repository",
     # round-14: tokenizer induction (train + vocab-join apply), the
     # bigram-LM CCNet signal (exact fclass + float ppl twin), and
     # k-NN-graph PageRank centrality

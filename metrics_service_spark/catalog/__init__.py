@@ -44,6 +44,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     #    guard ---------------------------------------------------
     "metrics_request_landing",
     "metrics_request_daily_country",
+    "metrics_request_user",
+    "metrics_request_repository",
     "doc_bpe_train",
     "doc_bpe_apply",
     "doc_lm_fclass",
@@ -93,14 +95,14 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q11",
     "tpch_q13",
     "tpch_q15",
+    # -- slots 51+: past the driver's 50-entry line.  tpch_q16/q2/q20/
+    #    q7/q9 are the five r10-stale entries the 16 never-checked r14
+    #    entries displaced (FULLCHECK covers them bitwise; they lead
+    #    the r15 rotation), then the rows-only perplexity form whose
+    #    exact twin doc_lm_fclass IS in-window, then the
+    #    r11-generation fill ---------------------------------------
     "tpch_q16",
     "tpch_q2",
-    # -- slots 51+: past the driver's 50-entry line.  tpch_q20/q7/q9
-    #    are the three r10-stale entries the 14 never-checked r14
-    #    entries displaced (FULLCHECK covers them bitwise; they lead the r15
-    #    rotation), then the rows-only perplexity form whose exact
-    #    twin doc_lm_fclass IS in-window, then the r11-generation
-    #    fill ------------------------------------------------------
     "tpch_q20",
     "tpch_q7",
     "tpch_q9",

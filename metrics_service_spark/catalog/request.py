@@ -82,11 +82,16 @@ FAMILY_BLOCK = 10
 
 def metrics_event_view(events: DataFrame) -> DataFrame:
     """Reference-shaped eventlog plus the ES geoip envelope the
-    dispatcher's country dimension reads (geoip.country_code2,
-    elastic_notes.rst:218-248)."""
+    dispatcher's country dimension reads (geoip.country_code2) and the
+    member-node id the repository scope filters on (nodeId,
+    elastic_notes.rst:218-248) — derived from the session key so the
+    oracle mirrors it off the same adapter column."""
     ev = eventlog_view(events)
     return ev.withColumn(
         "geoip", F.struct(F.col("country").alias("country_code2"))
+    ).withColumn(
+        "nodeId",
+        F.concat(F.lit("urn:node:N"), (F.col("sessionId") % 4).cast("string")),
     )
 
 
@@ -116,7 +121,11 @@ def identifiers_view(spark: SparkSession, max_suffix: int) -> DataFrame:
             ),
             lambda m: F.concat(F.lit("pid"), m.cast("string")),
         ).alias("datasetIdentifierFamily"),
-        F.lit(True).alias("isPublic"),
+        # every 7th dataset private: the user path requires isPublic
+        # (metricsreader.py:1305-1323) and must drop these; the
+        # dataset path ignores the flag, so dataset-scoped oracles
+        # are unaffected
+        (F.col("id") % 7 != 3).alias("isPublic"),
         F.array(
             F.concat(F.lit("uid="), (F.col("id") % 50).cast("string"))
         ).alias("userID"),
@@ -305,3 +314,157 @@ QUERIES: dict[str, QuerySpec] = {
         ("request",),
     ),
 }
+
+
+# The user-scoped charting request (metricsreader.py:1305-1323): the
+# family expands through userID membership AND requires isPublic —
+# 'uid=3' maps to identifier rows {3, 53}, of which 3 is private, so
+# only dataset 53's family (pids 50..59) is in scope.
+USER_REQUEST = {
+    "metrics": ["Citations", "Total_Dataset_Requests", "Total_Dataset_Investigations"],
+    "filterBy": [
+        {"filterType": "user", "values": ["uid=3"], "interpretAs": "list"}
+    ],
+    "groupBy": ["month"],
+}
+
+# The repository rollup request (getMetricsPerRepository — the
+# intended nodeId equality semantics, SURVEY §7.4): member-node scope
+# + YEAR buckets (aggType dispatch metricsreader.py:711-721, citation
+# key length 4) + the documented month-range filter.
+REPOSITORY_REQUEST = {
+    "metrics": ["Citations", "Total_Dataset_Requests", "Total_Dataset_Investigations"],
+    "filterBy": [
+        {
+            "filterType": "repository",
+            "values": ["urn:node:N1"],
+            "interpretAs": "list",
+        },
+        {
+            "filterType": "month",
+            "values": ["01/01/2024", "03/01/2024"],
+            "interpretAs": "range",
+        },
+    ],
+    "groupBy": ["year"],
+}
+
+
+def q_metrics_request_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_metrics_request(spark, USER_REQUEST, _tables(spark, sf_dir))
+
+
+def q_metrics_request_repository(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_metrics_request(
+        spark, REPOSITORY_REQUEST, _tables(spark, sf_dir)
+    )
+
+
+ORACLE_USER_REQUEST = f"""
+WITH {_REQUEST_CTES},
+seeds AS (
+  -- generate_series takes only constants in DuckDB: over-generate to
+  -- a domain guard and filter by the measured bound, like fam above
+  SELECT n FROM bound, generate_series(0, 9999) t(n)
+  WHERE n <= mx AND n % 50 = 3 AND n % 7 <> 3
+),
+ufam AS (
+  SELECT DISTINCT 'pid' || CAST(m AS VARCHAR) AS pid
+  FROM seeds, bound, generate_series(0, 9999) t2(m)
+  WHERE m <= mx AND m // {FAMILY_BLOCK} = n // {FAMILY_BLOCK}
+),
+scoped AS (
+  SELECT * FROM eventlog
+  WHERE {COUNTER_FILTER_SQL} AND pid IN (SELECT pid FROM ufam)
+),
+agg AS (
+  SELECT strftime(dateLogged, '%Y-%m') AS bucket,
+         count(*) FILTER (formatType = 'DATA') AS downloads,
+         count(*) FILTER (formatType = 'METADATA') AS views,
+         count(DISTINCT eventId) FILTER (formatType = 'DATA') AS unique_downloads,
+         count(DISTINCT eventId) FILTER (formatType = 'METADATA') AS unique_views
+  FROM scoped GROUP BY 1
+),
+ucmatch AS (
+  SELECT DISTINCT c.target_id, c.source_id, c.link_publication_date
+  FROM cites c
+  WHERE EXISTS (
+    SELECT 1 FROM ufam f
+    WHERE position(lower(c.target_id) IN lower(f.pid)) > 0
+  )
+),
+cagg AS (
+  SELECT substring(link_publication_date, 1, 7) AS bucket,
+         count(*) AS citations
+  FROM ucmatch WHERE link_publication_date IS NOT NULL GROUP BY 1
+)
+SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+       CAST(COALESCE(a.downloads, 0) AS BIGINT) AS downloads,
+       CAST(COALESCE(a.views, 0) AS BIGINT) AS views,
+       CAST(COALESCE(a.unique_downloads, 0) AS BIGINT) AS unique_downloads,
+       CAST(COALESCE(a.unique_views, 0) AS BIGINT) AS unique_views,
+       CAST(COALESCE(c.citations, 0) AS BIGINT) AS citations
+FROM agg a FULL JOIN cagg c ON a.bucket = c.bucket
+"""
+
+# Repository scope has NO identifier family, so the dispatcher's
+# citations side is the UNSCOPED relation (citations_for_family(None)
+# — gatherCitations without a target family); mirrored below.
+ORACLE_REPOSITORY_REQUEST = f"""
+WITH {_REQUEST_CTES},
+scoped AS (
+  SELECT * FROM eventlog
+  WHERE {COUNTER_FILTER_SQL}
+    AND 'urn:node:N' || CAST(sessionId % 4 AS VARCHAR) = 'urn:node:N1'
+    AND dateLogged >  TIMESTAMP '2024-01-01 00:00:00'
+    AND dateLogged <= TIMESTAMP '2024-03-01 00:00:00'
+),
+agg AS (
+  SELECT strftime(dateLogged, '%Y') AS bucket,
+         count(*) FILTER (formatType = 'DATA') AS downloads,
+         count(*) FILTER (formatType = 'METADATA') AS views,
+         count(DISTINCT eventId) FILTER (formatType = 'DATA') AS unique_downloads,
+         count(DISTINCT eventId) FILTER (formatType = 'METADATA') AS unique_views
+  FROM scoped GROUP BY 1
+),
+cagg AS (
+  SELECT substring(link_publication_date, 1, 4) AS bucket,
+         count(*) AS citations
+  FROM cites WHERE link_publication_date IS NOT NULL GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+         a.downloads, a.views, a.unique_downloads, a.unique_views,
+         c.citations
+  FROM agg a FULL JOIN cagg c ON a.bucket = c.bucket
+),
+spine AS (
+  SELECT DISTINCT strftime(CAST(gs AS DATE), '%Y') AS bucket
+  FROM generate_series(DATE '2024-01-01', DATE '2024-03-01', INTERVAL 1 DAY) t(gs)
+  WHERE CAST(gs AS DATE) < DATE '2024-03-01'
+)
+SELECT COALESCE(s.bucket, m.bucket) AS bucket,
+       CAST(COALESCE(m.downloads, 0) AS BIGINT) AS downloads,
+       CAST(COALESCE(m.views, 0) AS BIGINT) AS views,
+       CAST(COALESCE(m.unique_downloads, 0) AS BIGINT) AS unique_downloads,
+       CAST(COALESCE(m.unique_views, 0) AS BIGINT) AS unique_views,
+       CAST(COALESCE(m.citations, 0) AS BIGINT) AS citations
+FROM spine s FULL JOIN merged m ON s.bucket = m.bucket
+"""
+
+QUERIES["metrics_request_user"] = QuerySpec(
+    q_metrics_request_user,
+    ORACLE_USER_REQUEST,
+    "user-scoped request through the dispatcher: userID membership + "
+    "isPublic exclusion drives the family",
+    ("request",),
+)
+QUERIES["metrics_request_repository"] = QuerySpec(
+    q_metrics_request_repository,
+    ORACLE_REPOSITORY_REQUEST,
+    "repository-scoped request: nodeId equality + YEAR buckets + "
+    "unscoped citations merge",
+    ("request",),
+)

@@ -98,6 +98,8 @@ COMMENTARY = {
     "doc_linkage_incremental": "batch-vs-corpus block equi-join (never a corpus self-join); the corpus-cell max_cell broadcast prune fires BEFORE the join; per-candidate codegen levenshtein",
     "metrics_request_landing": "the dispatcher end-to-end: identifier family broadcast semi-join, COUNTER filter pushed to the scan, monthly agg, citations theta-join (broadcast nested loop over the constant dim), full-outer merge — process boundaries in the reference, stages here",
     "metrics_request_daily_country": "adds the date-range scope (strict-gt/lte pushed through the adapter aliases to PushedFilters — plan-gated), day x country agg, end-exclusive spine crossJoin(broadcast countries), bucket-only citations join",
+    "metrics_request_user": "the user dispatch path: family from userID membership AND isPublic (broadcast seed join over the constant identifiers dim), then the landing shape — the scope that must EXCLUDE private datasets",
+    "metrics_request_repository": "repository scope is a pure scan predicate on the adapter's nodeId (no identifier family — the citations side is the UNSCOPED relation, mirroring gatherCitations without a target set); YEAR buckets with the 4-char citation key",
     "doc_bpe_train": "the returned frame is the k-row merge table built from the per-round argmax collects, so the dumped plan is a local scan BY DESIGN; the training work runs as per-round jobs over the checkpointed vocab — word-freq groupBy is the only corpus shuffle, the greedy merge scan is a pure projection (no per-round exchange) and pair counts map-side combine, all pinned by tests/test_r14_guards.py",
     "doc_bpe_apply": "re-tokenization is a JOIN against the vocabulary's final segmentation — explode + vocab join + per-doc agg; out-of-vocab tokens take the coalesce fallback, never a per-occurrence merge scan",
     "doc_lm_fclass": "TWO occurrence-mass shuffles by design (bigram count build + train/probe join, the doc_bigram_coherence class twice); _spread above the explode; frequency class is integer binary-length, computed after the join on count rows",

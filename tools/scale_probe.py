@@ -237,6 +237,10 @@ QUERIES = [
     # scan/agg fill (the landing_page_daily class)
     "metrics_request_landing",
     "metrics_request_daily_country",
+    # same class: user family via seeds join (constant dims), and the
+    # repository/year form whose scope is a pure scan predicate
+    "metrics_request_user",
+    "metrics_request_repository",
     # r14: BPE training — the corpus-mass term is the ONE word-freq
     # explode+groupBy; under token-suffix replication the suffixed
     # copies fail the ^[a-z]+$ training filter, so the vocab (and with
