@@ -156,7 +156,9 @@ HEADLINE = [
     "doc_lm_perplexity",
     "emb_knn_pagerank",
     # round-14: threshold-free classifier eval (exact-integer AUC)
+    # and quality-weighted priority sampling
     "doc_classifier_auc",
+    "doc_priority_sample",
 ]
 
 

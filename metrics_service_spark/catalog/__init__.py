@@ -51,6 +51,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_lm_fclass",
     "emb_knn_pagerank",
     "doc_classifier_auc",
+    "doc_priority_sample",
     "doc_fuzzy_prefix_bucketed",
     "doc_cluster_best",
     "doc_source_overlap",
@@ -94,13 +95,13 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "mm_phash",
     "tpch_q11",
     "tpch_q13",
-    "tpch_q15",
-    # -- slots 51+: past the driver's 50-entry line.  tpch_q16/q2/q20/
-    #    q7/q9 are the five r10-stale entries the 16 never-checked r14
-    #    entries displaced (FULLCHECK covers them bitwise; they lead
-    #    the r15 rotation), then the rows-only perplexity form whose
-    #    exact twin doc_lm_fclass IS in-window, then the
+    # -- slots 51+: past the driver's 50-entry line.  tpch_q15/q16/q2/
+    #    q20/q7/q9 are the six r10-stale entries the 17 never-checked
+    #    r14 entries displaced (FULLCHECK covers them bitwise; they
+    #    lead the r15 rotation), then the rows-only perplexity form
+    #    whose exact twin doc_lm_fclass IS in-window, then the
     #    r11-generation fill ---------------------------------------
+    "tpch_q15",
     "tpch_q16",
     "tpch_q2",
     "tpch_q20",

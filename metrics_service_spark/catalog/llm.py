@@ -5614,3 +5614,36 @@ QUERIES["doc_classifier_auc"] = QuerySpec(
     "distributed prefix sum — no single-partition window)",
     ("llm",),
 )
+
+
+# --- weighted priority sampling (r14) ----------------------------------------
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample via priority sampling
+    (operators/sampling.py priority_sample): per language, the top-20
+    docs by the floor-quantized integer priority (n_chars << 32) div
+    u(md5) — inclusion probability grows with document mass, every doc
+    keeps a chance, bit-deterministic across engines."""
+    from metrics_service_spark.operators.sampling import priority_sample
+
+    return priority_sample(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "n_chars",
+        group_cols=["lang"],
+        k=20,
+    )
+
+
+def _priority_sample_oracle() -> str:
+    from metrics_service_spark.operators.sampling import sql_priority_sample
+
+    return sql_priority_sample(group_cols=["lang"], k=20)
+
+
+QUERIES["doc_priority_sample"] = QuerySpec(
+    q_doc_priority_sample,
+    _priority_sample_oracle(),
+    "weighted priority sampling (Duffield-Lund-Thorup): per-lang "
+    "top-k by exact integer w/u priority, md5-uniform u",
+    ("llm",),
+)

@@ -419,3 +419,109 @@ def epoch_cap_source_sample(
             F.explode(F.sequence(F.lit(1), F.col("__n_ep"))).alias("epoch"),
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    group_cols: list[str] | None = None,
+    k: int = 20,
+    salt: str = "ps",
+) -> DataFrame:
+    """Weighted priority sampling (Duffield, Lund & Thorup 2007): each
+    row gets priority q_i = w_i / u_i with u_i uniform, and the sample
+    is the top-k by priority — inclusion probability grows with the
+    weight while every row keeps a chance, the standard
+    quality-weighted corpus subsample (contrast `stratified_sample`'s
+    weight-blind rates and `per_group_quota`'s hard caps).
+
+    Determinism contract: u_i is the md5 hex8 of (salt, id) — a
+    32-bit uniform both engines replay — and the priority is the
+    FLOOR-QUANTIZED integer (w << 32) div u (exact long arithmetic,
+    ties to the lower id), so the selected set is bit-identical across
+    engines; the quantization only reorders pairs whose true
+    priorities differ by < 1, i.e. by less than the scheme's own noise.
+    Overflow bound: w * 2^32 must fit a long — weights up to ~2*10^9
+    are safe (lengths, token counts, basis-point scores all qualify).
+
+    Scale shape: one pure projection (md5 + integer arithmetic), ONE
+    group-keyed exchange, and a WindowGroupLimit-pushed top-k — the
+    doc_source_quota class.  k and the group count bound the output,
+    never the corpus."""
+    group_cols = list(group_cols or [])
+    u = (
+        _hex4_int(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+        ).cast("long")
+        * F.lit(65536)
+        + _hex4_int(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                5,
+                4,
+            )
+        ).cast("long")
+        + F.lit(1)
+    )
+    w = F.col(weight_col).cast("long")
+    scored = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(id_col),
+        w.alias("weight"),
+        ((w * F.lit(4294967296)).cast("long")).alias("__num"),
+        u.alias("__u"),
+    ).select(
+        *group_cols,
+        id_col,
+        "weight",
+        F.expr("__num div __u").alias("priority_q"),
+    )
+    win = Window.partitionBy(
+        *[F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    ).orderBy(F.col("priority_q").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            *group_cols, id_col, "weight", "priority_q",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_priority_sample(
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    table: str = "documents",
+    group_cols: list[str] | None = None,
+    k: int = 20,
+    salt: str = "ps",
+) -> str:
+    """DuckDB twin of :func:`priority_sample` (same hex8 ascii
+    arithmetic, same floor division, same tie rule)."""
+    group_cols = list(group_cols or [])
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    hexpr = f"md5('{salt}:' || CAST({id_col} AS VARCHAR))"
+    u = (
+        f"(CAST({sql_hex4_int(hexpr)} AS BIGINT) * 65536 + "
+        f"CAST({sql_hex4_int(f'substr({hexpr}, 5, 4)')} AS BIGINT) + 1)"
+    )
+    part = f"PARTITION BY {g}" if g else ""
+    return f"""
+WITH p AS (
+  SELECT {gsel}{id_col}, CAST({weight_col} AS BIGINT) AS weight,
+         (CAST({weight_col} AS BIGINT) * 4294967296) // {u} AS priority_q
+  FROM {table}
+)
+SELECT {gsel}{id_col}, weight, priority_q, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER ({part}
+            ORDER BY priority_q DESC, {id_col}) AS rank
+  FROM p
+) WHERE rank <= {k}
+"""

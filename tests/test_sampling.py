@@ -179,3 +179,24 @@ def test_epoch_cap_waterfill_matches_reference(spark, budget, k):
         assert sorted(eps) == list(range(1, len(eps) + 1))
         assert len(eps) <= k
 
+
+
+def test_priority_sample_weight_dominance_and_k(spark):
+    """A weight so large its quantized priority floor exceeds every
+    other row's ceiling is ALWAYS selected; per-group output is
+    exactly min(k, group size); ranks are 1..n dense."""
+    from metrics_service_spark.operators.sampling import priority_sample
+
+    rows = [(i, "en", 100) for i in range(30)] + [(99, "en", 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = priority_sample(
+        df, "doc_id", "n_chars", group_cols=["lang"], k=5
+    ).collect()
+    assert len(out) == 5
+    assert {r["rank"] for r in out} == {1, 2, 3, 4, 5}
+    # with a 10^7x weight gap the dominant doc outranks every w=100 row
+    # unless some u lands in its ~1e-7 adversarial tail; these fixed
+    # (salt, id) inputs are deterministic, and this assertion pins that
+    # the 10^9-weight doc takes rank 1 on them
+    top = [r for r in out if r["doc_id"] == 99]
+    assert top and top[0]["rank"] == 1

@@ -105,6 +105,7 @@ COMMENTARY = {
     "doc_lm_fclass": "TWO occurrence-mass shuffles by design (bigram count build + train/probe join, the doc_bigram_coherence class twice); _spread above the explode; frequency class is integer binary-length, computed after the join on count rows",
     "emb_knn_pagerank": "the audited knn-graph plan feeds 3 FIXED integer power rounds: per round one src-keyed join + one dst-keyed map-side-combined agg; N enters as a broadcast one-row aggregate; no collect, no convergence tail",
     "doc_classifier_auc": "rules + classifier projections collapse to a SCORE histogram; the cumulative is global_cumsum (per-bucket sums + broadcast offsets — the only SinglePartition exchanges move the tiny offset frame and the final row); AUC arithmetic is a one-row integer projection",
+    "doc_priority_sample": "pure projection (md5 hex arithmetic + exact long priority) + ONE group-keyed exchange with a WindowGroupLimit-pushed top-k — the doc_source_quota class; output bounded by k x strata",
 }
 
 

@@ -269,6 +269,9 @@ QUERIES = [
     # + the broadcast-offset prefix sum; expected ~linear scan fill,
     # the doc_length_quantiles class
     "doc_classifier_auc",
+    # r14: priority sampling — pure projection + one group-keyed
+    # WindowGroupLimit top-k; the doc_source_quota class
+    "doc_priority_sample",
 ]
 
 
