@@ -5385,6 +5385,54 @@ QUERIES["doc_bpe_apply"] = QuerySpec(
 )
 
 
+def q_doc_bpe_train_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-local-finish training (VERDICT r14 #1): ONE corpus-sized
+    word-frequency shuffle, then the language-bounded vocab is
+    collected under a loud row guard and the merge loop runs on the
+    driver with incremental pair counts — O(1) Spark jobs regardless
+    of n_merges, vs `_train`'s O(n_merges) sequential rounds.  Same
+    oracle as doc_bpe_train: green proves the two trainers and the
+    relational replay all agree bit-for-bit."""
+    from metrics_service_spark.operators.bpe import bpe_train_local_finish
+
+    return bpe_train_local_finish(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=BPE_MERGES
+    )
+
+
+def q_doc_bpe_apply_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production train-once/apply-many path: train via the
+    driver-local finish, then apply the STORED merge table with
+    bpe_apply — the apply plan contains zero training jobs (no pair
+    counting, no argmax; plan-gated in test_r15_guards.py).  Same
+    oracle as the fused doc_bpe_apply: green proves the stored-table
+    replay reproduces training's segmentation bit-for-bit."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
+    return bpe_apply(docs, table, id_col="doc_id", text_col="text")
+
+
+QUERIES["doc_bpe_train_local"] = QuerySpec(
+    q_doc_bpe_train_local,
+    _ORACLE_BPE_TRAIN,
+    "BPE training, driver-local finish: one corpus shuffle + "
+    "incremental-pair-count merge loop, O(1) Spark jobs",
+    ("llm",),
+)
+QUERIES["doc_bpe_apply_stored"] = QuerySpec(
+    q_doc_bpe_apply_stored,
+    _ORACLE_BPE_APPLY,
+    "apply a persisted BPE merge table without retraining: rank-order "
+    "replay over the distinct-word vocab + unit-count join",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

@@ -67,6 +67,103 @@ def test_word_filter_and_apply_fallback(spark):
     assert out["n_bpe_units"] == 2 + 2 + 1 + 1
 
 
+def test_local_finish_matches_distributed(spark):
+    # the driver-local-finish trainer must be bit-identical to the
+    # distributed round loop: same argmax tie-break, same greedy scan
+    from metrics_service_spark.operators.bpe import bpe_train_local_finish
+
+    docs = spark.createDataFrame(
+        [("ab ab ab abc",), ("banana bandana cabbage",), ("ba abab",)],
+        "text string",
+    )
+    want = [
+        tuple(r)
+        for r in bpe_train(docs, "text", n_merges=4).orderBy("rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bpe_train_local_finish(docs, "text", n_merges=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_local_finish_vocab_guard_raises(spark):
+    from metrics_service_spark.operators.bpe import bpe_train_local_finish
+
+    docs = spark.createDataFrame([("ab cd ef",)], "text string")
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train_local_finish(docs, "text", n_merges=1, max_vocab_rows=2)
+
+
+def test_local_finish_exhaustion_raises(spark):
+    # same loud failure contract as _train: never a short merge table
+    from metrics_service_spark.operators.bpe import bpe_train_local_finish
+
+    docs = spark.createDataFrame([("ab ab",)], "text string")
+    with pytest.raises(ValueError, match="no mergeable pairs"):
+        bpe_train_local_finish(docs, "text", n_merges=3)
+
+
+def test_apply_stored_matches_fused(spark):
+    # production path == fused path bit-for-bit on the training corpus
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_local_finish,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc zz9"), (2, "banana ab bandana"), (3, "ba abab")],
+        "doc_id int, text string",
+    )
+    table = bpe_train_local_finish(docs, "text", n_merges=3)
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_units"])
+        for r in bpe_apply(docs, table).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_units"])
+        for r in bpe_apply_counts(docs, n_merges=3).collect()
+    }
+    assert got == want
+
+
+def test_apply_stored_on_new_corpus(spark):
+    # stored merges (a,b) then (ab,c) applied to UNSEEN words: rank-
+    # order replay segments abc -> [abc]; xyz untouched; OOV '12' -> 1
+    from metrics_service_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame([(9, "abc xyz ab 12")], "doc_id int, text string")
+    out = bpe_apply(docs, merges=[("a", "b"), ("ab", "c")]).first()
+    assert out["n_ws_tokens"] == 4
+    assert out["n_bpe_units"] == 1 + 3 + 1 + 1
+
+
+def test_apply_checkpoint_invariance(spark):
+    # a checkpoint boundary inside the replay chain must not change
+    # the segmentation
+    from metrics_service_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "abcd abab cd"), (2, "dcba bc")], "doc_id int, text string"
+    )
+    merges = [("a", "b"), ("c", "d"), ("ab", "cd")]
+    rows = lambda every: sorted(  # noqa: E731
+        tuple(r)
+        for r in bpe_apply(docs, merges=merges, checkpoint_every=every).collect()
+    )
+    assert rows(1) == rows(8)
+
+
+def test_apply_requires_table_or_merges(spark):
+    from metrics_service_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="merge_table or merges"):
+        bpe_apply(docs)
+
+
 def test_train_matches_handrolled_reference(spark):
     # classic two-round check on a corpus small enough to verify by
     # hand: freqs ab:3 abc:1 -> round0 merges (a,b) count 4; round1
