@@ -36,82 +36,86 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r14 impl-changed/new first (rotation policy): the NEW
-    #    end-to-end MetricsRequest dispatcher entries (VERDICT r13
-    #    #7), the bucketed-linkage entry, then every entry consuming
-    #    the refactored fuzzy_prefix_pairs seam (now routed through
-    #    fuzzy_prefix_pairs_blocked) and the star-CC convergence
-    #    guard ---------------------------------------------------
+    # -- r15 impl-changed/new first (rotation policy): the NEW
+    #    production BPE paths (stored-table apply + driver-local-finish
+    #    trainer, VERDICT r14 #1), the NEW portal/group/package
+    #    dispatcher routes (VERDICT r14 #2), then every r14 request
+    #    entry whose oracle gained the sessionId<>-1 predicate + mx
+    #    guard (ADVICE r14) and whose adapter gained portalIdentifier /
+    #    the group subject, and doc_bpe_apply (refactored through the
+    #    shared _count_with_units tail) --------------------------------
+    "doc_bpe_train_local",
+    "doc_bpe_apply_stored",
+    "metrics_request_portal",
+    "metrics_request_group",
+    "metrics_request_package",
+    "doc_bpe_apply",
     "metrics_request_landing",
     "metrics_request_daily_country",
     "metrics_request_user",
     "metrics_request_repository",
-    "doc_bpe_train",
-    "doc_bpe_apply",
-    "doc_lm_fclass",
-    "emb_knn_pagerank",
-    "doc_classifier_auc",
-    "doc_priority_sample",
-    "doc_fuzzy_prefix_bucketed",
-    "doc_cluster_best",
-    "doc_source_overlap",
-    "doc_length_quantiles",
-    "mm_scene_cuts",
-    "ev_session_quantiles",
-    "doc_linkage_incremental",
-    "doc_fuzzy_prefix_pairs",
-    "doc_linkage_clusters",
-    "doc_linkage_multipass",
-    "doc_linkage_recall",
-    # -- the whole r10-stale generation (35 catalog entries,
-    #    VERDICT r13 "What's missing" #2; the 36th, doc_dup_spans_v2,
-    #    was superseded by the r11 bisect arms) -------------------
-    "doc_corpus_datasheet",
-    "doc_domain_filter",
-    "doc_fingerprint",
-    "doc_length_histogram",
-    "doc_mixture",
-    "doc_pii_scrub",
-    "doc_simhash",
-    "doc_simhash_md5",
-    "doc_simhash_neardup",
-    "doc_simhash_neardup_md5",
-    "emb_ann_ivf",
-    "emb_ann_lsh",
-    "emb_cluster_sample",
-    "emb_curation_pipeline",
-    "emb_hard_negatives",
-    "emb_knn_graph",
-    "emb_pq_rerank",
-    "emb_semdedup_hier",
-    "emb_topk_bruteforce",
-    "ev_dau_stickiness_approx_hll",
-    "ev_monthly_stats_approx",
-    "mm_audio_meta",
-    "mm_frame_sample",
-    "mm_image_features",
-    "mm_image_meta",
-    "mm_image_meta_real",
-    "mm_phash",
-    "tpch_q11",
-    "tpch_q13",
-    # -- slots 51+: past the driver's 50-entry line.  tpch_q15/q16/q2/
-    #    q20/q7/q9 are the six r10-stale entries the 17 never-checked
-    #    r14 entries displaced (FULLCHECK covers them bitwise; they
-    #    lead the r15 rotation), then the rows-only perplexity form
-    #    whose exact twin doc_lm_fclass IS in-window, then the
-    #    r11-generation fill ---------------------------------------
+    # -- the last six r10-stale rows (VERDICT r14 "What's missing" #3:
+    #    routine rotation debt; bitwise-green in FULLCHECK both r14
+    #    sessions) ------------------------------------------------------
     "tpch_q15",
     "tpch_q16",
     "tpch_q2",
     "tpch_q20",
     "tpch_q7",
     "tpch_q9",
-    "doc_lm_perplexity",
+    # -- r11-stale generation, oldest-checked fill (34 of 47; the
+    #    remaining 13 — the ann-recall family, the guarded all-pairs
+    #    baseline, and md5/column-bisect twins whose heads are included
+    #    below — lead the r16 rotation) ---------------------------------
+    "anti_join_no_orders",
+    "bloom_semi_lineitem",
+    "counter_report",
+    "doc_bpe_tokens",
+    "doc_contamination",
+    "doc_dup_span_runs",
+    "doc_exact_dedup",
+    "doc_incremental_dedup",
+    "doc_jaccard_pairs",
+    "doc_lang_id",
+    "doc_minhash_dedup",
+    "doc_minhash_estimate",
+    "doc_ngram_topk",
+    "doc_pack",
+    "doc_sample_stratified",
+    "doc_source_quota",
+    "doc_split",
+    "doc_temperature_mix",
+    "doc_token_stats",
+    "ev_props_kv",
+    "ev_retention",
+    "ev_value_median",
+    "func_scalar_suite",
+    "metrics_star",
+    "mm_image_meta_real_mixed",
     "order_chains",
     "order_components",
-    "metrics_star",
-    "func_scalar_suite",
+    "orders_rollup",
+    "package_counts",
+    "search_log_pipeline",
+    "search_sessions",
+    "tpch_q21",
+    "tpch_q22",
+    "emb_random_projection",
+    # -- slots 51+: past the driver's 50-entry line; the rest of the
+    #    r11 generation queues here for r16 -----------------------------
+    "emb_ann_recall",
+    "emb_ann_recall_ivfpq",
+    "emb_ann_recall_lsh",
+    "emb_ann_recall_pq",
+    "emb_ann_recall_sq8",
+    "emb_cosine_neardup_allpairs",
+    "doc_dup_spans_counts",
+    "doc_dup_spans_frac",
+    "doc_minhash_dedup_md5",
+    "doc_split_leakage_safe",
+    "doc_multi_signal_pairs",
+    "emb_ann_ivf_int",
+    "emb_ann_lsh_int",
 )
 
 

@@ -82,16 +82,30 @@ FAMILY_BLOCK = 10
 
 def metrics_event_view(events: DataFrame) -> DataFrame:
     """Reference-shaped eventlog plus the ES geoip envelope the
-    dispatcher's country dimension reads (geoip.country_code2) and the
+    dispatcher's country dimension reads (geoip.country_code2), the
     member-node id the repository scope filters on (nodeId,
-    elastic_notes.rst:218-248) — derived from the session key so the
-    oracle mirrors it off the same adapter column."""
+    elastic_notes.rst:218-248), and the portal-membership array the
+    portal scope overlaps against (portalIdentifier,
+    metricsreader.py:1438) — all derived from the session key so the
+    oracle mirrors them off the same adapter column.  portalIdentifier
+    is deliberately MULTI-valued (an event can belong to several
+    portals) so arrays_overlap is exercised for real."""
     ev = eventlog_view(events)
-    return ev.withColumn(
-        "geoip", F.struct(F.col("country").alias("country_code2"))
-    ).withColumn(
-        "nodeId",
-        F.concat(F.lit("urn:node:N"), (F.col("sessionId") % 4).cast("string")),
+    return (
+        ev.withColumn(
+            "geoip", F.struct(F.col("country").alias("country_code2"))
+        )
+        .withColumn(
+            "nodeId",
+            F.concat(F.lit("urn:node:N"), (F.col("sessionId") % 4).cast("string")),
+        )
+        .withColumn(
+            "portalIdentifier",
+            F.array(
+                F.concat(F.lit("portal"), (F.col("sessionId") % 6).cast("string")),
+                F.concat(F.lit("portal"), (F.col("sessionId") % 9).cast("string")),
+            ),
+        )
     )
 
 
@@ -126,8 +140,15 @@ def identifiers_view(spark: SparkSession, max_suffix: int) -> DataFrame:
         # dataset path ignores the flag, so dataset-scoped oracles
         # are unaffected
         (F.col("id") % 7 != 3).alias("isPublic"),
+        # userID carries both the owner subject and a group subject —
+        # the reference stores every read-allowed subject in one field
+        # and the user AND group paths match against it
+        # (metricsreader.py:1259-1343); 'uid=' values never collide
+        # with 'grp=' values, so each filterType sees only its own
+        # identifier population
         F.array(
-            F.concat(F.lit("uid="), (F.col("id") % 50).cast("string"))
+            F.concat(F.lit("uid="), (F.col("id") % 50).cast("string")),
+            F.concat(F.lit("grp="), (F.col("id") % 9).cast("string")),
         ).alias("userID"),
     )
 
@@ -188,6 +209,21 @@ def q_metrics_request_daily_country(
 
 
 # --- oracle SQL -----------------------------------------------------------
+# The dispatcher's COUNTER filter includes sessionId != -1
+# (plans/metrics_request.py); the shared COUNTER_FILTER_SQL mirrors
+# counter_filter(), which doesn't.  The driver generator never emits
+# user_id = -1, so both held — but the oracle's predicate set must
+# match the dispatcher's EXACTLY regardless of data (ADVICE r14).
+_REQ_COUNTER_SQL = COUNTER_FILTER_SQL + " AND sessionId <> -1"
+
+# DuckDB generate_series takes only constant bounds, so the family CTEs
+# over-generate to 9999 and filter by the measured bound mx.  If the
+# synthetic pid suffix domain ever outgrew the guard, the oracle would
+# silently under-cover while the Spark dispatcher scaled with the real
+# domain — fail loudly instead (ADVICE r14; OR short-circuits in
+# DuckDB, so error() fires only when the guard is breached).
+_MX_GUARD = "(mx <= 9999 OR error('pid suffix domain exceeds the 9999 series guard'))"
+
 # Shared CTE prefix: the adapted eventlog, the pid-universe bound, the
 # pid7 family block, and the synthetic citations relation (kept in
 # lockstep with identifiers_view / citations_view above).
@@ -225,7 +261,7 @@ ORACLE_LANDING_REQUEST = f"""
 WITH {_REQUEST_CTES},
 scoped AS (
   SELECT * FROM eventlog
-  WHERE {COUNTER_FILTER_SQL} AND pid IN (SELECT pid FROM fam)
+  WHERE {_REQ_COUNTER_SQL} AND pid IN (SELECT pid FROM fam)
 ),
 agg AS (
   SELECT strftime(dateLogged, '%Y-%m') AS bucket,
@@ -258,7 +294,7 @@ ORACLE_DAILY_COUNTRY_REQUEST = f"""
 WITH {_REQUEST_CTES},
 scoped AS (
   SELECT * FROM eventlog
-  WHERE {COUNTER_FILTER_SQL} AND pid IN (SELECT pid FROM fam)
+  WHERE {_REQ_COUNTER_SQL} AND pid IN (SELECT pid FROM fam)
     AND dateLogged >  TIMESTAMP '2024-01-01 00:00:00'
     AND dateLogged <= TIMESTAMP '2024-02-01 00:00:00'
 ),
@@ -366,9 +402,11 @@ ORACLE_USER_REQUEST = f"""
 WITH {_REQUEST_CTES},
 seeds AS (
   -- generate_series takes only constants in DuckDB: over-generate to
-  -- a domain guard and filter by the measured bound, like fam above
+  -- a domain guard and filter by the measured bound, like fam above;
+  -- _MX_GUARD makes domain growth past the guard fail loudly instead
+  -- of silently under-covering the identifier universe
   SELECT n FROM bound, generate_series(0, 9999) t(n)
-  WHERE n <= mx AND n % 50 = 3 AND n % 7 <> 3
+  WHERE n <= mx AND {_MX_GUARD} AND n % 50 = 3 AND n % 7 <> 3
 ),
 ufam AS (
   SELECT DISTINCT 'pid' || CAST(m AS VARCHAR) AS pid
@@ -377,7 +415,7 @@ ufam AS (
 ),
 scoped AS (
   SELECT * FROM eventlog
-  WHERE {COUNTER_FILTER_SQL} AND pid IN (SELECT pid FROM ufam)
+  WHERE {_REQ_COUNTER_SQL} AND pid IN (SELECT pid FROM ufam)
 ),
 agg AS (
   SELECT strftime(dateLogged, '%Y-%m') AS bucket,
@@ -416,7 +454,7 @@ ORACLE_REPOSITORY_REQUEST = f"""
 WITH {_REQUEST_CTES},
 scoped AS (
   SELECT * FROM eventlog
-  WHERE {COUNTER_FILTER_SQL}
+  WHERE {_REQ_COUNTER_SQL}
     AND 'urn:node:N' || CAST(sessionId % 4 AS VARCHAR) = 'urn:node:N1'
     AND dateLogged >  TIMESTAMP '2024-01-01 00:00:00'
     AND dateLogged <= TIMESTAMP '2024-03-01 00:00:00'
@@ -466,5 +504,251 @@ QUERIES["metrics_request_repository"] = QuerySpec(
     ORACLE_REPOSITORY_REQUEST,
     "repository-scoped request: nodeId equality + YEAR buckets + "
     "unscoped citations merge",
+    ("request",),
+)
+
+
+# The portal-scoped charting request (metricsreader.py:1438): portal
+# membership is an ES array field, matched by overlap — no identifier
+# family, so the citations side is the UNSCOPED relation (like
+# repository).  Two requested portals + the documented month-range
+# filter exercise the multi-value overlap and the month spine.
+PORTAL_REQUEST = {
+    "metrics": ["Citations", "Total_Dataset_Requests", "Total_Dataset_Investigations"],
+    "filterBy": [
+        {
+            "filterType": "portal",
+            "values": ["portal2", "portal5"],
+            "interpretAs": "list",
+        },
+        {
+            "filterType": "month",
+            "values": ["01/01/2024", "03/01/2024"],
+            "interpretAs": "range",
+        },
+    ],
+    "groupBy": ["month"],
+}
+
+# The group-scoped request (metricsreader.py:1259-1343): the family
+# expands through userID membership AND requires isPublic, exactly the
+# user path but over the group subject population — 'grp=4' matches
+# identifier rows {4, 13, 22, 31, 40, ...} minus the private ones
+# (id % 7 == 3), and the scope is the union of their family blocks.
+GROUP_REQUEST = {
+    "metrics": ["Citations", "Total_Dataset_Requests", "Total_Dataset_Investigations"],
+    "filterBy": [
+        {"filterType": "group", "values": ["grp=4"], "interpretAs": "list"},
+        {
+            "filterType": "month",
+            "values": ["01/01/2024", "04/01/2024"],
+            "interpretAs": "range",
+        },
+    ],
+    "groupBy": ["month"],
+}
+
+# The package/catalog route shares the dataset family path
+# (metricsreader.py:126-156 dispatches package and catalog through the
+# same PID/SID/family expansion) — TWO values, one a plain pid and one
+# a SERIES id, exercise the SID match arm end-to-end for the first
+# time: 'sid4' expands to block 4 (pids 40..49), 'pid23' to block 2
+# via family membership.  No date filter -> no spine, buckets are the
+# observed months full-outer the citation months.
+PACKAGE_REQUEST = {
+    "metrics": ["Citations", "Total_Dataset_Requests", "Total_Dataset_Investigations"],
+    "filterBy": [
+        {
+            "filterType": "package",
+            "values": ["pid23", "sid4"],
+            "interpretAs": "list",
+        }
+    ],
+    "groupBy": ["month"],
+}
+
+
+def q_metrics_request_portal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_metrics_request(spark, PORTAL_REQUEST, _tables(spark, sf_dir))
+
+
+def q_metrics_request_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_metrics_request(spark, GROUP_REQUEST, _tables(spark, sf_dir))
+
+
+def q_metrics_request_package(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_metrics_request(spark, PACKAGE_REQUEST, _tables(spark, sf_dir))
+
+
+# Portal scope in the oracle: portalIdentifier is derived from the
+# session key (sessionId % 6 and % 9), so overlap with
+# {portal2, portal5} reduces to the residue predicate below.
+ORACLE_PORTAL_REQUEST = f"""
+WITH {_REQUEST_CTES},
+scoped AS (
+  SELECT * FROM eventlog
+  WHERE {_REQ_COUNTER_SQL}
+    AND (CAST(sessionId % 6 AS INT) IN (2, 5) OR CAST(sessionId % 9 AS INT) IN (2, 5))
+    AND dateLogged >  TIMESTAMP '2024-01-01 00:00:00'
+    AND dateLogged <= TIMESTAMP '2024-03-01 00:00:00'
+),
+agg AS (
+  SELECT strftime(dateLogged, '%Y-%m') AS bucket,
+         count(*) FILTER (formatType = 'DATA') AS downloads,
+         count(*) FILTER (formatType = 'METADATA') AS views,
+         count(DISTINCT eventId) FILTER (formatType = 'DATA') AS unique_downloads,
+         count(DISTINCT eventId) FILTER (formatType = 'METADATA') AS unique_views
+  FROM scoped GROUP BY 1
+),
+cagg AS (
+  SELECT substring(link_publication_date, 1, 7) AS bucket,
+         count(*) AS citations
+  FROM cites WHERE link_publication_date IS NOT NULL GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+         a.downloads, a.views, a.unique_downloads, a.unique_views,
+         c.citations
+  FROM agg a FULL JOIN cagg c ON a.bucket = c.bucket
+),
+spine AS (
+  SELECT DISTINCT strftime(CAST(gs AS DATE), '%Y-%m') AS bucket
+  FROM generate_series(DATE '2024-01-01', DATE '2024-03-01', INTERVAL 1 DAY) t(gs)
+  WHERE CAST(gs AS DATE) < DATE '2024-03-01'
+)
+SELECT COALESCE(s.bucket, m.bucket) AS bucket,
+       CAST(COALESCE(m.downloads, 0) AS BIGINT) AS downloads,
+       CAST(COALESCE(m.views, 0) AS BIGINT) AS views,
+       CAST(COALESCE(m.unique_downloads, 0) AS BIGINT) AS unique_downloads,
+       CAST(COALESCE(m.unique_views, 0) AS BIGINT) AS unique_views,
+       CAST(COALESCE(m.citations, 0) AS BIGINT) AS citations
+FROM spine s FULL JOIN merged m ON s.bucket = m.bucket
+"""
+
+# Group scope: seeds are the public identifier rows whose group
+# subject matches (id % 9 = 4, minus private id % 7 = 3); the family
+# is the union of their blocks; citations are theta-matched against
+# that family (gcmatch), exactly the user-path shape.
+ORACLE_GROUP_REQUEST = f"""
+WITH {_REQUEST_CTES},
+gseeds AS (
+  SELECT n FROM bound, generate_series(0, 9999) t(n)
+  WHERE n <= mx AND {_MX_GUARD} AND n % 9 = 4 AND n % 7 <> 3
+),
+gfam AS (
+  SELECT DISTINCT 'pid' || CAST(m AS VARCHAR) AS pid
+  FROM gseeds, bound, generate_series(0, 9999) t2(m)
+  WHERE m <= mx AND m // {FAMILY_BLOCK} = n // {FAMILY_BLOCK}
+),
+scoped AS (
+  SELECT * FROM eventlog
+  WHERE {_REQ_COUNTER_SQL} AND pid IN (SELECT pid FROM gfam)
+    AND dateLogged >  TIMESTAMP '2024-01-01 00:00:00'
+    AND dateLogged <= TIMESTAMP '2024-04-01 00:00:00'
+),
+agg AS (
+  SELECT strftime(dateLogged, '%Y-%m') AS bucket,
+         count(*) FILTER (formatType = 'DATA') AS downloads,
+         count(*) FILTER (formatType = 'METADATA') AS views,
+         count(DISTINCT eventId) FILTER (formatType = 'DATA') AS unique_downloads,
+         count(DISTINCT eventId) FILTER (formatType = 'METADATA') AS unique_views
+  FROM scoped GROUP BY 1
+),
+gcmatch AS (
+  SELECT DISTINCT c.target_id, c.source_id, c.link_publication_date
+  FROM cites c
+  WHERE EXISTS (
+    SELECT 1 FROM gfam f
+    WHERE position(lower(c.target_id) IN lower(f.pid)) > 0
+  )
+),
+cagg AS (
+  SELECT substring(link_publication_date, 1, 7) AS bucket,
+         count(*) AS citations
+  FROM gcmatch WHERE link_publication_date IS NOT NULL GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+         a.downloads, a.views, a.unique_downloads, a.unique_views,
+         c.citations
+  FROM agg a FULL JOIN cagg c ON a.bucket = c.bucket
+),
+spine AS (
+  SELECT DISTINCT strftime(CAST(gs AS DATE), '%Y-%m') AS bucket
+  FROM generate_series(DATE '2024-01-01', DATE '2024-04-01', INTERVAL 1 DAY) t(gs)
+  WHERE CAST(gs AS DATE) < DATE '2024-04-01'
+)
+SELECT COALESCE(s.bucket, m.bucket) AS bucket,
+       CAST(COALESCE(m.downloads, 0) AS BIGINT) AS downloads,
+       CAST(COALESCE(m.views, 0) AS BIGINT) AS views,
+       CAST(COALESCE(m.unique_downloads, 0) AS BIGINT) AS unique_downloads,
+       CAST(COALESCE(m.unique_views, 0) AS BIGINT) AS unique_views,
+       CAST(COALESCE(m.citations, 0) AS BIGINT) AS citations
+FROM spine s FULL JOIN merged m ON s.bucket = m.bucket
+"""
+
+# Package scope: 'pid23' lands in family block 2, 'sid4' matches the
+# SID of block 4's rows — the family is blocks {2, 4}; citations are
+# theta-matched against it; no date filter, so no spine.
+ORACLE_PACKAGE_REQUEST = f"""
+WITH {_REQUEST_CTES},
+pfam AS (
+  SELECT 'pid' || CAST(n AS VARCHAR) AS pid
+  FROM bound, generate_series(0, 9999) t(n)
+  WHERE n <= mx AND {_MX_GUARD} AND n // {FAMILY_BLOCK} IN (2, 4)
+),
+scoped AS (
+  SELECT * FROM eventlog
+  WHERE {_REQ_COUNTER_SQL} AND pid IN (SELECT pid FROM pfam)
+),
+agg AS (
+  SELECT strftime(dateLogged, '%Y-%m') AS bucket,
+         count(*) FILTER (formatType = 'DATA') AS downloads,
+         count(*) FILTER (formatType = 'METADATA') AS views,
+         count(DISTINCT eventId) FILTER (formatType = 'DATA') AS unique_downloads,
+         count(DISTINCT eventId) FILTER (formatType = 'METADATA') AS unique_views
+  FROM scoped GROUP BY 1
+),
+pcmatch AS (
+  SELECT DISTINCT c.target_id, c.source_id, c.link_publication_date
+  FROM cites c
+  WHERE EXISTS (
+    SELECT 1 FROM pfam f
+    WHERE position(lower(c.target_id) IN lower(f.pid)) > 0
+  )
+),
+cagg AS (
+  SELECT substring(link_publication_date, 1, 7) AS bucket,
+         count(*) AS citations
+  FROM pcmatch WHERE link_publication_date IS NOT NULL GROUP BY 1
+)
+SELECT COALESCE(a.bucket, c.bucket) AS bucket,
+       CAST(COALESCE(a.downloads, 0) AS BIGINT) AS downloads,
+       CAST(COALESCE(a.views, 0) AS BIGINT) AS views,
+       CAST(COALESCE(a.unique_downloads, 0) AS BIGINT) AS unique_downloads,
+       CAST(COALESCE(a.unique_views, 0) AS BIGINT) AS unique_views,
+       CAST(COALESCE(c.citations, 0) AS BIGINT) AS citations
+FROM agg a FULL JOIN cagg c ON a.bucket = c.bucket
+"""
+
+QUERIES["metrics_request_portal"] = QuerySpec(
+    q_metrics_request_portal,
+    ORACLE_PORTAL_REQUEST,
+    "portal-scoped request: portalIdentifier overlap + month spine + "
+    "unscoped citations merge",
+    ("request",),
+)
+QUERIES["metrics_request_group"] = QuerySpec(
+    q_metrics_request_group,
+    ORACLE_GROUP_REQUEST,
+    "group-scoped request: group-subject membership + isPublic "
+    "exclusion drives the family, month spine + scoped citations",
+    ("request",),
+)
+QUERIES["metrics_request_package"] = QuerySpec(
+    q_metrics_request_package,
+    ORACLE_PACKAGE_REQUEST,
+    "package-scoped request with a SERIES id value: PID/SID/family "
+    "expansion union across two seeds, no spine",
     ("request",),
 )
