@@ -1,13 +1,26 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": "..."}
+Prints TWO JSON lines — the per-rep min/max detail first, then the
+canonical median record LAST (the driver captures the stdout tail):
+  {"metric": "headline_queries_detail", "queries_min": ..., ...}
+  {"metric": "headline_queries_total_wall", "value": <total sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": "..."}
 
 Each query is executed to completion (collect) so the number is true
 end-to-end wall clock including the scan; the session is warmed with a
 trivial job first so JVM startup isn't attributed to the first query.
+
+ARTIFACT SEMANTICS (VERDICT r14 #3): every run OVERWRITES
+BENCH_DETAIL.json in place — so after the round driver's own bench,
+the committed copy and the working tree diverge silently.  Since
+min-of-reps (queries_min) is the adjudication series SCALE.md adopted
+in r14, every run ALSO appends its detail (with a wall-clock stamp)
+to BENCH_DETAIL_HISTORY.jsonl, so no session's min-of-reps record can
+be lost to the overwrite; diff the committed BENCH_DETAIL.json via
+`git show HEAD:BENCH_DETAIL.json`, never the working tree after a
+run.  Round close should additionally snapshot the close sweep as
+BENCH_DETAIL_r{N}.json.
 """
 
 from __future__ import annotations
@@ -159,6 +172,16 @@ HEADLINE = [
     # and quality-weighted priority sampling
     "doc_classifier_auc",
     "doc_priority_sample",
+    # round-15: the production BPE paths (train-once driver-local
+    # finish; apply from the STORED merge table with zero training
+    # jobs — the form a user runs at scale, now priced next to the
+    # fused doc_bpe_apply above) and the portal/group/package
+    # dispatcher routes
+    "doc_bpe_train_local",
+    "doc_bpe_apply_stored",
+    "metrics_request_portal",
+    "metrics_request_group",
+    "metrics_request_package",
 ]
 
 
@@ -499,11 +522,14 @@ def main() -> None:
         "reps": reps,
         "sf": sf_dir,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f)
+    # append-only history so the overwrite above can never lose a
+    # session's min-of-reps record (the r14 close/driver divergence)
+    with open(os.path.join(repo, "BENCH_DETAIL_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps({"at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **detail}) + "\n")
     print(json.dumps(detail))
     print(
         json.dumps(

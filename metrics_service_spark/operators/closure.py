@@ -618,3 +618,88 @@ def pagerank_int(
             )
         )
     return ranks.select("node", F.col("p").alias("pr_q"))
+
+
+def pagerank_int_conserving(
+    edges: DataFrame,
+    *,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    iters: int = 3,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**12,
+) -> DataFrame:
+    """`pagerank_int` with dangling-mass REDISTRIBUTION — the
+    mass-conserving form (classic PageRank) for quality-prior
+    consumers who compare ranks ACROSS runs/graphs, where the plain
+    twin's leaked mass would make totals incomparable (VERDICT r14
+    optional item).
+
+    Per round, the dangling mass D = sum of p over nodes with no
+    out-edges is folded back uniformly:
+        p' = ((den-num)*scale) div (den*N)
+           + (num * (sum_in(p_u div outdeg_u) + D div N)) div den
+    — still floor division on non-negative longs throughout, sums
+    order-independent, so the unrolled SQL oracle replays every round
+    bit-for-bit.
+
+    Scale shape: identical to the plain twin (edge frame checkpointed
+    once, per round one src-keyed join + one dst-keyed map-side-
+    combined aggregation), plus per round ONE anti-join aggregate that
+    collapses to a single row and enters the plan as a broadcast —
+    never a driver collect.  Kept as a separate function so the
+    audited `pagerank_int` plan is byte-untouched."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    total = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base_num = (damping_den - damping_num) * scale
+    ranks = nodes.crossJoin(F.broadcast(total)).select(
+        "node",
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("p"),
+        "__n",
+    )
+    for _ in range(iters):
+        dangling = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(
+                F.coalesce(F.sum("p"), F.lit(0).cast("long")).alias("__d")
+            )
+        )
+        contrib = (
+            e.join(ranks.select("node", "p"), e.src == F.col("node"))
+            .join(outdeg.withColumnRenamed("node", "__dn"), e.src == F.col("__dn"))
+            .select(F.col("dst").alias("node"), F.expr("p div __deg").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(total))
+            .crossJoin(F.broadcast(dangling))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"CAST({base_num} AS BIGINT) div ({damping_den} * __n)")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(__s, CAST(0 AS BIGINT))"
+                        f" + (__d div __n))) div {damping_den}"
+                    )
+                ).alias("p"),
+                "__n",
+            )
+        )
+    return ranks.select("node", F.col("p").alias("pr_q"))

@@ -598,10 +598,49 @@ def main() -> None:
 
         return run, lambda: shutil.rmtree(tdir, ignore_errors=True)
 
+    def micro_linkage_pairs_bucketed_disjoint(spark, sf_dir):
+        """VERDICT r14 #6: the bench micro's semantics (layout write
+        strictly OUTSIDE the timed region) under the DISJOINT-block
+        replication — the join-mass regime, not the guard regime the
+        suffix scheme produces.  Timed region = the pairs query off
+        the standing (lang, bk)-bucketed linkage silver only."""
+        from metrics_service_spark.catalog.llm import (
+            q_doc_fuzzy_prefix_bucketed,
+        )
+        from metrics_service_spark.sources.bucketed import (
+            ensure_bucketed_documents,
+        )
+
+        d = _prefixed_docs_dir(spark, sf_dir)
+        ensure_bucketed_documents(spark, d)  # layout build, untimed
+
+        def run():
+            q_doc_fuzzy_prefix_bucketed(spark, d).count()
+
+        return run, lambda: None
+
+    def micro_linkage_pairs_pathbased_disjoint(spark, sf_dir):
+        """Path-based twin of the row above: re-derives (lang, pfx,
+        bk) from the parquet and pays the block shuffle per run —
+        (path − bucketed) at each scale is the exchange + derivation
+        the layout elides."""
+        from metrics_service_spark.catalog.llm import (
+            q_doc_fuzzy_prefix_pairs,
+        )
+
+        d = _prefixed_docs_dir(spark, sf_dir)
+
+        def run():
+            q_doc_fuzzy_prefix_pairs(spark, d).count()
+
+        return run, lambda: None
+
     MICRO = {
         "semantic_gate_admit": micro_semantic_admit,
         "paragraph_index_fold": micro_paragraph_fold,
         "linkage_gate_admit": micro_linkage_gate,
+        "linkage_pairs_bucketed_disjoint": micro_linkage_pairs_bucketed_disjoint,
+        "linkage_pairs_pathbased_disjoint": micro_linkage_pairs_pathbased_disjoint,
     }
 
     only = None
