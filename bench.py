@@ -182,6 +182,9 @@ HEADLINE = [
     "metrics_request_portal",
     "metrics_request_group",
     "metrics_request_package",
+    # round-15: mass-conserving PageRank twin (per-round dangling
+    # anti-join aggregate on top of the plain twin's shape)
+    "emb_knn_pagerank_conserving",
 ]
 
 

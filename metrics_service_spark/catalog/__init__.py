@@ -49,6 +49,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "metrics_request_portal",
     "metrics_request_group",
     "metrics_request_package",
+    "emb_knn_pagerank_conserving",
     "doc_bpe_apply",
     "metrics_request_landing",
     "metrics_request_daily_country",
@@ -63,8 +64,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q7",
     "tpch_q9",
-    # -- r11-stale generation, oldest-checked fill (34 of 47; the
-    #    remaining 13 — the ann-recall family, the guarded all-pairs
+    # -- r11-stale generation, oldest-checked fill (33 of 47; the
+    #    remaining 14 — the ann-recall family, the guarded all-pairs
     #    baseline, and md5/column-bisect twins whose heads are included
     #    below — lead the r16 rotation) ---------------------------------
     "anti_join_no_orders",
@@ -100,7 +101,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "search_sessions",
     "tpch_q21",
     "tpch_q22",
-    "emb_random_projection",
     # -- slots 51+: past the driver's 50-entry line; the rest of the
     #    r11 generation queues here for r16 -----------------------------
     "emb_ann_recall",
@@ -116,6 +116,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_multi_signal_pairs",
     "emb_ann_ivf_int",
     "emb_ann_lsh_int",
+    "emb_random_projection",
 )
 
 

@@ -5553,6 +5553,94 @@ QUERIES["emb_knn_pagerank"] = QuerySpec(
 )
 
 
+def q_emb_knn_pagerank_conserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conserving PageRank twin (pagerank_int_conserving,
+    operators/closure.py): dangling mass redistributed uniformly each
+    round.  The k-NN graph has no dangling nodes by construction
+    (every node in a shared cell emits edges), so the entry drops all
+    edges whose source id ≡ 0 (mod 5) — those nodes keep receiving
+    mass but emit none, i.e. REAL dangling mass flows through the
+    per-round anti-join aggregate; the oracle applies the same edge
+    filter and replays every round."""
+    from metrics_service_spark.operators.closure import (
+        pagerank_int_conserving,
+    )
+    from metrics_service_spark.operators.similarity import knn_graph_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_int(emb, n_cells=_derived_cells(sf_dir), k=KNN_K).filter(
+        F.col("src_id") % 5 != 0
+    )
+    return pagerank_int_conserving(g, iters=PR_ITERS, scale=PR_SCALE).select(
+        F.col("node").alias("vec_id"), "pr_q"
+    )
+
+
+def _oracle_knn_pagerank_conserving() -> str:
+    # NB: each round references p{i-1} TWICE (dangling aggregate +
+    # contributions) — unlike the plain twin's single-reference chain,
+    # DuckDB would inline-re-evaluate the whole prefix exponentially
+    # (measured: >400 s vs 3.7 s at sf0.001), so the round states are
+    # pinned AS MATERIALIZED
+    base_num = 3 * PR_SCALE
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT coalesce(sum(p.p), 0) AS d
+  FROM p{i - 1} p
+  WHERE NOT EXISTS (SELECT 1 FROM odeg o WHERE o.node = p.node)
+),
+c{i} AS (
+  SELECT e.dst_id AS node, sum(p.p // dg.deg) AS s
+  FROM knnf e JOIN p{i - 1} p ON e.src_id = p.node
+              JOIN odeg dg ON e.src_id = dg.node
+  GROUP BY 1
+),
+p{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base_num} // (20 * t.n)
+              + (17 * (coalesce(c.s, 0) + dd.d // t.n)) // 20
+              AS BIGINT) AS p
+  FROM nodes n CROSS JOIN tot t CROSS JOIN d{i} dd
+       LEFT JOIN c{i} c ON n.node = c.node
+)"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH {SQL_HIER_ASSIGN_CTES}, prpairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+              AS BIGINT) AS dot_q
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+knn AS (
+  SELECT src_id, dst_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY dot_q DESC, dst_id) AS rank
+    FROM prpairs
+  ) WHERE rank <= {KNN_K}
+),
+knnf AS MATERIALIZED (SELECT * FROM knn WHERE src_id % 5 <> 0),
+nodes AS (SELECT src_id AS node FROM knnf UNION SELECT dst_id FROM knnf),
+tot AS (SELECT count(*) AS n FROM nodes),
+odeg AS (SELECT src_id AS node, count(*) AS deg FROM knnf GROUP BY 1),
+p0 AS MATERIALIZED (SELECT node, CAST({PR_SCALE} AS BIGINT) // t.n AS p FROM nodes, tot t),
+{rounds_sql}
+SELECT node AS vec_id, p AS pr_q FROM p{PR_ITERS}
+"""
+
+
+QUERIES["emb_knn_pagerank_conserving"] = QuerySpec(
+    q_emb_knn_pagerank_conserving,
+    _oracle_knn_pagerank_conserving(),
+    "mass-conserving PageRank twin: per-round dangling aggregate "
+    "redistributed uniformly, exact integer fixed-point",
+    ("llm",),
+)
+
+
 # --- threshold-free classifier eval: exact AUC (r14) -------------------------
 def q_doc_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer ROC AUC of the hash-trick classifier scored

@@ -98,3 +98,23 @@ def test_bpe_apply_pushes_column_pruning_to_scan(spark, sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "lang" not in line and "source" not in line, line
+
+
+def test_pagerank_conserving_no_driver_collect_in_plan_build(spark):
+    """Like the plain twin (test_r14_guards): constructing the
+    conserving ranks frame runs at most the two lazy-checkpoint
+    materializations; the dangling mass enters as a broadcast one-row
+    aggregate, never a collected scalar."""
+    from metrics_service_spark.operators.closure import (
+        pagerank_int_conserving,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src_id long, dst_id long"
+    )
+    ranks = pagerank_int_conserving(edges, iters=3)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) - len(before) <= 2
+    assert "CollectLimit" not in _executed(ranks)

@@ -92,3 +92,51 @@ def test_apply_stored_matches_fused_randomized(spark, seed):
         for r in bpe_apply_counts(df, n_merges=4).collect()
     }
     assert got == want
+
+
+def _py_pagerank_conserving(edges, iters=3, scale=10**12):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    p = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        dang = sum(p[v] for v in nodes if v not in deg)
+        contrib: dict[int, int] = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += p[s] // deg[s]
+        p = {
+            v: (3 * scale) // (20 * n)
+            + (17 * (contrib[v] + dang // n)) // 20
+            for v in nodes
+        }
+    return p
+
+
+@pytest.mark.parametrize("seed", [4, 23, 41])
+def test_pagerank_conserving_matches_python_reference(spark, seed):
+    import random as _random
+
+    from metrics_service_spark.operators.closure import (
+        pagerank_int,
+        pagerank_int_conserving,
+    )
+
+    rng = _random.Random(seed)
+    n = 30
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src_id long, dst_id long")
+    got = {
+        r["node"]: r["pr_q"]
+        for r in pagerank_int_conserving(df, iters=3).collect()
+    }
+    want = _py_pagerank_conserving(edges)
+    assert got == want
+    # the twin's whole point: with dangling nodes present, the
+    # conserving form retains at least as much mass as the leaking
+    # form, and never exceeds the exact budget
+    plain = {r["node"]: r["pr_q"] for r in pagerank_int(df, iters=3).collect()}
+    assert sum(got.values()) >= sum(plain.values())
+    assert sum(got.values()) <= 10**12
