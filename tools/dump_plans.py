@@ -106,6 +106,12 @@ COMMENTARY = {
     "emb_knn_pagerank": "the audited knn-graph plan feeds 3 FIXED integer power rounds: per round one src-keyed join + one dst-keyed map-side-combined agg; N enters as a broadcast one-row aggregate; no collect, no convergence tail",
     "doc_classifier_auc": "rules + classifier projections collapse to a SCORE histogram; the cumulative is global_cumsum (per-bucket sums + broadcast offsets — the only SinglePartition exchanges move the tiny offset frame and the final row); AUC arithmetic is a one-row integer projection",
     "doc_priority_sample": "pure projection (md5 hex arithmetic + exact long priority) + ONE group-keyed exchange with a WindowGroupLimit-pushed top-k — the doc_source_quota class; output bounded by k x strata",
+    "doc_bpe_train_local": "the returned frame is the k-row merge table (local scan BY DESIGN, like doc_bpe_train); the training work is ONE corpus-sized word-frequency shuffle + a bounded vocab collect — the merge loop runs driver-local (incremental pair counts + lazy heap), so total Spark jobs are O(1) regardless of n_merges",
+    "doc_bpe_apply_stored": "ZERO training jobs: the stored merge table replays as chained pure-projection scans over the distinct-word vocab (no exchange per merge — gated), then one vocab-sized unit join + one per-doc agg; corpus tokens are touched exactly once",
+    "metrics_request_portal": "portal scope is an arrays_overlap predicate on the adapter's portalIdentifier (no identifier family -> unscoped citations, like repository); month spine + full-outer merge — the dispatcher's audited J6/A12 tail",
+    "metrics_request_group": "group-subject membership + isPublic drive the family (broadcast seed join over the constant identifiers dim, the user-path shape); family semi-join + month spine + scoped citations theta-join",
+    "metrics_request_package": "two-seed PID/SID/family expansion unioned and distinct'd before the broadcast semi-join — the SID match arm end-to-end; no date filter so no spine, buckets full-outer the citation months",
+    "emb_knn_pagerank_conserving": "the plain twin's audited shape (per round one src-keyed join + one dst-keyed map-side-combined agg) plus ONE per-round anti-join aggregate that collapses dangling mass to a single broadcast row — no collect, no convergence tail",
 }
 
 
