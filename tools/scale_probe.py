@@ -272,6 +272,24 @@ QUERIES = [
     # r14: priority sampling — pure projection + one group-keyed
     # WindowGroupLimit top-k; the doc_source_quota class
     "doc_priority_sample",
+    # r15: driver-local-finish BPE training — same FLAT expectation as
+    # doc_bpe_train (suffixed copies fail the training filter so the
+    # collected vocab stays base-sized); the corpus-mass term is the
+    # same one word-freq shuffle
+    "doc_bpe_train_local",
+    # r15: stored-table apply — tokenize + distinct-word vocab replay
+    # + unit join, all corpus mass; expected to track doc_bpe_apply
+    # (the vocab replay side is base-sized under suffix replication)
+    "doc_bpe_apply_stored",
+    # r15: conserving PageRank — the plain twin's row plus a per-round
+    # one-row dangling aggregate; expected to track emb_knn_pagerank
+    "emb_knn_pagerank_conserving",
+    # r15: dispatcher portal/group/package routes — the
+    # metrics_request_landing class (scope predicate or constant-dim
+    # family join + calendar-bounded agg); expected ~linear scan fill
+    "metrics_request_portal",
+    "metrics_request_group",
+    "metrics_request_package",
 ]
 
 
