@@ -386,6 +386,33 @@ def _micro_linkage_pairs_bucketed(spark, sf_dir):
     return run, lambda: None
 
 
+def _micro_bpe_apply_stored_m48(spark, sf_dir):
+    """Stored-table BPE apply at a production-ish merge count (r15):
+    train ONCE (driver-local finish, outside the timed region), then
+    each rep applies the 48-merge table — pricing the replay chain +
+    vocab join + corpus agg a train-once/apply-many pipeline pays per
+    apply.  The catalog's doc_bpe_apply_stored entry prices the
+    n_merges=6 oracle geometry; this micro prices the merge-count
+    axis (checkpoint cadence A/B in operators/bpe.py replay_merges)."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_local_finish,
+    )
+    from metrics_service_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=48)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in table.orderBy("rank").collect()
+    ]
+
+    def run() -> None:
+        bpe_apply(docs, merges=merges).collect()
+
+    return run, lambda: None
+
+
 def _micro_linkage_gate_admit(spark, sf_dir):
     """Streaming linkage gate (r14): admit one document batch against
     a WARM persistent block index.  Bootstrap (90% of documents) runs
@@ -432,6 +459,7 @@ MICRO = {
     "metrics_refresh_silver": _micro_metrics_star_silver,
     "linkage_pairs_bucketed": _micro_linkage_pairs_bucketed,
     "linkage_gate_admit": _micro_linkage_gate_admit,
+    "bpe_apply_stored_m48": _micro_bpe_apply_stored_m48,
 }
 
 

@@ -174,3 +174,73 @@ def test_train_matches_handrolled_reference(spark):
         ("a", "b", 4),
         ("ab", "c", 1),
     ]
+
+
+def test_apply_arbitrary_stored_table_fuzz(spark):
+    # production case: the merge table comes from STORAGE, not from a
+    # training run in the same session — apply must replay ANY rank-
+    # ordered list (multi-char symbols, never-matching pairs included)
+    # exactly like a per-word python replay
+    import random
+
+    from metrics_service_spark.operators.bpe import (
+        _py_greedy_merge,
+        bpe_apply,
+    )
+
+    rng = random.Random(99)
+    words = ["aa", "aab", "abab", "banana", "bandana", "cabbage", "a"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 6))))
+        for i in range(12)
+    ]
+    merges = [
+        ("a", "a"), ("b", "a"), ("aa", "b"), ("n", "a"),
+        ("x", "y"),          # never matches
+        ("ba", "na"),        # multi-char both sides
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_units"])
+        for r in bpe_apply(df, merges=merges).collect()
+    }
+
+    def py_units(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            syms = _py_greedy_merge(syms, left, right)
+        return len(syms)
+
+    for i, text in docs:
+        toks = text.split()
+        want_units = sum(py_units(w) for w in toks)
+        assert got[i] == (len(toks), want_units), (i, text)
+
+
+def test_merge_table_storage_roundtrip_apply(spark, tmp_path):
+    # train once -> persist through the TRANSACTIONAL manifest table ->
+    # read back -> apply: the full production loop, bit-identical to
+    # the in-session fused form
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_counts,
+        bpe_train_local_finish,
+    )
+    from metrics_service_spark.sources.merge_table import (
+        overwrite_table,
+        read_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab abc"), (2, "banana bandana ab"), (3, "ba abab")],
+        "doc_id int, text string",
+    )
+    table = bpe_train_local_finish(docs, "text", n_merges=3)
+    tdir = str(tmp_path / "bpe_merges")
+    overwrite_table(table, tdir)
+    stored = read_table(spark, tdir)
+    got = sorted(tuple(r) for r in bpe_apply(docs, stored).collect())
+    want = sorted(
+        tuple(r) for r in bpe_apply_counts(docs, n_merges=3).collect()
+    )
+    assert got == want

@@ -275,3 +275,29 @@ def test_notes_rst_catalog_golden_pair(notes_rst_planner):
     assert got_views == dict(zip(NOTES_RST_DATASETS, NOTES_RST_VIEWS))
     assert got_downloads == dict(zip(NOTES_RST_DATASETS, NOTES_RST_DOWNLOADS))
     assert results["citations"] == [0] * 25
+
+
+def test_oracle_mx_guard_fires_loudly():
+    # ADVICE r14: if the synthetic pid suffix domain ever exceeds the
+    # over-generated series bound, the oracle must ERROR, not silently
+    # under-cover.  Force the measured bound past the guard and prove
+    # the DuckDB error() actually fires (and short-circuits when not).
+    import re
+
+    import duckdb
+    import pytest
+
+    from metrics_service_spark.catalog.request import ORACLE_USER_REQUEST
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id INT, ts TIMESTAMP, user_id INT, event_type VARCHAR, value INT, props VARCHAR)")
+    con.execute("INSERT INTO events VALUES (1, TIMESTAMP '2024-01-05 00:00:00', 3, 'view', 5, '{\"k\": \"7\"}')")
+    # sanity: with mx <= 9999 the query runs (guard short-circuits)
+    con.execute(ORACLE_USER_REQUEST).fetchall()
+    breached = re.sub(
+        r"bound AS \(\n.*?\n\)", "bound AS (SELECT 10000 AS mx)",
+        ORACLE_USER_REQUEST, count=1, flags=re.S,
+    )
+    assert "SELECT 10000 AS mx" in breached
+    with pytest.raises(Exception, match="series guard"):
+        con.execute(breached).fetchall()
