@@ -183,8 +183,11 @@ HEADLINE = [
     "metrics_request_group",
     "metrics_request_package",
     # round-15: mass-conserving PageRank twin (per-round dangling
-    # anti-join aggregate on top of the plain twin's shape)
+    # anti-join aggregate on top of the plain twin's shape) and the
+    # per-language tokenizer fertility/OOV report over the stored
+    # merge table
     "emb_knn_pagerank_conserving",
+    "doc_bpe_fertility",
 ]
 
 

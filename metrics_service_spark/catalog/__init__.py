@@ -50,6 +50,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "metrics_request_group",
     "metrics_request_package",
     "emb_knn_pagerank_conserving",
+    "doc_bpe_fertility",
     "doc_bpe_apply",
     "metrics_request_landing",
     "metrics_request_daily_country",
@@ -64,8 +65,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q7",
     "tpch_q9",
-    # -- r11-stale generation, oldest-checked fill (33 of 47; the
-    #    remaining 14 — the ann-recall family, the guarded all-pairs
+    # -- r11-stale generation, oldest-checked fill (32 of 47; the
+    #    remaining 15 — the ann-recall family, the guarded all-pairs
     #    baseline, and md5/column-bisect twins whose heads are included
     #    below — lead the r16 rotation) ---------------------------------
     "anti_join_no_orders",
@@ -73,7 +74,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "counter_report",
     "doc_bpe_tokens",
     "doc_contamination",
-    "doc_dup_span_runs",
     "doc_exact_dedup",
     "doc_incremental_dedup",
     "doc_jaccard_pairs",
@@ -117,6 +117,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_ivf_int",
     "emb_ann_lsh_int",
     "emb_random_projection",
+    "doc_dup_span_runs",
 )
 
 

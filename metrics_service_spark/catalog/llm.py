@@ -5433,6 +5433,37 @@ QUERIES["doc_bpe_apply_stored"] = QuerySpec(
 )
 
 
+def q_doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/OOV evaluation per language over the stored
+    merge table (bpe_apply_stats): the post-training report that
+    decides per-language vocab rebalancing — docs, whitespace tokens,
+    BPE units, OOV tokens, fertility in exact basis points.  Output is
+    language-bounded; the corpus is touched once."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_stats,
+        bpe_train_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
+    return bpe_apply_stats(docs, table, group_cols=["lang"])
+
+
+def _oracle_bpe_fertility() -> str:
+    from metrics_service_spark.operators.bpe import sql_bpe_apply_stats
+
+    return sql_bpe_apply_stats(BPE_MERGES, group_cols=["lang"])
+
+
+QUERIES["doc_bpe_fertility"] = QuerySpec(
+    q_doc_bpe_fertility,
+    _oracle_bpe_fertility(),
+    "per-language tokenizer fertility + OOV report over the stored "
+    "merge table: exact basis-point units-per-token",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

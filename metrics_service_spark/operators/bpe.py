@@ -531,3 +531,109 @@ FROM (SELECT {id_col}, t.w
       WHERE t.w <> '') d
 LEFT JOIN {final} v ON d.w = v.w
 GROUP BY 1"""
+
+
+def bpe_apply_stats(
+    docs: DataFrame,
+    merge_table: DataFrame | None = None,
+    *,
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    max_word_len: int = MAX_WORD_LEN,
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """Tokenizer EVALUATION over a stored merge table: per group
+    (e.g. language), document count, whitespace-token count, BPE unit
+    count, out-of-vocabulary token count, and FERTILITY (units per
+    whitespace token) in exact basis points — the standard metric a
+    team inspects after training a tokenizer, and the slice report
+    that decides whether a vocab needs per-language rebalancing.
+
+    Same plan skeleton as `bpe_apply` (replayed vocab + one token join
+    + one aggregation — corpus tokens touched once, zero training
+    jobs); the output is group-bounded (|langs| rows), so the result
+    never carries corpus mass.  All arithmetic is integer floor-div,
+    bit-reproducible against the relational oracle."""
+    if merges is None:
+        if merge_table is None:
+            raise ValueError("bpe_apply_stats: pass merge_table or merges")
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in merge_table.orderBy("rank").collect()
+        ]
+    from metrics_service_spark.operators.similarity import _spread
+
+    group_cols = list(group_cols or [])
+    words = (
+        _spread(docs.select(F.col(text_col)))
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
+        .distinct()
+        .select("w", F.split("w", "").alias("syms"))
+    )
+    seg = replay_merges(words, merges, checkpoint_every=checkpoint_every)
+    units = seg.select("w", F.size("syms").alias("__units"))
+    toks = (
+        _spread(docs.select(F.col(id_col), *group_cols, F.col(text_col)))
+        .select(
+            F.col(id_col),
+            *group_cols,
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    agg = (
+        toks.join(units, "w", "left")
+        .groupBy(*group_cols)
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum(F.coalesce("__units", F.lit(1)))
+            .cast("long")
+            .alias("bpe_units"),
+            F.count(F.when(F.col("__units").isNull(), 1))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        "ws_tokens",
+        "bpe_units",
+        "oov_tokens",
+        F.expr("(10000 * bpe_units) div ws_tokens").alias("fertility_bp"),
+    )
+
+
+def sql_bpe_apply_stats(
+    n_merges: int,
+    *,
+    id_col: str = "doc_id",
+    docs_table: str = "documents",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    **kw,
+) -> str:
+    ctes, final = sql_bpe_ctes(
+        n_merges, docs_table=docs_table, text_col=text_col, **kw
+    )
+    gcols = ", ".join(group_cols or [])
+    gsel = f"{gcols}, " if gcols else ""
+    return f"""WITH {ctes}
+SELECT {gsel}
+       CAST(count(DISTINCT d.{id_col}) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS ws_tokens,
+       CAST(sum(coalesce(len(v.syms), 1)) AS BIGINT) AS bpe_units,
+       CAST(count(*) FILTER (v.w IS NULL) AS BIGINT) AS oov_tokens,
+       CAST(CAST(10000 * CAST(sum(coalesce(len(v.syms), 1)) AS BIGINT) AS BIGINT)
+            // CAST(count(*) AS BIGINT) AS BIGINT) AS fertility_bp
+FROM (SELECT {id_col}, {gsel}t.w
+      FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
+      WHERE t.w <> '') d
+LEFT JOIN {final} v ON d.w = v.w
+{f"GROUP BY {gcols}" if gcols else ""}"""

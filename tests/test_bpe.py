@@ -244,3 +244,27 @@ def test_merge_table_storage_roundtrip_apply(spark, tmp_path):
         tuple(r) for r in bpe_apply_counts(docs, n_merges=3).collect()
     )
     assert got == want
+
+
+def test_apply_stats_fertility_by_group(spark):
+    # hand-computed per-group fertility/OOV: merges [(a,b)] — ab->1
+    # unit, abc->[ab,c]=2, zz->[z,z]=2, '12' OOV->1
+    from metrics_service_spark.operators.bpe import bpe_apply_stats
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab 12", "en"), (2, "abc zz", "fr")],
+        "doc_id int, text string, lang string",
+    )
+    out = {
+        r["lang"]: (
+            r["n_docs"], r["ws_tokens"], r["bpe_units"],
+            r["oov_tokens"], r["fertility_bp"],
+        )
+        for r in bpe_apply_stats(
+            docs, merges=[("a", "b")], group_cols=["lang"]
+        ).collect()
+    }
+    assert out == {
+        "en": (1, 3, 3, 1, 10000),
+        "fr": (1, 2, 4, 0, 20000),
+    }

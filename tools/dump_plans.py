@@ -112,6 +112,7 @@ COMMENTARY = {
     "metrics_request_group": "group-subject membership + isPublic drive the family (broadcast seed join over the constant identifiers dim, the user-path shape); family semi-join + month spine + scoped citations theta-join",
     "metrics_request_package": "two-seed PID/SID/family expansion unioned and distinct'd before the broadcast semi-join — the SID match arm end-to-end; no date filter so no spine, buckets full-outer the citation months",
     "emb_knn_pagerank_conserving": "the plain twin's audited shape (per round one src-keyed join + one dst-keyed map-side-combined agg) plus ONE per-round anti-join aggregate that collapses dangling mass to a single broadcast row — no collect, no convergence tail",
+    "doc_bpe_fertility": "bpe_apply_stored's zero-training-jobs skeleton with the group columns riding the token stream: one vocab replay, one token join, ONE language-keyed aggregation — output is |langs| rows, integer basis-point fertility",
 }
 
 
