@@ -290,6 +290,10 @@ QUERIES = [
     "metrics_request_portal",
     "metrics_request_group",
     "metrics_request_package",
+    # r15: fertility report — bpe_apply_stored's skeleton + one
+    # lang-keyed agg (output |langs| rows); expected to track the
+    # apply row (corpus-linear tokenize + base-sized vocab replay)
+    "doc_bpe_fertility",
 ]
 
 
