@@ -67,8 +67,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q9",
     # -- r11-stale generation, oldest-checked fill (32 of 47; the
     #    remaining 15 — the ann-recall family, the guarded all-pairs
-    #    baseline, and md5/column-bisect twins whose heads are included
-    #    below — lead the r16 rotation) ---------------------------------
+    #    baseline, md5/column-bisect twins whose heads are included
+    #    below, and the span-runs reporting layer whose doc_dup_spans
+    #    head is benched every round — lead the r16 rotation) -----------
     "anti_join_no_orders",
     "bloom_semi_lineitem",
     "counter_report",
