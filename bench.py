@@ -188,6 +188,9 @@ HEADLINE = [
     # merge table
     "emb_knn_pagerank_conserving",
     "doc_bpe_fertility",
+    # round-15: the browse-page catalog summary branch end-to-end
+    # (per-seed family expansion + unique counts + citations)
+    "metrics_request_catalog_summary",
 ]
 
 

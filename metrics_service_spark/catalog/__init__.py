@@ -49,6 +49,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "metrics_request_portal",
     "metrics_request_group",
     "metrics_request_package",
+    "metrics_request_catalog_summary",
     "emb_knn_pagerank_conserving",
     "doc_bpe_fertility",
     "doc_bpe_apply",
@@ -65,8 +66,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q7",
     "tpch_q9",
-    # -- r11-stale generation, oldest-checked fill (32 of 47; the
-    #    remaining 15 — the ann-recall family, the guarded all-pairs
+    # -- r11-stale generation, oldest-checked fill (31 of 47; the
+    #    remaining 16 — the ann-recall family, the guarded all-pairs
     #    baseline, md5/column-bisect twins whose heads are included
     #    below, and the span-runs reporting layer whose doc_dup_spans
     #    head is benched every round — lead the r16 rotation) -----------
@@ -80,7 +81,6 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_jaccard_pairs",
     "doc_lang_id",
     "doc_minhash_dedup",
-    "doc_minhash_estimate",
     "doc_ngram_topk",
     "doc_pack",
     "doc_sample_stratified",
@@ -119,6 +119,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_lsh_int",
     "emb_random_projection",
     "doc_dup_span_runs",
+    "doc_minhash_estimate",
 )
 
 

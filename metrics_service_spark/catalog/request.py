@@ -752,3 +752,83 @@ QUERIES["metrics_request_package"] = QuerySpec(
     "expansion union across two seeds, no spine",
     ("request",),
 )
+
+
+# The browse/search-page branch (getSummaryMetricsPerCatalog +
+# formatDataPerCatalog, metricsreader.py:470-640): a multi-value
+# catalog request returns one row PER REQUESTED ID with its family's
+# UNIQUE event counts and per-family citations — the reference
+# dispatches here whenever a catalog/package list request carries >1
+# values (metricsreader.py:131-137).  Seeds exercise all three match
+# arms: a plain family member (pid7 -> block 0), a member of a
+# different block (pid23 -> block 2), and a SERIES id (sid4 -> block
+# 4 via the SID arm); every seed also maps to itself.
+CATALOG_SUMMARY_REQUEST = {
+    "metrics": ["Citations", "Unique_Dataset_Requests", "Unique_Dataset_Investigations"],
+    "filterBy": [
+        {
+            "filterType": "catalog",
+            "values": ["pid7", "pid23", "sid4"],
+            "interpretAs": "list",
+        }
+    ],
+    "groupBy": ["dataset"],
+}
+
+
+def q_metrics_request_catalog_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from metrics_service_spark.plans.metrics_request import (
+        MetricsRequestPlanner,
+    )
+
+    planner = MetricsRequestPlanner(spark, _tables(spark, sf_dir))
+    return planner.catalog_summary_frame(CATALOG_SUMMARY_REQUEST)
+
+
+# Per-seed family blocks: pid7 -> 0, pid23 -> 2, sid4 -> 4; every
+# seed additionally maps to itself (family_map's catalogPIDs[i]=[i]
+# initialization), which matters only on the citation side (no event
+# pid equals a bare seed string, but the substring theta-join sees it).
+ORACLE_CATALOG_SUMMARY_REQUEST = f"""
+WITH {_REQUEST_CTES},
+sseeds (seed, blk) AS (VALUES ('pid7', 0), ('pid23', 2), ('sid4', 4)),
+sfam AS (
+  SELECT s.seed, 'pid' || CAST(m AS VARCHAR) AS pid
+  FROM sseeds s, bound, generate_series(0, 9999) t(m)
+  WHERE m <= mx AND {_MX_GUARD} AND m // {FAMILY_BLOCK} = s.blk
+  UNION
+  SELECT seed, seed FROM sseeds
+),
+counts AS (
+  SELECT f.seed,
+         count(DISTINCT CASE WHEN e.formatType = 'DATA' THEN e.eventId END) AS downloads,
+         count(DISTINCT CASE WHEN e.formatType = 'METADATA' THEN e.eventId END) AS views
+  FROM eventlog e JOIN sfam f ON e.pid = f.pid
+  WHERE {_REQ_COUNTER_SQL}
+  GROUP BY 1
+),
+scite AS (
+  SELECT seed, count(*) AS citations FROM (
+    SELECT DISTINCT f.seed, c.target_id, c.source_id
+    FROM cites c JOIN (SELECT DISTINCT seed, lower(pid) AS pid FROM sfam) f
+      ON position(lower(c.target_id) IN f.pid) > 0
+  ) GROUP BY 1
+)
+SELECT s.seed,
+       CAST(COALESCE(c.downloads, 0) AS BIGINT) AS downloads,
+       CAST(COALESCE(c.views, 0) AS BIGINT) AS views,
+       CAST(COALESCE(ct.citations, 0) AS BIGINT) AS citations
+FROM sseeds s
+LEFT JOIN counts c ON s.seed = c.seed
+LEFT JOIN scite ct ON s.seed = ct.seed
+"""
+
+QUERIES["metrics_request_catalog_summary"] = QuerySpec(
+    q_metrics_request_catalog_summary,
+    ORACLE_CATALOG_SUMMARY_REQUEST,
+    "browse-page catalog summary: one zero-filled row per requested "
+    "id with family-unique counts + per-family citations",
+    ("request",),
+)

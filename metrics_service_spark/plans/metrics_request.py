@@ -328,41 +328,14 @@ class MetricsRequestPlanner:
         one groupBy — per-seed families never leave the cluster."""
         first = request.get("filterBy", [{}])[0]
         values = list(first.get("values", []))
-        fam = self.family_map(first.get("filterType", "catalog"), values)
-        ev = self.counter_filtered_events()
-        counts = {
-            r["seed"]: (r["downloads"], r["views"])
-            for r in ev.join(F.broadcast(fam), "pid")
-            .groupBy("seed")
-            .agg(
-                F.countDistinct(
-                    F.when(F.col("formatType") == "DATA", F.col("eventId"))
-                ).alias("downloads"),
-                F.countDistinct(
-                    F.when(F.col("formatType") == "METADATA", F.col("eventId"))
-                ).alias("views"),
-            )
-            .collect()
-        }
-        pids = fam.select(
-            "seed",
-            F.lower(F.substring_index(F.col("pid"), "?", 1)).alias("__pid_norm"),
-        ).distinct()
-        cites = {
-            r["seed"]: r["citations"]
-            for r in self.t.citations.join(
-                F.broadcast(pids),
-                F.instr(F.col("__pid_norm"), F.lower(F.col("target_id"))) > 0,
-            )
-            .dropDuplicates(["seed", "target_id", "source_id"])
-            .groupBy("seed")
-            .agg(F.count(F.lit(1)).alias("citations"))
-            .collect()
+        rows = {
+            r["seed"]: (r["downloads"], r["views"], r["citations"])
+            for r in self.catalog_summary_frame(request).collect()
         }
         results = {
-            "downloads": [counts.get(v, (0, 0))[0] for v in values],
-            "views": [counts.get(v, (0, 0))[1] for v in values],
-            "citations": [cites.get(v, 0) for v in values],
+            "downloads": [rows.get(v, (0, 0, 0))[0] for v in values],
+            "views": [rows.get(v, (0, 0, 0))[1] for v in values],
+            "citations": [rows.get(v, (0, 0, 0))[2] for v in values],
             "datasets": list(values),
             "country": [],
             "months": [],
@@ -372,6 +345,55 @@ class MetricsRequestPlanner:
             "results": results,
             "resultDetails": {},
         }
+
+    def catalog_summary_frame(self, request: dict) -> DataFrame:
+        """The per-dataset summary as ONE zero-filled DataFrame (seed,
+        downloads, views, citations) — the oracle-checkable core of
+        `catalog_summary_response` (getSummaryMetricsPerCatalog,
+        metricsreader.py:470-640): per-seed family expansion, family
+        UNIQUE event counts (the ES unique_doc_count cardinality), and
+        per-family citation gathering, all cluster-side; one row per
+        requested id regardless of activity."""
+        first = request.get("filterBy", [{}])[0]
+        values = list(first.get("values", []))
+        fam = self.family_map(first.get("filterType", "catalog"), values)
+        ev = self.counter_filtered_events()
+        counts = (
+            ev.join(F.broadcast(fam), "pid")
+            .groupBy("seed")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("formatType") == "DATA", F.col("eventId"))
+                ).alias("__dl"),
+                F.countDistinct(
+                    F.when(F.col("formatType") == "METADATA", F.col("eventId"))
+                ).alias("__vw"),
+            )
+        )
+        pids = fam.select(
+            "seed",
+            F.lower(F.substring_index(F.col("pid"), "?", 1)).alias("__pid_norm"),
+        ).distinct()
+        cites = (
+            self.t.citations.join(
+                F.broadcast(pids),
+                F.instr(F.col("__pid_norm"), F.lower(F.col("target_id"))) > 0,
+            )
+            .dropDuplicates(["seed", "target_id", "source_id"])
+            .groupBy("seed")
+            .agg(F.count(F.lit(1)).alias("__ct"))
+        )
+        seeds = self.spark.createDataFrame([(v,) for v in values], "seed string")
+        return (
+            seeds.join(counts, "seed", "left")
+            .join(cites, "seed", "left")
+            .select(
+                "seed",
+                F.coalesce("__dl", F.lit(0)).cast("long").alias("downloads"),
+                F.coalesce("__vw", F.lit(0)).cast("long").alias("views"),
+                F.coalesce("__ct", F.lit(0)).cast("long").alias("citations"),
+            )
+        )
 
     # -- reference-shaped response ----------------------------------------
     def response(self, request: dict) -> dict:

@@ -113,6 +113,7 @@ COMMENTARY = {
     "metrics_request_package": "two-seed PID/SID/family expansion unioned and distinct'd before the broadcast semi-join — the SID match arm end-to-end; no date filter so no spine, buckets full-outer the citation months",
     "emb_knn_pagerank_conserving": "the plain twin's audited shape (per round one src-keyed join + one dst-keyed map-side-combined agg) plus ONE per-round anti-join aggregate that collapses dangling mass to a single broadcast row — no collect, no convergence tail",
     "doc_bpe_fertility": "bpe_apply_stored's zero-training-jobs skeleton with the group columns riding the token stream: one vocab replay, one token join, ONE language-keyed aggregation — output is |langs| rows, integer basis-point fertility",
+    "metrics_request_catalog_summary": "per-seed family broadcast join + ONE seed-keyed unique-count aggregation + the citation theta-join per family — one zero-filled row per requested id, per-seed families never leave the cluster",
 }
 
 

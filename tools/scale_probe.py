@@ -290,6 +290,10 @@ QUERIES = [
     "metrics_request_portal",
     "metrics_request_group",
     "metrics_request_package",
+    # r15: browse-page catalog summary — per-seed family join +
+    # seed-keyed unique-count agg over the 50x eventlog; constant
+    # dims, seed-bounded output; the metrics_request class
+    "metrics_request_catalog_summary",
     # r15: fertility report — bpe_apply_stored's skeleton + one
     # lang-keyed agg (output |langs| rows); expected to track the
     # apply row (corpus-linear tokenize + base-sized vocab replay)
