@@ -234,13 +234,22 @@ def bpe_train_local_finish(
     greedy non-overlapping scan, same loud ValueError on pair
     exhaustion.  The relational replay `sql_bpe_merge_table` oracles
     both paths."""
-    rows = word_frequencies(
-        docs, text_col, max_word_len=max_word_len
-    ).collect()
+    # Bound the TRANSFER, not just the result: a global limit of
+    # max_vocab_rows + 1 truncates what crosses to the driver, so on
+    # the pathological input this guard exists for (a non-language-
+    # bounded unique-word table, e.g. IDs/hashes in text) the loud
+    # error fires before the driver can swap — while below the bound
+    # the limit is a no-op and completeness is untouched.  The +1
+    # sentinel row is how overflow is detected (ADVICE r15).
+    rows = (
+        word_frequencies(docs, text_col, max_word_len=max_word_len)
+        .limit(max_vocab_rows + 1)
+        .collect()
+    )
     if len(rows) > max_vocab_rows:
         raise ValueError(
-            f"bpe_train_local_finish: vocabulary has {len(rows)} rows "
-            f"(> max_vocab_rows={max_vocab_rows}); this input's unique-"
+            f"bpe_train_local_finish: vocabulary exceeds "
+            f"max_vocab_rows={max_vocab_rows}; this input's unique-"
             f"word table is not language-bounded — use bpe_train or "
             f"raise the guard explicitly"
         )
@@ -274,6 +283,19 @@ def bpe_train_local_finish(
                 f"(requested {n_merges}); corpus too small for this vocab"
             )
         l, r = best
+        # Bit-identity with `_train` relies on Python tuple order ==
+        # Spark UTF8 binary order for the (left, right) tie-break,
+        # which holds for ASCII symbols only (ADVICE r15: WORD_RE is
+        # '^[a-z]+$' today; enforce the assumption so widening it to
+        # unicode letters fails loudly instead of silently diverging
+        # on ties).
+        if not (l + r).isascii():
+            raise ValueError(
+                f"bpe_train_local_finish: non-ASCII merge pair "
+                f"({l!r}, {r!r}) — the heap tie-break is only "
+                f"UTF8-order-identical to bpe_train for ASCII symbols; "
+                f"use bpe_train for this vocabulary"
+            )
         merges.append((rank, l, r, counts[(l, r)]))
         touched: set[tuple[str, str]] = set()
         for w in sorted(where.get((l, r), ())):
@@ -304,6 +326,24 @@ def bpe_train_local_finish(
 
 
 # --- apply a stored merge table ---------------------------------------------
+def _collect_merges(merge_table: DataFrame) -> list[tuple[str, str]]:
+    """Collect a persisted merge table in rank order, validating it is
+    exactly ranks 0..n-1 with no duplicates or gaps (ADVICE r15: a
+    corrupted / partially-written table with duplicate ranks would
+    otherwise replay in nondeterministic tie order, silently breaking
+    the bit-identical-replay contract — fail loudly instead, matching
+    the module's other production paths)."""
+    rows = merge_table.orderBy("rank").collect()
+    ranks = [r["rank"] for r in rows]
+    if ranks != list(range(len(rows))):
+        raise ValueError(
+            f"merge table is corrupt: ranks must be exactly "
+            f"0..{len(rows) - 1} distinct, got {ranks[:20]}"
+            + ("..." if len(ranks) > 20 else "")
+        )
+    return [(r["left_sym"], r["right_sym"]) for r in rows]
+
+
 def replay_merges(
     vocab: DataFrame,
     merges: list[tuple[str, str]],
@@ -388,10 +428,7 @@ def bpe_apply(
     if merges is None:
         if merge_table is None:
             raise ValueError("bpe_apply: pass merge_table or merges")
-        merges = [
-            (r["left_sym"], r["right_sym"])
-            for r in merge_table.orderBy("rank").collect()
-        ]
+        merges = _collect_merges(merge_table)
     from metrics_service_spark.operators.similarity import _spread
 
     words = (
@@ -559,10 +596,7 @@ def bpe_apply_stats(
     if merges is None:
         if merge_table is None:
             raise ValueError("bpe_apply_stats: pass merge_table or merges")
-        merges = [
-            (r["left_sym"], r["right_sym"])
-            for r in merge_table.orderBy("rank").collect()
-        ]
+        merges = _collect_merges(merge_table)
     from metrics_service_spark.operators.similarity import _spread
 
     group_cols = list(group_cols or [])

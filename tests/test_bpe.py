@@ -268,3 +268,70 @@ def test_apply_stats_fertility_by_group(spark):
         "en": (1, 3, 3, 1, 10000),
         "fr": (1, 2, 4, 0, 20000),
     }
+
+
+def test_apply_rejects_corrupt_merge_table(spark):
+    # ADVICE r15: duplicate ranks (nondeterministic tie order on
+    # replay) and rank gaps (partially-written table) must fail
+    # loudly, not replay silently
+    from metrics_service_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
+    dup = spark.createDataFrame(
+        [(0, "a", "b", 2), (0, "b", "a", 2)],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    gap = spark.createDataFrame(
+        [(0, "a", "b", 2), (2, "ab", "c", 1)],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    for bad in (dup, gap):
+        with pytest.raises(ValueError, match="corrupt"):
+            bpe_apply(docs, bad)
+
+
+def test_local_finish_guard_bounds_the_transfer(spark):
+    # ADVICE r15: the vocab guard must truncate the driver TRANSFER
+    # (limit max+1), not collect everything then count — the plan
+    # itself must carry a GlobalLimit below the collect
+    from unittest import mock
+
+    from metrics_service_spark.operators import bpe
+
+    docs = spark.createDataFrame([("ab cd ef",)], "text string")
+    seen = {}
+    orig = bpe.word_frequencies
+
+    def spy(*a, **kw):
+        df = orig(*a, **kw)
+
+        class _Wrap:
+            def limit(self, n):
+                seen["limit"] = n
+                return df.limit(n)
+
+            def collect(self):  # pragma: no cover - guard must use limit
+                raise AssertionError("collect without limit bound")
+
+        return _Wrap()
+
+    with mock.patch.object(bpe, "word_frequencies", spy):
+        with pytest.raises(ValueError, match="max_vocab_rows"):
+            bpe.bpe_train_local_finish(docs, "text", n_merges=1, max_vocab_rows=2)
+    assert seen["limit"] == 3
+
+
+def test_local_finish_rejects_non_ascii_merge(spark):
+    # ADVICE r15: the heap tie-break is UTF8-order-identical to
+    # bpe_train only for ASCII symbols; if WORD_RE is ever widened to
+    # unicode letters the local finish must refuse, not silently
+    # diverge on ties
+    from unittest import mock
+
+    from metrics_service_spark.operators import bpe
+
+    assert bpe.WORD_RE == "^[a-z]+$"  # the documented ASCII-only filter
+    docs = spark.createDataFrame([("ßßß ßß",)], "text string")
+    with mock.patch.object(bpe, "WORD_RE", "^[a-zß]+$"):
+        with pytest.raises(ValueError, match="non-ASCII"):
+            bpe.bpe_train_local_finish(docs, "text", n_merges=1)
