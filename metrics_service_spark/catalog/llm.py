@@ -5464,6 +5464,98 @@ QUERIES["doc_bpe_fertility"] = QuerySpec(
 )
 
 
+# Deep-replay geometry (VERDICT r15 #4): 48 merges crosses
+# replay_merges' checkpoint_every=32 boundary, so the lazy
+# localCheckpoint path inside the rank-order replay chain — exercised
+# only by bench micros and toy pytest invariance before r16 — is
+# oracle-replayed bit-for-bit at depth.  The 48-round relational
+# oracle needs AS MATERIALIZED vocab states (each r{n} is referenced
+# twice; DuckDB inlines per reference — ~2^48 re-evaluation without
+# the pin, measured as fd exhaustion at round-16 close).
+BPE_MERGES_DEEP = 48
+
+
+def q_doc_bpe_apply_m48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-table apply at a production-ish merge count: train once
+    via the driver-local finish (O(1) Spark jobs at any merge count),
+    then apply the 48-rank table — the replay chain checkpoints at
+    rank 32, so a green row proves the checkpointed replay reproduces
+    training's segmentation bit-for-bit past the lineage cut."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES_DEEP)
+    return bpe_apply(docs, table, id_col="doc_id", text_col="text")
+
+
+def _oracle_bpe_apply_m48() -> str:
+    from metrics_service_spark.operators.bpe import sql_bpe_apply_counts
+
+    return sql_bpe_apply_counts(BPE_MERGES_DEEP, materialize=True)
+
+
+QUERIES["doc_bpe_apply_m48"] = QuerySpec(
+    q_doc_bpe_apply_m48,
+    _oracle_bpe_apply_m48(),
+    "stored BPE apply at 48 merges: the replay chain crosses its "
+    "localCheckpoint boundary, oracle-replayed at depth",
+    ("llm",),
+)
+
+
+# Vocab-budget rebalancing constants: a production-ish next-vocab
+# budget with a floor so every language keeps a minimum presence.
+VOCAB_BUDGET_TOTAL = 1000
+VOCAB_BUDGET_MIN = 16
+
+
+def q_doc_vocab_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fertility report's consumer (VERDICT r15 #3): per-language
+    merge budgets for the NEXT vocabulary, apportioned by each
+    language's excess unit mass under the current tokenizer
+    (largest-remainder integer apportionment with a per-language
+    floor — sums to the budget exactly).  Corpus touched once, by the
+    stats pass; the apportionment windows run on the |langs|-row
+    report."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_stats,
+        bpe_train_local_finish,
+        vocab_budget_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
+    stats = bpe_apply_stats(docs, table, group_cols=["lang"])
+    return vocab_budget_rebalance(
+        stats,
+        "lang",
+        total_budget=VOCAB_BUDGET_TOTAL,
+        min_per_group=VOCAB_BUDGET_MIN,
+    )
+
+
+def _oracle_vocab_budget() -> str:
+    from metrics_service_spark.operators.bpe import sql_vocab_budget
+
+    return sql_vocab_budget(
+        BPE_MERGES,
+        total_budget=VOCAB_BUDGET_TOTAL,
+        min_per_group=VOCAB_BUDGET_MIN,
+    )
+
+
+QUERIES["doc_vocab_budget"] = QuerySpec(
+    q_doc_vocab_budget,
+    _oracle_vocab_budget(),
+    "per-language merge-budget rebalancing from the fertility report: "
+    "exact Hamilton apportionment of the next vocab's merge slots",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

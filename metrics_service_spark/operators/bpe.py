@@ -473,21 +473,30 @@ def sql_bpe_ctes(
     max_word_len: int = MAX_WORD_LEN,
     docs_table: str = "documents",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> tuple[str, str]:
     """CTE body replaying the full training run relationally; returns
     (cte_sql, final_vocab_cte_name).  Greedy non-overlap is resolved
     by run parity: within each maximal run of consecutive pair
     matches (only same-symbol pairs can overlap), occurrences at even
     offset from the run head are taken — exactly the left-to-right
-    scan.  Merge CTEs are b0..b{k-1}, vocab states r0..r{k}."""
+    scan.  Merge CTEs are b0..b{k-1}, vocab states r0..r{k}.
+
+    `materialize` pins every vocab state r{n} with AS MATERIALIZED:
+    each r{n} is referenced TWICE (by p{n} and m{n}), and DuckDB
+    inlines non-materialized CTEs per reference, so an un-pinned
+    chain re-evaluates the whole prefix ~2^n times — fine at the
+    6-round oracle geometry, fd-exhaustion/blow-up at 48 rounds.
+    Required for any deep-replay oracle (n_merges > ~10)."""
+    mat = " MATERIALIZED" if materialize else ""
     ctes = [
-        f"""words AS (
+        f"""words AS{mat} (
   SELECT w, count(*) AS freq FROM (
     SELECT t.w FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
   ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= {max_word_len}
   GROUP BY w
 )""",
-        """r0 AS (
+        f"""r0 AS{mat} (
   SELECT w, freq,
          list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
   FROM words
@@ -526,7 +535,7 @@ def sql_bpe_ctes(
 )""",
         )
         ctes.append(
-            f"""r{n + 1} AS (
+            f"""r{n + 1} AS{mat} (
   SELECT w, any_value(freq) AS freq,
          list(CASE WHEN taken THEN sym || br ELSE sym END ORDER BY i) AS syms
   FROM (SELECT *, lag(taken) OVER (PARTITION BY w ORDER BY i) AS prev_taken
@@ -671,3 +680,158 @@ FROM (SELECT {id_col}, {gsel}t.w
       WHERE t.w <> '') d
 LEFT JOIN {final} v ON d.w = v.w
 {f"GROUP BY {gcols}" if gcols else ""}"""
+
+
+# --- per-language vocab-budget rebalancing ----------------------------------
+def vocab_budget_rebalance(
+    stats: DataFrame,
+    group_col: str = "lang",
+    *,
+    total_budget: int,
+    min_per_group: int = 0,
+) -> DataFrame:
+    """The fertility report's CONSUMER (VERDICT r15 #3): turn
+    `bpe_apply_stats` output into per-language merge budgets — the
+    UniMax-style decision step a multilingual tokenizer pipeline runs
+    between evaluation rounds (allocate the next vocabulary's merge
+    slots toward the languages the current tokenizer serves worst).
+
+    Weighting: a language's claim on the budget is its EXCESS UNIT
+    MASS `max(bpe_units - ws_tokens, 0)` — the number of extra units
+    the current segmentation spends beyond one-unit-per-token, i.e.
+    exactly the mass further merges can still reclaim, corpus-weighted
+    for free (a high-fertility language with 10x the tokens has 10x
+    the reclaimable mass).  If every language is already at fertility
+    1.0 the split is even.
+
+    Apportionment is largest-remainder (Hamilton): floor quotas by
+    exact BIGINT floor-div, then the `R = budget - sum(floors)` odd
+    units go to the largest fractional remainders (ties broken by
+    group name) — so `sum(merge_budget) == total_budget` EXACTLY,
+    every step integer and oracle-replayable.  Unlike
+    `temperature_source_sample` (which rounds per-source to avoid a
+    corpus-scale global sort), the frame here is |languages| rows, so
+    exactness costs one window pass over a handful of rows.
+
+    `min_per_group` is a floor: every language gets at least that many
+    merges; the remainder is apportioned by weight.  Fails loudly (in
+    the plan, via assert_true) if the floors alone exceed the budget.
+
+    Scale: the input is already group-bounded (|langs| rows); both
+    window passes run on that tiny frame — the corpus was touched
+    once, by `bpe_apply_stats`.  Output: (group, excess_units,
+    merge_budget)."""
+    from pyspark.sql import Window
+
+    from metrics_service_spark.operators.sampling import _floordiv_long
+
+    w_all = Window.partitionBy()
+    f = stats.select(
+        F.col(group_col),
+        F.greatest(F.col("bpe_units") - F.col("ws_tokens"), F.lit(0))
+        .cast("long")
+        .alias("excess_units"),
+    ).select(
+        group_col,
+        "excess_units",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("__m"),
+        F.sum("excess_units").over(w_all).alias("__wsum"),
+    )
+    # the floors-exceed-budget guard is woven INTO __B (the otherwise
+    # branch raises), not a side column — a side assert column would be
+    # pruned by Catalyst as unused
+    raw_b = F.lit(int(total_budget)) - F.lit(int(min_per_group)) * F.col(
+        "__m"
+    )
+    f = (
+        f.withColumn(
+            "__B",
+            F.when(raw_b >= 0, raw_b).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "vocab_budget_rebalance: min_per_group floors "
+                        "exceed total_budget"
+                    )
+                ).cast("long")
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.when(F.col("__wsum") > 0, F.col("excess_units")).otherwise(
+                F.lit(1).cast("long")
+            ),
+        )
+        .withColumn(
+            "__wtot",
+            F.when(F.col("__wsum") > 0, F.col("__wsum")).otherwise(F.col("__m")),
+        )
+    )
+    f = f.withColumn(
+        "__base", _floordiv_long(F.col("__B") * F.col("__w"), F.col("__wtot"))
+    ).withColumn("__fr", F.pmod(F.col("__B") * F.col("__w"), F.col("__wtot")))
+    f = f.withColumn("__R", F.col("__B") - F.sum("__base").over(w_all))
+    f = f.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("__fr"), F.col(group_col).asc())
+        ),
+    )
+    return f.select(
+        group_col,
+        "excess_units",
+        (
+            F.lit(int(min_per_group))
+            + F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__R"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("merge_budget"),
+    )
+
+
+def sql_vocab_budget(
+    n_merges: int,
+    *,
+    total_budget: int,
+    min_per_group: int = 0,
+    group_col: str = "lang",
+    **kw,
+) -> str:
+    """DuckDB replay of `bpe_apply_stats` -> `vocab_budget_rebalance`:
+    the stats query nests as a materialized CTE, then the Hamilton
+    apportionment replays in plain BIGINT arithmetic."""
+    stats_sql = sql_bpe_apply_stats(n_merges, group_cols=[group_col], **kw)
+    return f"""WITH stats AS MATERIALIZED (
+{stats_sql}
+),
+wts AS (
+  SELECT {group_col},
+         CAST(greatest(bpe_units - ws_tokens, 0) AS BIGINT) AS excess_units
+  FROM stats
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(excess_units) AS BIGINT) AS W
+  FROM wts
+),
+eff AS (
+  SELECT {group_col}, excess_units,
+         CASE WHEN W > 0 THEN excess_units ELSE CAST(1 AS BIGINT) END AS w,
+         CASE WHEN W > 0 THEN W ELSE m END AS Wt,
+         CAST({total_budget} - {min_per_group} * m AS BIGINT) AS B
+  FROM wts CROSS JOIN tot
+),
+base AS (
+  SELECT *, (B * w) // Wt AS fl, (B * w) % Wt AS fr FROM eff
+),
+ranked AS (
+  SELECT *, B - sum(fl) OVER () AS R,
+         row_number() OVER (ORDER BY fr DESC, {group_col}) AS rk
+  FROM base
+)
+SELECT {group_col}, excess_units,
+       CAST({min_per_group} + fl + CASE WHEN rk <= R THEN 1 ELSE 0 END
+            AS BIGINT) AS merge_budget
+FROM ranked"""

@@ -335,3 +335,113 @@ def test_local_finish_rejects_non_ascii_merge(spark):
     with mock.patch.object(bpe, "WORD_RE", "^[a-zß]+$"):
         with pytest.raises(ValueError, match="non-ASCII"):
             bpe.bpe_train_local_finish(docs, "text", n_merges=1)
+
+
+# --- vocab-budget rebalancing (r16) -----------------------------------------
+def _ref_budget(weights, budget, mn):
+    """Sequential Hamilton-apportionment reference: floors by exact
+    integer division, odd units to largest fractional remainders."""
+    m = len(weights)
+    B = budget - mn * m
+    assert B >= 0
+    W = sum(weights.values())
+    w = dict(weights) if W > 0 else {k: 1 for k in weights}
+    Wt = W if W > 0 else m
+    fl = {k: (B * w[k]) // Wt for k in w}
+    fr = {k: (B * w[k]) % Wt for k in w}
+    R = B - sum(fl.values())
+    order = sorted(w, key=lambda k: (-fr[k], k))
+    return {k: mn + fl[k] + (1 if i < R else 0) for i, k in enumerate(order)}
+
+
+def _stats_frame(spark, rows):
+    return spark.createDataFrame(
+        [(lang, 1, ws, units, 0) for lang, ws, units in rows],
+        "lang string, n_docs int, ws_tokens long, bpe_units long, oov_tokens long",
+    )
+
+
+def test_vocab_budget_matches_reference(spark):
+    from metrics_service_spark.operators.bpe import vocab_budget_rebalance
+
+    rows = [("en", 100, 150), ("de", 50, 130), ("fr", 10, 10), ("ja", 7, 29)]
+    got = {
+        r["lang"]: (r["excess_units"], r["merge_budget"])
+        for r in vocab_budget_rebalance(
+            _stats_frame(spark, rows), total_budget=1000, min_per_group=16
+        ).collect()
+    }
+    weights = {lang: max(u - ws, 0) for lang, ws, u in rows}
+    want = _ref_budget(weights, 1000, 16)
+    assert got == {k: (weights[k], want[k]) for k in weights}
+    assert sum(v[1] for v in got.values()) == 1000  # exact apportionment
+
+
+def test_vocab_budget_even_split_when_all_saturated(spark):
+    # every language already at fertility <= 1.0: weights all zero ->
+    # even split, remainders to lexicographically-first groups
+    from metrics_service_spark.operators.bpe import vocab_budget_rebalance
+
+    rows = [("en", 10, 10), ("de", 5, 5), ("fr", 3, 2)]
+    got = {
+        r["lang"]: r["merge_budget"]
+        for r in vocab_budget_rebalance(
+            _stats_frame(spark, rows), total_budget=10
+        ).collect()
+    }
+    assert got == {"de": 4, "en": 3, "fr": 3}
+
+
+def test_vocab_budget_floor_guard_raises(spark):
+    from metrics_service_spark.operators.bpe import vocab_budget_rebalance
+
+    rows = [("en", 10, 20), ("de", 5, 9)]
+    df = vocab_budget_rebalance(
+        _stats_frame(spark, rows), total_budget=5, min_per_group=16
+    )
+    with pytest.raises(Exception, match="floors exceed total_budget"):
+        df.collect()
+
+
+def test_vocab_budget_fuzz_vs_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from metrics_service_spark.operators.bpe import vocab_budget_rebalance
+
+    langs = ["en", "de", "fr", "ja", "ko", "zh"]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1000),
+                st.integers(min_value=0, max_value=2000),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=3),
+    )
+    def run(pairs, budget, mn):
+        if budget < mn * len(pairs):
+            return
+        rows = [(langs[i], ws, u) for i, (ws, u) in enumerate(pairs)]
+        got = {
+            r["lang"]: r["merge_budget"]
+            for r in vocab_budget_rebalance(
+                _stats_frame(spark, rows),
+                total_budget=budget,
+                min_per_group=mn,
+            ).collect()
+        }
+        weights = {lang: max(u - ws, 0) for lang, ws, u in rows}
+        assert got == _ref_budget(weights, budget, mn)
+        assert sum(got.values()) == budget
+
+    run()
