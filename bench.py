@@ -191,6 +191,12 @@ HEADLINE = [
     # round-15: the browse-page catalog summary branch end-to-end
     # (per-seed family expansion + unique counts + citations)
     "metrics_request_catalog_summary",
+    # round-16: the deep-replay stored apply (train+apply at 48
+    # merges, crossing the checkpoint boundary; the
+    # bpe_apply_stored_m48 micro below still prices apply-only) and
+    # the fertility report's vocab-budget consumer
+    "doc_bpe_apply_m48",
+    "doc_vocab_budget",
 ]
 
 

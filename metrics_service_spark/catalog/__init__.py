@@ -36,90 +36,97 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r15 impl-changed/new first (rotation policy): the NEW
-    #    production BPE paths (stored-table apply + driver-local-finish
-    #    trainer, VERDICT r14 #1), the NEW portal/group/package
-    #    dispatcher routes (VERDICT r14 #2), then every r14 request
-    #    entry whose oracle gained the sessionId<>-1 predicate + mx
-    #    guard (ADVICE r14) and whose adapter gained portalIdentifier /
-    #    the group subject, and doc_bpe_apply (refactored through the
-    #    shared _count_with_units tail) --------------------------------
-    "doc_bpe_train_local",
+    # -- r16 new/impl-changed first (rotation policy): the two new
+    #    entries (deep-replay stored apply crossing the checkpoint
+    #    boundary, VERDICT r15 #4; the fertility report's vocab-budget
+    #    consumer, VERDICT r15 #5) and the three entries whose code
+    #    paths changed this round (bpe_train_local_finish gained the
+    #    bounded vocab transfer + ASCII tie-break guard; bpe_apply /
+    #    bpe_apply_stats now validate the persisted merge table —
+    #    ADVICE r15) ----------------------------------------------------
+    "doc_bpe_apply_m48",
+    "doc_vocab_budget",
+    "search_stream_batch_twin",
     "doc_bpe_apply_stored",
-    "metrics_request_portal",
-    "metrics_request_group",
-    "metrics_request_package",
-    "metrics_request_catalog_summary",
-    "emb_knn_pagerank_conserving",
+    "doc_bpe_train_local",
     "doc_bpe_fertility",
-    "doc_bpe_apply",
-    "metrics_request_landing",
-    "metrics_request_daily_country",
-    "metrics_request_user",
-    "metrics_request_repository",
-    # -- the last six r10-stale rows (VERDICT r14 "What's missing" #3:
-    #    routine rotation debt; bitwise-green in FULLCHECK both r14
-    #    sessions) ------------------------------------------------------
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q7",
-    "tpch_q9",
-    # -- r11-stale generation, oldest-checked fill (31 of 47; the
-    #    remaining 16 — the ann-recall family, the guarded all-pairs
-    #    baseline, md5/column-bisect twins whose heads are included
-    #    below, and the span-runs reporting layer whose doc_dup_spans
-    #    head is benched every round — lead the r16 rotation) -----------
-    "anti_join_no_orders",
-    "bloom_semi_lineitem",
-    "counter_report",
-    "doc_bpe_tokens",
-    "doc_contamination",
-    "doc_exact_dedup",
-    "doc_incremental_dedup",
-    "doc_jaccard_pairs",
-    "doc_lang_id",
-    "doc_minhash_dedup",
-    "doc_ngram_topk",
-    "doc_pack",
-    "doc_sample_stratified",
-    "doc_source_quota",
-    "doc_split",
-    "doc_temperature_mix",
-    "doc_token_stats",
-    "ev_props_kv",
-    "ev_retention",
-    "ev_value_median",
-    "func_scalar_suite",
-    "metrics_star",
-    "mm_image_meta_real_mixed",
-    "order_chains",
-    "order_components",
-    "orders_rollup",
-    "package_counts",
-    "search_log_pipeline",
-    "search_sessions",
-    "tpch_q21",
-    "tpch_q22",
-    # -- slots 51+: past the driver's 50-entry line; the rest of the
-    #    r11 generation queues here for r16 -----------------------------
+    # -- the 16 remaining r11-stale rows (VERDICT r15 #2): drained in
+    #    full this window; after this round minimum staleness is r12.
+    #    TWIN RULE (VERDICT r15 #3): when a float-head / bitwise-twin
+    #    pair straddles the 50-entry line, the hash-verdict TWIN goes
+    #    in-window (doc_minhash_dedup_md5 here) and the no_oracle head
+    #    (doc_minhash_dedup) queues behind it — a window slot must buy
+    #    a hash verdict, not a rows-only check, unless the head's twin
+    #    is in-window too ------------------------------------------------
+    "doc_dup_span_runs",
+    "doc_dup_spans_counts",
+    "doc_dup_spans_frac",
+    "doc_minhash_dedup_md5",
+    "doc_minhash_estimate",
+    "doc_multi_signal_pairs",
+    "doc_split_leakage_safe",
+    "emb_ann_ivf_int",
+    "emb_ann_lsh_int",
     "emb_ann_recall",
     "emb_ann_recall_ivfpq",
     "emb_ann_recall_lsh",
     "emb_ann_recall_pq",
     "emb_ann_recall_sq8",
     "emb_cosine_neardup_allpairs",
-    "doc_dup_spans_counts",
-    "doc_dup_spans_frac",
-    "doc_minhash_dedup_md5",
-    "doc_split_leakage_safe",
-    "doc_multi_signal_pairs",
-    "emb_ann_ivf_int",
-    "emb_ann_lsh_int",
     "emb_random_projection",
-    "doc_dup_span_runs",
-    "doc_minhash_estimate",
+    # -- r12 generation, oldest-checked fill (28 of 46, name order;
+    #    none are no_oracle entries).  Includes the four degraded-hour
+    #    bench watch items (doc_chunk_overlap, doc_classifier_eval,
+    #    doc_winnow_pairs + doc_fuzzy_prefix_pairs' exact family) so
+    #    their r16 driver rows land alongside the bench re-read --------
+    "doc_bigram_coherence",
+    "doc_canonical_dedup",
+    "doc_ccnet_bucket",
+    "doc_chunk_overlap",
+    "doc_classifier_eval",
+    "doc_curation_pipeline",
+    "doc_dedup_clusters",
+    "doc_dedup_tiers",
+    "doc_dsir_vote",
+    "doc_dup_spans",
+    "doc_epoch_cap_mix",
+    "doc_gopher_rules",
+    "doc_hash_classifier",
+    "doc_paragraph_dedup",
+    "doc_quality",
+    "doc_quality_filter",
+    "doc_winnow_pairs",
+    "emb_pq_topk_int",
+    "emb_sq8_topk_int",
+    "ev_asof_orders",
+    "ev_day_spine",
+    "ev_filter_project",
+    "ev_funnel",
+    "ev_hash_sessions",
+    "ev_interevent_gap",
+    "ev_last_per_user",
+    "ev_monthly_stats",
+    "ev_pivot_daily",
+    # -- slots 51+: past the driver's 50-entry line; the remaining 18
+    #    r12-generation rows queue here for r17 ------------------------
+    "ev_rolling_7d",
+    "ev_session_having",
+    "ev_sessionize",
+    "ev_sessionize_bucketed",
+    "ev_sessionize_global",
+    "ev_tag_membership",
+    "ev_top3_per_type",
+    "ev_value_tiers",
+    "except_non_purchasers",
+    "full_outer_daily",
+    "mm_dedup_clusters",
+    "pid_family_closure",
+    "semi_join_purchasers",
+    "sushi_instances",
+    "theta_contains",
+    "tpch_q10",
+    "union_distinct_ids",
+    "user_event_family",
 )
 
 

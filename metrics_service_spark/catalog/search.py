@@ -152,6 +152,65 @@ FROM pipeline GROUP BY 1
 """
 
 
+def q_search_stream_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING ingest path (VERDICT r15 #7): runs
+    `streaming/search.py::parse_search_lines` — the exact function the
+    readStream query applies per micro-batch — on the same
+    deterministic CLF lines as a batch frame.  Every step in that
+    pipeline is a stateless per-row expression, so Structured
+    Streaming semantics equal batch semantics row-for-row; a green row
+    here hash-verifies the streaming query's transform graph (the
+    pytest streaming tests cover trigger/checkpoint mechanics, this
+    covers the values).  `event_ts` is carried as the formatted
+    `event_hour` string (the sink's partition column), keeping the
+    comparator inside the string domain."""
+    from metrics_service_spark.streaming.search import parse_search_lines
+
+    lines = _raw_lines(load_table(spark, sf_dir, "events")).select(
+        F.col("raw").alias("value")
+    )
+    return parse_search_lines(lines).select(
+        "session_id", "solr_q", "solr_start", "event_hour"
+    )
+
+
+ORACLE_SEARCH_STREAM_TWIN = r"""
+WITH raw AS (
+  SELECT event_id,
+         '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.7' || ' - - [' ||
+         strftime(ts, '%Y-%m-%d %H:%M:%S') || '] "GET ' ||
+         CASE WHEN event_id % 7 = 0 THEN '/mn/v2/object'
+              ELSE '/cn/v2/query/solr/' END ||
+         '?q=' || event_type ||
+         '&rows=' || CASE WHEN event_id % 5 = 0 THEN '100' ELSE '25' END ||
+         '&start=' || CAST(event_id % 100 AS VARCHAR) ||
+         ' HTTP/1.1" 200 512 "-" "Mozilla/5.0 (ua-' ||
+         CAST(user_id % 7 AS VARCHAR) || ')"' AS raw
+  FROM events
+), parsed AS (
+  SELECT regexp_extract(raw, '^(\S+) ', 1) AS remote_ip,
+         regexp_extract(raw, '\[([^\]]+)\]', 1) AS ts_str,
+         regexp_extract(raw, '"GET (\S+) HTTP', 1) AS request,
+         regexp_extract(raw, '"([^"]*)"$', 1) AS user_agent
+  FROM raw
+), split AS (
+  SELECT remote_ip, ts_str, user_agent,
+         regexp_extract(request, '^([^?]+)', 1) AS req_path,
+         regexp_extract(request, 'q=([^&]*)', 1) AS solr_q,
+         regexp_extract(request, 'rows=([^&]*)', 1) AS rows_p,
+         regexp_extract(request, 'start=([^&]*)', 1) AS start_p
+  FROM parsed
+)
+SELECT md5(remote_ip || ' ' || user_agent) || '|' ||
+           strftime(CAST(ts_str AS TIMESTAMP), '%Y%m%d%H') AS session_id,
+       solr_q,
+       CAST(start_p AS BIGINT) AS solr_start,
+       strftime(CAST(ts_str AS TIMESTAMP), '%Y-%m-%d-%H') AS event_hour
+FROM split
+WHERE regexp_matches(req_path, '^/cn/v') AND rows_p = '25'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "search_log_pipeline": QuerySpec(
         q_search_log_pipeline,
@@ -164,5 +223,12 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_SEARCH_SESSIONS,
         "searches per fingerprint session",
         ("search",),
+    ),
+    "search_stream_batch_twin": QuerySpec(
+        q_search_stream_batch_twin,
+        ORACLE_SEARCH_STREAM_TWIN,
+        "the streaming ingest's parse_search_lines run as a batch "
+        "frame: hash-verifies the readStream transform graph",
+        ("search", "streaming"),
     ),
 }
