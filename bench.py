@@ -197,6 +197,11 @@ HEADLINE = [
     # the fertility report's vocab-budget consumer
     "doc_bpe_apply_m48",
     "doc_vocab_budget",
+    # round-16: per-language training under per-language budgets —
+    # the distributed program (grouped argmax windows, O(rounds) jobs)
+    # and its O(1)-jobs driver-local production twin
+    "doc_bpe_train_grouped",
+    "doc_bpe_train_grouped_local",
 ]
 
 

@@ -47,6 +47,8 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_apply_m48",
     "doc_vocab_budget",
     "search_stream_batch_twin",
+    "doc_bpe_train_grouped",
+    "doc_bpe_train_grouped_local",
     "doc_bpe_apply_stored",
     "doc_bpe_train_local",
     "doc_bpe_fertility",
@@ -74,7 +76,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_recall_sq8",
     "emb_cosine_neardup_allpairs",
     "emb_random_projection",
-    # -- r12 generation, oldest-checked fill (28 of 46, name order;
+    # -- r12 generation, oldest-checked fill (26 of 46, name order;
     #    none are no_oracle entries).  Includes the four degraded-hour
     #    bench watch items (doc_chunk_overlap, doc_classifier_eval,
     #    doc_winnow_pairs + doc_fuzzy_prefix_pairs' exact family) so
@@ -105,10 +107,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_hash_sessions",
     "ev_interevent_gap",
     "ev_last_per_user",
+    # -- slots 51+: past the driver's 50-entry line; the remaining 20
+    #    r12-generation rows queue here for r17 ------------------------
     "ev_monthly_stats",
     "ev_pivot_daily",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 18
-    #    r12-generation rows queue here for r17 ------------------------
     "ev_rolling_7d",
     "ev_session_having",
     "ev_sessionize",

@@ -5556,6 +5556,74 @@ QUERIES["doc_vocab_budget"] = QuerySpec(
 )
 
 
+# Grouped-training budgets: the per-language merge budgets a
+# vocab_budget_rebalance round would hand the trainer.  Driver-side
+# constants here (like n_merges everywhere else) so the fixed-round
+# relational oracle can replay the run; in production they'd be read
+# off the persisted budget table the same way bpe_apply reads the
+# merge table.
+BPE_GROUP_BUDGETS = {"de": 4, "en": 8, "es": 3, "fr": 5, "zh": 2}
+
+
+def q_doc_bpe_train_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge table PER LANGUAGE in a single distributed
+    program (operators/bpe.py bpe_train_grouped): per round, pair
+    counting is one grouped vocab aggregation, the per-language argmax
+    is a row_number window, the |langs| winning rows come back as a
+    bounded collect, and all languages merge together via one
+    broadcast join + column-valued greedy scan.  Languages drop out as
+    their budgets are spent."""
+    from metrics_service_spark.operators.bpe import bpe_train_grouped
+
+    return bpe_train_grouped(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        budgets=BPE_GROUP_BUDGETS,
+    )
+
+
+def q_doc_bpe_train_grouped_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin: ONE corpus shuffle (the grouped word-frequency
+    agg), bounded vocab collect, per-language heap trainer on the
+    driver — O(1) Spark jobs at any budget.  Same oracle as the
+    distributed grouped trainer: green proves the two agree
+    bit-for-bit per language."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_grouped_local_finish,
+    )
+
+    return bpe_train_grouped_local_finish(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        budgets=BPE_GROUP_BUDGETS,
+    )
+
+
+def _oracle_bpe_grouped() -> str:
+    from metrics_service_spark.operators.bpe import sql_bpe_grouped_merge_table
+
+    return sql_bpe_grouped_merge_table(BPE_GROUP_BUDGETS)
+
+
+_ORACLE_BPE_GROUPED = _oracle_bpe_grouped()
+
+QUERIES["doc_bpe_train_grouped"] = QuerySpec(
+    q_doc_bpe_train_grouped,
+    _ORACLE_BPE_GROUPED,
+    "per-language BPE training under per-language merge budgets, one "
+    "distributed program: grouped pair counts + windowed argmax + "
+    "broadcast merge apply",
+    ("llm",),
+)
+QUERIES["doc_bpe_train_grouped_local"] = QuerySpec(
+    q_doc_bpe_train_grouped_local,
+    _ORACLE_BPE_GROUPED,
+    "grouped BPE training, driver-local finish: one corpus shuffle + "
+    "per-language heap trainer, O(1) Spark jobs",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

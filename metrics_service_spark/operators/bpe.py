@@ -74,7 +74,16 @@ def merge_pair_scan(syms: Column, left: str, right: str) -> Column:
     nullable `prev` slot holds the one-symbol lookbehind; a merge
     consumes it so the freshly-merged token cannot chain within the
     same round (classic BPE round semantics)."""
-    merged = left + right
+    return merge_pair_scan_col(syms, F.lit(left), F.lit(right))
+
+
+def merge_pair_scan_col(syms: Column, left: Column, right: Column) -> Column:
+    """`merge_pair_scan` with COLUMN-valued (left, right) — the form
+    the grouped trainer needs, where each row's merge pair comes from
+    a broadcast-joined per-group argmax row instead of a literal.  A
+    NULL pair (a group with no merge this round) passes the symbol
+    array through untouched."""
+    merged = F.concat(left, right)
     zero = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("prev"),
@@ -83,8 +92,8 @@ def merge_pair_scan(syms: Column, left: str, right: str) -> Column:
     def step(acc: Column, s: Column) -> Column:
         take = (
             acc.prev.isNotNull()
-            & (acc.prev == F.lit(left))
-            & (s == F.lit(right))
+            & (acc.prev == left)
+            & (s == right)
         )
         flushed = F.when(
             acc.prev.isNotNull(), F.concat(acc.out, F.array(acc.prev))
@@ -92,7 +101,7 @@ def merge_pair_scan(syms: Column, left: str, right: str) -> Column:
         return F.when(
             take,
             F.struct(
-                F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                F.concat(acc.out, F.array(merged)).alias("out"),
                 F.lit(None).cast("string").alias("prev"),
             ),
         ).otherwise(F.struct(flushed.alias("out"), s.alias("prev")))
@@ -102,7 +111,9 @@ def merge_pair_scan(syms: Column, left: str, right: str) -> Column:
             acc.prev.isNotNull(), F.concat(acc.out, F.array(acc.prev))
         ).otherwise(acc.out)
 
-    return F.aggregate(syms, zero, step, fin)
+    return F.when(left.isNull() | right.isNull(), syms).otherwise(
+        F.aggregate(syms, zero, step, fin)
+    )
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -254,6 +265,22 @@ def bpe_train_local_finish(
             f"raise the guard explicitly"
         )
     freqs = {r["w"]: r["freq"] for r in rows}
+    merges = _heap_train_from_freqs(freqs, n_merges=n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _heap_train_from_freqs(
+    freqs: dict[str, int], *, n_merges: int, label: str | None = None
+) -> list[tuple[int, str, str, int]]:
+    """The classic driver-local trainer over a (word -> freq) dict:
+    incremental pair counts + a lazy-invalidation heap (stale entries
+    discarded on pop; only words containing the merged pair are
+    re-scanned per round).  Shared by `bpe_train_local_finish` and the
+    per-group loop in `bpe_train_grouped_local_finish`.  Returns
+    [(rank, left, right, pair_count)]."""
+    ctx = f" [group {label!r}]" if label is not None else ""
     vocab = {w: list(w) for w in freqs}
 
     # pair -> exact count, pair -> words currently containing it
@@ -280,7 +307,8 @@ def bpe_train_local_finish(
         if best is None:
             raise ValueError(
                 f"bpe_train: no mergeable pairs left after {rank} merges "
-                f"(requested {n_merges}); corpus too small for this vocab"
+                f"(requested {n_merges}){ctx}; corpus too small for this "
+                f"vocab"
             )
         l, r = best
         # Bit-identity with `_train` relies on Python tuple order ==
@@ -291,10 +319,10 @@ def bpe_train_local_finish(
         # on ties).
         if not (l + r).isascii():
             raise ValueError(
-                f"bpe_train_local_finish: non-ASCII merge pair "
-                f"({l!r}, {r!r}) — the heap tie-break is only "
-                f"UTF8-order-identical to bpe_train for ASCII symbols; "
-                f"use bpe_train for this vocabulary"
+                f"bpe heap trainer: non-ASCII merge pair "
+                f"({l!r}, {r!r}){ctx} — the heap tie-break is only "
+                f"UTF8-order-identical to the distributed trainers for "
+                f"ASCII symbols; use bpe_train for this vocabulary"
             )
         merges.append((rank, l, r, counts[(l, r)]))
         touched: set[tuple[str, str]] = set()
@@ -320,9 +348,7 @@ def bpe_train_local_finish(
                 counts.pop(p, None)
             else:
                 heapq.heappush(heap, (-counts[p], p[0], p[1]))
-    return docs.sparkSession.createDataFrame(
-        merges, "rank int, left_sym string, right_sym string, pair_count bigint"
-    )
+    return merges
 
 
 # --- apply a stored merge table ---------------------------------------------
@@ -835,3 +861,282 @@ SELECT {group_col}, excess_units,
        CAST({min_per_group} + fl + CASE WHEN rk <= R THEN 1 ELSE 0 END
             AS BIGINT) AS merge_budget
 FROM ranked"""
+
+
+# --- grouped (per-language) training ----------------------------------------
+def _grouped_word_frequencies(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """(group, w, freq) — `word_frequencies` keyed by the group column;
+    still the single corpus-sized aggregation of the run (the group
+    key rides the same shuffle for free)."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    return (
+        _spread(docs.select(F.col(group_col), F.col(text_col)))
+        .select(
+            F.col(group_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train_grouped(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    group_col: str = "lang",
+    budgets: dict[str, int],
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Train ONE BPE merge table PER GROUP (language) in a single
+    distributed program — the step `vocab_budget_rebalance`'s output
+    drives: each language gets its own merge budget, the whole fleet
+    trains together, and no language's rounds wait on a separate job
+    submission.
+
+    Per round, every still-active language merges its own best pair:
+    pair counting is one grouped aggregation over the (group-keyed)
+    vocabulary, the per-group argmax is a row_number window over the
+    vocab-bounded pair frame (count DESC, left, right — the same
+    tie-break as `_train`), the n_groups winning rows come back to the
+    driver (the Lloyd-centroid-class bounded collect), and the merge
+    applies as ONE broadcast join + column-valued greedy scan
+    (`merge_pair_scan_col`) — a language with no merge this round
+    passes through via the NULL arm.  Rounds run max(budgets) times;
+    a language stops merging once its budget is spent.
+
+    Raises loudly if any language exhausts its mergeable pairs before
+    its budget — same contract as the other trainers.  Output:
+    (group, rank, left_sym, right_sym, pair_count), replayed
+    bit-for-bit by `sql_bpe_grouped_merge_table`."""
+    spark = docs.sparkSession
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError("bpe_train_grouped: budgets must be non-empty")
+    vocab = (
+        _grouped_word_frequencies(
+            docs, text_col, group_col, max_word_len=max_word_len
+        )
+        .select(group_col, "w", "freq", F.split("w", "").alias("syms"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, int, str, str, int]] = []
+    for rank in range(max(budgets.values())):
+        active = sorted(g for g, b in budgets.items() if b > rank)
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("l"),
+                F.element_at("syms", i + F.lit(1)).alias("r"),
+            ),
+        )
+        pc = (
+            vocab.filter(
+                F.col(group_col).isin(active) & (F.size("syms") >= 2)
+            )
+            .select(group_col, "freq", F.explode(pair_arr).alias("p"))
+            .groupBy(
+                group_col,
+                F.col("p.l").alias("l"),
+                F.col("p.r").alias("r"),
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("pair_count"), "l", "r"
+        )
+        rows = (
+            pc.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .collect()
+        )
+        got = {r[group_col]: r for r in rows}
+        missing = [g for g in active if g not in got]
+        if missing:
+            raise ValueError(
+                f"bpe_train_grouped: no mergeable pairs left for "
+                f"group(s) {missing} after {rank} merges (budgets "
+                f"{ {g: budgets[g] for g in missing} }); corpus too "
+                f"small for these budgets"
+            )
+        for g in active:
+            merges.append(
+                (g, rank, got[g]["l"], got[g]["r"], got[g]["pair_count"])
+            )
+        best = spark.createDataFrame(
+            [(g, got[g]["l"], got[g]["r"]) for g in active],
+            f"{group_col} string, __l string, __r string",
+        )
+        vocab = (
+            vocab.join(F.broadcast(best), group_col, "left")
+            .select(
+                group_col,
+                "w",
+                "freq",
+                merge_pair_scan_col(
+                    F.col("syms"), F.col("__l"), F.col("__r")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return spark.createDataFrame(
+        merges,
+        f"{group_col} string, rank int, left_sym string, "
+        f"right_sym string, pair_count bigint",
+    )
+
+
+def bpe_train_grouped_local_finish(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    group_col: str = "lang",
+    budgets: dict[str, int],
+    max_word_len: int = MAX_WORD_LEN,
+    max_vocab_rows: int = MAX_VOCAB_ROWS,
+) -> DataFrame:
+    """Production twin of `bpe_train_grouped`: ONE corpus shuffle (the
+    grouped word-frequency agg), the per-group vocabularies collected
+    under the same bounded-transfer guard as
+    `bpe_train_local_finish`, then the lazy-invalidation heap trainer
+    runs per group on the driver — O(1) Spark jobs at any budget.
+    Bit-identical to the distributed grouped trainer: per-group
+    training is independent, and per group both run the classic
+    trainer with the same filter, tie-break, and greedy scan."""
+    if not budgets:
+        raise ValueError("bpe_train_grouped_local_finish: budgets empty")
+    rows = (
+        _grouped_word_frequencies(
+            docs, text_col, group_col, max_word_len=max_word_len
+        )
+        .filter(F.col(group_col).isin(sorted(budgets)))
+        .limit(max_vocab_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train_grouped_local_finish: vocabulary exceeds "
+            f"max_vocab_rows={max_vocab_rows}; use bpe_train_grouped or "
+            f"raise the guard explicitly"
+        )
+    spark = docs.sparkSession
+    merges: list[tuple[str, int, str, str, int]] = []
+    for g in sorted(budgets):
+        gfreqs = {r["w"]: r["freq"] for r in rows if r[group_col] == g}
+        if budgets[g] <= 0:
+            continue
+        table = _heap_train_from_freqs(gfreqs, n_merges=budgets[g], label=g)
+        merges.extend((g, *row) for row in table)
+    return spark.createDataFrame(
+        merges,
+        f"{group_col} string, rank int, left_sym string, "
+        f"right_sym string, pair_count bigint",
+    )
+
+
+def sql_bpe_grouped_ctes(
+    budgets: dict[str, int],
+    *,
+    group_col: str = "lang",
+    max_word_len: int = MAX_WORD_LEN,
+    docs_table: str = "documents",
+    text_col: str = "text",
+) -> tuple[str, str]:
+    """Grouped-training CTE body: `sql_bpe_ctes` with the group column
+    riding every state, the per-round argmax partitioned by group, and
+    each group's budget gating which rounds it participates in
+    (constants — budgets are driver-side inputs, like n_merges).  A
+    group without a b{n} row (budget spent) LEFT-joins a NULL pair and
+    its syms pass through, mirroring `merge_pair_scan_col`'s NULL arm.
+    Vocab states are always AS MATERIALIZED (each r{n} has two
+    consumers; see sql_bpe_ctes)."""
+    groups = sorted(budgets)
+    n_rounds = max(budgets.values())
+    in_list = ", ".join(f"'{g}'" for g in groups)
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT {group_col}, w, count(*) AS freq FROM (
+    SELECT {group_col}, t.w FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
+  ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= {max_word_len}
+        AND {group_col} IN ({in_list})
+  GROUP BY {group_col}, w
+)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT {group_col}, w, freq,
+         list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+  FROM words
+)""",
+    ]
+    for n in range(n_rounds):
+        active = sorted(g for g in groups if budgets[g] > n)
+        active_list = ", ".join(f"'{g}'" for g in active)
+        ctes.append(
+            f"""p{n} AS (
+  SELECT {group_col}, pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM r{n}, UNNEST(list_transform(generate_series(1, len(syms) - 1),
+        i -> struct_pack(l := syms[i], r := syms[i + 1]))) t(pr)
+  WHERE len(syms) >= 2 AND {group_col} IN ({active_list})
+  GROUP BY 1, 2, 3
+)""",
+        )
+        ctes.append(
+            f"""b{n} AS (
+  SELECT {group_col}, l, r, pair_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY {group_col}
+                ORDER BY pair_count DESC, l, r) AS rn
+    FROM p{n}
+  ) WHERE rn = 1
+)""",
+        )
+        ctes.append(
+            f"""m{n} AS (
+  SELECT {group_col}, w, freq, i, sym, br,
+         is_m AND (i - min(CASE WHEN is_m THEN i END) OVER
+             (PARTITION BY {group_col}, w, grp)) % 2 = 0 AS taken
+  FROM (
+    SELECT *, count(*) FILTER (NOT is_m) OVER
+             (PARTITION BY {group_col}, w ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp
+    FROM (
+      SELECT d.{group_col}, d.w, d.freq, t.i, d.syms[t.i] AS sym, b.r AS br,
+             coalesce(t.i < len(d.syms) AND d.syms[t.i] = b.l
+              AND d.syms[t.i + 1] = b.r, FALSE) AS is_m
+      FROM r{n} d LEFT JOIN b{n} b USING ({group_col}),
+           UNNEST(generate_series(1, len(d.syms))) t(i)
+    )
+  )
+)""",
+        )
+        ctes.append(
+            f"""r{n + 1} AS MATERIALIZED (
+  SELECT {group_col}, w, any_value(freq) AS freq,
+         list(CASE WHEN taken THEN sym || br ELSE sym END ORDER BY i) AS syms
+  FROM (SELECT *, lag(taken) OVER (PARTITION BY {group_col}, w ORDER BY i) AS prev_taken
+        FROM m{n})
+  WHERE NOT coalesce(prev_taken, FALSE)
+  GROUP BY {group_col}, w
+)""",
+        )
+    return ",\n".join(ctes), f"r{n_rounds}"
+
+
+def sql_bpe_grouped_merge_table(
+    budgets: dict[str, int], *, group_col: str = "lang", **kw
+) -> str:
+    ctes, _ = sql_bpe_grouped_ctes(budgets, group_col=group_col, **kw)
+    n_rounds = max(budgets.values())
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {group_col}, CAST({n} AS INT) AS rank, l AS left_sym, "
+        f"r AS right_sym, pair_count FROM b{n}"
+        for n in range(n_rounds)
+    )
+    return f"WITH {ctes}\n{unions}"

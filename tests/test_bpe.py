@@ -445,3 +445,130 @@ def test_vocab_budget_fuzz_vs_reference(spark):
         assert sum(got.values()) == budget
 
     run()
+
+
+# --- grouped (per-language) training (r16) ----------------------------------
+def _lang_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ab ab ab abc banana", "en"),
+            (2, "ab bandana ba abab", "en"),
+            (3, "cd cd cdcd dq", "fr"),
+            (4, "cddq cd qq", "fr"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+
+
+def test_grouped_matches_per_group_training(spark):
+    # training per group is independent: the grouped trainer's slice
+    # for each lang must equal bpe_train run on that lang's subset at
+    # that lang's budget
+    from metrics_service_spark.operators.bpe import bpe_train, bpe_train_grouped
+
+    docs = _lang_docs(spark)
+    budgets = {"en": 3, "fr": 2}
+    got = {
+        (r["lang"], r["rank"]): (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_train_grouped(docs, "text", budgets=budgets).collect()
+    }
+    want = {}
+    for g, b in budgets.items():
+        sub = docs.filter(F.col("lang") == g)
+        for r in bpe_train(sub, "text", n_merges=b).collect():
+            want[(g, r["rank"])] = (
+                r["left_sym"], r["right_sym"], r["pair_count"],
+            )
+    assert got == want
+    assert len(got) == sum(budgets.values())
+
+
+def test_grouped_local_finish_matches_distributed(spark):
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = _lang_docs(spark)
+    budgets = {"en": 4, "fr": 1}
+    key = lambda r: (r["lang"], r["rank"])  # noqa: E731
+    val = lambda r: (r["left_sym"], r["right_sym"], r["pair_count"])  # noqa: E731
+    got = {key(r): val(r) for r in
+           bpe_train_grouped_local_finish(docs, "text", budgets=budgets).collect()}
+    want = {key(r): val(r) for r in
+            bpe_train_grouped(docs, "text", budgets=budgets).collect()}
+    assert got == want
+
+
+def test_grouped_exhaustion_raises(spark):
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "en"), (2, "cd cd cdcd", "fr")],
+        "doc_id int, text string, lang string",
+    )
+    # en exhausts after 1 merge (only pair (a,b)); budget asks for 3
+    with pytest.raises(ValueError, match="en"):
+        bpe_train_grouped(docs, "text", budgets={"en": 3, "fr": 1})
+    with pytest.raises(ValueError, match="no mergeable pairs"):
+        bpe_train_grouped_local_finish(
+            docs, "text", budgets={"en": 3, "fr": 1}
+        )
+
+
+def test_grouped_oracle_replays_bitwise(spark, tmp_path):
+    # the parameterized DuckDB oracle replays the grouped run exactly
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_grouped,
+        sql_bpe_grouped_merge_table,
+    )
+    from metrics_service_spark.testing.oracle import compare_query
+
+    texts = [
+        ("ab ab ab abc banana", "en"),
+        ("ab bandana ba abab", "en"),
+        ("cd cd cdcd dq", "fr"),
+        ("cddq cd qq", "fr"),
+        ("zz zaz az za", "de"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array([t for t, _ in texts], pa.string()),
+                "lang": pa.array([l for _, l in texts], pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    docs = spark.read.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    budgets = {"en": 3, "fr": 2, "de": 1}
+    got = bpe_train_grouped(docs, "text", budgets=budgets)
+    compare_query(
+        got,
+        sql_bpe_grouped_merge_table(budgets),
+        str(tmp_path),
+        "grouped_bpe",
+    )
+
+
+def test_merge_pair_scan_col_null_passthrough(spark):
+    from metrics_service_spark.operators.bpe import merge_pair_scan_col
+
+    df = spark.createDataFrame(
+        [(["a", "b", "a"], "a", "b"), (["a", "b", "a"], None, None)],
+        "syms array<string>, l string, r string",
+    )
+    rows = df.select(
+        merge_pair_scan_col(F.col("syms"), F.col("l"), F.col("r")).alias("m")
+    ).collect()
+    assert rows[0]["m"] == ["ab", "a"]
+    assert rows[1]["m"] == ["a", "b", "a"]

@@ -114,6 +114,11 @@ COMMENTARY = {
     "emb_knn_pagerank_conserving": "the plain twin's audited shape (per round one src-keyed join + one dst-keyed map-side-combined agg) plus ONE per-round anti-join aggregate that collapses dangling mass to a single broadcast row — no collect, no convergence tail",
     "doc_bpe_fertility": "bpe_apply_stored's zero-training-jobs skeleton with the group columns riding the token stream: one vocab replay, one token join, ONE language-keyed aggregation — output is |langs| rows, integer basis-point fertility",
     "metrics_request_catalog_summary": "per-seed family broadcast join + ONE seed-keyed unique-count aggregation + the citation theta-join per family — one zero-filled row per requested id, per-seed families never leave the cluster",
+    "doc_bpe_apply_m48": "doc_bpe_apply_stored's zero-training-jobs skeleton at 48 merges: the replay chain crosses its localCheckpoint(every=32) boundary, so the plan roots at a checkpointed VOCAB-sized RDD scan (never the corpus) with the post-checkpoint merge projections above it; corpus tokens still touched exactly once by the unit join + per-doc agg",
+    "doc_vocab_budget": "the fertility report's consumer: the corpus-mass work is bpe_apply_stats' audited one-pass shape collapsing to |langs| rows; the Hamilton apportionment is two SinglePartition windows + integer projections over that tiny frame — exact budget sum at zero corpus cost",
+    "search_stream_batch_twin": "the streaming ingest's transform graph on a batch frame: pure per-row codegen (regexp + kv + md5 + hour format), zero exchanges — identical per-micro-batch plan under readStream",
+    "doc_bpe_train_grouped": "the returned frame is the sum(budgets)-row merge table (local scan BY DESIGN, like doc_bpe_train); per round the work is one grouped pair-count agg over the checkpointed group-keyed vocab, a per-group row_number argmax, a |langs|-row collect, and ONE broadcast join + column-valued greedy scan applying every language's merge together",
+    "doc_bpe_train_grouped_local": "ONE corpus-sized grouped word-frequency shuffle + a bounded vocab collect; the per-language heap trainers run on the driver — O(1) Spark jobs at any budget (the returned frame is the merge table, local scan by design)",
 }
 
 
