@@ -202,6 +202,9 @@ HEADLINE = [
     # and its O(1)-jobs driver-local production twin
     "doc_bpe_train_grouped",
     "doc_bpe_train_grouped_local",
+    # round-16 capstone: fertility -> budget apportionment ->
+    # per-language grouped retrain, one entry
+    "doc_bpe_budget_retrain",
 ]
 
 

@@ -49,6 +49,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "search_stream_batch_twin",
     "doc_bpe_train_grouped",
     "doc_bpe_train_grouped_local",
+    "doc_bpe_budget_retrain",
     "doc_bpe_apply_stored",
     "doc_bpe_train_local",
     "doc_bpe_fertility",
@@ -76,7 +77,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_recall_sq8",
     "emb_cosine_neardup_allpairs",
     "emb_random_projection",
-    # -- r12 generation, oldest-checked fill (26 of 46, name order;
+    # -- r12 generation, oldest-checked fill (25 of 46, name order;
     #    none are no_oracle entries).  Includes the four degraded-hour
     #    bench watch items (doc_chunk_overlap, doc_classifier_eval,
     #    doc_winnow_pairs + doc_fuzzy_prefix_pairs' exact family) so
@@ -106,9 +107,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_funnel",
     "ev_hash_sessions",
     "ev_interevent_gap",
-    "ev_last_per_user",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 20
+    # -- slots 51+: past the driver's 50-entry line; the remaining 21
     #    r12-generation rows queue here for r17 ------------------------
+    "ev_last_per_user",
     "ev_monthly_stats",
     "ev_pivot_daily",
     "ev_rolling_7d",

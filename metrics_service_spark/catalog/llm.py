@@ -5624,6 +5624,49 @@ QUERIES["doc_bpe_train_grouped_local"] = QuerySpec(
 )
 
 
+# Capstone loop constants: a small next-vocab budget so the grouped
+# rounds (unrolled to total_budget in the oracle) stay tractable.
+RETRAIN_BUDGET_TOTAL = 12
+RETRAIN_BUDGET_MIN = 1
+
+
+def q_doc_bpe_budget_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole tokenizer loop in one entry (closes the r15 'report
+    with no consumer' chain end to end): current tokenizer ->
+    per-language fertility -> Hamilton budget apportionment ->
+    per-language grouped retrain under the DATA-DEPENDENT budgets.
+    The oracle nests the same stats/apportionment as a budget CTE and
+    gates each unrolled grouped round on it."""
+    from metrics_service_spark.operators.bpe import bpe_budget_retrain
+
+    return bpe_budget_retrain(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        n_merges_current=BPE_MERGES,
+        total_budget=RETRAIN_BUDGET_TOTAL,
+        min_per_group=RETRAIN_BUDGET_MIN,
+    )
+
+
+def _oracle_bpe_budget_retrain() -> str:
+    from metrics_service_spark.operators.bpe import sql_bpe_budget_retrain
+
+    return sql_bpe_budget_retrain(
+        BPE_MERGES,
+        total_budget=RETRAIN_BUDGET_TOTAL,
+        min_per_group=RETRAIN_BUDGET_MIN,
+    )
+
+
+QUERIES["doc_bpe_budget_retrain"] = QuerySpec(
+    q_doc_bpe_budget_retrain,
+    _oracle_bpe_budget_retrain(),
+    "the full tokenizer loop: fertility eval -> merge-budget "
+    "apportionment -> per-language grouped retrain, one entry",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

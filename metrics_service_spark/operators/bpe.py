@@ -1045,30 +1045,50 @@ def bpe_train_grouped_local_finish(
 
 
 def sql_bpe_grouped_ctes(
-    budgets: dict[str, int],
+    budgets: dict[str, int] | None = None,
     *,
     group_col: str = "lang",
     max_word_len: int = MAX_WORD_LEN,
     docs_table: str = "documents",
     text_col: str = "text",
+    budget_cte: str | None = None,
+    n_rounds: int | None = None,
 ) -> tuple[str, str]:
     """Grouped-training CTE body: `sql_bpe_ctes` with the group column
     riding every state, the per-round argmax partitioned by group, and
-    each group's budget gating which rounds it participates in
-    (constants — budgets are driver-side inputs, like n_merges).  A
+    each group's budget gating which rounds it participates in.  A
     group without a b{n} row (budget spent) LEFT-joins a NULL pair and
     its syms pass through, mirroring `merge_pair_scan_col`'s NULL arm.
     Vocab states are always AS MATERIALIZED (each r{n} has two
-    consumers; see sql_bpe_ctes)."""
-    groups = sorted(budgets)
-    n_rounds = max(budgets.values())
-    in_list = ", ".join(f"'{g}'" for g in groups)
+    consumers; see sql_bpe_ctes).
+
+    Gating comes from either `budgets` (driver-side constants, like
+    n_merges) or `budget_cte` — the name of a ({group_col},
+    merge_budget) CTE computed EARLIER IN THE SAME QUERY (the
+    fertility->apportionment pipeline), with `n_rounds` a static
+    unroll bound >= any budget the CTE can emit (total_budget is
+    always safe; rounds past every budget are no-op passthroughs)."""
+    if (budgets is None) == (budget_cte is None):
+        raise ValueError("pass exactly one of budgets / budget_cte")
+    if budget_cte is None:
+        groups = sorted(budgets)
+        n_rounds = max(budgets.values())
+        membership = (
+            group_col + " IN (" + ", ".join(f"'{g}'" for g in groups) + ")"
+        )
+    else:
+        if n_rounds is None:
+            raise ValueError("budget_cte requires an explicit n_rounds")
+        membership = (
+            f"{group_col} IN (SELECT {group_col} FROM {budget_cte} "
+            f"WHERE merge_budget > 0)"
+        )
     ctes = [
         f"""words AS MATERIALIZED (
   SELECT {group_col}, w, count(*) AS freq FROM (
     SELECT {group_col}, t.w FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
   ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= {max_word_len}
-        AND {group_col} IN ({in_list})
+        AND {membership}
   GROUP BY {group_col}, w
 )""",
         f"""r0 AS MATERIALIZED (
@@ -1078,14 +1098,22 @@ def sql_bpe_grouped_ctes(
 )""",
     ]
     for n in range(n_rounds):
-        active = sorted(g for g in groups if budgets[g] > n)
-        active_list = ", ".join(f"'{g}'" for g in active)
+        if budget_cte is None:
+            active = sorted(g for g in groups if budgets[g] > n)
+            gate = group_col + " IN (" + ", ".join(
+                f"'{g}'" for g in active
+            ) + ")"
+        else:
+            gate = (
+                f"{group_col} IN (SELECT {group_col} FROM {budget_cte} "
+                f"WHERE merge_budget > {n})"
+            )
         ctes.append(
             f"""p{n} AS (
   SELECT {group_col}, pr.l AS l, pr.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count
   FROM r{n}, UNNEST(list_transform(generate_series(1, len(syms) - 1),
         i -> struct_pack(l := syms[i], r := syms[i + 1]))) t(pr)
-  WHERE len(syms) >= 2 AND {group_col} IN ({active_list})
+  WHERE len(syms) >= 2 AND {gate}
   GROUP BY 1, 2, 3
 )""",
         )
@@ -1140,3 +1168,93 @@ def sql_bpe_grouped_merge_table(
         for n in range(n_rounds)
     )
     return f"WITH {ctes}\n{unions}"
+
+
+def sql_bpe_budget_retrain(
+    n_merges_current: int,
+    *,
+    total_budget: int,
+    min_per_group: int = 1,
+    group_col: str = "lang",
+    **kw,
+) -> str:
+    """The whole tokenizer loop as ONE relational replay: the current
+    tokenizer's fertility stats -> Hamilton merge-budget apportionment
+    (`sql_vocab_budget`, nested as a materialized `budget` CTE with
+    its own scoped r0..r{k} states) -> grouped retraining gated per
+    round by that DATA-DEPENDENT budget CTE.  The grouped rounds
+    unroll to the static bound `total_budget` (no group can ever be
+    granted more); rounds past every group's budget are no-op
+    passthroughs, so the unroll bound is safe at any apportionment."""
+    budget_sql = sql_vocab_budget(
+        n_merges_current,
+        total_budget=total_budget,
+        min_per_group=min_per_group,
+        group_col=group_col,
+        **kw,
+    )
+    ctes, _ = sql_bpe_grouped_ctes(
+        budget_cte="budget",
+        n_rounds=total_budget,
+        group_col=group_col,
+        **kw,
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {group_col}, CAST({n} AS INT) AS rank, l AS left_sym, "
+        f"r AS right_sym, pair_count FROM b{n}"
+        for n in range(total_budget)
+    )
+    return f"""WITH budget AS MATERIALIZED (
+{budget_sql}
+),
+{ctes}
+{unions}"""
+
+def bpe_budget_retrain(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    group_col: str = "lang",
+    n_merges_current: int = 6,
+    total_budget: int,
+    min_per_group: int = 1,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """The full tokenizer-improvement loop, end to end: train the
+    CURRENT tokenizer (driver-local finish — O(1) jobs), evaluate its
+    per-language fertility (`bpe_apply_stats`), apportion the next
+    vocabulary's merge budget by reclaimable excess mass
+    (`vocab_budget_rebalance`), and retrain PER LANGUAGE under those
+    budgets (`bpe_train_grouped`).  The budget crossing to the driver
+    is |langs| rows (the same bounded-transfer class as the merge
+    table); everything else stays on the cluster.  Output: the new
+    per-language merge table, replayed bit-for-bit by
+    `sql_bpe_budget_retrain`."""
+    current = bpe_train_local_finish(
+        docs, text_col, n_merges=n_merges_current, max_word_len=max_word_len
+    )
+    stats = bpe_apply_stats(
+        docs,
+        current,
+        text_col=text_col,
+        group_cols=[group_col],
+        max_word_len=max_word_len,
+    )
+    budget_rows = vocab_budget_rebalance(
+        stats,
+        group_col,
+        total_budget=total_budget,
+        min_per_group=min_per_group,
+    ).collect()
+    budgets = {
+        r[group_col]: int(r["merge_budget"])
+        for r in budget_rows
+        if r["merge_budget"] > 0
+    }
+    return bpe_train_grouped(
+        docs,
+        text_col,
+        group_col=group_col,
+        budgets=budgets,
+        max_word_len=max_word_len,
+    )

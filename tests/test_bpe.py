@@ -572,3 +572,34 @@ def test_merge_pair_scan_col_null_passthrough(spark):
     ).collect()
     assert rows[0]["m"] == ["ab", "a"]
     assert rows[1]["m"] == ["a", "b", "a"]
+
+
+def test_budget_retrain_realizes_apportioned_budgets(spark):
+    # the chained loop's output must contain exactly merge_budget rows
+    # per language, for the budgets the rebalancer apportions from the
+    # current tokenizer's fertility
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_stats,
+        bpe_budget_retrain,
+        bpe_train_local_finish,
+        vocab_budget_rebalance,
+    )
+
+    docs = _lang_docs(spark)
+    current = bpe_train_local_finish(docs, "text", n_merges=2)
+    stats = bpe_apply_stats(docs, current, group_cols=["lang"])
+    want = {
+        r["lang"]: r["merge_budget"]
+        for r in vocab_budget_rebalance(
+            stats, "lang", total_budget=5, min_per_group=1
+        ).collect()
+    }
+    out = bpe_budget_retrain(
+        docs, "text", n_merges_current=2, total_budget=5, min_per_group=1
+    ).collect()
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+        assert 0 <= r["rank"] < want[r["lang"]]
+    assert got == {k: v for k, v in want.items() if v > 0}
+    assert sum(got.values()) == 5
