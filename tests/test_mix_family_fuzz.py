@@ -292,3 +292,65 @@ def test_linkage_recall_matches_oracle_on_adversarial_corpora(
         sf_dir,
         "fuzz:linkage_recall",
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    ["ab", "abc", "banana", "cd", "cdcd", "dq", "zz", "za",
+                     "A.", "b,c", "  ", "xyz"]
+                ),
+                min_size=1,
+                max_size=12,
+            ).map(" ".join),
+            st.sampled_from(["en", "de", "fr"]),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.dictionaries(
+        st.sampled_from(["en", "de", "fr"]),
+        st.integers(min_value=1, max_value=3),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_grouped_bpe_fuzz_vs_oracle(spark, tmp_path_factory, corpus, budgets):
+    """The grouped trainer and its parameterized relational oracle
+    must agree bitwise on adversarial tiny corpora — per-group argmax
+    ties, budget-spent NULL-arm passthroughs, punctuation/empty
+    noise.  Draws where a group exhausts its pairs before its budget
+    (the loud-raise contract, covered by its own test) are skipped."""
+    import pytest as _pytest
+    from hypothesis import assume
+
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_grouped,
+        sql_bpe_grouped_merge_table,
+    )
+
+    langs_present = {l for _, l in corpus}
+    budgets = {g: b for g, b in budgets.items() if g in langs_present}
+    assume(budgets)
+    tmp_path = tmp_path_factory.mktemp("grouped_fuzz")
+    sf_dir = _write(
+        tmp_path, [t for t, _ in corpus], [l for _, l in corpus]
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        got = bpe_train_grouped(docs, "text", budgets=budgets)
+        n = got.count()
+    except ValueError as e:
+        assume("no mergeable pairs" not in str(e))
+        raise
+    compare_query(
+        got, sql_bpe_grouped_merge_table(budgets), sf_dir, "grouped_fuzz"
+    )
+    assert n == sum(budgets.values())

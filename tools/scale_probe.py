@@ -298,6 +298,29 @@ QUERIES = [
     # lang-keyed agg (output |langs| rows); expected to track the
     # apply row (corpus-linear tokenize + base-sized vocab replay)
     "doc_bpe_fertility",
+    # r16: deep-replay stored apply (48 merges, checkpoint boundary
+    # crossed) — expected to track doc_bpe_apply_stored with a fixed
+    # replay-depth constant on top (vocab-sized, corpus-independent)
+    "doc_bpe_apply_m48",
+    # r16: vocab-budget apportionment — the fertility skeleton + two
+    # windows over a |langs|-row frame; expected to track
+    # doc_bpe_fertility exactly (the apportionment adds no corpus term)
+    "doc_vocab_budget",
+    # r16: grouped per-language training — the doc_bpe_train contract
+    # per language: one grouped word-freq shuffle (corpus-linear
+    # front), vocab-bounded rounds (suffixed copies fail the training
+    # filter, so pair-count/argmax/merge terms stay base-sized);
+    # expected ~linear front + flat rounds, and the local twin flat
+    # like doc_bpe_train_local
+    "doc_bpe_train_grouped",
+    "doc_bpe_train_grouped_local",
+    # r16: the full fertility->budget->retrain loop — sum of its
+    # audited parts (local train + stats pass + tiny apportionment +
+    # grouped retrain); expected ~linear in corpus mass
+    "doc_bpe_budget_retrain",
+    # r16: streaming batch twin — pure per-row codegen, zero
+    # exchanges; expected ~1x (regression canary like doc_pii_scrub)
+    "search_stream_batch_twin",
 ]
 
 
