@@ -318,8 +318,11 @@ QUERIES = [
     # audited parts (local train + stats pass + tiny apportionment +
     # grouped retrain); expected ~linear in corpus mass
     "doc_bpe_budget_retrain",
-    # r16: streaming batch twin — pure per-row codegen, zero
-    # exchanges; expected ~1x (regression canary like doc_pii_scrub)
+    # r16: streaming batch twin — pure per-row codegen (CLF build +
+    # regex parse) with zero exchanges; unlike the scan-dominated
+    # doc_pii_scrub canary the per-row regex mass dominates the base,
+    # so expected ~linear row fill (measured 23.5x at 50x — sub-50x
+    # core fill, perfectly partition-parallel)
     "search_stream_batch_twin",
 ]
 
