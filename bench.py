@@ -205,6 +205,9 @@ HEADLINE = [
     # round-16 capstone: fertility -> budget apportionment ->
     # per-language grouped retrain, one entry
     "doc_bpe_budget_retrain",
+    # round-16: classifier reliability table (third eval leg next to
+    # the confusion matrix + AUC; same score-histogram collapse)
+    "doc_classifier_calibration",
 ]
 
 

@@ -5986,6 +5986,123 @@ QUERIES["doc_classifier_auc"] = QuerySpec(
 )
 
 
+#: reliability-table bin count (r16): enough resolution to see
+#: monotonicity, few enough that every bin keeps statistical mass at
+#: sf0.001
+CALIBRATION_BINS = 8
+
+
+def q_doc_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table of the hash-trick classifier
+    against the Gopher rule labels — the third leg of the classifier
+    eval family next to the confusion matrix (doc_classifier_eval) and
+    the threshold-free AUC (doc_classifier_auc): per equal-width score
+    bin, document count, positive count, and the empirical positive
+    rate in exact basis points.  A monotone pos_rate_bp column is what
+    'the score is usable as a quality prior' actually means; flat or
+    inverted bins localize WHERE the classifier is miscalibrated.
+
+    All integer: bin = (score - smin) * NBINS // (smax - smin + 1)
+    over the OBSERVED range (exact floor-div on non-negative offsets),
+    rate = 10000 * n_pos // n_docs.
+
+    Scale shape: the corpus collapses to the SAME value-domain-bounded
+    score histogram AUC uses (two per-doc projections + one
+    map-side-combined groupBy); the observed range enters as a
+    broadcast one-row aggregate (the repo's broadcast-singleton
+    discipline — never a driver collect) and the bin rollup runs on
+    histogram rows."""
+    from metrics_service_spark.operators.similarity import _spread
+    from metrics_service_spark.operators.text import (
+        gopher_rules,
+        hash_classifier,
+    )
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    rules = gopher_rules(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    clf = hash_classifier(docs, "doc_id", "text").select("doc_id", "score")
+    hist = (
+        rules.join(clf, "doc_id")
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    rng = hist.agg(
+        F.min("score").alias("__smin"), F.max("score").alias("__smax")
+    )
+    binned = hist.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST(((score - __smin) * {CALIBRATION_BINS}) div "
+            f"(__smax - __smin + 1) AS INT)"
+        ).alias("bin_id"),
+        "n",
+        "n_pos",
+        "score",
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.min("score").alias("score_lo"),
+            F.max("score").alias("score_hi"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin_id",
+            "score_lo",
+            "score_hi",
+            "n_docs",
+            "n_pos",
+            F.expr("(10000 * n_pos) div n_docs").alias("pos_rate_bp"),
+        )
+    )
+
+
+def _oracle_classifier_calibration() -> str:
+    return f"""
+WITH rules AS (
+  SELECT doc_id, keep AS label FROM ({ORACLE_GOPHER_RULES}) g
+), clf AS (
+  SELECT doc_id, score FROM ({ORACLE_HASH_CLASSIFIER}) c
+), hist AS (
+  SELECT score,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (label) AS BIGINT) AS n_pos
+  FROM rules JOIN clf USING (doc_id) GROUP BY 1
+), rng AS (
+  SELECT min(score) AS smin, max(score) AS smax FROM hist
+), binned AS (
+  SELECT CAST(((score - smin) * {CALIBRATION_BINS}) // (smax - smin + 1)
+              AS INT) AS bin_id,
+         n, n_pos, score
+  FROM hist CROSS JOIN rng
+)
+SELECT bin_id,
+       min(score) AS score_lo,
+       max(score) AS score_hi,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(CAST(10000 * sum(n_pos) AS BIGINT) // CAST(sum(n) AS BIGINT)
+            AS BIGINT) AS pos_rate_bp
+FROM binned GROUP BY 1
+"""
+
+
+QUERIES["doc_classifier_calibration"] = QuerySpec(
+    q_doc_classifier_calibration,
+    _oracle_classifier_calibration(),
+    "classifier reliability table: equal-width integer score bins vs "
+    "empirical rule-label positive rate in exact basis points",
+    ("llm",),
+)
+
+
 # --- weighted priority sampling (r14) ----------------------------------------
 def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus subsample via priority sampling

@@ -120,6 +120,7 @@ COMMENTARY = {
     "doc_bpe_train_grouped": "the returned frame is the sum(budgets)-row merge table (local scan BY DESIGN, like doc_bpe_train); per round the work is one grouped pair-count agg over the checkpointed group-keyed vocab, a per-group row_number argmax, a |langs|-row collect, and ONE broadcast join + column-valued greedy scan applying every language's merge together",
     "doc_bpe_train_grouped_local": "ONE corpus-sized grouped word-frequency shuffle + a bounded vocab collect; the per-language heap trainers run on the driver — O(1) Spark jobs at any budget (the returned frame is the merge table, local scan by design)",
     "doc_bpe_budget_retrain": "the full loop chains the audited shapes: local-finish train (one corpus shuffle) -> fertility stats (one corpus pass, |langs| rows) -> Hamilton apportionment (tiny-frame windows) -> grouped retrain (per-round grouped agg + windowed argmax + broadcast merge apply); the only driver transfers are the vocab (guarded), the merge table, and the |langs| budget rows",
+    "doc_classifier_calibration": "the doc_classifier_auc collapse: two per-doc projections -> one value-domain-bounded score histogram; the observed range is a broadcast one-row aggregate and the bin rollup runs on histogram rows — no corpus window, no driver collect",
 }
 
 

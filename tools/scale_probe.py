@@ -318,6 +318,11 @@ QUERIES = [
     # audited parts (local train + stats pass + tiny apportionment +
     # grouped retrain); expected ~linear in corpus mass
     "doc_bpe_budget_retrain",
+    # r16: classifier reliability table — the doc_classifier_auc
+    # class: scans collapse to the value-domain-bounded score
+    # histogram, range + bin rollup on histogram rows; expected
+    # ~linear scan fill
+    "doc_classifier_calibration",
     # r16: streaming batch twin — pure per-row codegen (CLF build +
     # regex parse) with zero exchanges; unlike the scan-dominated
     # doc_pii_scrub canary the per-row regex mass dominates the base,
