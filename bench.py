@@ -208,6 +208,8 @@ HEADLINE = [
     # round-16: classifier reliability table (third eval leg next to
     # the confusion matrix + AUC; same score-histogram collapse)
     "doc_classifier_calibration",
+    # round-16: per-language tokenization from the grouped table
+    "doc_bpe_apply_grouped",
 ]
 
 

@@ -51,6 +51,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_train_grouped_local",
     "doc_bpe_budget_retrain",
     "doc_classifier_calibration",
+    "doc_bpe_apply_grouped",
     "doc_bpe_apply_stored",
     "doc_bpe_train_local",
     "doc_bpe_fertility",
@@ -78,7 +79,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ann_recall_sq8",
     "emb_cosine_neardup_allpairs",
     "emb_random_projection",
-    # -- r12 generation, oldest-checked fill (24 of 46, name order;
+    # -- r12 generation, oldest-checked fill (23 of 46, name order;
     #    none are no_oracle entries).  Includes the four degraded-hour
     #    bench watch items (doc_chunk_overlap, doc_classifier_eval,
     #    doc_winnow_pairs + doc_fuzzy_prefix_pairs' exact family) so
@@ -106,9 +107,9 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "ev_day_spine",
     "ev_filter_project",
     "ev_funnel",
-    "ev_hash_sessions",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 22
+    # -- slots 51+: past the driver's 50-entry line; the remaining 23
     #    r12-generation rows queue here for r17 ------------------------
+    "ev_hash_sessions",
     "ev_interevent_gap",
     "ev_last_per_user",
     "ev_monthly_stats",

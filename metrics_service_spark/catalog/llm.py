@@ -5624,6 +5624,44 @@ QUERIES["doc_bpe_train_grouped_local"] = QuerySpec(
 )
 
 
+def q_doc_bpe_apply_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with ITS language's stored merge table
+    — the apply side of grouped training (a multilingual pipeline
+    segments each document with its own tokenizer).  Zero training
+    jobs in the apply plan: the grouped table replays as rank-level
+    broadcast joins + column-valued greedy scans over the distinct
+    (lang, word) vocabulary, then one (lang, word)-keyed unit join +
+    per-doc aggregate; the corpus is touched once."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS
+    )
+    return bpe_apply_grouped(docs, table)
+
+
+def _oracle_bpe_apply_grouped() -> str:
+    from metrics_service_spark.operators.bpe import (
+        sql_bpe_apply_grouped_counts,
+    )
+
+    return sql_bpe_apply_grouped_counts(BPE_GROUP_BUDGETS)
+
+
+QUERIES["doc_bpe_apply_grouped"] = QuerySpec(
+    q_doc_bpe_apply_grouped,
+    _oracle_bpe_apply_grouped(),
+    "per-language tokenization from the grouped merge table: each "
+    "document segmented by its own language's tokenizer, one corpus "
+    "pass",
+    ("llm",),
+)
+
+
 # Capstone loop constants: a small next-vocab budget so the grouped
 # rounds (unrolled to total_budget in the oracle) stay tractable.
 RETRAIN_BUDGET_TOTAL = 12

@@ -1062,8 +1062,13 @@ def sql_bpe_grouped_ctes(
     Vocab states are always AS MATERIALIZED (each r{n} has two
     consumers; see sql_bpe_ctes).
 
-    Gating comes from either `budgets` (driver-side constants, like
-    n_merges) or `budget_cte` — the name of a ({group_col},
+    The vocab states carry EVERY group in the corpus (a group outside
+    the budgets simply never matches a b{n} row and rides through
+    character-segmented) — this is what makes the same CTE body serve
+    both the merge-table oracle and the grouped-APPLY oracle, whose
+    Spark side builds its vocabulary from the corpus, not the budget
+    list.  Gating comes from either `budgets` (driver-side constants,
+    like n_merges) or `budget_cte` — the name of a ({group_col},
     merge_budget) CTE computed EARLIER IN THE SAME QUERY (the
     fertility->apportionment pipeline), with `n_rounds` a static
     unroll bound >= any budget the CTE can emit (total_budget is
@@ -1073,22 +1078,14 @@ def sql_bpe_grouped_ctes(
     if budget_cte is None:
         groups = sorted(budgets)
         n_rounds = max(budgets.values())
-        membership = (
-            group_col + " IN (" + ", ".join(f"'{g}'" for g in groups) + ")"
-        )
     else:
         if n_rounds is None:
             raise ValueError("budget_cte requires an explicit n_rounds")
-        membership = (
-            f"{group_col} IN (SELECT {group_col} FROM {budget_cte} "
-            f"WHERE merge_budget > 0)"
-        )
     ctes = [
         f"""words AS MATERIALIZED (
   SELECT {group_col}, w, count(*) AS freq FROM (
     SELECT {group_col}, t.w FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
   ) WHERE regexp_full_match(w, '[a-z]+') AND length(w) <= {max_word_len}
-        AND {membership}
   GROUP BY {group_col}, w
 )""",
         f"""r0 AS MATERIALIZED (
@@ -1258,3 +1255,139 @@ def bpe_budget_retrain(
         budgets=budgets,
         max_word_len=max_word_len,
     )
+
+
+# --- grouped (per-language) apply -------------------------------------------
+def _collect_grouped_merges(
+    merge_table: DataFrame, group_col: str
+) -> dict[str, list[tuple[str, str]]]:
+    """Collect a persisted GROUPED merge table (sum-of-budgets rows —
+    the bounded-transfer class), validating each group's ranks are
+    exactly 0..n_g-1 distinct (the `_collect_merges` fail-loud
+    contract, per group)."""
+    rows = merge_table.orderBy(group_col, "rank").collect()
+    out: dict[str, list[tuple[str, str]]] = {}
+    for r in rows:
+        out.setdefault(r[group_col], []).append(
+            (r["rank"], r["left_sym"], r["right_sym"])
+        )
+    for g, seq in out.items():
+        if [x[0] for x in seq] != list(range(len(seq))):
+            raise ValueError(
+                f"grouped merge table is corrupt for group {g!r}: ranks "
+                f"must be exactly 0..{len(seq) - 1} distinct, got "
+                f"{[x[0] for x in seq][:20]}"
+            )
+    return {g: [(l, r) for _, l, r in seq] for g, seq in out.items()}
+
+
+def bpe_apply_grouped(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """Tokenize every document with ITS OWN group's stored merge table
+    — the apply side of `bpe_train_grouped` (a multilingual pipeline
+    trains one tokenizer per language and then segments each document
+    with its language's table).  Zero training jobs, like `bpe_apply`.
+
+    Plan shape: collect the grouped merge table (sum-of-budgets rows,
+    validated per group), build the DISTINCT (group, word) vocabulary
+    of `docs` (one vocab-sized shuffle), then replay rank levels — at
+    level k every group that still has a rank-k merge applies it via
+    ONE broadcast join + the column-valued greedy scan (groups past
+    their budget take the NULL passthrough arm, exactly the training
+    rounds' shape) — and join the per-(group, word) unit counts back
+    to the token stream on (group, word).  A lazy localCheckpoint
+    every `checkpoint_every` levels bounds expression depth, same
+    cadence trade as `replay_merges`."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    spark = docs.sparkSession
+    merges = _collect_grouped_merges(merge_table, group_col)
+    max_rank = max((len(seq) for seq in merges.values()), default=0)
+    words = (
+        _spread(docs.select(F.col(group_col), F.col(text_col)))
+        .select(
+            F.col(group_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
+        .distinct()
+        .select(group_col, "w", F.split("w", "").alias("syms"))
+    )
+    for rank in range(max_rank):
+        level = [
+            (g, seq[rank][0], seq[rank][1])
+            for g, seq in sorted(merges.items())
+            if rank < len(seq)
+        ]
+        best = spark.createDataFrame(
+            level, f"{group_col} string, __l string, __r string"
+        )
+        words = words.join(F.broadcast(best), group_col, "left").select(
+            group_col,
+            "w",
+            merge_pair_scan_col(
+                F.col("syms"), F.col("__l"), F.col("__r")
+            ).alias("syms"),
+        )
+        if (rank + 1) % checkpoint_every == 0 and rank + 1 < max_rank:
+            words = words.localCheckpoint(eager=False)
+    units = words.select(group_col, "w", F.size("syms").alias("__units"))
+    toks = (
+        _spread(docs.select(F.col(id_col), F.col(group_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    return (
+        toks.join(units, [group_col, "w"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum(F.coalesce("__units", F.lit(1)))
+            .cast("long")
+            .alias("n_bpe_units"),
+        )
+    )
+
+
+def sql_bpe_apply_grouped_counts(
+    budgets: dict[str, int],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    docs_table: str = "documents",
+    text_col: str = "text",
+    **kw,
+) -> str:
+    """DuckDB replay: the grouped training CTEs' FINAL vocab state is
+    each group's segmentation; documents join it on (group, word).
+    Documents of groups outside the budget table (or OOV words) take
+    the one-unit fallback, mirroring `bpe_apply_grouped`'s left
+    join."""
+    ctes, final = sql_bpe_grouped_ctes(
+        budgets,
+        group_col=group_col,
+        docs_table=docs_table,
+        text_col=text_col,
+        **kw,
+    )
+    return f"""WITH {ctes}
+SELECT d.{id_col},
+       CAST(count(*) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(coalesce(len(v.syms), 1)) AS BIGINT) AS n_bpe_units
+FROM (SELECT {id_col}, {group_col}, t.w
+      FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
+      WHERE t.w <> '') d
+LEFT JOIN {final} v ON d.{group_col} = v.{group_col} AND d.w = v.w
+GROUP BY 1"""

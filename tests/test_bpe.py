@@ -603,3 +603,116 @@ def test_budget_retrain_realizes_apportioned_budgets(spark):
         assert 0 <= r["rank"] < want[r["lang"]]
     assert got == {k: v for k, v in want.items() if v > 0}
     assert sum(got.values()) == 5
+
+
+def test_apply_grouped_matches_per_group_apply(spark):
+    # per-language application is independent: the grouped apply on
+    # the full corpus must equal bpe_apply run per language with that
+    # language's merges on that language's subset
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = _lang_docs(spark)
+    budgets = {"en": 3, "fr": 2}
+    table = bpe_train_grouped_local_finish(docs, "text", budgets=budgets)
+    got = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_units"])
+        for r in bpe_apply_grouped(docs, table).collect()
+    }
+    want = {}
+    merges = {
+        g: [
+            (r["left_sym"], r["right_sym"])
+            for r in table.filter(F.col("lang") == g).orderBy("rank").collect()
+        ]
+        for g in budgets
+    }
+    for g in budgets:
+        sub = docs.filter(F.col("lang") == g)
+        for r in bpe_apply(sub, merges=merges[g]).collect():
+            want[r["doc_id"]] = (r["n_ws_tokens"], r["n_bpe_units"])
+    assert got == want
+
+
+def test_apply_grouped_rejects_corrupt_table(spark):
+    from metrics_service_spark.operators.bpe import bpe_apply_grouped
+
+    docs = _lang_docs(spark)
+    bad = spark.createDataFrame(
+        [("en", 0, "a", "b", 2), ("en", 2, "ab", "c", 1), ("fr", 0, "c", "d", 2)],
+        "lang string, rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    with pytest.raises(ValueError, match="corrupt.*'en'"):
+        bpe_apply_grouped(docs, bad)
+
+
+def test_apply_grouped_unknown_group_falls_back(spark):
+    # a document whose language has NO merge table: every trainable
+    # word stays character-segmented? No — it is absent from the
+    # replayed vocab, so every token takes the one-unit OOV fallback
+    from metrics_service_spark.operators.bpe import bpe_apply_grouped
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "en"), (2, "ab ab", "xx")],
+        "doc_id int, text string, lang string",
+    )
+    table = spark.createDataFrame(
+        [("en", 0, "a", "b", 2)],
+        "lang string, rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    out = {
+        r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_units"])
+        for r in bpe_apply_grouped(docs, table).collect()
+    }
+    # en: 'ab' -> 1 unit each; xx: in-vocab words still replay (the
+    # vocab is built from the CORPUS, xx rows just never match a merge)
+    assert out[1] == (2, 2)
+    assert out[2] == (2, 4)  # 'a','b' per token: 2 units each
+
+
+def test_apply_grouped_oracle_replays_bitwise(spark, tmp_path):
+    # includes a group OUTSIDE the budgets ('xx'): its words must ride
+    # through character-segmented on BOTH sides (the words CTE carries
+    # every corpus group since r16)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_grouped,
+        bpe_train_grouped_local_finish,
+        sql_bpe_apply_grouped_counts,
+    )
+    from metrics_service_spark.testing.oracle import compare_query
+
+    texts = [
+        ("ab ab ab abc banana", "en"),
+        ("ab bandana ba abab 12", "en"),
+        ("cd cd cdcd dq", "fr"),
+        ("cddq cd qq", "fr"),
+        ("ab abab zz", "xx"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array([t for t, _ in texts], pa.string()),
+                "lang": pa.array([l for _, l in texts], pa.string()),
+            }
+        ),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    docs = spark.read.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    budgets = {"en": 3, "fr": 2}
+    table = bpe_train_grouped_local_finish(docs, "text", budgets=budgets)
+    got = bpe_apply_grouped(docs, table)
+    compare_query(
+        got,
+        sql_bpe_apply_grouped_counts(budgets),
+        str(tmp_path),
+        "apply_grouped",
+    )

@@ -121,6 +121,7 @@ COMMENTARY = {
     "doc_bpe_train_grouped_local": "ONE corpus-sized grouped word-frequency shuffle + a bounded vocab collect; the per-language heap trainers run on the driver — O(1) Spark jobs at any budget (the returned frame is the merge table, local scan by design)",
     "doc_bpe_budget_retrain": "the full loop chains the audited shapes: local-finish train (one corpus shuffle) -> fertility stats (one corpus pass, |langs| rows) -> Hamilton apportionment (tiny-frame windows) -> grouped retrain (per-round grouped agg + windowed argmax + broadcast merge apply); the only driver transfers are the vocab (guarded), the merge table, and the |langs| budget rows",
     "doc_classifier_calibration": "the doc_classifier_auc collapse: two per-doc projections -> one value-domain-bounded score histogram; the observed range is a broadcast one-row aggregate and the bin rollup runs on histogram rows — no corpus window, no driver collect",
+    "doc_bpe_apply_grouped": "zero training jobs: the grouped table replays as rank-level broadcast joins + column-valued greedy scans over the distinct (lang, word) vocab (NULL passthrough past each language's budget), then ONE (lang, word)-keyed unit join + per-doc agg — corpus tokens touched once",
 }
 
 

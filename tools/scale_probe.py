@@ -318,6 +318,10 @@ QUERIES = [
     # audited parts (local train + stats pass + tiny apportionment +
     # grouped retrain); expected ~linear in corpus mass
     "doc_bpe_budget_retrain",
+    # r16: per-language apply — tokenize + (lang, word)-vocab replay +
+    # unit join, corpus mass like doc_bpe_apply_stored; the rank-level
+    # broadcast joins are vocab-sized
+    "doc_bpe_apply_grouped",
     # r16: classifier reliability table — the doc_classifier_auc
     # class: scans collapse to the value-domain-bounded score
     # histogram, range + bin rollup on histogram rows; expected
