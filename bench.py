@@ -210,6 +210,11 @@ HEADLINE = [
     "doc_classifier_calibration",
     # round-16: per-language tokenization from the grouped table
     "doc_bpe_apply_grouped",
+    # round-17: the grouped apply at checkpoint-crossing depth (40
+    # ranks for one language) and the retrain loop's O(1)-jobs
+    # local-finish arm
+    "doc_bpe_apply_grouped_m40",
+    "doc_bpe_budget_retrain_local",
 ]
 
 

@@ -36,79 +36,28 @@ class QuerySpec:
 # outranks one whose check is merely old — then by
 # least-recently-checked.  See README "Driver-sample contract".
 _DRIVER_FRONT: tuple[str, ...] = (
-    # -- r16 new/impl-changed first (rotation policy): the two new
-    #    entries (deep-replay stored apply crossing the checkpoint
-    #    boundary, VERDICT r15 #4; the fertility report's vocab-budget
-    #    consumer, VERDICT r15 #5) and the three entries whose code
-    #    paths changed this round (bpe_train_local_finish gained the
-    #    bounded vocab transfer + ASCII tie-break guard; bpe_apply /
-    #    bpe_apply_stats now validate the persisted merge table —
-    #    ADVICE r15) ----------------------------------------------------
-    "doc_bpe_apply_m48",
-    "doc_vocab_budget",
-    "search_stream_batch_twin",
-    "doc_bpe_train_grouped",
-    "doc_bpe_train_grouped_local",
-    "doc_bpe_budget_retrain",
-    "doc_classifier_calibration",
+    # -- r17 new/impl-changed first (rotation policy): the two new
+    #    entries (grouped apply crossing ITS checkpoint boundary,
+    #    VERDICT r16 #2; the retrain loop's O(1)-jobs local-finish
+    #    trainer arm, VERDICT r16 #3) and the seven entries whose code
+    #    paths changed this round (ADVICE r16: merge collectors now
+    #    reject NULL/empty symbols — bpe_apply/bpe_apply_stats/grouped
+    #    apply; vocab_budget_rebalance gained the 2^52 product guard;
+    #    bpe_train_grouped_local_finish drops dead-budget groups from
+    #    the bounded transfer; bpe_budget_retrain grew the trainer
+    #    switch) --------------------------------------------------------
+    "doc_bpe_apply_grouped_m40",
+    "doc_bpe_budget_retrain_local",
     "doc_bpe_apply_grouped",
-    "doc_bpe_apply_stored",
-    "doc_bpe_train_local",
+    "doc_bpe_budget_retrain",
+    "doc_bpe_train_grouped_local",
+    "doc_vocab_budget",
     "doc_bpe_fertility",
-    # -- the 16 remaining r11-stale rows (VERDICT r15 #2): drained in
-    #    full this window; after this round minimum staleness is r12.
-    #    TWIN RULE (VERDICT r15 #3): when a float-head / bitwise-twin
-    #    pair straddles the 50-entry line, the hash-verdict TWIN goes
-    #    in-window (doc_minhash_dedup_md5 here) and the no_oracle head
-    #    (doc_minhash_dedup) queues behind it — a window slot must buy
-    #    a hash verdict, not a rows-only check, unless the head's twin
-    #    is in-window too ------------------------------------------------
-    "doc_dup_span_runs",
-    "doc_dup_spans_counts",
-    "doc_dup_spans_frac",
-    "doc_minhash_dedup_md5",
-    "doc_minhash_estimate",
-    "doc_multi_signal_pairs",
-    "doc_split_leakage_safe",
-    "emb_ann_ivf_int",
-    "emb_ann_lsh_int",
-    "emb_ann_recall",
-    "emb_ann_recall_ivfpq",
-    "emb_ann_recall_lsh",
-    "emb_ann_recall_pq",
-    "emb_ann_recall_sq8",
-    "emb_cosine_neardup_allpairs",
-    "emb_random_projection",
-    # -- r12 generation, oldest-checked fill (23 of 46, name order;
-    #    none are no_oracle entries).  Includes the four degraded-hour
-    #    bench watch items (doc_chunk_overlap, doc_classifier_eval,
-    #    doc_winnow_pairs + doc_fuzzy_prefix_pairs' exact family) so
-    #    their r16 driver rows land alongside the bench re-read --------
-    "doc_bigram_coherence",
-    "doc_canonical_dedup",
-    "doc_ccnet_bucket",
-    "doc_chunk_overlap",
-    "doc_classifier_eval",
-    "doc_curation_pipeline",
-    "doc_dedup_clusters",
-    "doc_dedup_tiers",
-    "doc_dsir_vote",
-    "doc_dup_spans",
-    "doc_epoch_cap_mix",
-    "doc_gopher_rules",
-    "doc_hash_classifier",
-    "doc_paragraph_dedup",
-    "doc_quality",
-    "doc_quality_filter",
-    "doc_winnow_pairs",
-    "emb_pq_topk_int",
-    "emb_sq8_topk_int",
-    "ev_asof_orders",
-    "ev_day_spine",
-    "ev_filter_project",
-    "ev_funnel",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 23
-    #    r12-generation rows queue here for r17 ------------------------
+    "doc_bpe_apply_stored",
+    "doc_bpe_apply_m48",
+    # -- the 23 remaining r12-stale rows (VERDICT r16 #1): drained in
+    #    full this window; after this round minimum staleness is r13.
+    #    None are no_oracle entries (twin rule holds vacuously) ---------
     "ev_hash_sessions",
     "ev_interevent_gap",
     "ev_last_per_user",
@@ -132,6 +81,59 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q10",
     "union_distinct_ids",
     "user_event_family",
+    # -- r13 generation, oldest-checked fill (18 of 47, name order;
+    #    all hash-verified in their r13 rows — emb_semdedup, the one
+    #    r13 rows-only head, stays out per the twin rule) ---------------
+    "doc_cms_ngram_error",
+    "doc_quality_filter_exact",
+    "doc_repetition",
+    "doc_shuffle_shard",
+    "doc_sorted_neighborhood",
+    "doc_sorted_neighborhood_global",
+    "doc_span_scrub",
+    "doc_tfidf_topk",
+    "doc_unigram_freq",
+    "emb_centroids",
+    "emb_contamination",
+    "emb_cosine_neardup",
+    "emb_ivfpq_topk_int",
+    "emb_kmeans_step",
+    "emb_kmeans_train",
+    "emb_knn_hubness",
+    "emb_proto_prune",
+    "emb_prototypicality",
+    # -- slots 51+: past the driver's 50-entry line; the remaining 29
+    #    r13-generation rows queue here for r18 (name order; the
+    #    emb_semdedup float head rides with its exact twin) -------------
+    "emb_semdedup",
+    "emb_semdedup_incr",
+    "emb_semdedup_int",
+    "ev_dau_stickiness",
+    "ev_dau_stickiness_kmv",
+    "gold_star_bucketed",
+    "landing_page_daily",
+    "matview_awardcharts",
+    "matview_awardmetrics",
+    "matview_landingpage",
+    "matview_repocharts",
+    "matview_repometrics",
+    "matview_routed_repo",
+    "matview_userprofilecharts",
+    "matview_userprofilemetrics",
+    "metrics_star_bucketed",
+    "mm_image_features_exact",
+    "mm_phash_neardup",
+    "tpch_q1",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q8",
 )
 
 

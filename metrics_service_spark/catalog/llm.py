@@ -5696,11 +5696,96 @@ def _oracle_bpe_budget_retrain() -> str:
     )
 
 
+_ORACLE_BPE_BUDGET_RETRAIN = _oracle_bpe_budget_retrain()
+
 QUERIES["doc_bpe_budget_retrain"] = QuerySpec(
     q_doc_bpe_budget_retrain,
-    _oracle_bpe_budget_retrain(),
+    _ORACLE_BPE_BUDGET_RETRAIN,
     "the full tokenizer loop: fertility eval -> merge-budget "
     "apportionment -> per-language grouped retrain, one entry",
+    ("llm",),
+)
+
+
+def q_doc_bpe_budget_retrain_local(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tokenizer loop with its PRODUCTION trainer (VERDICT r16 #3):
+    identical pipeline to doc_bpe_budget_retrain, but the per-language
+    retrain runs via bpe_train_grouped_local_finish — one corpus
+    shuffle + bounded vocab collect + driver heap trainer — so the
+    whole fertility -> budget -> retrain loop is O(1) Spark jobs at
+    ANY total_budget (at a 32k-merge production budget the sequential
+    distributed rounds would hit the ~9 h job-launch floor priced by
+    tools/probe_bpe_vocab.py).  Same oracle as the distributed arm:
+    the two trainers are bit-identical per language, so a green row
+    here proves the O(1)-jobs loop end to end."""
+    from metrics_service_spark.operators.bpe import bpe_budget_retrain
+
+    return bpe_budget_retrain(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        n_merges_current=BPE_MERGES,
+        total_budget=RETRAIN_BUDGET_TOTAL,
+        min_per_group=RETRAIN_BUDGET_MIN,
+        trainer="local_finish",
+    )
+
+
+QUERIES["doc_bpe_budget_retrain_local"] = QuerySpec(
+    q_doc_bpe_budget_retrain_local,
+    _ORACLE_BPE_BUDGET_RETRAIN,
+    "the full tokenizer loop with the O(1)-jobs local-finish trainer: "
+    "fertility eval -> apportionment -> per-language retrain, "
+    "job count independent of the merge budget",
+    ("llm",),
+)
+
+
+# Deep grouped-apply geometry (VERDICT r16 #2): one group's budget
+# crosses bpe_apply_grouped's checkpoint_every=32 boundary, so the
+# lazy localCheckpoint arm of the GROUPED rank-level replay — covered
+# only by toy pytest invariance before r17 — is oracle-replayed
+# bit-for-bit at depth, mirroring what doc_bpe_apply_m48 proved for
+# the ungrouped path.  Two live groups keep the 40-round relational
+# oracle tractable; every other language rides through the vocab
+# states character-segmented on both engines (sql_bpe_grouped_ctes
+# carries ALL corpus groups regardless of the budget list).
+BPE_GROUP_BUDGETS_DEEP = {"en": 40, "fr": 5}
+
+
+def q_doc_bpe_apply_grouped_m40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenization where one language's stored table is
+    40 ranks deep: the grouped replay checkpoints at rank 32, so a
+    green row proves the checkpointed grouped replay reproduces each
+    language's training segmentation bit-for-bit past the lineage
+    cut."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS_DEEP
+    )
+    return bpe_apply_grouped(docs, table)
+
+
+def _oracle_bpe_apply_grouped_m40() -> str:
+    from metrics_service_spark.operators.bpe import (
+        sql_bpe_apply_grouped_counts,
+    )
+
+    return sql_bpe_apply_grouped_counts(BPE_GROUP_BUDGETS_DEEP)
+
+
+QUERIES["doc_bpe_apply_grouped_m40"] = QuerySpec(
+    q_doc_bpe_apply_grouped_m40,
+    _oracle_bpe_apply_grouped_m40(),
+    "grouped BPE apply at 40 merges for one language: the grouped "
+    "replay chain crosses its localCheckpoint boundary, "
+    "oracle-replayed at depth",
     ("llm",),
 )
 

@@ -367,7 +367,29 @@ def _collect_merges(merge_table: DataFrame) -> list[tuple[str, str]]:
             f"0..{len(rows) - 1} distinct, got {ranks[:20]}"
             + ("..." if len(ranks) > 20 else "")
         )
+    _validate_merge_symbols(
+        ((r["rank"], r["left_sym"], r["right_sym"]) for r in rows), "merge table"
+    )
     return [(r["left_sym"], r["right_sym"]) for r in rows]
+
+
+def _validate_merge_symbols(rows, label: str) -> None:
+    """Fail loudly on NULL/empty merge symbols (ADVICE r16): a corrupt
+    persisted row with a NULL left_sym/right_sym would otherwise take
+    `merge_pair_scan_col`'s NULL passthrough arm downstream and
+    silently SKIP that rank — the exact silent-corruption class the
+    rank-contiguity check was added to kill."""
+    bad = [
+        (rank, l, r)
+        for rank, l, r in rows
+        if l is None or r is None or l == "" or r == ""
+    ]
+    if bad:
+        raise ValueError(
+            f"{label} is corrupt: NULL/empty merge symbols at "
+            f"(rank, left, right) {bad[:20]}"
+            + ("..." if len(bad) > 20 else "")
+        )
 
 
 def replay_merges(
@@ -792,9 +814,28 @@ def vocab_budget_rebalance(
             F.when(F.col("__wsum") > 0, F.col("__wsum")).otherwise(F.col("__m")),
         )
     )
+    # _floordiv_long's IEEE division is exact only while the product
+    # stays below 2^52 (ADVICE r16: trillions of excess units times a
+    # tens-of-thousands budget silently misapportions past that) —
+    # guard the product IN the dataflow branch (a side assert column
+    # would be pruned; see the __B guard above).  The bound check is
+    # itself exact integer DIV, never the product: B*w could overflow
+    # int64 before a product-form comparison ever ran.
+    prod_safe = (F.col("__w") == 0) | (
+        F.col("__B") <= F.expr(f"{(1 << 52) - 1} DIV __w")
+    )
+    prod = F.when(prod_safe, F.col("__B") * F.col("__w")).otherwise(
+        F.raise_error(
+            F.lit(
+                "vocab_budget_rebalance: budget * weight exceeds 2^52; "
+                "floor-division would lose integer exactness — rescale "
+                "weights (e.g. excess_units // 2^k) before apportioning"
+            )
+        ).cast("long")
+    )
     f = f.withColumn(
-        "__base", _floordiv_long(F.col("__B") * F.col("__w"), F.col("__wtot"))
-    ).withColumn("__fr", F.pmod(F.col("__B") * F.col("__w"), F.col("__wtot")))
+        "__base", _floordiv_long(prod, F.col("__wtot"))
+    ).withColumn("__fr", F.pmod(prod, F.col("__wtot")))
     f = f.withColumn("__R", F.col("__B") - F.sum("__base").over(w_all))
     f = f.withColumn(
         "__rk",
@@ -1015,11 +1056,16 @@ def bpe_train_grouped_local_finish(
     trainer with the same filter, tie-break, and greedy scan."""
     if not budgets:
         raise ValueError("bpe_train_grouped_local_finish: budgets empty")
+    # only groups that will actually train consume the bounded-transfer
+    # headroom (ADVICE r16: a dead budget<=0 group's vocab rows could
+    # trip the max_vocab_rows guard for nothing — they were skipped
+    # after the collect anyway)
+    live = sorted(g for g, b in budgets.items() if b > 0)
     rows = (
         _grouped_word_frequencies(
             docs, text_col, group_col, max_word_len=max_word_len
         )
-        .filter(F.col(group_col).isin(sorted(budgets)))
+        .filter(F.col(group_col).isin(live))
         .limit(max_vocab_rows + 1)
         .collect()
     )
@@ -1031,10 +1077,8 @@ def bpe_train_grouped_local_finish(
         )
     spark = docs.sparkSession
     merges: list[tuple[str, int, str, str, int]] = []
-    for g in sorted(budgets):
+    for g in live:
         gfreqs = {r["w"]: r["freq"] for r in rows if r[group_col] == g}
-        if budgets[g] <= 0:
-            continue
         table = _heap_train_from_freqs(gfreqs, n_merges=budgets[g], label=g)
         merges.extend((g, *row) for row in table)
     return spark.createDataFrame(
@@ -1216,17 +1260,34 @@ def bpe_budget_retrain(
     total_budget: int,
     min_per_group: int = 1,
     max_word_len: int = MAX_WORD_LEN,
+    trainer: str = "distributed",
 ) -> DataFrame:
     """The full tokenizer-improvement loop, end to end: train the
     CURRENT tokenizer (driver-local finish — O(1) jobs), evaluate its
     per-language fertility (`bpe_apply_stats`), apportion the next
     vocabulary's merge budget by reclaimable excess mass
     (`vocab_budget_rebalance`), and retrain PER LANGUAGE under those
-    budgets (`bpe_train_grouped`).  The budget crossing to the driver
-    is |langs| rows (the same bounded-transfer class as the merge
-    table); everything else stays on the cluster.  Output: the new
-    per-language merge table, replayed bit-for-bit by
-    `sql_bpe_budget_retrain`."""
+    budgets.  The budget crossing to the driver is |langs| rows (the
+    same bounded-transfer class as the merge table); everything else
+    stays on the cluster.  Output: the new per-language merge table,
+    replayed bit-for-bit by `sql_bpe_budget_retrain`.
+
+    ``trainer`` picks the retraining engine (VERDICT r16 #3):
+    ``"distributed"`` runs `bpe_train_grouped` — O(max_budget)
+    sequential rounds, corpus never leaves the cluster beyond the
+    per-round |langs|-row argmax; ``"local_finish"`` runs
+    `bpe_train_grouped_local_finish` — ONE corpus shuffle + bounded
+    vocab collect + driver heap trainer, so the WHOLE loop is O(1)
+    Spark jobs regardless of total_budget (the production shape at a
+    32k-merge budget, where sequential rounds would hit the job-launch
+    floor `tools/probe_bpe_vocab.py` priced at ~9 h).  The two are
+    bit-identical per language (equivalence-tested), so both arms
+    replay against the same oracle."""
+    if trainer not in ("distributed", "local_finish"):
+        raise ValueError(
+            f"bpe_budget_retrain: trainer must be 'distributed' or "
+            f"'local_finish', got {trainer!r}"
+        )
     current = bpe_train_local_finish(
         docs, text_col, n_merges=n_merges_current, max_word_len=max_word_len
     )
@@ -1248,7 +1309,12 @@ def bpe_budget_retrain(
         for r in budget_rows
         if r["merge_budget"] > 0
     }
-    return bpe_train_grouped(
+    train = (
+        bpe_train_grouped
+        if trainer == "distributed"
+        else bpe_train_grouped_local_finish
+    )
+    return train(
         docs,
         text_col,
         group_col=group_col,
@@ -1278,6 +1344,7 @@ def _collect_grouped_merges(
                 f"must be exactly 0..{len(seq) - 1} distinct, got "
                 f"{[x[0] for x in seq][:20]}"
             )
+        _validate_merge_symbols(seq, f"grouped merge table (group {g!r})")
     return {g: [(l, r) for _, l, r in seq] for g, seq in out.items()}
 
 

@@ -716,3 +716,105 @@ def test_apply_grouped_oracle_replays_bitwise(spark, tmp_path):
         str(tmp_path),
         "apply_grouped",
     )
+
+
+def test_grouped_merge_table_storage_roundtrip_apply(spark, tmp_path):
+    # VERDICT r16 #4: the GROUPED production loop — train per language
+    # -> persist through the transactional manifest table -> read back
+    # -> apply each document with its language's re-read table — must
+    # be bit-identical to applying the in-session table
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_grouped,
+        bpe_train_grouped_local_finish,
+    )
+    from metrics_service_spark.sources.merge_table import (
+        overwrite_table,
+        read_table,
+    )
+
+    docs = _lang_docs(spark)
+    budgets = {"en": 3, "fr": 2}
+    table = bpe_train_grouped_local_finish(docs, "text", budgets=budgets)
+    tdir = str(tmp_path / "grouped_merges")
+    overwrite_table(table, tdir)
+    stored = read_table(spark, tdir)
+    got = sorted(tuple(r) for r in bpe_apply_grouped(docs, stored).collect())
+    want = sorted(tuple(r) for r in bpe_apply_grouped(docs, table).collect())
+    assert got == want
+
+
+def test_collectors_reject_null_or_empty_symbols(spark):
+    # ADVICE r16: a persisted row with NULL/empty merge symbols would
+    # ride merge_pair_scan_col's NULL passthrough arm and silently
+    # skip that rank — both collectors must fail loudly instead
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply,
+        bpe_apply_grouped,
+    )
+
+    docs = spark.createDataFrame([(1, "ab", "en")], "doc_id int, text string, lang string")
+    flat_null = spark.createDataFrame(
+        [(0, "a", "b", 2), (1, None, "c", 1)],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    flat_empty = spark.createDataFrame(
+        [(0, "", "b", 2)],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    for bad in (flat_null, flat_empty):
+        with pytest.raises(ValueError, match="NULL/empty"):
+            bpe_apply(docs.select("doc_id", "text"), bad)
+    grouped_null = spark.createDataFrame(
+        [("en", 0, "a", None, 2)],
+        "lang string, rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    with pytest.raises(ValueError, match="NULL/empty"):
+        bpe_apply_grouped(docs, grouped_null)
+
+
+def test_vocab_budget_overflow_guard_raises(spark):
+    # ADVICE r16: the Hamilton floor-div is exact only while
+    # budget * weight < 2^52 — past that the plan must raise, not
+    # silently misapportion
+    from metrics_service_spark.operators.bpe import vocab_budget_rebalance
+
+    big = spark.createDataFrame(
+        [("en", 0, 1 << 45), ("fr", 0, 7)],
+        "lang string, ws_tokens long, bpe_units long",
+    )
+    with pytest.raises(Exception, match="2\\^52"):
+        vocab_budget_rebalance(big, "lang", total_budget=1 << 20).collect()
+    # same shape under the bound: exact and sums to the budget
+    ok = spark.createDataFrame(
+        [("en", 0, 1 << 30), ("fr", 0, 7)],
+        "lang string, ws_tokens long, bpe_units long",
+    )
+    rows = vocab_budget_rebalance(ok, "lang", total_budget=1 << 20).collect()
+    assert sum(r["merge_budget"] for r in rows) == 1 << 20
+
+
+def test_grouped_apply_checkpoint_invariance(spark):
+    # the grouped replay's lazy localCheckpoint cadence must not
+    # change the segmentation (the ungrouped twin of this test has
+    # held since r15; the sf-scale proof is doc_bpe_apply_grouped_m40)
+    from metrics_service_spark.operators.bpe import (
+        bpe_apply_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = _lang_docs(spark)
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets={"en": 4, "fr": 3}
+    )
+    base = sorted(
+        tuple(r)
+        for r in bpe_apply_grouped(docs, table, checkpoint_every=32).collect()
+    )
+    for every in (1, 2, 3):
+        got = sorted(
+            tuple(r)
+            for r in bpe_apply_grouped(
+                docs, table, checkpoint_every=every
+            ).collect()
+        )
+        assert got == base
