@@ -2575,6 +2575,46 @@ GROUP BY 1
 """
 
 
+def q_paragraph_index_batch_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-level oracle twin of the streaming paragraph-index FOLD
+    (VERDICT r16 optional: the one streaming path whose per-batch
+    values relied on pytest mechanics only): the EXACT function
+    `incremental_paragraph_index_refresh` folds per micro-batch —
+    `streaming/paragraph_index.batch_paragraph_counts` — run over the
+    documents table as one batch and hash-verified against the same
+    relational chunk/hash/count pipeline doc_paragraph_dedup's oracle
+    uses.  The `bucket` column (xxhash64 partition routing, no DuckDB
+    equivalent) is projected out: it routes WHERE a row is stored,
+    never WHAT is counted, and is pinned by
+    tests/test_paragraph_index.py."""
+    from metrics_service_spark.operators.similarity import _spread
+    from metrics_service_spark.streaming.paragraph_index import (
+        batch_paragraph_counts,
+    )
+
+    # _spread only here, not in the streaming operator: micro-batches
+    # arrive pre-partitioned by the source, while this batch twin reads
+    # a one-row-group parquet whose explode would serialize on one task
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return batch_paragraph_counts(docs, "doc_id", "text", chunk_tokens=20)\
+        .select("ph", "n")
+
+
+ORACLE_PARAGRAPH_INDEX_TWIN = """
+WITH c AS (
+  SELECT doc_id,
+         [md5(array_to_string(toks[i*20+1:i*20+20], ' '))
+          FOR i IN range(0, greatest(CAST(ceil(len(toks) / 20.0) AS INT), 1))]
+             AS phs
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT ph, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(phs) AS ph FROM c)
+GROUP BY 1
+"""
+
 LENGTH_QUANTILE_PERCENTS = [25, 50, 75, 90, 99]
 
 
@@ -5787,6 +5827,14 @@ QUERIES["doc_bpe_apply_grouped_m40"] = QuerySpec(
     "replay chain crosses its localCheckpoint boundary, "
     "oracle-replayed at depth",
     ("llm",),
+)
+
+QUERIES["paragraph_index_batch_twin"] = QuerySpec(
+    q_paragraph_index_batch_twin,
+    ORACLE_PARAGRAPH_INDEX_TWIN,
+    "the streaming paragraph-index fold unit hash-verified as a batch "
+    "frame: per-paragraph-hash counts over one batch",
+    ("llm", "streaming"),
 )
 
 

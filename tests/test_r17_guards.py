@@ -93,3 +93,37 @@ def test_dead_group_vocab_rows_do_not_consume_transfer_headroom(spark):
     rows = table.collect()
     assert {r["lang"] for r in rows} == {"en"}
     assert len(rows) == 2
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouped_apply_deep_replay_roots_at_checkpoint(spark):
+    """Past checkpoint_every=32 the grouped replay must root at the
+    checkpointed VOCAB-sized RDD scan (lineage cut), never re-derive
+    the corpus — the doc_bpe_apply_grouped_m40 plan shape, pinned on a
+    synthetic 40-rank table (pair content is irrelevant to the plan)."""
+    from metrics_service_spark.operators.bpe import bpe_apply_grouped
+
+    docs = _lang_docs(spark)
+    table = spark.createDataFrame(
+        [("en", i, f"q{i}", f"x{i}", 1) for i in range(40)],
+        "lang string, rank int, left_sym string, right_sym string, "
+        "pair_count bigint",
+    )
+    plan = _executed(bpe_apply_grouped(docs, table))
+    assert "Scan ExistingRDD" in plan
+
+
+def test_paragraph_fold_single_exchange(spark):
+    """The streaming paragraph-index fold unit must be chunk explode +
+    md5 + ONE map-side-combined groupBy — exactly one hash exchange,
+    so per-micro-batch cost is batch-linear with no second shuffle."""
+    from metrics_service_spark.streaming.paragraph_index import (
+        batch_paragraph_counts,
+    )
+
+    docs = _lang_docs(spark)
+    plan = _executed(batch_paragraph_counts(docs, "doc_id", "text"))
+    assert plan.count("Exchange hashpartitioning") == 1

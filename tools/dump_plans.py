@@ -122,6 +122,9 @@ COMMENTARY = {
     "doc_bpe_budget_retrain": "the full loop chains the audited shapes: local-finish train (one corpus shuffle) -> fertility stats (one corpus pass, |langs| rows) -> Hamilton apportionment (tiny-frame windows) -> grouped retrain (per-round grouped agg + windowed argmax + broadcast merge apply); the only driver transfers are the vocab (guarded), the merge table, and the |langs| budget rows",
     "doc_classifier_calibration": "the doc_classifier_auc collapse: two per-doc projections -> one value-domain-bounded score histogram; the observed range is a broadcast one-row aggregate and the bin rollup runs on histogram rows — no corpus window, no driver collect",
     "doc_bpe_apply_grouped": "zero training jobs: the grouped table replays as rank-level broadcast joins + column-valued greedy scans over the distinct (lang, word) vocab (NULL passthrough past each language's budget), then ONE (lang, word)-keyed unit join + per-doc agg — corpus tokens touched once",
+    "doc_bpe_apply_grouped_m40": "doc_bpe_apply_grouped's skeleton at 40 ranks for one language: the grouped replay crosses its localCheckpoint(every=32) boundary, so the plan roots at a checkpointed VOCAB-sized RDD scan (never the corpus) with the post-checkpoint rank-level broadcast joins above it; corpus tokens still touched exactly once by the (lang, word) unit join + per-doc agg",
+    "doc_bpe_budget_retrain_local": "the retrain loop on its production trainer: local-finish current train (one corpus shuffle) -> fertility stats (one corpus pass) -> Hamilton apportionment (tiny-frame windows) -> grouped LOCAL-FINISH retrain (one more corpus shuffle + bounded vocab collect + driver heap trainers) — O(1) Spark jobs at any total_budget; the returned frame is the merge table (local scan by design)",
+    "paragraph_index_batch_twin": "the streaming fold unit on a batch frame: closed-form chunk explode + md5 + ONE map-side-combined count groupBy — paragraph mass collapses before the only exchange; identical per-micro-batch plan under foreachBatch",
 }
 
 

@@ -333,6 +333,22 @@ QUERIES = [
     # so expected ~linear row fill (measured 23.5x at 50x — sub-50x
     # core fill, perfectly partition-parallel)
     "search_stream_batch_twin",
+    # r17: grouped apply at checkpoint-crossing depth (en=40) — the
+    # doc_bpe_apply_m48 contract per language: the replay-depth
+    # constant (40 chained scans + the rank-32 checkpoint) is
+    # vocab-sized and corpus-independent, so it amortizes as data
+    # grows; corpus term is the grouped apply's tokenize + unit join
+    "doc_bpe_apply_grouped_m40",
+    # r17: the tokenizer loop on its O(1)-jobs local-finish arm —
+    # expected to track doc_bpe_budget_retrain's corpus term (two
+    # tokenize passes) minus the sequential grouped-round floor
+    "doc_bpe_budget_retrain_local",
+    # r17: the streaming paragraph-index fold unit as a batch frame —
+    # chunk explode + md5 + one map-side-combined groupBy; paragraph
+    # mass is corpus-linear (suffixed copies hash to disjoint
+    # paragraphs, so the count table grows x50 with no cross-copy
+    # collisions — real agg mass, like doc_paragraph_dedup's front)
+    "paragraph_index_batch_twin",
 ]
 
 
@@ -562,12 +578,66 @@ def main() -> None:
             spark, _prefixed_docs_dir(spark, sf_dir)
         )
 
+    def classifier_calibration_widedomain(spark, sf_dir):
+        # r17 (VERDICT r16 optional): the catalog entry's score domain
+        # is value-bounded by construction (per-token weights in
+        # [-8, 8] at w_mod=17), so its 1.9x probe row never stressed
+        # the histogram itself.  This arm re-runs the SAME calibration
+        # pipeline with w_mod=1009 — per-token weights in [-504, 504],
+        # a ~60x wider score domain at IDENTICAL corpus mass — so the
+        # ratio prices "histogram ~60x denser AND corpus x50" against
+        # the claim that the collapse keeps the histogram negligible
+        # next to the corpus scan.
+        from metrics_service_spark.catalog.llm import CALIBRATION_BINS
+        from metrics_service_spark.operators.similarity import _spread
+        from metrics_service_spark.operators.text import (
+            gopher_rules,
+            hash_classifier,
+        )
+
+        docs = _spread(load_table(spark, sf_dir, "documents"))
+        rules = gopher_rules(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
+        clf = hash_classifier(
+            docs, "doc_id", "text", w_mod=1009, w_bias=504
+        ).select("doc_id", "score")
+        hist = (
+            rules.join(clf, "doc_id")
+            .groupBy("score")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("label"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_pos"),
+            )
+        )
+        rng = hist.agg(
+            F.min("score").alias("__smin"), F.max("score").alias("__smax")
+        )
+        binned = hist.crossJoin(F.broadcast(rng)).select(
+            F.expr(
+                f"CAST(((score - __smin) * {CALIBRATION_BINS}) div "
+                f"(__smax - __smin + 1) AS INT)"
+            ).alias("bin_id"),
+            "n",
+            "n_pos",
+            "score",
+        )
+        return binned.groupBy("bin_id").agg(
+            F.min("score").alias("score_lo"),
+            F.max("score").alias("score_hi"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+        )
+
     EXTRA = {
         "bloom_semi_fixed_m16": bloom_semi_fixed,
         "doc_linkage_recall_scaledmod": linkage_recall_scaled,
         "metrics_star_silver": metrics_star_silver,
         "fuzzy_prefix_pathbased_disjoint": fuzzy_prefix_pathbased_disjoint,
         "fuzzy_prefix_bucketed_disjoint": fuzzy_prefix_bucketed_disjoint,
+        "classifier_calibration_widedomain": classifier_calibration_widedomain,
     }
 
     def micro_semantic_admit(spark, sf_dir):
