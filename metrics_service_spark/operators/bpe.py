@@ -771,8 +771,6 @@ def vocab_budget_rebalance(
     merge_budget)."""
     from pyspark.sql import Window
 
-    from metrics_service_spark.operators.sampling import _floordiv_long
-
     w_all = Window.partitionBy()
     f = stats.select(
         F.col(group_col),
@@ -814,28 +812,33 @@ def vocab_budget_rebalance(
             F.when(F.col("__wsum") > 0, F.col("__wsum")).otherwise(F.col("__m")),
         )
     )
-    # _floordiv_long's IEEE division is exact only while the product
-    # stays below 2^52 (ADVICE r16: trillions of excess units times a
-    # tens-of-thousands budget silently misapportions past that) —
-    # guard the product IN the dataflow branch (a side assert column
-    # would be pruned; see the __B guard above).  The bound check is
-    # itself exact integer DIV, never the product: B*w could overflow
-    # int64 before a product-form comparison ever ran.
+    # The quota arithmetic is exact integral DIV/pmod over the FULL
+    # int64 range (ADVICE r16 flagged the earlier IEEE floor-div,
+    # exact only below 2^52 — trillions of excess units times a
+    # tens-of-thousands budget, ~3e16, sits between the two bounds and
+    # would have silently misapportioned).  What remains is int64
+    # OVERFLOW of B*w itself, guarded IN the dataflow branch (a side
+    # assert column would be pruned; see the __B guard above); the
+    # bound check is itself an exact DIV, never the product — B*w
+    # could wrap before a product-form comparison ever ran.
     prod_safe = (F.col("__w") == 0) | (
-        F.col("__B") <= F.expr(f"{(1 << 52) - 1} DIV __w")
-    )
-    prod = F.when(prod_safe, F.col("__B") * F.col("__w")).otherwise(
-        F.raise_error(
-            F.lit(
-                "vocab_budget_rebalance: budget * weight exceeds 2^52; "
-                "floor-division would lose integer exactness — rescale "
-                "weights (e.g. excess_units // 2^k) before apportioning"
-            )
-        ).cast("long")
+        F.col("__B") <= F.expr(f"{(1 << 63) - 1} DIV __w")
     )
     f = f.withColumn(
-        "__base", _floordiv_long(prod, F.col("__wtot"))
-    ).withColumn("__fr", F.pmod(prod, F.col("__wtot")))
+        "__bw",
+        F.when(prod_safe, F.col("__B") * F.col("__w")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "vocab_budget_rebalance: budget * weight overflows "
+                    "int64 (2^63); rescale weights (e.g. excess_units "
+                    "// 2^k) before apportioning"
+                )
+            ).cast("long")
+        ),
+    )
+    f = f.withColumn("__base", F.expr("__bw DIV __wtot")).withColumn(
+        "__fr", F.pmod(F.col("__bw"), F.col("__wtot"))
+    )
     f = f.withColumn("__R", F.col("__B") - F.sum("__base").over(w_all))
     f = f.withColumn(
         "__rk",

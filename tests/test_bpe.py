@@ -773,24 +773,32 @@ def test_collectors_reject_null_or_empty_symbols(spark):
 
 
 def test_vocab_budget_overflow_guard_raises(spark):
-    # ADVICE r16: the Hamilton floor-div is exact only while
-    # budget * weight < 2^52 — past that the plan must raise, not
-    # silently misapportion
+    # ADVICE r16: the apportionment must stay exact past the IEEE
+    # floor-div's 2^52 ceiling (production excess-unit masses are
+    # trillions x a 32k budget ~ 3e16) and fail loudly only at real
+    # int64 overflow of budget * weight
     from metrics_service_spark.operators.bpe import vocab_budget_rebalance
 
     big = spark.createDataFrame(
-        [("en", 0, 1 << 45), ("fr", 0, 7)],
+        [("en", 0, 1 << 50), ("fr", 0, 7)],
         "lang string, ws_tokens long, bpe_units long",
     )
-    with pytest.raises(Exception, match="2\\^52"):
+    with pytest.raises(Exception, match="int64"):
         vocab_budget_rebalance(big, "lang", total_budget=1 << 20).collect()
-    # same shape under the bound: exact and sums to the budget
-    ok = spark.createDataFrame(
-        [("en", 0, 1 << 30), ("fr", 0, 7)],
-        "lang string, ws_tokens long, bpe_units long",
-    )
-    rows = vocab_budget_rebalance(ok, "lang", total_budget=1 << 20).collect()
-    assert sum(r["merge_budget"] for r in rows) == 1 << 20
+    # a product ABOVE 2^52 (where the old IEEE path silently drifted)
+    # must now match the Python big-int reference exactly
+    weights = {"en": (1 << 45) + 3, "fr": 7, "zh": (1 << 44) + 11}
+    rows = [
+        (lang, 0, w) for lang, w in weights.items()
+    ]
+    got = {
+        r["lang"]: r["merge_budget"]
+        for r in vocab_budget_rebalance(
+            _stats_frame(spark, rows), total_budget=32_000, min_per_group=1
+        ).collect()
+    }
+    assert got == _ref_budget(weights, 32_000, 1)
+    assert sum(got.values()) == 32_000
 
 
 def test_grouped_apply_checkpoint_invariance(spark):
