@@ -211,10 +211,13 @@ HEADLINE = [
     # round-16: per-language tokenization from the grouped table
     "doc_bpe_apply_grouped",
     # round-17: the grouped apply at checkpoint-crossing depth (40
-    # ranks for one language) and the retrain loop's O(1)-jobs
-    # local-finish arm
+    # ranks for one language), the retrain loop's O(1)-jobs
+    # local-finish arm, the streaming paragraph-index fold's batch
+    # twin, and the tokenizer vocabulary export
     "doc_bpe_apply_grouped_m40",
     "doc_bpe_budget_retrain_local",
+    "paragraph_index_batch_twin",
+    "doc_bpe_vocab_export",
 ]
 
 

@@ -5838,6 +5838,38 @@ QUERIES["paragraph_index_batch_twin"] = QuerySpec(
 )
 
 
+def q_doc_bpe_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer artifact a runtime consumes (the vocab file next
+    to the merges file): base characters + merge-output units with
+    their introducing rank and a deterministic dense unit id.  The
+    missing third leg of the train/apply/export lifecycle — a user of
+    the stored merge table needs stable unit ids to emit token-id
+    sequences."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_local_finish,
+        bpe_vocab_export,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
+    return bpe_vocab_export(docs, table)
+
+
+def _oracle_bpe_vocab_export() -> str:
+    from metrics_service_spark.operators.bpe import sql_bpe_vocab_export
+
+    return sql_bpe_vocab_export(BPE_MERGES)
+
+
+QUERIES["doc_bpe_vocab_export"] = QuerySpec(
+    q_doc_bpe_vocab_export,
+    _oracle_bpe_vocab_export(),
+    "tokenizer vocabulary export: base chars + merge-output units "
+    "with introducing rank and deterministic dense unit ids",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

@@ -605,6 +605,78 @@ def sql_bpe_merge_table(n_merges: int, **kw) -> str:
     return f"WITH {ctes}\n{unions}"
 
 
+def bpe_vocab_export(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    *,
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Export the unit vocabulary a trained tokenizer ships to its
+    runtime (the vocab.json next to the merges file): every base
+    character observed in the trainable word set (first_rank -1) plus
+    each merge's output symbol (left||right at its introducing rank).
+    Duplicate outputs keep the EARLIEST rank — two merges can emit the
+    same string (e.g. (a,bc) after (ab,c) both yield "abc") and a
+    runtime wants distinct units.  ``unit_id`` is the deterministic
+    dense numbering by (first_rank, unit), so ids are stable across
+    engines and re-exports.
+
+    Scale: base chars come from the one corpus tokenize pass collapsed
+    map-side to the <=|charset| distinct set; the merge side is the
+    merge-table frame itself — the union is vocab-bounded (chars +
+    n_merges rows) and the id window runs on that tiny frame (the
+    |langs|-row singleton-window class, never corpus mass)."""
+    from pyspark.sql import Window
+
+    chars = (
+        word_frequencies(docs, text_col, max_word_len=max_word_len)
+        .select(F.explode(F.split("w", "")).alias("unit"))
+        .distinct()
+        .select("unit", F.lit(-1).cast("int").alias("first_rank"))
+    )
+    merged = merge_table.select(
+        F.concat("left_sym", "right_sym").alias("unit"),
+        F.col("rank").cast("int").alias("first_rank"),
+    )
+    units = (
+        chars.unionByName(merged)
+        .groupBy("unit")
+        .agg(F.min("first_rank").cast("int").alias("first_rank"))
+    )
+    w = Window.orderBy("first_rank", "unit")
+    return units.select(
+        "unit",
+        "first_rank",
+        (F.row_number().over(w) - 1).cast("long").alias("unit_id"),
+    )
+
+
+def sql_bpe_vocab_export(n_merges: int, **kw) -> str:
+    """DuckDB replay of `bpe_vocab_export`: base chars from the r0
+    segmentation, merge outputs from each round's b{n} winner, dedup
+    to the earliest rank, dense (first_rank, unit) numbering."""
+    ctes, _ = sql_bpe_ctes(n_merges, **kw)
+    merge_units = "\n  UNION ALL\n".join(
+        f"  SELECT l || r AS unit, {n} AS first_rank FROM b{n}"
+        for n in range(n_merges)
+    )
+    return f"""WITH {ctes},
+all_units AS (
+  SELECT DISTINCT unnest(syms) AS unit, -1 AS first_rank FROM r0
+  UNION ALL
+{merge_units}
+),
+dedup AS (
+  SELECT unit, CAST(min(first_rank) AS INT) AS first_rank
+  FROM all_units GROUP BY 1
+)
+SELECT unit, first_rank,
+       CAST(row_number() OVER (ORDER BY first_rank, unit) - 1 AS BIGINT)
+           AS unit_id
+FROM dedup"""
+
+
 def sql_bpe_apply_counts(
     n_merges: int,
     *,

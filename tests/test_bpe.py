@@ -826,3 +826,41 @@ def test_grouped_apply_checkpoint_invariance(spark):
             ).collect()
         )
         assert got == base
+
+
+def test_vocab_export_hand_checked(spark):
+    # corpus: "ab ab b" -> trainable words {ab, b}; chars {a, b};
+    # 1 merge: (a, b) -> unit "ab" at rank 0.  ids dense by
+    # (first_rank, unit): a=0, b=1, ab=2
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_local_finish,
+        bpe_vocab_export,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab b")], "doc_id int, text string"
+    )
+    table = bpe_train_local_finish(docs, "text", n_merges=1)
+    got = {
+        r["unit"]: (r["first_rank"], r["unit_id"])
+        for r in bpe_vocab_export(docs, table).collect()
+    }
+    assert got == {"a": (-1, 0), "b": (-1, 1), "ab": (0, 2)}
+
+
+def test_vocab_export_duplicate_outputs_keep_earliest_rank(spark):
+    # two merges emitting the same output string must export ONE unit
+    # at the earliest rank — a runtime wants distinct units
+    from metrics_service_spark.operators.bpe import bpe_vocab_export
+
+    docs = spark.createDataFrame([(1, "abc abc")], "doc_id int, text string")
+    table = spark.createDataFrame(
+        [(0, "ab", "c", 2), (1, "a", "bc", 2)],
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    got = {
+        r["unit"]: (r["first_rank"], r["unit_id"])
+        for r in bpe_vocab_export(docs, table).collect()
+    }
+    assert got["abc"] == (0, 3)  # after a=0, b=1, c=2
+    assert sorted(got) == ["a", "abc", "b", "c"]

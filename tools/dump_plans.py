@@ -125,6 +125,7 @@ COMMENTARY = {
     "doc_bpe_apply_grouped_m40": "doc_bpe_apply_grouped's skeleton at 40 ranks for one language: the grouped replay crosses its localCheckpoint(every=32) boundary, so the plan roots at a checkpointed VOCAB-sized RDD scan (never the corpus) with the post-checkpoint rank-level broadcast joins above it; corpus tokens still touched exactly once by the (lang, word) unit join + per-doc agg",
     "doc_bpe_budget_retrain_local": "the retrain loop on its production trainer: local-finish current train (one corpus shuffle) -> fertility stats (one corpus pass) -> Hamilton apportionment (tiny-frame windows) -> grouped LOCAL-FINISH retrain (one more corpus shuffle + bounded vocab collect + driver heap trainers) — O(1) Spark jobs at any total_budget; the returned frame is the merge table (local scan by design)",
     "paragraph_index_batch_twin": "the streaming fold unit on a batch frame: closed-form chunk explode + md5 + ONE map-side-combined count groupBy — paragraph mass collapses before the only exchange; identical per-micro-batch plan under foreachBatch",
+    "doc_bpe_vocab_export": "base chars from the one corpus tokenize pass collapsed map-side to the <=|charset| distinct set, unioned with the merge-table frame; the dedup groupBy and dense-id window run on the vocab-bounded (chars + n_merges)-row frame — the |langs|-row singleton-window class, zero corpus term beyond the tokenize scan",
 }
 
 

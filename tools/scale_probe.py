@@ -349,6 +349,10 @@ QUERIES = [
     # paragraphs, so the count table grows x50 with no cross-copy
     # collisions — real agg mass, like doc_paragraph_dedup's front)
     "paragraph_index_batch_twin",
+    # r17: vocabulary export — expected to track doc_bpe_train_local
+    # (one tokenize scan; the char/merge union and id window are
+    # vocab-bounded)
+    "doc_bpe_vocab_export",
 ]
 
 
