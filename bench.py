@@ -218,6 +218,7 @@ HEADLINE = [
     "doc_bpe_budget_retrain_local",
     "paragraph_index_batch_twin",
     "doc_bpe_vocab_export",
+    "doc_bpe_vocab_export_grouped",
 ]
 
 

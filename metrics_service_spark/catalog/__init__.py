@@ -50,6 +50,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_budget_retrain_local",
     "paragraph_index_batch_twin",
     "doc_bpe_vocab_export",
+    "doc_bpe_vocab_export_grouped",
     "doc_bpe_apply_grouped",
     "doc_bpe_budget_retrain",
     "doc_bpe_train_grouped_local",
@@ -83,7 +84,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q10",
     "union_distinct_ids",
     "user_event_family",
-    # -- r13 generation, oldest-checked fill (16 of 47, name order;
+    # -- r13 generation, oldest-checked fill (15 of 47, name order;
     #    all hash-verified in their r13 rows — emb_semdedup, the one
     #    r13 rows-only head, stays out per the twin rule) ---------------
     "doc_cms_ngram_error",
@@ -101,10 +102,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_ivfpq_topk_int",
     "emb_kmeans_step",
     "emb_kmeans_train",
-    "emb_knn_hubness",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 31
+    # -- slots 51+: past the driver's 50-entry line; the remaining 32
     #    r13-generation rows queue here for r18 (name order; the
     #    emb_semdedup float head rides with its exact twin) -------------
+    "emb_knn_hubness",
     "emb_proto_prune",
     "emb_prototypicality",
     "emb_semdedup",

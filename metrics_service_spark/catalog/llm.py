@@ -5870,6 +5870,43 @@ QUERIES["doc_bpe_vocab_export"] = QuerySpec(
 )
 
 
+def q_doc_bpe_vocab_export_grouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language vocabulary export from the grouped merge table —
+    one unit file per language, ids dense per language; languages
+    without merge rows export nothing (broadcast semi-join filter,
+    never a collect)."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_train_grouped_local_finish,
+        bpe_vocab_export_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS
+    )
+    return bpe_vocab_export_grouped(docs, table)
+
+
+def _oracle_bpe_vocab_export_grouped() -> str:
+    from metrics_service_spark.operators.bpe import (
+        sql_bpe_vocab_export_grouped,
+    )
+
+    return sql_bpe_vocab_export_grouped(BPE_GROUP_BUDGETS)
+
+
+QUERIES["doc_bpe_vocab_export_grouped"] = QuerySpec(
+    q_doc_bpe_vocab_export_grouped,
+    _oracle_bpe_vocab_export_grouped(),
+    "per-language tokenizer vocabulary export from the grouped merge "
+    "table: each language's base chars + merge units, ids dense per "
+    "language",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

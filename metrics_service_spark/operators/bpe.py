@@ -677,6 +677,95 @@ SELECT unit, first_rank,
 FROM dedup"""
 
 
+def bpe_vocab_export_grouped(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Per-language `bpe_vocab_export`: each language in the GROUPED
+    merge table exports its own unit vocabulary (its corpus subset's
+    base chars at first_rank -1 + its merge outputs), with unit ids
+    dense PER LANGUAGE — the artifact set a multilingual runtime loads
+    one-per-language next to the grouped merges file.  Languages with
+    no merge table rows are excluded (no tokenizer, no export); their
+    filter is a broadcast semi-join on the sum-of-budgets-row table,
+    never a collect.
+
+    Scale: one grouped tokenize pass collapses map-side to the
+    |langs| x |charset| distinct char set; the union is vocab-bounded
+    and the id window partitions by language over that tiny frame."""
+    from pyspark.sql import Window
+
+    groups = merge_table.select(group_col).distinct()
+    chars = (
+        _grouped_word_frequencies(
+            docs, text_col, group_col, max_word_len=max_word_len
+        )
+        .join(F.broadcast(groups), group_col, "semi")
+        .select(group_col, F.explode(F.split("w", "")).alias("unit"))
+        .distinct()
+        .select(group_col, "unit", F.lit(-1).cast("int").alias("first_rank"))
+    )
+    merged = merge_table.select(
+        group_col,
+        F.concat("left_sym", "right_sym").alias("unit"),
+        F.col("rank").cast("int").alias("first_rank"),
+    )
+    units = (
+        chars.unionByName(merged)
+        .groupBy(group_col, "unit")
+        .agg(F.min("first_rank").cast("int").alias("first_rank"))
+    )
+    w = Window.partitionBy(group_col).orderBy("first_rank", "unit")
+    return units.select(
+        group_col,
+        "unit",
+        "first_rank",
+        (F.row_number().over(w) - 1).cast("long").alias("unit_id"),
+    )
+
+
+def sql_bpe_vocab_export_grouped(
+    budgets: dict[str, int], *, group_col: str = "lang", **kw
+) -> str:
+    """DuckDB replay of `bpe_vocab_export_grouped`: per-language base
+    chars from the grouped r0 states (restricted to the budgeted
+    languages — the ones with merge rows), merge outputs from each
+    round's per-group b{n} winners, earliest-rank dedup, per-language
+    dense numbering.  Budgets must all be positive: a zero-budget
+    group has no merge rows, so the Spark side excludes it entirely
+    while this CTE body would still export its chars."""
+    if any(b <= 0 for b in budgets.values()):
+        raise ValueError(
+            "sql_bpe_vocab_export_grouped: all budgets must be > 0"
+        )
+    ctes, _ = sql_bpe_grouped_ctes(budgets, group_col=group_col, **kw)
+    n_rounds = max(budgets.values())
+    merge_units = "\n  UNION ALL\n".join(
+        f"  SELECT {group_col}, l || r AS unit, {n} AS first_rank FROM b{n}"
+        for n in range(n_rounds)
+    )
+    groups_in = ", ".join(f"'{g}'" for g in sorted(budgets))
+    return f"""WITH {ctes},
+all_units AS (
+  SELECT DISTINCT {group_col}, unnest(syms) AS unit, -1 AS first_rank
+  FROM r0 WHERE {group_col} IN ({groups_in})
+  UNION ALL
+{merge_units}
+),
+dedup AS (
+  SELECT {group_col}, unit, CAST(min(first_rank) AS INT) AS first_rank
+  FROM all_units GROUP BY 1, 2
+)
+SELECT {group_col}, unit, first_rank,
+       CAST(row_number() OVER (PARTITION BY {group_col}
+                ORDER BY first_rank, unit) - 1 AS BIGINT) AS unit_id
+FROM dedup"""
+
+
 def sql_bpe_apply_counts(
     n_merges: int,
     *,

@@ -864,3 +864,30 @@ def test_vocab_export_duplicate_outputs_keep_earliest_rank(spark):
     }
     assert got["abc"] == (0, 3)  # after a=0, b=1, c=2
     assert sorted(got) == ["a", "abc", "b", "c"]
+
+
+def test_vocab_export_grouped_per_language(spark):
+    # en: merges [(a,b)], chars from en docs only; fr: merges [(c,d)];
+    # zz never trained -> excluded entirely.  ids dense PER language.
+    from metrics_service_spark.operators.bpe import bpe_vocab_export_grouped
+
+    docs = spark.createDataFrame(
+        [(1, "ab ba", "en"), (2, "cd dc", "fr"), (3, "xy yx", "zz")],
+        "doc_id int, text string, lang string",
+    )
+    table = spark.createDataFrame(
+        [("en", 0, "a", "b", 2), ("fr", 0, "c", "d", 2)],
+        "lang string, rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+    got = {
+        (r["lang"], r["unit"]): (r["first_rank"], r["unit_id"])
+        for r in bpe_vocab_export_grouped(docs, table).collect()
+    }
+    assert got == {
+        ("en", "a"): (-1, 0),
+        ("en", "b"): (-1, 1),
+        ("en", "ab"): (0, 2),
+        ("fr", "c"): (-1, 0),
+        ("fr", "d"): (-1, 1),
+        ("fr", "cd"): (0, 2),
+    }

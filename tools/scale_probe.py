@@ -351,8 +351,10 @@ QUERIES = [
     "paragraph_index_batch_twin",
     # r17: vocabulary export — expected to track doc_bpe_train_local
     # (one tokenize scan; the char/merge union and id window are
-    # vocab-bounded)
+    # vocab-bounded); the grouped twin adds the per-language filter
+    # semi-join, still vocab-bounded
     "doc_bpe_vocab_export",
+    "doc_bpe_vocab_export_grouped",
 ]
 
 
