@@ -219,6 +219,10 @@ HEADLINE = [
     "paragraph_index_batch_twin",
     "doc_bpe_vocab_export",
     "doc_bpe_vocab_export_grouped",
+    # round-17: the full-catalog sweep's one out-of-family finding —
+    # quadratic modal-gram scan fixed to a sorted linear pass
+    # (99.6 -> 1.1 s); benched so it can never silently regress again
+    "doc_repetition",
 ]
 
 

@@ -58,6 +58,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_fertility",
     "doc_bpe_apply_stored",
     "doc_bpe_apply_m48",
+    # -- impl-changed by the r17 full-catalog sweep finding: the modal
+    #    n-gram count was O(grams x distincts) per doc; now one sorted
+    #    linear scan (99.6 -> 1.1 s at sf0.1) --------------------------
+    "doc_repetition",
     # -- the 23 remaining r12-stale rows (VERDICT r16 #1): drained in
     #    full this window; after this round minimum staleness is r13.
     #    None are no_oracle entries (twin rule holds vacuously) ---------
@@ -84,12 +88,12 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q10",
     "union_distinct_ids",
     "user_event_family",
-    # -- r13 generation, oldest-checked fill (15 of 47, name order;
-    #    all hash-verified in their r13 rows — emb_semdedup, the one
-    #    r13 rows-only head, stays out per the twin rule) ---------------
+    # -- r13 generation, oldest-checked fill (14 of 47 by name order
+    #    plus doc_repetition above; all hash-verified in their r13 rows
+    #    — emb_semdedup, the one r13 rows-only head, stays out per the
+    #    twin rule) ----------------------------------------------------
     "doc_cms_ngram_error",
     "doc_quality_filter_exact",
-    "doc_repetition",
     "doc_shuffle_shard",
     "doc_sorted_neighborhood",
     "doc_sorted_neighborhood_global",

@@ -2467,10 +2467,15 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition metrics over 2-grams: the
     dup-fraction and modal-gram-share filters every production corpus
     run applies before training."""
+    from metrics_service_spark.operators.similarity import _spread
     from metrics_service_spark.operators.text import repetition_stats
 
+    # _spread: the per-row gram sort/scan is CPU-heavy and the fixture
+    # parquet is one row group — without the repartition the whole
+    # projection serializes on one task (the r9 trap, re-caught by the
+    # r17 full-catalog sweep)
     return repetition_stats(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=2
+        _spread(load_table(spark, sf_dir, "documents")), "doc_id", "text", n=2
     )
 
 

@@ -355,6 +355,9 @@ QUERIES = [
     # semi-join, still vocab-bounded
     "doc_bpe_vocab_export",
     "doc_bpe_vocab_export_grouped",
+    # r17: repetition stats after the sorted-scan fix — pure
+    # zero-exchange projection, expected ~linear row fill
+    "doc_repetition",
 ]
 
 
