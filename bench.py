@@ -223,6 +223,9 @@ HEADLINE = [
     # quadratic modal-gram scan fixed to a sorted linear pass
     # (99.6 -> 1.1 s); benched so it can never silently regress again
     "doc_repetition",
+    # round-17: the model-input encoding (ordered unit-id sequences,
+    # hash-compact per doc)
+    "doc_bpe_encode_digest",
 ]
 
 

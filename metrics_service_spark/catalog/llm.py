@@ -5912,6 +5912,38 @@ QUERIES["doc_bpe_vocab_export_grouped"] = QuerySpec(
 )
 
 
+def q_doc_bpe_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-input ENCODING, value-verified: each document's
+    ordered unit-ID sequence (export ids; OOV -> -1) reduced to
+    (n_units, md5-of-comma-joined-ids) so the comparator hash-checks
+    the full sequence without shipping token arrays.  Completes the
+    lifecycle: train -> export ids -> encode to ids — what a training
+    pipeline actually emits."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_encode_digest,
+        bpe_train_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
+    return bpe_encode_digest(docs, table)
+
+
+def _oracle_bpe_encode_digest() -> str:
+    from metrics_service_spark.operators.bpe import sql_bpe_encode_digest
+
+    return sql_bpe_encode_digest(BPE_MERGES)
+
+
+QUERIES["doc_bpe_encode_digest"] = QuerySpec(
+    q_doc_bpe_encode_digest,
+    _oracle_bpe_encode_digest(),
+    "tokenize to ordered unit-id sequences (OOV -> -1), hash-compact "
+    "per doc: the model-input encoding value-verified end to end",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

@@ -766,6 +766,172 @@ SELECT {group_col}, unit, first_rank,
 FROM dedup"""
 
 
+def bpe_encode_digest(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """Tokenize each document to its ordered unit-ID SEQUENCE — the
+    actual model-input encoding (`bpe_apply` proves unit COUNTS; a
+    training pipeline emits id sequences) — returned hash-compact as
+    (id, n_units, ids_digest) where ids_digest = md5 of the
+    comma-joined ids in document order, so the full sequence is
+    value-verified without shipping token arrays through the
+    comparator.  Unit ids are `bpe_vocab_export`'s deterministic dense
+    numbering; out-of-vocabulary tokens (non-alphabetic, over-long)
+    encode as the single id -1 (the <unk> convention).
+
+    Plan shape: the distinct-word vocabulary replays once
+    (`replay_merges`, vocab-sized), its units explode to (word,
+    sympos, unit) rows and join the export's id table — BOTH sides
+    vocab-bounded; the corpus token stream (doc, pos, word) joins the
+    per-word id arrays and one doc-keyed aggregation reassembles the
+    sequence by (pos, sympos).  The only corpus-mass exchange is that
+    final doc-keyed shuffle of unit ids — the same grain `bpe_apply`
+    shuffles, carried as ints."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    merges = _collect_merges(merge_table)
+    ids = bpe_vocab_export(
+        docs, merge_table, text_col=text_col, max_word_len=max_word_len
+    ).select("unit", "unit_id")
+    words = (
+        _spread(docs.select(F.col(text_col)))
+        .select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
+        .distinct()
+        .select("w", F.split("w", "").alias("syms"))
+    )
+    segmented = replay_merges(
+        words, merges, checkpoint_every=checkpoint_every
+    )
+    word_ids = (
+        segmented.select("w", F.posexplode("syms").alias("sympos", "unit"))
+        .join(ids, "unit")
+        .groupBy("w")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sympos", "unit_id"))
+                ),
+                lambda x: x.unit_id,
+            ).alias("__ids")
+        )
+    )
+    toks = (
+        _spread(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    per_tok = toks.join(word_ids, "w", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(
+            F.col("__ids"), F.array(F.lit(-1).cast("long"))
+        ).alias("__ids"),
+    )
+    seq = (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "__ids"))),
+                    lambda x: x["__ids"],
+                )
+            ).alias("__seq")
+        )
+    )
+    return seq.select(
+        id_col,
+        F.size("__seq").cast("long").alias("n_units"),
+        F.md5(
+            F.concat_ws(",", F.transform("__seq", lambda i: i.cast("string")))
+        ).alias("ids_digest"),
+    )
+
+
+def sql_bpe_encode_digest(
+    n_merges: int,
+    *,
+    id_col: str = "doc_id",
+    docs_table: str = "documents",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+    **kw,
+) -> str:
+    """DuckDB replay of `bpe_encode_digest`: the training CTEs' final
+    vocab state gives each word's ordered units; units join the
+    export-id table; the per-document digest string_aggs ids ordered
+    by (token position, unit position), OOV tokens contributing the
+    single id -1."""
+    ctes, final = sql_bpe_ctes(
+        n_merges,
+        max_word_len=max_word_len,
+        docs_table=docs_table,
+        text_col=text_col,
+        **kw,
+    )
+    merge_units = "\n  UNION ALL\n".join(
+        f"  SELECT l || r AS unit, {n} AS first_rank FROM b{n}"
+        for n in range(n_merges)
+    )
+    return f"""WITH {ctes},
+all_units AS (
+  SELECT DISTINCT unnest(syms) AS unit, -1 AS first_rank FROM r0
+  UNION ALL
+{merge_units}
+),
+export AS (
+  SELECT unit,
+         CAST(row_number() OVER (ORDER BY first_rank, unit) - 1 AS BIGINT)
+             AS unit_id
+  FROM (SELECT unit, min(first_rank) AS first_rank FROM all_units GROUP BY 1)
+),
+word_ids AS (
+  SELECT w, list(unit_id ORDER BY j) AS ids FROM (
+    SELECT v.w, t.j, e.unit_id
+    FROM {final} v,
+         UNNEST(generate_series(1, len(v.syms))) t(j),
+         export e
+    WHERE v.syms[t.j] = e.unit
+  ) GROUP BY w
+),
+toks AS (
+  SELECT {id_col}, t.i AS pos, d.ws[t.i] AS w
+  FROM (SELECT {id_col},
+               string_split_regex(lower({text_col}), '\\s+') AS ws
+        FROM {docs_table}) d,
+       UNNEST(generate_series(1, len(d.ws))) t(i)
+  WHERE d.ws[t.i] <> ''
+),
+per_tok AS (
+  SELECT toks.{id_col}, toks.pos,
+         coalesce(word_ids.ids, [CAST(-1 AS BIGINT)]) AS ids
+  FROM toks LEFT JOIN word_ids ON toks.w = word_ids.w
+),
+flat AS (
+  SELECT {id_col}, pos, u.j AS sympos, ids[u.j] AS unit_id
+  FROM per_tok, UNNEST(generate_series(1, len(ids))) u(j)
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_units,
+       md5(string_agg(CAST(unit_id AS VARCHAR), ',' ORDER BY pos, sympos))
+           AS ids_digest
+FROM flat
+GROUP BY 1"""
+
+
 def sql_bpe_apply_counts(
     n_merges: int,
     *,

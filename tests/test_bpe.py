@@ -891,3 +891,84 @@ def test_vocab_export_grouped_per_language(spark):
         ("fr", "d"): (-1, 1),
         ("fr", "cd"): (0, 2),
     }
+
+
+def test_encode_digest_matches_python_reference(spark):
+    # the encode path three-ways: Spark sequence digest vs a per-word
+    # python replay + id map + md5 (OOV '12' -> -1)
+    import hashlib
+    import re
+
+    from metrics_service_spark.operators.bpe import (
+        _py_greedy_merge,
+        bpe_encode_digest,
+        bpe_train_local_finish,
+    )
+
+    texts = {1: "ab ab ab abc 12", 2: "banana ab bandana", 3: "ba abab"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id int, text string"
+    )
+    table = bpe_train_local_finish(docs, "text", n_merges=3)
+    merges = [
+        (r["left_sym"], r["right_sym"]) for r in table.orderBy("rank").collect()
+    ]
+
+    def seg(w):
+        syms = list(w)
+        for left, right in merges:
+            syms = _py_greedy_merge(syms, left, right)
+        return syms
+
+    words = {
+        w
+        for t in texts.values()
+        for w in t.lower().split()
+        if re.fullmatch("[a-z]+", w) and len(w) <= 20
+    }
+    units = {c: -1 for w in words for c in w}
+    for rank, (left, right) in enumerate(merges):
+        units.setdefault(left + right, rank)
+    uid = {
+        u: i
+        for i, (_, u) in enumerate(sorted((r, u) for u, r in units.items()))
+    }
+    want = {}
+    for d, t in texts.items():
+        ids = []
+        for w in t.lower().split():
+            if w in words:
+                ids.extend(uid[s] for s in seg(w))
+            elif w:
+                ids.append(-1)
+        want[d] = (
+            len(ids),
+            hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_units"], r["ids_digest"])
+        for r in bpe_encode_digest(docs, table).collect()
+    }
+    assert got == want
+
+
+def test_encode_digest_checkpoint_invariance(spark):
+    from metrics_service_spark.operators.bpe import (
+        bpe_encode_digest,
+        bpe_train_local_finish,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc cd abcd"), (2, "dcba bc abab")],
+        "doc_id int, text string",
+    )
+    table = bpe_train_local_finish(docs, "text", n_merges=3)
+    base = sorted(
+        tuple(r)
+        for r in bpe_encode_digest(docs, table, checkpoint_every=32).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in bpe_encode_digest(docs, table, checkpoint_every=1).collect()
+    )
+    assert got == base

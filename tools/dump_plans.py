@@ -127,6 +127,7 @@ COMMENTARY = {
     "paragraph_index_batch_twin": "the streaming fold unit on a batch frame: closed-form chunk explode + md5 + ONE map-side-combined count groupBy — paragraph mass collapses before the only exchange; identical per-micro-batch plan under foreachBatch",
     "doc_bpe_vocab_export": "base chars from the one corpus tokenize pass collapsed map-side to the <=|charset| distinct set, unioned with the merge-table frame; the dedup groupBy and dense-id window run on the vocab-bounded (chars + n_merges)-row frame — the |langs|-row singleton-window class, zero corpus term beyond the tokenize scan",
     "doc_bpe_vocab_export_grouped": "per-language export: the grouped tokenize pass collapses map-side to |langs| x |charset| distinct chars, filtered by a broadcast semi-join on the sum-of-budgets merge table (never a collect); dedup + per-language dense-id window run on the vocab-bounded union",
+    "doc_bpe_encode_digest": "vocab replay + unit-id join both vocab-bounded; the corpus token stream joins the per-word id arrays and ONE doc-keyed aggregation reassembles each sequence by (pos, sympos) — the only corpus-mass exchange, carried as ints; digest is a pure projection over the assembled array",
 }
 
 

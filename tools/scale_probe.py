@@ -358,6 +358,10 @@ QUERIES = [
     # r17: repetition stats after the sorted-scan fix — pure
     # zero-exchange projection, expected ~linear row fill
     "doc_repetition",
+    # r17: encode-to-ids — corpus token mass joins base-sized per-word
+    # id arrays, then one doc-keyed reassembly shuffle of int ids;
+    # expected the doc_bpe_apply class with the reassembly on top
+    "doc_bpe_encode_digest",
 ]
 
 
