@@ -224,8 +224,9 @@ HEADLINE = [
     # (99.6 -> 1.1 s); benched so it can never silently regress again
     "doc_repetition",
     # round-17: the model-input encoding (ordered unit-id sequences,
-    # hash-compact per doc)
+    # hash-compact per doc), flat + per-language
     "doc_bpe_encode_digest",
+    "doc_bpe_encode_grouped",
 ]
 
 

@@ -52,6 +52,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_vocab_export",
     "doc_bpe_vocab_export_grouped",
     "doc_bpe_encode_digest",
+    "doc_bpe_encode_grouped",
     "doc_bpe_apply_grouped",
     "doc_bpe_budget_retrain",
     "doc_bpe_train_grouped_local",
@@ -89,7 +90,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q10",
     "union_distinct_ids",
     "user_event_family",
-    # -- r13 generation, oldest-checked fill (13 of 47 by name order
+    # -- r13 generation, oldest-checked fill (12 of 47 by name order
     #    plus doc_repetition above; all hash-verified in their r13 rows
     #    — emb_semdedup, the one r13 rows-only head, stays out per the
     #    twin rule) ----------------------------------------------------
@@ -105,10 +106,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_contamination",
     "emb_cosine_neardup",
     "emb_ivfpq_topk_int",
-    "emb_kmeans_step",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 33
+    # -- slots 51+: past the driver's 50-entry line; the remaining 34
     #    r13-generation rows queue here for r18 (name order; the
     #    emb_semdedup float head rides with its exact twin) -------------
+    "emb_kmeans_step",
     "emb_kmeans_train",
     "emb_knn_hubness",
     "emb_proto_prune",

@@ -5944,6 +5944,41 @@ QUERIES["doc_bpe_encode_digest"] = QuerySpec(
 )
 
 
+def q_doc_bpe_encode_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language model-input encoding: each document's ordered
+    unit-id sequence under ITS language's table and the grouped
+    export's per-language ids (OOV and no-tokenizer tokens -> -1),
+    hash-compact per doc.  The multilingual counterpart of
+    doc_bpe_encode_digest."""
+    from metrics_service_spark.operators.bpe import (
+        bpe_encode_digest_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS
+    )
+    return bpe_encode_digest_grouped(docs, table)
+
+
+def _oracle_bpe_encode_grouped() -> str:
+    from metrics_service_spark.operators.bpe import (
+        sql_bpe_encode_digest_grouped,
+    )
+
+    return sql_bpe_encode_digest_grouped(BPE_GROUP_BUDGETS)
+
+
+QUERIES["doc_bpe_encode_grouped"] = QuerySpec(
+    q_doc_bpe_encode_grouped,
+    _oracle_bpe_encode_grouped(),
+    "per-language tokenization to ordered unit-id sequences from the "
+    "grouped table, hash-compact per doc",
+    ("llm",),
+)
+
+
 # --- bigram-LM perplexity scoring (r14) -------------------------------------
 def q_doc_lm_fclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer frequency-class LM score (operators/lm.py) — the

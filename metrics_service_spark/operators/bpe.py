@@ -1678,35 +1678,25 @@ def _collect_grouped_merges(
     return {g: [(l, r) for _, l, r in seq] for g, seq in out.items()}
 
 
-def bpe_apply_grouped(
+def _grouped_vocab_replay(
     docs: DataFrame,
-    merge_table: DataFrame,
+    merges: dict[str, list[tuple[str, str]]],
     *,
-    group_col: str = "lang",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_word_len: int = MAX_WORD_LEN,
-    checkpoint_every: int = 32,
+    group_col: str,
+    text_col: str,
+    max_word_len: int,
+    checkpoint_every: int,
 ) -> DataFrame:
-    """Tokenize every document with ITS OWN group's stored merge table
-    — the apply side of `bpe_train_grouped` (a multilingual pipeline
-    trains one tokenizer per language and then segments each document
-    with its language's table).  Zero training jobs, like `bpe_apply`.
-
-    Plan shape: collect the grouped merge table (sum-of-budgets rows,
-    validated per group), build the DISTINCT (group, word) vocabulary
-    of `docs` (one vocab-sized shuffle), then replay rank levels — at
-    level k every group that still has a rank-k merge applies it via
-    ONE broadcast join + the column-valued greedy scan (groups past
-    their budget take the NULL passthrough arm, exactly the training
-    rounds' shape) — and join the per-(group, word) unit counts back
-    to the token stream on (group, word).  A lazy localCheckpoint
-    every `checkpoint_every` levels bounds expression depth, same
-    cadence trade as `replay_merges`."""
+    """(group, w, syms): the DISTINCT (group, word) vocabulary of
+    `docs` segmented by each group's merge list — rank levels applied
+    as ONE broadcast join + column-valued greedy scan per level
+    (groups past their budget take the NULL passthrough arm, exactly
+    the grouped training rounds' shape); a lazy localCheckpoint every
+    `checkpoint_every` levels bounds expression depth.  Shared by the
+    grouped apply and the grouped encode."""
     from metrics_service_spark.operators.similarity import _spread
 
     spark = docs.sparkSession
-    merges = _collect_grouped_merges(merge_table, group_col)
     max_rank = max((len(seq) for seq in merges.values()), default=0)
     words = (
         _spread(docs.select(F.col(group_col), F.col(text_col)))
@@ -1736,6 +1726,45 @@ def bpe_apply_grouped(
         )
         if (rank + 1) % checkpoint_every == 0 and rank + 1 < max_rank:
             words = words.localCheckpoint(eager=False)
+    return words
+
+
+def bpe_apply_grouped(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """Tokenize every document with ITS OWN group's stored merge table
+    — the apply side of `bpe_train_grouped` (a multilingual pipeline
+    trains one tokenizer per language and then segments each document
+    with its language's table).  Zero training jobs, like `bpe_apply`.
+
+    Plan shape: collect the grouped merge table (sum-of-budgets rows,
+    validated per group), build the DISTINCT (group, word) vocabulary
+    of `docs` (one vocab-sized shuffle), then replay rank levels — at
+    level k every group that still has a rank-k merge applies it via
+    ONE broadcast join + the column-valued greedy scan (groups past
+    their budget take the NULL passthrough arm, exactly the training
+    rounds' shape) — and join the per-(group, word) unit counts back
+    to the token stream on (group, word).  A lazy localCheckpoint
+    every `checkpoint_every` levels bounds expression depth, same
+    cadence trade as `replay_merges`."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    merges = _collect_grouped_merges(merge_table, group_col)
+    words = _grouped_vocab_replay(
+        docs,
+        merges,
+        group_col=group_col,
+        text_col=text_col,
+        max_word_len=max_word_len,
+        checkpoint_every=checkpoint_every,
+    )
     units = words.select(group_col, "w", F.size("syms").alias("__units"))
     toks = (
         _spread(docs.select(F.col(id_col), F.col(group_col), F.col(text_col)))
@@ -1787,4 +1816,175 @@ FROM (SELECT {id_col}, {group_col}, t.w
       FROM {docs_table}, UNNEST(string_split_regex(lower({text_col}), '\\s+')) t(w)
       WHERE t.w <> '') d
 LEFT JOIN {final} v ON d.{group_col} = v.{group_col} AND d.w = v.w
+GROUP BY 1"""
+
+
+# --- grouped (per-language) encode ------------------------------------------
+def bpe_encode_digest_grouped(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = MAX_WORD_LEN,
+    checkpoint_every: int = 32,
+) -> DataFrame:
+    """`bpe_encode_digest` per language: each document's ordered
+    unit-ID sequence under ITS language's stored table and the grouped
+    export's per-language dense ids, reduced to (id, n_units,
+    ids_digest).  Tokens of languages with no merge table — and OOV
+    tokens everywhere — encode as the single id -1: a language's
+    export carries every unit its replay can emit, so the per-word id
+    join is all-or-nothing per language (no partial sequences).
+
+    Plan shape: the shared grouped replay (`_grouped_vocab_replay`,
+    vocab-sized, rank-level broadcast joins) feeds a (group, unit) id
+    join against the grouped export — both sides vocab-bounded; the
+    corpus token stream joins per-(group, word) id arrays and ONE
+    doc-keyed aggregation reassembles each sequence by (pos, sympos),
+    the same single corpus-mass exchange as the flat encode."""
+    merges = _collect_grouped_merges(merge_table, group_col)
+    ids = bpe_vocab_export_grouped(
+        docs,
+        merge_table,
+        group_col=group_col,
+        text_col=text_col,
+        max_word_len=max_word_len,
+    ).select(group_col, "unit", "unit_id")
+    words = _grouped_vocab_replay(
+        docs,
+        merges,
+        group_col=group_col,
+        text_col=text_col,
+        max_word_len=max_word_len,
+        checkpoint_every=checkpoint_every,
+    )
+    word_ids = (
+        words.select(
+            group_col, "w", F.posexplode("syms").alias("sympos", "unit")
+        )
+        .join(ids, [group_col, "unit"])
+        .groupBy(group_col, "w")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sympos", "unit_id"))),
+                lambda x: x.unit_id,
+            ).alias("__ids")
+        )
+    )
+    from metrics_service_spark.operators.similarity import _spread
+
+    toks = (
+        _spread(
+            docs.select(F.col(id_col), F.col(group_col), F.col(text_col))
+        )
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), r"\s+")
+            ).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    per_tok = toks.join(word_ids, [group_col, "w"], "left").select(
+        id_col,
+        "pos",
+        F.coalesce(
+            F.col("__ids"), F.array(F.lit(-1).cast("long"))
+        ).alias("__ids"),
+    )
+    seq = per_tok.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__ids"))),
+                lambda x: x["__ids"],
+            )
+        ).alias("__seq")
+    )
+    return seq.select(
+        id_col,
+        F.size("__seq").cast("long").alias("n_units"),
+        F.md5(
+            F.concat_ws(",", F.transform("__seq", lambda i: i.cast("string")))
+        ).alias("ids_digest"),
+    )
+
+
+def sql_bpe_encode_digest_grouped(
+    budgets: dict[str, int],
+    *,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    docs_table: str = "documents",
+    text_col: str = "text",
+    **kw,
+) -> str:
+    """DuckDB replay of `bpe_encode_digest_grouped`: the grouped
+    training CTEs' final vocab state gives each (group, word)'s
+    ordered units; units inner-join the grouped export ids (absent
+    groups drop whole, never partially); the per-document digest
+    string_aggs ids by (token position, unit position), OOV and
+    no-tokenizer tokens contributing the single id -1."""
+    if any(b <= 0 for b in budgets.values()):
+        raise ValueError(
+            "sql_bpe_encode_digest_grouped: all budgets must be > 0"
+        )
+    ctes, final = sql_bpe_grouped_ctes(
+        budgets, group_col=group_col, docs_table=docs_table,
+        text_col=text_col, **kw,
+    )
+    n_rounds = max(budgets.values())
+    merge_units = "\n  UNION ALL\n".join(
+        f"  SELECT {group_col}, l || r AS unit, {n} AS first_rank FROM b{n}"
+        for n in range(n_rounds)
+    )
+    groups_in = ", ".join(f"'{g}'" for g in sorted(budgets))
+    return f"""WITH {ctes},
+all_units AS (
+  SELECT DISTINCT {group_col}, unnest(syms) AS unit, -1 AS first_rank
+  FROM r0 WHERE {group_col} IN ({groups_in})
+  UNION ALL
+{merge_units}
+),
+export AS (
+  SELECT {group_col}, unit,
+         CAST(row_number() OVER (PARTITION BY {group_col}
+                  ORDER BY first_rank, unit) - 1 AS BIGINT) AS unit_id
+  FROM (SELECT {group_col}, unit, min(first_rank) AS first_rank
+        FROM all_units GROUP BY 1, 2)
+),
+word_ids AS (
+  SELECT {group_col}, w, list(unit_id ORDER BY j) AS ids FROM (
+    SELECT v.{group_col}, v.w, t.j, e.unit_id
+    FROM {final} v,
+         UNNEST(generate_series(1, len(v.syms))) t(j),
+         export e
+    WHERE v.{group_col} = e.{group_col} AND v.syms[t.j] = e.unit
+  ) GROUP BY 1, 2
+),
+toks AS (
+  SELECT {id_col}, {group_col}, t.i AS pos, d.ws[t.i] AS w
+  FROM (SELECT {id_col}, {group_col},
+               string_split_regex(lower({text_col}), '\\s+') AS ws
+        FROM {docs_table}) d,
+       UNNEST(generate_series(1, len(d.ws))) t(i)
+  WHERE d.ws[t.i] <> ''
+),
+per_tok AS (
+  SELECT toks.{id_col}, toks.pos,
+         coalesce(word_ids.ids, [CAST(-1 AS BIGINT)]) AS ids
+  FROM toks LEFT JOIN word_ids
+    ON toks.{group_col} = word_ids.{group_col} AND toks.w = word_ids.w
+),
+flat AS (
+  SELECT {id_col}, pos, u.j AS sympos, ids[u.j] AS unit_id
+  FROM per_tok, UNNEST(generate_series(1, len(ids))) u(j)
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_units,
+       md5(string_agg(CAST(unit_id AS VARCHAR), ',' ORDER BY pos, sympos))
+           AS ids_digest
+FROM flat
 GROUP BY 1"""

@@ -972,3 +972,43 @@ def test_encode_digest_checkpoint_invariance(spark):
         for r in bpe_encode_digest(docs, table, checkpoint_every=1).collect()
     )
     assert got == base
+
+
+def test_encode_grouped_matches_per_language_flat_encode(spark):
+    # per-language encoding is independent: the grouped encode on the
+    # full corpus must equal the flat encode run per language with
+    # that language's merges on that language's subset; a lang with no
+    # table encodes all -1
+    import hashlib
+
+    from metrics_service_spark.operators.bpe import (
+        bpe_encode_digest,
+        bpe_encode_digest_grouped,
+        bpe_train_grouped_local_finish,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab ab ab abc banana", "en"),
+            (2, "ab bandana ba abab", "en"),
+            (3, "cd cd cdcd dq", "fr"),
+            (4, "cddq cd qq", "fr"),
+            (5, "xy yx 12", "zz"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    budgets = {"en": 3, "fr": 2}
+    table = bpe_train_grouped_local_finish(docs, "text", budgets=budgets)
+    got = {
+        r["doc_id"]: (r["n_units"], r["ids_digest"])
+        for r in bpe_encode_digest_grouped(docs, table).collect()
+    }
+    want = {}
+    for g in budgets:
+        sub = docs.filter(F.col("lang") == g)
+        gtab = table.filter(F.col("lang") == g).drop("lang")
+        for r in bpe_encode_digest(sub, gtab).collect():
+            want[r["doc_id"]] = (r["n_units"], r["ids_digest"])
+    # zz: 3 tokens, all -1
+    want[5] = (3, hashlib.md5(b"-1,-1,-1").hexdigest())
+    assert got == want

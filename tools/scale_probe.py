@@ -360,8 +360,10 @@ QUERIES = [
     "doc_repetition",
     # r17: encode-to-ids — corpus token mass joins base-sized per-word
     # id arrays, then one doc-keyed reassembly shuffle of int ids;
-    # expected the doc_bpe_apply class with the reassembly on top
+    # expected the doc_bpe_apply class with the reassembly on top (the
+    # grouped twin adds the per-language id join, same class)
     "doc_bpe_encode_digest",
+    "doc_bpe_encode_grouped",
 ]
 
 
