@@ -227,6 +227,8 @@ HEADLINE = [
     # hash-compact per doc), flat + per-language
     "doc_bpe_encode_digest",
     "doc_bpe_encode_grouped",
+    # round-17: the multi-n Gopher repetition battery (one corpus pass)
+    "doc_repetition_multi",
 ]
 
 

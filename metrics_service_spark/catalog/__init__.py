@@ -62,8 +62,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "doc_bpe_apply_m48",
     # -- impl-changed by the r17 full-catalog sweep finding: the modal
     #    n-gram count was O(grams x distincts) per doc; now one sorted
-    #    linear scan (99.6 -> 1.1 s at sf0.1) --------------------------
+    #    linear scan (99.6 -> 1.1 s at sf0.1); plus the new multi-n
+    #    Gopher battery sharing the same scan --------------------------
     "doc_repetition",
+    "doc_repetition_multi",
     # -- the 23 remaining r12-stale rows (VERDICT r16 #1): drained in
     #    full this window; after this round minimum staleness is r13.
     #    None are no_oracle entries (twin rule holds vacuously) ---------
@@ -90,7 +92,7 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "tpch_q10",
     "union_distinct_ids",
     "user_event_family",
-    # -- r13 generation, oldest-checked fill (12 of 47 by name order
+    # -- r13 generation, oldest-checked fill (11 of 47 by name order
     #    plus doc_repetition above; all hash-verified in their r13 rows
     #    — emb_semdedup, the one r13 rows-only head, stays out per the
     #    twin rule) ----------------------------------------------------
@@ -105,10 +107,10 @@ _DRIVER_FRONT: tuple[str, ...] = (
     "emb_centroids",
     "emb_contamination",
     "emb_cosine_neardup",
-    "emb_ivfpq_topk_int",
-    # -- slots 51+: past the driver's 50-entry line; the remaining 34
+    # -- slots 51+: past the driver's 50-entry line; the remaining 35
     #    r13-generation rows queue here for r18 (name order; the
     #    emb_semdedup float head rides with its exact twin) -------------
+    "emb_ivfpq_topk_int",
     "emb_kmeans_step",
     "emb_kmeans_train",
     "emb_knn_hubness",

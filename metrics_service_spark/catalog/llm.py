@@ -2500,6 +2500,53 @@ FROM s
 """
 
 
+def q_doc_repetition_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition battery at n=2,3,4 in one corpus pass: per
+    document, duplicate-gram fraction and modal-gram share for every
+    order — the multi-n form Rae et al. actually filter on (a doc can
+    pass the 2-gram gate and fail the 4-gram one)."""
+    from metrics_service_spark.operators.similarity import _spread
+    from metrics_service_spark.operators.text import repetition_stats_multi
+
+    return repetition_stats_multi(
+        _spread(load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+def _oracle_repetition_multi(ns: tuple[int, ...] = (2, 3, 4)) -> str:
+    gram_cols = ",\n         ".join(
+        f"[array_to_string(toks[i:i+{n - 1}], ' ')\n"
+        f"          FOR i IN range(1, greatest(len(toks) - {n - 1}, 1) + 1)]"
+        f" AS g{n}"
+        for n in ns
+    )
+    sel = []
+    for n in ns:
+        dup = f"len(g{n}) - len(list_distinct(g{n}))"
+        top = (
+            f"list_max([len(list_filter(g{n}, x -> x = d))"
+            f" FOR d IN list_distinct(g{n})])"
+        )
+        sel.append(f"CAST(len(g{n}) AS BIGINT) AS n_grams_{n}")
+        sel.append(
+            f"{sql_round_frac(dup, f'len(g{n})', 4)} AS dup_gram_fraction_{n}"
+        )
+        sel.append(
+            f"{sql_round_frac(top, f'len(g{n})', 4)} AS top_gram_fraction_{n}"
+        )
+    sels = ",\n       ".join(sel)
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         {gram_cols}
+  FROM t
+)
+SELECT doc_id,
+       {sels}
+FROM g"""
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub driven over synthetic-but-real matches: every doc gets
     a deterministic doc_id-derived email + IPv4 appended (both engines
@@ -5975,6 +6022,14 @@ QUERIES["doc_bpe_encode_grouped"] = QuerySpec(
     _oracle_bpe_encode_grouped(),
     "per-language tokenization to ordered unit-id sequences from the "
     "grouped table, hash-compact per doc",
+    ("llm",),
+)
+
+QUERIES["doc_repetition_multi"] = QuerySpec(
+    q_doc_repetition_multi,
+    _oracle_repetition_multi(),
+    "Gopher repetition battery at n=2,3,4 in one pass: per-doc "
+    "dup-gram fraction + modal-gram share per order",
     ("llm",),
 )
 

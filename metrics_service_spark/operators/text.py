@@ -146,19 +146,32 @@ def repetition_stats(
     array — exact integer counts, one rounded division each, so a SQL
     oracle replays bit-for-bit."""
     toks = F.split(F.col(text_col), " ")
+    total, distinct, top = _gram_run_stats(toks, n)
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        (total - distinct).alias("n_dup_grams"),
+        round_frac(total - distinct, total, 4).alias("dup_gram_fraction"),
+        round_frac(top, total, 4).alias("top_gram_fraction"),
+    )
+
+
+def _gram_run_stats(toks, n: int):
+    """(total, distinct, modal-count) of a token array's n-grams as
+    pure column expressions.  Distinct count AND modal count come from
+    ONE sorted pass: sort the gram array, then a linear F.aggregate
+    counts runs (= distincts) and the longest run (= the modal gram's
+    occurrences).  The original per-distinct F.filter scan was
+    O(grams x distincts) per document — quadratic in document length,
+    caught at 99.6 s for the whole sf0.1 corpus by the r17
+    full-catalog sweep; this form is O(G log G) per row and stays a
+    pure zero-exchange projection (99.6 -> 1.1 s at sf0.1 together
+    with _spread at the entry seam)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     total = F.size(grams).cast("long")
-    # distinct count AND modal count from ONE sorted pass: sort the
-    # gram array, then a linear F.aggregate counts runs (= distincts)
-    # and the longest run (= the modal gram's occurrences).  The
-    # original per-distinct F.filter scan was O(grams x distincts) per
-    # document — quadratic in document length, caught at 99.6 s for
-    # the whole sf0.1 corpus by the r17 full-catalog sweep; this form
-    # is O(G log G) per row and stays a pure zero-exchange projection
-    # (99.6 -> 1.1 s at sf0.1 together with _spread at the entry seam)
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -179,15 +192,36 @@ def repetition_stats(
         )
 
     scan = F.aggregate(F.array_sort(grams), zero, _step)
-    distinct = scan.runs.cast("long")
-    top = scan.best.cast("long")
-    return df.select(
-        F.col(id_col),
-        total.alias("n_grams"),
-        (total - distinct).alias("n_dup_grams"),
-        round_frac(total - distinct, total, 4).alias("dup_gram_fraction"),
-        round_frac(top, total, 4).alias("top_gram_fraction"),
-    )
+    return total, scan.runs.cast("long"), scan.best.cast("long")
+
+
+def repetition_stats_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher's full repetition battery (Rae et al. 2021 table A1 uses
+    duplicate/top fractions at SEVERAL n-gram orders, not one): per
+    document, the duplicate-gram fraction and modal-gram share for
+    every n in ``ns``, computed in ONE zero-exchange projection — the
+    token array splits once and each order reuses it, so the corpus
+    is scanned exactly once for the whole battery."""
+    toks = F.split(F.col(text_col), " ")
+    cols = [F.col(id_col)]
+    for n in ns:
+        total, distinct, top = _gram_run_stats(toks, n)
+        cols.extend(
+            [
+                total.alias(f"n_grams_{n}"),
+                round_frac(total - distinct, total, 4).alias(
+                    f"dup_gram_fraction_{n}"
+                ),
+                round_frac(top, total, 4).alias(f"top_gram_fraction_{n}"),
+            ]
+        )
+    return df.select(*cols)
 
 
 #: PII patterns restricted to constructs with identical semantics in

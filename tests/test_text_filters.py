@@ -308,3 +308,38 @@ def test_classifier_auc_matches_bruteforce(spark, sf_dir):
     assert row["u_x2"] == u2
     num, den = u2 * 10**4, 2 * len(pos) * len(neg)
     assert row["auc_scaled"] == (2 * num + den) // (2 * den)  # round-half-up
+
+
+def test_repetition_multi_matches_single_order(spark):
+    # the multi-n battery's per-order columns must equal the single-n
+    # operator run at each n
+    from metrics_service_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),
+            (2, "x y z x y z x y z x"),
+            (3, "unique words only here"),
+        ],
+        "doc_id int, text string",
+    )
+    multi = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats_multi(df, "doc_id", "text").collect()
+    }
+    for n in (2, 3, 4):
+        single = {
+            r["doc_id"]: r
+            for r in repetition_stats(df, "doc_id", "text", n=n).collect()
+        }
+        for d, row in single.items():
+            assert multi[d][f"n_grams_{n}"] == row["n_grams"]
+            assert (
+                multi[d][f"dup_gram_fraction_{n}"] == row["dup_gram_fraction"]
+            )
+            assert (
+                multi[d][f"top_gram_fraction_{n}"] == row["top_gram_fraction"]
+            )

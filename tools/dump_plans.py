@@ -129,6 +129,7 @@ COMMENTARY = {
     "doc_bpe_vocab_export_grouped": "per-language export: the grouped tokenize pass collapses map-side to |langs| x |charset| distinct chars, filtered by a broadcast semi-join on the sum-of-budgets merge table (never a collect); dedup + per-language dense-id window run on the vocab-bounded union",
     "doc_bpe_encode_digest": "vocab replay + unit-id join both vocab-bounded; the corpus token stream joins the per-word id arrays and ONE doc-keyed aggregation reassembles each sequence by (pos, sympos) — the only corpus-mass exchange, carried as ints; digest is a pure projection over the assembled array",
     "doc_bpe_encode_grouped": "the shared grouped replay + (group, unit) id join against the grouped export, both vocab-bounded; token stream joins per-(group, word) id arrays and the same single doc-keyed reassembly shuffle; no-tokenizer languages take the all-or-nothing -1 arm (their units never match the export, so no partial sequences exist)",
+    "doc_repetition_multi": "three n-gram orders in ONE zero-exchange projection: the token split is shared, each order's distinct+modal counts come from one array_sort + one linear F.aggregate run scan (the r17 quadratic fix's shape) — scan-to-output, no window, no join",
 }
 
 

@@ -364,6 +364,9 @@ QUERIES = [
     # grouped twin adds the per-language id join, same class)
     "doc_bpe_encode_digest",
     "doc_bpe_encode_grouped",
+    # r17: multi-n repetition battery — three sorted scans in one
+    # zero-exchange projection; expected the doc_repetition class
+    "doc_repetition_multi",
 ]
 
 
