@@ -36,6 +36,7 @@ shared corpus tables (SURVEY.md §2's LLM extension family).
 from __future__ import annotations
 
 import heapq
+import re as _re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -116,6 +117,46 @@ def merge_pair_scan_col(syms: Column, left: Column, right: Column) -> Column:
     )
 
 
+#: symbols safe for the flat-string merge scan: regex-literal (no
+#: metacharacters, no replacement-string escapes) and free of the
+#: space separator the flat encoding uses.  Training symbols are
+#: always in this class (WORD_RE words split to chars, concatenated).
+_SAFE_SYM_RE = _re.compile(r"[a-z]+\Z")
+
+
+def _syms_to_flat(syms: Column) -> Column:
+    """Symbol array -> space-flanked flat string (' a b c ')."""
+    return F.concat(F.lit(" "), F.concat_ws(" ", syms), F.lit(" "))
+
+
+def _flat_to_syms(s: Column) -> Column:
+    """Inverse of `_syms_to_flat`."""
+    return F.split(F.trim(s), " ")
+
+
+def _flat_merge_replace(s: Column, left: str, right: str) -> Column:
+    """One greedy merge round on the flat-string form, as a single
+    codegen `regexp_replace`: the pattern ' left right(?= )' consumes
+    each symbol's LEADING separator only (the trailing boundary is a
+    non-consuming lookahead), so Java's left-to-right non-overlapping
+    replacement is exactly `merge_pair_scan`'s fold — adjacent
+    matches chain ('a b a b' -> 'ab ab') while a freshly merged token
+    never re-merges in-round (replacement text is never re-scanned).
+    Only valid for `_SAFE_SYM_RE` symbols (guaranteed space-free and
+    regex-literal); callers gate on that and fall back to the fold."""
+    return F.regexp_replace(s, f" {left} {right}(?= )", f" {left}{right}")
+
+
+def _merge_scan_fast(syms: Column, left: str, right: str) -> Column:
+    """`merge_pair_scan` semantics for literal (left, right): the
+    flat-string regexp form when the pair is scan-safe (measured 11x
+    cheaper than the interpreted F.aggregate fold on the sf0.001
+    vocab at 48 merges: 7.2 -> 0.6 s), the general fold otherwise."""
+    if _SAFE_SYM_RE.match(left) and _SAFE_SYM_RE.match(right):
+        return _flat_to_syms(_flat_merge_replace(_syms_to_flat(syms), left, right))
+    return merge_pair_scan(syms, left, right)
+
+
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     pair_arr = F.transform(
         F.sequence(F.lit(1), F.size("syms") - 1),
@@ -165,7 +206,9 @@ def _train(
         vocab = vocab.select(
             "w",
             "freq",
-            merge_pair_scan(F.col("syms"), best["l"], best["r"]).alias("syms"),
+            _merge_scan_fast(F.col("syms"), best["l"], best["r"]).alias(
+                "syms"
+            ),
         ).localCheckpoint(eager=False)
     table = spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count bigint"
@@ -400,7 +443,7 @@ def replay_merges(
     checkpoint_every: int = 32,
 ) -> DataFrame:
     """Replay a learned merge list over a symbol-array frame: one
-    pure-projection `merge_pair_scan` per merge, applied in rank order
+    pure-projection greedy scan per merge, applied in rank order
     (exactly `_train`'s per-round vocabulary evolution, so the
     segmentation is bit-identical to training's final state).  No
     Spark job per merge — Catalyst collapses the chained projections;
@@ -410,15 +453,44 @@ def replay_merges(
     VOCAB-sized frame, never the corpus.  The cadence is a measured
     trade: at 48 merges over sf0.1 the apply wall was 8.6/6.1/5.4/4.8 s
     at checkpoint_every 4/8/16/48 — checkpoint job launches dominate
-    long before expression depth does, hence the high default."""
-    out = vocab
+    long before expression depth does, hence the high default.
+
+    r17 optimization (guide §4.1 — prefer codegen built-ins over
+    interpreted expression trees): when every merge symbol is
+    scan-safe (`_SAFE_SYM_RE` — always true for tables trained on
+    WORD_RE words) the whole chain runs on the FLAT-STRING form — one
+    `_syms_to_flat` up front, one codegen `regexp_replace` per merge,
+    one split back at the end — instead of one interpreted
+    `F.aggregate` array fold per merge (HOFs get no whole-stage
+    codegen).  Measured 11x on the sf0.001 vocab at 48 merges
+    (7.2 -> 0.6 s); bit-identical by the fuzz + adversarial-word
+    equivalence suite.  Unsafe symbol sets take the original fold
+    chain unchanged."""
+    if not merges:
+        return vocab
+    if not all(
+        l is not None
+        and r is not None
+        and _SAFE_SYM_RE.match(l)
+        and _SAFE_SYM_RE.match(r)
+        for l, r in merges
+    ):
+        out = vocab
+        for i, (left, right) in enumerate(merges, start=1):
+            out = out.withColumn(
+                syms_col, merge_pair_scan(F.col(syms_col), left, right)
+            )
+            if i % checkpoint_every == 0 and i < len(merges):
+                out = out.localCheckpoint(eager=False)
+        return out
+    out = vocab.withColumn(syms_col, _syms_to_flat(F.col(syms_col)))
     for i, (left, right) in enumerate(merges, start=1):
         out = out.withColumn(
-            syms_col, merge_pair_scan(F.col(syms_col), left, right)
+            syms_col, _flat_merge_replace(F.col(syms_col), left, right)
         )
         if i % checkpoint_every == 0 and i < len(merges):
             out = out.localCheckpoint(eager=False)
-    return out
+    return out.withColumn(syms_col, _flat_to_syms(F.col(syms_col)))
 
 
 def _count_with_units(
@@ -1344,22 +1416,50 @@ def bpe_train_grouped(
             merges.append(
                 (g, rank, got[g]["l"], got[g]["r"], got[g]["pair_count"])
             )
-        best = spark.createDataFrame(
-            [(g, got[g]["l"], got[g]["r"]) for g in active],
-            f"{group_col} string, __l string, __r string",
-        )
-        vocab = (
-            vocab.join(F.broadcast(best), group_col, "left")
-            .select(
+        # r17: the winners are driver-known literals, so the round's
+        # merge applies as a literal CASE-WHEN of codegen flat-string
+        # scans per active group — no broadcast join, no interpreted
+        # fold (guide §2.4/§4.1); inactive/NULL groups take the
+        # passthrough arm exactly like the old left join's NULL arm.
+        # Unsafe symbols (never produced by WORD_RE training) keep the
+        # original broadcast join + column-valued fold.
+        if all(
+            _SAFE_SYM_RE.match(got[g]["l"]) and _SAFE_SYM_RE.match(got[g]["r"])
+            for g in active
+        ):
+            flat = _syms_to_flat(F.col("syms"))
+            scan = None
+            for g in active:
+                branch = _flat_merge_replace(flat, got[g]["l"], got[g]["r"])
+                cond = F.col(group_col) == g
+                scan = (
+                    F.when(cond, branch)
+                    if scan is None
+                    else scan.when(cond, branch)
+                )
+            vocab = vocab.select(
                 group_col,
                 "w",
                 "freq",
-                merge_pair_scan_col(
-                    F.col("syms"), F.col("__l"), F.col("__r")
-                ).alias("syms"),
+                _flat_to_syms(scan.otherwise(flat)).alias("syms"),
+            ).localCheckpoint(eager=False)
+        else:
+            best = spark.createDataFrame(
+                [(g, got[g]["l"], got[g]["r"]) for g in active],
+                f"{group_col} string, __l string, __r string",
             )
-            .localCheckpoint(eager=False)
-        )
+            vocab = (
+                vocab.join(F.broadcast(best), group_col, "left")
+                .select(
+                    group_col,
+                    "w",
+                    "freq",
+                    merge_pair_scan_col(
+                        F.col("syms"), F.col("__l"), F.col("__r")
+                    ).alias("syms"),
+                )
+                .localCheckpoint(eager=False)
+            )
     return spark.createDataFrame(
         merges,
         f"{group_col} string, rank int, left_sym string, "
@@ -1688,16 +1788,25 @@ def _grouped_vocab_replay(
     checkpoint_every: int,
 ) -> DataFrame:
     """(group, w, syms): the DISTINCT (group, word) vocabulary of
-    `docs` segmented by each group's merge list — rank levels applied
-    as ONE broadcast join + column-valued greedy scan per level
-    (groups past their budget take the NULL passthrough arm, exactly
-    the grouped training rounds' shape); a lazy localCheckpoint every
-    `checkpoint_every` levels bounds expression depth.  Shared by the
-    grouped apply and the grouped encode."""
+    `docs` segmented by each group's merge list.
+
+    r17 optimization (guide §2.4/§4.1): the old shape applied rank
+    levels as ONE broadcast join + column-valued interpreted greedy
+    scan PER LEVEL — max(budget) broadcast exchanges and interpreted
+    folds (the doc_bpe_apply_grouped_m40 bench entry spent 16.4 s
+    mostly there).  Merge lists are per-group CONSTANTS (collected
+    from the bounded merge table), so the replay now checkpoints the
+    vocab once and runs each group's LITERAL merge chain over its
+    slice (`replay_merges` — the codegen flat-string form), unioned
+    with the untouched passthrough slice for groups without a table
+    (same NULL-arm semantics as the old left join, including NULL
+    group keys).  Zero joins, zero broadcasts, |groups| codegen chain
+    scans over one materialized vocab.  Shared by the grouped apply
+    and the grouped encode."""
+    from functools import reduce
+
     from metrics_service_spark.operators.similarity import _spread
 
-    spark = docs.sparkSession
-    max_rank = max((len(seq) for seq in merges.values()), default=0)
     words = (
         _spread(docs.select(F.col(group_col), F.col(text_col)))
         .select(
@@ -1708,25 +1817,25 @@ def _grouped_vocab_replay(
         .distinct()
         .select(group_col, "w", F.split("w", "").alias("syms"))
     )
-    for rank in range(max_rank):
-        level = [
-            (g, seq[rank][0], seq[rank][1])
-            for g, seq in sorted(merges.items())
-            if rank < len(seq)
-        ]
-        best = spark.createDataFrame(
-            level, f"{group_col} string, __l string, __r string"
+    groups = sorted(g for g, seq in merges.items() if seq and g is not None)
+    if not groups:
+        return words
+    words = words.localCheckpoint(eager=False)
+    # NULL group keys and groups with no merge rows pass through
+    # char-segmented (the old broadcast left join's NULL arm)
+    branches = [
+        words.filter(
+            F.col(group_col).isNull() | ~F.col(group_col).isin(groups)
         )
-        words = words.join(F.broadcast(best), group_col, "left").select(
-            group_col,
-            "w",
-            merge_pair_scan_col(
-                F.col("syms"), F.col("__l"), F.col("__r")
-            ).alias("syms"),
+    ]
+    for g in groups:
+        seg = replay_merges(
+            words.filter(F.col(group_col) == g),
+            merges[g],
+            checkpoint_every=checkpoint_every,
         )
-        if (rank + 1) % checkpoint_every == 0 and rank + 1 < max_rank:
-            words = words.localCheckpoint(eager=False)
-    return words
+        branches.append(seg.select(group_col, "w", "syms"))
+    return reduce(lambda a, b: a.unionByName(b), branches)
 
 
 def bpe_apply_grouped(

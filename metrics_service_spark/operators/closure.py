@@ -443,7 +443,14 @@ def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .localCheckpoint(eager=False)
     )
-    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # r17 (guide §2.4): same canonical-dedup-then-mirror shape as
+    # star() — one |E| distinct instead of a 2|E| one, identical set
+    canon = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    return canon.union(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
 
 
 def connected_components_star(
@@ -492,9 +499,19 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        return out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # r17 (guide §2.4): dedup ONCE on the canonical (min, max) form
+        # and mirror without a second distinct — the symmetric closure
+        # of unique canonical pairs is already duplicate-free (u != v),
+        # so this emits the identical edge SET with one full-edge-set
+        # exchange per star instead of two (the old directed-distinct +
+        # post-union distinct).
+        canon = out.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+        return canon.union(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
 
     def fingerprint(e: DataFrame) -> int:
         row = e.agg(
