@@ -4221,30 +4221,21 @@ def q_doc_linkage_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot by construction, and the 50× probe prices the difference at
     16.7× (window) vs 1.9× (global) — the composed entry ships the
     production shape (the pair set is bit-identical either way, so
-    the oracle is unchanged).  NEW r13 surface."""
-    from metrics_service_spark.operators.dedup import (
-        fuzzy_prefix_pairs,
-        sorted_neighborhood_pairs,
-    )
+    the oracle is unchanged).  NEW r13 surface.  r17: both arms share
+    ONE corpus scan via `linkage_multipass_pairs` (guide §8)."""
+    from metrics_service_spark.operators.dedup import linkage_multipass_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    strict = fuzzy_prefix_pairs(
+    return linkage_multipass_pairs(
         docs, "doc_id", "text",
+        neighborhood=SN_NEIGHBORHOOD,
         prefix_chars=FUZZY_PREFIX_CHARS,
         block_chars=FUZZY_BLOCK_CHARS,
         max_dist=FUZZY_MAX_DIST,
         block_cols=["lang"],
         max_cell=FUZZY_MAX_CELL,
-    )
-    sn = sorted_neighborhood_pairs(
-        docs, "doc_id", "text",
-        neighborhood=SN_NEIGHBORHOOD,
-        prefix_chars=FUZZY_PREFIX_CHARS,
-        max_dist=FUZZY_MAX_DIST,
-        block_cols=["lang"],
         rank_bucket_chars=SN_RANK_BUCKET_CHARS,
     )
-    return strict.union(sn).distinct()
 
 
 # --- winnowing fingerprints -------------------------------------------------
@@ -4383,33 +4374,28 @@ def q_doc_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (fine for the Jaccard family's clique-ish graphs)
     needs diameter rounds and the 50x probe blew its round budget;
     the alternating large/small-star form (Kiveris et al.) converges
-    in O(log n) rounds regardless of diameter.  NEW r13 surface."""
+    in O(log n) rounds regardless of diameter.  NEW r13 surface.
+    r17: both pass arms share ONE corpus scan
+    (`linkage_multipass_pairs`, guide §8), and the pre-CC distinct is
+    dropped — `connected_components_star`'s `_symmetric` already
+    canon-distincts the edge set, so it was a pure extra shuffle."""
     from metrics_service_spark.operators.closure import (
         connected_components_star,
     )
-    from metrics_service_spark.operators.dedup import (
-        fuzzy_prefix_pairs,
-        sorted_neighborhood_pairs,
-    )
+    from metrics_service_spark.operators.dedup import linkage_multipass_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    strict = fuzzy_prefix_pairs(
+    pairs = linkage_multipass_pairs(
         docs, "doc_id", "text",
+        neighborhood=SN_NEIGHBORHOOD,
         prefix_chars=FUZZY_PREFIX_CHARS,
         block_chars=FUZZY_BLOCK_CHARS,
         max_dist=FUZZY_MAX_DIST,
         block_cols=["lang"],
         max_cell=FUZZY_MAX_CELL,
-    )
-    sn = sorted_neighborhood_pairs(
-        docs, "doc_id", "text",
-        neighborhood=SN_NEIGHBORHOOD,
-        prefix_chars=FUZZY_PREFIX_CHARS,
-        max_dist=FUZZY_MAX_DIST,
-        block_cols=["lang"],
         rank_bucket_chars=SN_RANK_BUCKET_CHARS,
-    )
-    pairs = strict.union(sn).select("id_a", "id_b").distinct()
+        deduplicate=False,
+    ).select("id_a", "id_b")
     cc = connected_components_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         require_converged=True,

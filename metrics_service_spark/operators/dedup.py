@@ -1407,10 +1407,14 @@ def fuzzy_prefix_pairs_blocked(
     cond = (F.col("__bk") == F.col("__bk2")) & (F.col("__id") < F.col("__id2"))
     for c in block_cols:
         cond = cond & (F.col(c) == F.col(f"__r_{c}"))
-    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+    # r17: threshold form — banded O(max_dist x prefix) with early
+    # bailout instead of the full O(prefix^2) matrix per candidate;
+    # within the threshold it returns the exact distance (same dist
+    # column), above it -1 (same kept set)
+    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"), max_dist)
     return (
         base.join(right, cond)
-        .filter(dist <= F.lit(max_dist))
+        .filter(dist >= 0)
         .select(
             F.col("__id").alias("id_a"),
             F.col("__id2").alias("id_b"),
@@ -1476,10 +1480,11 @@ def fuzzy_prefix_admit(
     cond = F.col("__bk") == F.col("__bk2")
     for col in block_cols:
         cond = cond & (F.col(col) == F.col(f"__r_{col}"))
-    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+    # r17: threshold form (see fuzzy_prefix_pairs_blocked)
+    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"), max_dist)
     return (
         n.join(right, cond)
-        .filter(dist <= F.lit(max_dist))
+        .filter(dist >= 0)
         .select(
             F.col("__id").alias("new_id"),
             F.col("__id2").alias("old_id"),
@@ -1731,6 +1736,32 @@ def sorted_neighborhood_pairs(
             F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
         )
     )
+    return _sorted_neighborhood_from_base(
+        base,
+        neighborhood=neighborhood,
+        max_dist=max_dist,
+        block_cols=block_cols,
+        rank_bucket_chars=rank_bucket_chars,
+    )
+
+
+def _sorted_neighborhood_from_base(
+    base: DataFrame,
+    *,
+    neighborhood: int,
+    max_dist: int,
+    block_cols: list[str],
+    rank_bucket_chars: int | None,
+) -> DataFrame:
+    """`sorted_neighborhood_pairs` from a pre-derived (block_cols…,
+    __id, __pfx) frame — the r17 shared-scan seam: multi-pass callers
+    derive the prefix base ONCE and feed both the strict-prefix and
+    the sorted-neighborhood arm (guide §8: one corpus read, both
+    decisions off the same small-row frame)."""
+    from pyspark.sql import Window
+
+    from metrics_service_spark.operators.rank import global_row_number
+
     if rank_bucket_chars is None:
         w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(
             F.col("__pfx").asc(), F.col("__id").asc()
@@ -1770,15 +1801,71 @@ def sorted_neighborhood_pairs(
             base["__rk"] == probe["__rk"],
         ],
     )
-    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
+    # r17: threshold form (see fuzzy_prefix_pairs_blocked)
+    dist = F.levenshtein(F.col("__pfx"), F.col("__pfx2"), max_dist)
     return (
-        joined.filter(dist <= F.lit(max_dist))
+        joined.filter(dist >= 0)
         .select(
             F.least("__id", "__id2").alias("id_a"),
             F.greatest("__id", "__id2").alias("id_b"),
             dist.cast("int").alias("dist"),
         )
     )
+
+
+def linkage_multipass_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    neighborhood: int,
+    prefix_chars: int,
+    block_chars: int,
+    max_dist: int,
+    block_cols: list[str] | None = None,
+    max_cell: int | None = None,
+    rank_bucket_chars: int | None = None,
+    deduplicate: bool = True,
+) -> DataFrame:
+    """Strict-prefix blocked pairs ∪ sorted-neighborhood pairs,
+    distinct on the (pair, dist) row — the multi-pass linkage union,
+    with the two arms sharing ONE corpus scan: the (block_cols…,
+    __id, __pfx) base derives once and is lazily checkpointed; the
+    strict arm adds its block key on top, the SN arm its ranks
+    (guide §8 — at 100 TB this halves the corpus reads of the
+    composed entries vs calling the two pass functions separately;
+    pair set bit-identical, both arms compute the same expressions
+    over the same base).
+
+    ``deduplicate=False`` skips the union distinct for consumers that
+    dedup downstream anyway (connected components canon-distincts the
+    edge set in `_symmetric` — a pre-distinct there is a pure extra
+    shuffle)."""
+    from metrics_service_spark.operators.similarity import _spread
+
+    block_cols = block_cols or []
+    base = _spread(
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("__id"),
+            F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
+        )
+    ).localCheckpoint(eager=False)
+    strict = fuzzy_prefix_pairs_blocked(
+        base.withColumn("__bk", F.substring(F.col("__pfx"), 1, block_chars)),
+        max_dist=max_dist,
+        block_cols=block_cols,
+        max_cell=max_cell,
+    )
+    sn = _sorted_neighborhood_from_base(
+        base,
+        neighborhood=neighborhood,
+        max_dist=max_dist,
+        block_cols=block_cols,
+        rank_bucket_chars=rank_bucket_chars,
+    )
+    out = strict.union(sn)
+    return out.distinct() if deduplicate else out
 
 
 def linkage_recall_matrix(
@@ -1857,8 +1944,12 @@ def linkage_recall_matrix(
             other,
             (F.col("__id") < F.col("__id2"))
             & (
-                F.levenshtein(F.col("__pfx"), F.col("__pfx2"))
-                <= F.lit(max_dist)
+                # r17: threshold form — banded early-bailout scan on
+                # the all-pairs truth join (same kept set)
+                F.levenshtein(
+                    F.col("__pfx"), F.col("__pfx2"), max_dist
+                )
+                >= 0
             ),
         )
         .agg(F.count(F.lit(1)).alias("true_pairs"))

@@ -148,8 +148,11 @@ def admit_batch_linkage(
                 bat.join(idx, join_keys)
                 .filter(F.col("__iid") != F.col("__id"))
                 .filter(
-                    F.levenshtein(F.col("__pfx"), F.col("__ipfx"))
-                    <= max_dist
+                    # r17: threshold form — banded early-bailout
+                    F.levenshtein(
+                        F.col("__pfx"), F.col("__ipfx"), max_dist
+                    )
+                    >= 0
                 )
                 .select(F.col("__id").alias("__rej"))
                 .distinct()
@@ -185,7 +188,10 @@ def admit_batch_linkage(
         hit_batch = (
             a.join(pairable, join_keys)
             .filter(F.col("__ia") < F.col("__id"))
-            .filter(F.levenshtein(F.col("__pa"), F.col("__pfx")) <= max_dist)
+            .filter(
+                F.levenshtein(F.col("__pa"), F.col("__pfx"), max_dist)
+                >= 0
+            )
             .select(F.col("__id").alias("__rej"))
             .distinct()
         )
