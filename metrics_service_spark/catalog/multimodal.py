@@ -324,12 +324,25 @@ FROM cand WHERE hamming <= 7
 
 def q_mm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal dedup: perceptual-hash near-dup pairs ->
-    connected components (log-round min-label propagation, the same
-    operators/closure.py machinery the text flow uses) -> one row per
-    media item with its cluster id and whether it is the canonical
-    (minimum-id) representative.  Filtering is_canonical gives the
-    media keep-list — the mm twin of doc_dedup_clusters."""
-    from metrics_service_spark.operators.closure import connected_components
+    connected components -> one row per media item with its cluster id
+    and whether it is the canonical (minimum-id) representative.
+    Filtering is_canonical gives the media keep-list — the mm twin of
+    doc_dedup_clusters.
+
+    r17: min-label propagation -> alternating large/small-star CC.
+    Measured at sf0.1: the phash graph's near-dup CHAINS (a~b~c each
+    within hamming 7 while a!~c) gave diameter-12 components — the
+    min-label loop ran all 12 rounds (7.1 s of pure sequential-round
+    latency on a 788-node graph) and sat one round from its
+    require_converged raise; longer chains at scale would have
+    tripped it.  The star form converges in O(log n) rounds
+    regardless of diameter — exactly why doc_linkage_clusters adopted
+    it for SN rank-adjacency chains in r13 — and emits the identical
+    (node, component=min id) labeling, so the recursive-CTE oracle is
+    unchanged."""
+    from metrics_service_spark.operators.closure import (
+        connected_components_star,
+    )
     from metrics_service_spark.operators.multimodal import (
         phash_near_duplicates,
     )
@@ -338,9 +351,8 @@ def q_mm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = phash_near_duplicates(media, max_hamming=7).select(
         "id_a", "id_b"
     )
-    cc = connected_components(
+    cc = connected_components_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_iters=12,
         require_converged=True,
     )
     return (

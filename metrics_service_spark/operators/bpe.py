@@ -1394,13 +1394,30 @@ def bpe_train_grouped(
             )
             .agg(F.sum("freq").alias("pair_count"))
         )
-        w = Window.partitionBy(group_col).orderBy(
-            F.desc("pair_count"), "l", "r"
-        )
+        # r17 (guide §2.4): per-group argmax as min(struct(-count, l,
+        # r)) — the same (count DESC, l, r) tie-break as the previous
+        # row_number window, but as a partially-aggregable SortAggregate.
+        # Measured plan delta (plans/r17/bpe_train_grouped_round_argmax_
+        # {before,after}.txt): same exchange count (WindowGroupLimit
+        # pushdown already pruned the window form map-side on 3.5+),
+        # but the map-side sort drops from 4 sort keys over the full
+        # pair frame to the group key alone, and the post-shuffle
+        # Window + Filter stage collapses into the final aggregate.
         rows = (
-            pc.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            pc.groupBy(group_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("pair_count")).alias("__nc"), "l", "r"
+                    )
+                ).alias("__m")
+            )
+            .select(
+                group_col,
+                F.col("__m.l").alias("l"),
+                F.col("__m.r").alias("r"),
+                (-F.col("__m.__nc")).alias("pair_count"),
+            )
             .collect()
         )
         got = {r[group_col]: r for r in rows}
