@@ -593,25 +593,48 @@ def simhash_md5_slices(
     bands*width bits are emitted as `bands` unsigned width-bit slices
     (slice0..slice{bands-1}) — the banding unit for pigeonhole
     blocking — so every sum stays far from int64 overflow on either
-    engine.  One explode + one groupBy, all codegen; md5-per-bit makes
-    it ~64x the hash work of the xxhash64 variant, which therefore
-    stays the scale default."""
+    engine.  md5-per-bit makes it ~64x the hash work of the xxhash64
+    variant, which therefore stays the scale default.
+
+    r17 (guide §1.2 per-task work, §2.3 aggregate-before-shuffle): a
+    token's nbits votes are a pure function of the token, so they are
+    computed once per DISTINCT token instead of once per occurrence —
+    (doc, tok) term frequencies aggregate first (map-side combined),
+    the vocab-sized distinct-token frame gets the nbits md5 columns,
+    and each document's vote b is the exact integer sum of
+    tf * vote_b(token).  Natural-language corpora repeat tokens
+    heavily, so the md5 work drops by the corpus/vocab occurrence
+    ratio while every sum stays order-independent integer math —
+    bit-identical output."""
     toks = F.split(F.col(text_col), " ")
     exploded = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
     nbits = bands * width
-    aggs = [
-        F.sum(
+    tf = exploded.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    tok_votes = tf.select("__tok").distinct().select(
+        "__tok",
+        *[
             F.when(
                 F.substring(
                     F.md5(F.concat(F.lit(f"{b}:"), F.col("__tok"))), 1, 1
                 )
                 >= "8",
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(nbits)
-    ]
-    votes = exploded.groupBy("__id").agg(*aggs)
+                F.lit(1).cast("long"),
+            )
+            .otherwise(F.lit(-1).cast("long"))
+            .alias(f"__v{b}")
+            for b in range(nbits)
+        ],
+    )
+    votes = (
+        tf.join(tok_votes, "__tok")
+        .groupBy("__id")
+        .agg(
+            *[
+                F.sum(F.col(f"__v{b}") * F.col("__c")).alias(f"b{b}")
+                for b in range(nbits)
+            ]
+        )
+    )
     slices = []
     for s in range(bands):
         sl = F.lit(0).cast("long")
