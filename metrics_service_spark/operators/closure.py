@@ -486,18 +486,50 @@ def connected_components_star(
     e = _symmetric(edges, src, dst).localCheckpoint(eager=False)
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        part = e.filter(F.col("v") > F.col("u")) if large else e.filter(
-            F.col("v") <= F.col("u")
+        # r17 (guide §2.4): m(u) = min(u, neighborhood) used to be a
+        # groupBy(u) + join back onto the partition — a second exchange
+        # of the edge set plus a per-round join.  A window min over the
+        # SAME u-partitioning computes m in the one exchange that
+        # already keys the round, and both output row classes (the
+        # re-attached partition rows (v, m) and the center rows (u, m))
+        # are emitted from that single pass via an array explode.  The
+        # center row is emitted once per EDGE instead of once per node
+        # — the canonical distinct below collapses both to the
+        # identical edge SET, so fingerprints, round count and the
+        # final labeling are unchanged.
+        from pyspark.sql import Window
+
+        part_pred = (
+            (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
         )
-        m = (
-            e.groupBy("u")
-            .agg(F.min("v").alias("__mn"))
-            .select("u", F.least(F.col("u"), F.col("__mn")).alias("m"))
+        ew = e.select(
+            "u",
+            "v",
+            F.least(F.col("u"), F.min("v").over(Window.partitionBy("u"))).alias(
+                "__m"
+            ),
         )
         out = (
-            part.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            ew.select(
+                F.explode(
+                    F.filter(
+                        F.array(
+                            F.struct(
+                                F.col("v").alias("x"),
+                                F.col("__m").alias("y"),
+                                part_pred.alias("keep"),
+                            ),
+                            F.struct(
+                                F.col("u").alias("x"),
+                                F.col("__m").alias("y"),
+                                F.lit(True).alias("keep"),
+                            ),
+                        ),
+                        lambda s: s["keep"],
+                    )
+                ).alias("__s")
+            )
+            .select(F.col("__s.x").alias("u"), F.col("__s.y").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         # r17 (guide §2.4): dedup ONCE on the canonical (min, max) form
