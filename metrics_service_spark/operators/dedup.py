@@ -234,11 +234,13 @@ def minhash_signatures(
     coeffs = [
         (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
     ]
-    toks = F.split(F.col(text_col), " ")
-    # single-file parquet = 1 input partition; spread the (CPU-heavy)
-    # per-row hashing across the executors before it runs
-    spread = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "__id"
+    # single-file parquet = 1 input partition; spread the RAW rows and
+    # run the split AND the (CPU-heavy) per-row hashing above the
+    # exchange on all cores (r17: the split used to sit below it)
+    spread = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+        .select("__id", F.split(F.col("__text"), " ").alias("__toks"))
     )
     tok_hashes = F.transform(F.col("__toks"), lambda t: F.xxhash64(t))
     shingle_hashes = F.transform(
@@ -380,10 +382,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     bit_b(doc) = sign of sum over tokens of (+1 if bit b of
     xxhash64(token) else -1); assembled JVM-side with 64 conditional
-    sums — no Python, one explode + one groupBy."""
-    toks = F.split(F.col(text_col), " ")
-    exploded = df.select(
-        F.col(id_col).alias("__id"), F.explode(toks).alias("__tok")
+    sums — no Python, one explode + one groupBy.
+
+    r17: the raw (id, text) rows are repartitioned by id BEFORE the
+    split/explode/partial-agg, so the per-token work runs above the
+    exchange on all cores even off a one-row-group parquet scan; the
+    final groupBy(id) reuses that partitioning (same exchange count —
+    the shuffle moves raw text instead of exploded token rows)."""
+    spread = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    exploded = spread.select(
+        "__id", F.explode(F.split(F.col("__text"), " ")).alias("__tok")
     ).withColumn("__h", F.xxhash64(F.col("__tok")))
     aggs = [
         F.sum(
@@ -475,19 +485,34 @@ def minhash_signatures_md5(
     signature, banding, candidate join, exact verify — can be replayed
     by an oracle bit-for-bit.  The xxhash64 variant stays the bench
     default (xxhash is cheaper); this twin is the correctness witness.
+
+    r17 (guide §1.2 per-task work): a shingle's num_hashes md5 digests
+    are a pure function of the shingle, so they are computed once per
+    DISTINCT shingle (the vocab-sized frame) instead of once per
+    (doc, shingle) occurrence — measured 9.6x shingle repetition
+    across documents at sf0.1, and the ratio grows with corpus size.
+    The per-doc min over the joined digest columns is the identical
+    lexicographic min (min over a multiset ignores duplicates), so
+    signatures are bit-identical.
     """
-    toks = F.split(F.col(text_col), " ")
-    spread = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")).repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "__id"
-    )
+    spread = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
     exploded = spread.select(
-        "__id", F.explode(shingle_array(F.col("__toks"), n)).alias("__shingle")
+        "__id",
+        F.explode(
+            shingle_array(F.split(F.col("__text"), " "), n)
+        ).alias("__shingle"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy("__id").agg(*aggs)
+    vocab = exploded.select("__shingle").distinct().select(
+        "__shingle",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle"))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    aggs = [F.min(F.col(f"__m{i}")).alias(f"h{i}") for i in range(num_hashes)]
+    return exploded.join(vocab, "__shingle").groupBy("__id").agg(*aggs)
 
 
 def md5_band_rows(
@@ -556,10 +581,17 @@ def minhash_near_duplicates_md5(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    toks = F.split(F.col(text_col), " ")
+    # r17: repartition the RAW rows first — the shingle transform runs
+    # above the exchange on all cores (below it, a one-row-group scan
+    # shingles the whole corpus in one task) and the exchange moves
+    # raw text instead of the ~n-fold-larger shingle arrays
     sh = (
-        df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+        df.select(F.col(id_col).alias("__vid"), F.col(text_col).alias("__text"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
+        .select(
+            "__vid",
+            shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
+        )
         .localCheckpoint(eager=False)
     )
     return (
@@ -605,7 +637,11 @@ def simhash_md5_slices(
     tf * vote_b(token).  Natural-language corpora repeat tokens
     heavily, so the md5 work drops by the corpus/vocab occurrence
     ratio while every sum stays order-independent integer math —
-    bit-identical output."""
+    bit-identical output.  (A raw-rows-first repartition was tried and
+    measured WORSE here: it removes the tf exchange that acts as the
+    reuse point between the vocab and join consumers, and the planner
+    then broadcast the tf side instead of the vocab — the un-spread
+    shape's map-side partial agg keeps the serial explode cheap.)"""
     toks = F.split(F.col(text_col), " ")
     exploded = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__tok"))
     nbits = bands * width
@@ -867,9 +903,11 @@ def duplicate_span_stats(
     # md5 (the CPU bulk, ~|doc| string copies per doc) runs ABOVE the
     # exchange on all cores even off a one-row-group parquet scan —
     # the same shingle-above-exchange discipline as the jaccard path
-    spread = df.select(
-        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    spread = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+        .select("__id", F.split(F.col("__text"), " ").alias("__toks"))
+    )
     spans = (
         spread.select("__id", F.explode(wins).alias("__w"))
         .select("__id", F.md5(F.col("__w")).alias("__wh"))
@@ -968,10 +1006,11 @@ def duplicate_span_scrub(
     n_win = F.when(
         pos_ok.isNull(), F.greatest(F.size(toks) - w + 1, F.lit(1))
     )
-    spread = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(F.col(text_col), " ").alias("__toks"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    spread = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+        .select("__id", F.split(F.col("__text"), " ").alias("__toks"))
+    )
     # (id, window pos, window hash) — positions are what removal cuts
     wins = F.transform(
         F.sequence(F.lit(1), n_win),
@@ -1076,10 +1115,11 @@ def duplicate_span_runs(
     w = window_tokens
     toks = F.col("__toks")
     n_win = F.greatest(F.size(toks) - w + 1, F.lit(1))
-    spread = df.select(
-        F.col(id_col).alias("__id"),
-        F.split(F.col(text_col), " ").alias("__toks"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+    spread = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+        .select("__id", F.split(F.col("__text"), " ").alias("__toks"))
+    )
     wins = F.transform(
         F.sequence(F.lit(1), n_win),
         lambda i: F.struct(
@@ -1226,10 +1266,17 @@ def minhash_estimate_error(
         F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    toks = F.split(F.col(text_col), " ")
+    # r17: repartition the RAW rows first — the shingle transform runs
+    # above the exchange on all cores (below it, a one-row-group scan
+    # shingles the whole corpus in one task) and the exchange moves
+    # raw text instead of the ~n-fold-larger shingle arrays
     sh = (
-        df.select(F.col(id_col).alias("__vid"), shingle_array(toks, n).alias("__sh"))
+        df.select(F.col(id_col).alias("__vid"), F.col(text_col).alias("__text"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
+        .select(
+            "__vid",
+            shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
+        )
         .localCheckpoint(eager=False)
     )
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
