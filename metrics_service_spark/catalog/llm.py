@@ -5488,11 +5488,19 @@ def q_doc_bpe_apply_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.bpe import (
         bpe_apply,
         bpe_train_local_finish,
+        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
-    return bpe_apply(docs, table, id_col="doc_id", text_col="text")
+    # r17 (guide §2.4): ONE word-frequency pass feeds both the train
+    # collect and the apply's replay vocabulary
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    table = bpe_train_local_finish(
+        docs, "text", n_merges=BPE_MERGES, word_freqs=wf
+    )
+    return bpe_apply(
+        docs, table, id_col="doc_id", text_col="text", word_freqs=wf
+    )
 
 
 QUERIES["doc_bpe_train_local"] = QuerySpec(
@@ -5520,11 +5528,15 @@ def q_doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.bpe import (
         bpe_apply_stats,
         bpe_train_local_finish,
+        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
-    return bpe_apply_stats(docs, table, group_cols=["lang"])
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    table = bpe_train_local_finish(
+        docs, "text", n_merges=BPE_MERGES, word_freqs=wf
+    )
+    return bpe_apply_stats(docs, table, group_cols=["lang"], word_freqs=wf)
 
 
 def _oracle_bpe_fertility() -> str:
@@ -5562,11 +5574,17 @@ def q_doc_bpe_apply_m48(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.bpe import (
         bpe_apply,
         bpe_train_local_finish,
+        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES_DEEP)
-    return bpe_apply(docs, table, id_col="doc_id", text_col="text")
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    table = bpe_train_local_finish(
+        docs, "text", n_merges=BPE_MERGES_DEEP, word_freqs=wf
+    )
+    return bpe_apply(
+        docs, table, id_col="doc_id", text_col="text", word_freqs=wf
+    )
 
 
 def _oracle_bpe_apply_m48() -> str:
@@ -5602,11 +5620,15 @@ def q_doc_vocab_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_apply_stats,
         bpe_train_local_finish,
         vocab_budget_rebalance,
+        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
-    stats = bpe_apply_stats(docs, table, group_cols=["lang"])
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    table = bpe_train_local_finish(
+        docs, "text", n_merges=BPE_MERGES, word_freqs=wf
+    )
+    stats = bpe_apply_stats(docs, table, group_cols=["lang"], word_freqs=wf)
     return vocab_budget_rebalance(
         stats,
         "lang",
@@ -5711,15 +5733,21 @@ def q_doc_bpe_apply_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, word) vocabulary, then one (lang, word)-keyed unit join +
     per-doc aggregate; the corpus is touched once."""
     from metrics_service_spark.operators.bpe import (
+        _grouped_word_frequencies,
         bpe_apply_grouped,
         bpe_train_grouped_local_finish,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_grouped_local_finish(
-        docs, "text", budgets=BPE_GROUP_BUDGETS
+    # r17 (guide §2.4): ONE grouped word-frequency pass feeds both the
+    # train collect and the apply's replay vocabulary
+    gwf = _grouped_word_frequencies(docs, "text", "lang").localCheckpoint(
+        eager=False
     )
-    return bpe_apply_grouped(docs, table)
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS, word_freqs=gwf
+    )
+    return bpe_apply_grouped(docs, table, word_freqs=gwf)
 
 
 def _oracle_bpe_apply_grouped() -> str:
@@ -5839,15 +5867,19 @@ def q_doc_bpe_apply_grouped_m40(spark: SparkSession, sf_dir: str) -> DataFrame:
     language's training segmentation bit-for-bit past the lineage
     cut."""
     from metrics_service_spark.operators.bpe import (
+        _grouped_word_frequencies,
         bpe_apply_grouped,
         bpe_train_grouped_local_finish,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_grouped_local_finish(
-        docs, "text", budgets=BPE_GROUP_BUDGETS_DEEP
+    gwf = _grouped_word_frequencies(docs, "text", "lang").localCheckpoint(
+        eager=False
     )
-    return bpe_apply_grouped(docs, table)
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS_DEEP, word_freqs=gwf
+    )
+    return bpe_apply_grouped(docs, table, word_freqs=gwf)
 
 
 def _oracle_bpe_apply_grouped_m40() -> str:
@@ -5886,11 +5918,15 @@ def q_doc_bpe_vocab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.bpe import (
         bpe_train_local_finish,
         bpe_vocab_export,
+        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
-    return bpe_vocab_export(docs, table)
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    table = bpe_train_local_finish(
+        docs, "text", n_merges=BPE_MERGES, word_freqs=wf
+    )
+    return bpe_vocab_export(docs, table, word_freqs=wf)
 
 
 def _oracle_bpe_vocab_export() -> str:
@@ -5916,15 +5952,19 @@ def q_doc_bpe_vocab_export_grouped(
     without merge rows export nothing (broadcast semi-join filter,
     never a collect)."""
     from metrics_service_spark.operators.bpe import (
+        _grouped_word_frequencies,
         bpe_train_grouped_local_finish,
         bpe_vocab_export_grouped,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_grouped_local_finish(
-        docs, "text", budgets=BPE_GROUP_BUDGETS
+    gwf = _grouped_word_frequencies(docs, "text", "lang").localCheckpoint(
+        eager=False
     )
-    return bpe_vocab_export_grouped(docs, table)
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS, word_freqs=gwf
+    )
+    return bpe_vocab_export_grouped(docs, table, word_freqs=gwf)
 
 
 def _oracle_bpe_vocab_export_grouped() -> str:
@@ -5955,11 +5995,19 @@ def q_doc_bpe_encode_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metrics_service_spark.operators.bpe import (
         bpe_encode_digest,
         bpe_train_local_finish,
+        word_frequencies,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_local_finish(docs, "text", n_merges=BPE_MERGES)
-    return bpe_encode_digest(docs, table)
+    # r17 (guide §2.4): ONE word-frequency pass feeds the train
+    # collect, the export's char set, and the replay vocabulary (the
+    # old shape tokenized the corpus four times: train, export, words,
+    # and the unavoidable positional token stream)
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    table = bpe_train_local_finish(
+        docs, "text", n_merges=BPE_MERGES, word_freqs=wf
+    )
+    return bpe_encode_digest(docs, table, word_freqs=wf)
 
 
 def _oracle_bpe_encode_digest() -> str:
@@ -5984,15 +6032,19 @@ def q_doc_bpe_encode_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compact per doc.  The multilingual counterpart of
     doc_bpe_encode_digest."""
     from metrics_service_spark.operators.bpe import (
+        _grouped_word_frequencies,
         bpe_encode_digest_grouped,
         bpe_train_grouped_local_finish,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    table = bpe_train_grouped_local_finish(
-        docs, "text", budgets=BPE_GROUP_BUDGETS
+    gwf = _grouped_word_frequencies(docs, "text", "lang").localCheckpoint(
+        eager=False
     )
-    return bpe_encode_digest_grouped(docs, table)
+    table = bpe_train_grouped_local_finish(
+        docs, "text", budgets=BPE_GROUP_BUDGETS, word_freqs=gwf
+    )
+    return bpe_encode_digest_grouped(docs, table, word_freqs=gwf)
 
 
 def _oracle_bpe_encode_grouped() -> str:

@@ -264,6 +264,7 @@ def bpe_train_local_finish(
     n_merges: int = 6,
     max_word_len: int = MAX_WORD_LEN,
     max_vocab_rows: int = MAX_VOCAB_ROWS,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Training with the corpus axis on Spark and the merge loop on the
     driver — the production-merge-count shape (VERDICT r14 #1).
@@ -295,11 +296,16 @@ def bpe_train_local_finish(
     # error fires before the driver can swap — while below the bound
     # the limit is a no-op and completeness is untouched.  The +1
     # sentinel row is how overflow is detected (ADVICE r15).
-    rows = (
+    # `word_freqs` lets a caller that ALSO tokenizes the same corpus
+    # downstream (export/apply/encode) hand in one shared — typically
+    # lazily checkpointed — (w, freq) frame instead of paying a second
+    # corpus tokenize pass (r17, guide §2.4).
+    wf = (
         word_frequencies(docs, text_col, max_word_len=max_word_len)
-        .limit(max_vocab_rows + 1)
-        .collect()
+        if word_freqs is None
+        else word_freqs
     )
+    rows = wf.limit(max_vocab_rows + 1).collect()
     if len(rows) > max_vocab_rows:
         raise ValueError(
             f"bpe_train_local_finish: vocabulary exceeds "
@@ -530,6 +536,7 @@ def bpe_apply(
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
     checkpoint_every: int = 32,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a PERSISTED merge table — NO training jobs (VERDICT r14
     #1: a real pipeline trains once and applies the stored table
@@ -551,15 +558,24 @@ def bpe_apply(
         merges = _collect_merges(merge_table)
     from metrics_service_spark.operators.similarity import _spread
 
-    words = (
-        _spread(docs.select(F.col(text_col)))
-        .select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    # `word_freqs` (a shared — typically checkpointed — (w, freq)
+    # frame over the SAME corpus) carries exactly the distinct
+    # trainable-word set, so reusing it skips this pass's tokenize +
+    # distinct exchange (r17, guide §2.4)
+    if word_freqs is None:
+        words = (
+            _spread(docs.select(F.col(text_col)))
+            .select(
+                F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+            )
+            .filter(
+                F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len)
+            )
+            .distinct()
+            .select("w", F.split("w", "").alias("syms"))
         )
-        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
-        .distinct()
-        .select("w", F.split("w", "").alias("syms"))
-    )
+    else:
+        words = word_freqs.select("w", F.split("w", "").alias("syms"))
     seg = replay_merges(words, merges, checkpoint_every=checkpoint_every)
     units = seg.select("w", F.size("syms").alias("__units"))
     return _count_with_units(docs, units, id_col, text_col)
@@ -683,6 +699,7 @@ def bpe_vocab_export(
     *,
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Export the unit vocabulary a trained tokenizer ships to its
     runtime (the vocab.json next to the merges file): every base
@@ -701,9 +718,13 @@ def bpe_vocab_export(
     |langs|-row singleton-window class, never corpus mass)."""
     from pyspark.sql import Window
 
-    chars = (
+    wf = (
         word_frequencies(docs, text_col, max_word_len=max_word_len)
-        .select(F.explode(F.split("w", "")).alias("unit"))
+        if word_freqs is None
+        else word_freqs
+    )
+    chars = (
+        wf.select(F.explode(F.split("w", "")).alias("unit"))
         .distinct()
         .select("unit", F.lit(-1).cast("int").alias("first_rank"))
     )
@@ -756,6 +777,7 @@ def bpe_vocab_export_grouped(
     group_col: str = "lang",
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-language `bpe_vocab_export`: each language in the GROUPED
     merge table exports its own unit vocabulary (its corpus subset's
@@ -772,11 +794,15 @@ def bpe_vocab_export_grouped(
     from pyspark.sql import Window
 
     groups = merge_table.select(group_col).distinct()
-    chars = (
+    gwf = (
         _grouped_word_frequencies(
             docs, text_col, group_col, max_word_len=max_word_len
         )
-        .join(F.broadcast(groups), group_col, "semi")
+        if word_freqs is None
+        else word_freqs
+    )
+    chars = (
+        gwf.join(F.broadcast(groups), group_col, "semi")
         .select(group_col, F.explode(F.split("w", "")).alias("unit"))
         .distinct()
         .select(group_col, "unit", F.lit(-1).cast("int").alias("first_rank"))
@@ -846,6 +872,7 @@ def bpe_encode_digest(
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
     checkpoint_every: int = 32,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize each document to its ordered unit-ID SEQUENCE — the
     actual model-input encoding (`bpe_apply` proves unit COUNTS; a
@@ -868,18 +895,26 @@ def bpe_encode_digest(
     from metrics_service_spark.operators.similarity import _spread
 
     merges = _collect_merges(merge_table)
-    ids = bpe_vocab_export(
-        docs, merge_table, text_col=text_col, max_word_len=max_word_len
-    ).select("unit", "unit_id")
-    words = (
-        _spread(docs.select(F.col(text_col)))
-        .select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
-        )
-        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
-        .distinct()
-        .select("w", F.split("w", "").alias("syms"))
+    # one shared (w, freq) pass feeds BOTH the export's base-char set
+    # and the replay vocabulary — the old shape tokenized the corpus
+    # twice for the identical distinct-word set (r17, guide §2.4);
+    # callers that trained on the same corpus pass their frame in and
+    # drop a third pass
+    wf = (
+        word_frequencies(
+            docs, text_col, max_word_len=max_word_len
+        ).localCheckpoint(eager=False)
+        if word_freqs is None
+        else word_freqs
     )
+    ids = bpe_vocab_export(
+        docs,
+        merge_table,
+        text_col=text_col,
+        max_word_len=max_word_len,
+        word_freqs=wf,
+    ).select("unit", "unit_id")
+    words = wf.select("w", F.split("w", "").alias("syms"))
     segmented = replay_merges(
         words, merges, checkpoint_every=checkpoint_every
     )
@@ -1036,6 +1071,7 @@ def bpe_apply_stats(
     group_cols: list[str] | None = None,
     max_word_len: int = MAX_WORD_LEN,
     checkpoint_every: int = 32,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer EVALUATION over a stored merge table: per group
     (e.g. language), document count, whitespace-token count, BPE unit
@@ -1056,15 +1092,23 @@ def bpe_apply_stats(
     from metrics_service_spark.operators.similarity import _spread
 
     group_cols = list(group_cols or [])
-    words = (
-        _spread(docs.select(F.col(text_col)))
-        .select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    # same shared-pass contract as `bpe_apply`: a caller-supplied
+    # (w, freq) frame over the SAME corpus replaces the tokenize +
+    # distinct exchange (r17, guide §2.4)
+    if word_freqs is None:
+        words = (
+            _spread(docs.select(F.col(text_col)))
+            .select(
+                F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+            )
+            .filter(
+                F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len)
+            )
+            .distinct()
+            .select("w", F.split("w", "").alias("syms"))
         )
-        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
-        .distinct()
-        .select("w", F.split("w", "").alias("syms"))
-    )
+    else:
+        words = word_freqs.select("w", F.split("w", "").alias("syms"))
     seg = replay_merges(words, merges, checkpoint_every=checkpoint_every)
     units = seg.select("w", F.size("syms").alias("__units"))
     toks = (
@@ -1338,6 +1382,7 @@ def bpe_train_grouped(
     group_col: str = "lang",
     budgets: dict[str, int],
     max_word_len: int = MAX_WORD_LEN,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Train ONE BPE merge table PER GROUP (language) in a single
     distributed program — the step `vocab_budget_rebalance`'s output
@@ -1365,11 +1410,15 @@ def bpe_train_grouped(
 
     if not budgets:
         raise ValueError("bpe_train_grouped: budgets must be non-empty")
-    vocab = (
+    gwf = (
         _grouped_word_frequencies(
             docs, text_col, group_col, max_word_len=max_word_len
         )
-        .select(group_col, "w", "freq", F.split("w", "").alias("syms"))
+        if word_freqs is None
+        else word_freqs
+    )
+    vocab = (
+        gwf.select(group_col, "w", "freq", F.split("w", "").alias("syms"))
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, int, str, str, int]] = []
@@ -1492,6 +1541,7 @@ def bpe_train_grouped_local_finish(
     budgets: dict[str, int],
     max_word_len: int = MAX_WORD_LEN,
     max_vocab_rows: int = MAX_VOCAB_ROWS,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Production twin of `bpe_train_grouped`: ONE corpus shuffle (the
     grouped word-frequency agg), the per-group vocabularies collected
@@ -1508,11 +1558,15 @@ def bpe_train_grouped_local_finish(
     # trip the max_vocab_rows guard for nothing — they were skipped
     # after the collect anyway)
     live = sorted(g for g, b in budgets.items() if b > 0)
-    rows = (
+    gwf = (
         _grouped_word_frequencies(
             docs, text_col, group_col, max_word_len=max_word_len
         )
-        .filter(F.col(group_col).isin(live))
+        if word_freqs is None
+        else word_freqs
+    )
+    rows = (
+        gwf.filter(F.col(group_col).isin(live))
         .limit(max_vocab_rows + 1)
         .collect()
     )
@@ -1735,8 +1789,27 @@ def bpe_budget_retrain(
             f"bpe_budget_retrain: trainer must be 'distributed' or "
             f"'local_finish', got {trainer!r}"
         )
+    # r17 (guide §2.4): ONE grouped word-frequency pass serves the
+    # whole loop.  The flat (w, freq) frame the current-tokenizer train
+    # and the fertility eval need is the grouped frame re-aggregated by
+    # word — a VOCAB-sized aggregation (NULL group keys survive a
+    # groupBy, so the re-agg covers every document) — and the grouped
+    # retrain at the end reuses the same checkpointed frame; the old
+    # shape tokenized the corpus three times (train, stats, retrain).
+    gwf = _grouped_word_frequencies(
+        docs, text_col, group_col, max_word_len=max_word_len
+    ).localCheckpoint(eager=False)
+    wf = (
+        gwf.groupBy("w")
+        .agg(F.sum("freq").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
     current = bpe_train_local_finish(
-        docs, text_col, n_merges=n_merges_current, max_word_len=max_word_len
+        docs,
+        text_col,
+        n_merges=n_merges_current,
+        max_word_len=max_word_len,
+        word_freqs=wf,
     )
     stats = bpe_apply_stats(
         docs,
@@ -1744,6 +1817,7 @@ def bpe_budget_retrain(
         text_col=text_col,
         group_cols=[group_col],
         max_word_len=max_word_len,
+        word_freqs=wf,
     )
     budget_rows = vocab_budget_rebalance(
         stats,
@@ -1767,6 +1841,7 @@ def bpe_budget_retrain(
         group_col=group_col,
         budgets=budgets,
         max_word_len=max_word_len,
+        word_freqs=gwf,
     )
 
 
@@ -1803,9 +1878,13 @@ def _grouped_vocab_replay(
     text_col: str,
     max_word_len: int,
     checkpoint_every: int,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """(group, w, syms): the DISTINCT (group, word) vocabulary of
-    `docs` segmented by each group's merge list.
+    `docs` segmented by each group's merge list.  A caller-supplied
+    `word_freqs` (the shared grouped (group, w, freq) frame over the
+    SAME corpus) replaces the tokenize + distinct exchange (r17,
+    guide §2.4).
 
     r17 optimization (guide §2.4/§4.1): the old shape applied rank
     levels as ONE broadcast join + column-valued interpreted greedy
@@ -1824,16 +1903,23 @@ def _grouped_vocab_replay(
 
     from metrics_service_spark.operators.similarity import _spread
 
-    words = (
-        _spread(docs.select(F.col(group_col), F.col(text_col)))
-        .select(
-            F.col(group_col),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    if word_freqs is None:
+        words = (
+            _spread(docs.select(F.col(group_col), F.col(text_col)))
+            .select(
+                F.col(group_col),
+                F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+            )
+            .filter(
+                F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len)
+            )
+            .distinct()
+            .select(group_col, "w", F.split("w", "").alias("syms"))
         )
-        .filter(F.col("w").rlike(WORD_RE) & (F.length("w") <= max_word_len))
-        .distinct()
-        .select(group_col, "w", F.split("w", "").alias("syms"))
-    )
+    else:
+        words = word_freqs.select(
+            group_col, "w", F.split("w", "").alias("syms")
+        )
     groups = sorted(g for g, seq in merges.items() if seq and g is not None)
     if not groups:
         return words
@@ -1864,6 +1950,7 @@ def bpe_apply_grouped(
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
     checkpoint_every: int = 32,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize every document with ITS OWN group's stored merge table
     — the apply side of `bpe_train_grouped` (a multilingual pipeline
@@ -1890,6 +1977,7 @@ def bpe_apply_grouped(
         text_col=text_col,
         max_word_len=max_word_len,
         checkpoint_every=checkpoint_every,
+        word_freqs=word_freqs,
     )
     units = words.select(group_col, "w", F.size("syms").alias("__units"))
     toks = (
@@ -1955,6 +2043,7 @@ def bpe_encode_digest_grouped(
     text_col: str = "text",
     max_word_len: int = MAX_WORD_LEN,
     checkpoint_every: int = 32,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """`bpe_encode_digest` per language: each document's ordered
     unit-ID sequence under ITS language's stored table and the grouped
@@ -1971,12 +2060,23 @@ def bpe_encode_digest_grouped(
     doc-keyed aggregation reassembles each sequence by (pos, sympos),
     the same single corpus-mass exchange as the flat encode."""
     merges = _collect_grouped_merges(merge_table, group_col)
+    # one shared grouped (group, w, freq) pass feeds BOTH the export's
+    # char set and the replay vocabulary (r17, guide §2.4 — the flat
+    # encode's shared-pass shape, grouped)
+    gwf = (
+        _grouped_word_frequencies(
+            docs, text_col, group_col, max_word_len=max_word_len
+        ).localCheckpoint(eager=False)
+        if word_freqs is None
+        else word_freqs
+    )
     ids = bpe_vocab_export_grouped(
         docs,
         merge_table,
         group_col=group_col,
         text_col=text_col,
         max_word_len=max_word_len,
+        word_freqs=gwf,
     ).select(group_col, "unit", "unit_id")
     words = _grouped_vocab_replay(
         docs,
@@ -1985,6 +2085,7 @@ def bpe_encode_digest_grouped(
         text_col=text_col,
         max_word_len=max_word_len,
         checkpoint_every=checkpoint_every,
+        word_freqs=gwf,
     )
     word_ids = (
         words.select(

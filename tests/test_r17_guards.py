@@ -131,3 +131,77 @@ def test_paragraph_fold_single_exchange(spark):
     docs = _lang_docs(spark)
     plan = _executed(batch_paragraph_counts(docs, "doc_id", "text"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_word_freqs_shared_pass_bit_identical(spark):
+    """The r17 shared word-frequency pass (one (w, freq) / (lang, w,
+    freq) frame feeding train + export + replay + apply) must emit
+    bit-identical results to the per-stage derivations it replaces —
+    for the flat apply/export/encode ops and the grouped
+    apply/export/encode ops alike."""
+    from metrics_service_spark.operators.bpe import (
+        _grouped_word_frequencies,
+        bpe_apply,
+        bpe_apply_grouped,
+        bpe_apply_stats,
+        bpe_encode_digest,
+        bpe_encode_digest_grouped,
+        bpe_train_grouped_local_finish,
+        bpe_train_local_finish,
+        bpe_vocab_export,
+        bpe_vocab_export_grouped,
+        word_frequencies,
+    )
+
+    docs = _lang_docs(spark)
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=False)
+    gwf = _grouped_word_frequencies(docs, "text", "lang").localCheckpoint(
+        eager=False
+    )
+    table = bpe_train_local_finish(docs, "text", n_merges=3)
+    assert (
+        bpe_train_local_finish(
+            docs, "text", n_merges=3, word_freqs=wf
+        ).collect()
+        == table.collect()
+    )
+    gtable = bpe_train_grouped_local_finish(
+        docs, "text", budgets={"en": 3, "fr": 2}
+    )
+    assert sorted(
+        bpe_train_grouped_local_finish(
+            docs, "text", budgets={"en": 3, "fr": 2}, word_freqs=gwf
+        ).collect()
+    ) == sorted(gtable.collect())
+    for base, shared in (
+        (bpe_apply(docs, table), bpe_apply(docs, table, word_freqs=wf)),
+        (
+            bpe_apply_stats(docs, table, group_cols=["lang"]),
+            bpe_apply_stats(
+                docs, table, group_cols=["lang"], word_freqs=wf
+            ),
+        ),
+        (
+            bpe_vocab_export(docs, table),
+            bpe_vocab_export(docs, table, word_freqs=wf),
+        ),
+        (
+            bpe_encode_digest(docs, table),
+            bpe_encode_digest(docs, table, word_freqs=wf),
+        ),
+        (
+            bpe_apply_grouped(docs, gtable),
+            bpe_apply_grouped(docs, gtable, word_freqs=gwf),
+        ),
+        (
+            bpe_vocab_export_grouped(docs, gtable),
+            bpe_vocab_export_grouped(docs, gtable, word_freqs=gwf),
+        ),
+        (
+            bpe_encode_digest_grouped(docs, gtable),
+            bpe_encode_digest_grouped(docs, gtable, word_freqs=gwf),
+        ),
+    ):
+        assert sorted(map(tuple, base.collect())) == sorted(
+            map(tuple, shared.collect())
+        )
