@@ -257,12 +257,14 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 # --- end-to-end dedup clustering ------------------------------------------
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup flow a training pipeline runs: exact near-dup
-    pairs (blocked n-gram Jaccard) -> connected components (log-round
-    min-label propagation, operators/closure.py) -> one row per doc
+    pairs (blocked n-gram Jaccard) -> connected components
+    (alternating-star contraction, operators/closure.py) -> one row per doc
     with its cluster id and whether it is the cluster's canonical
     (minimum-id) representative.  Filtering is_canonical gives the
     keep-list."""
-    from metrics_service_spark.operators.closure import connected_components
+    from metrics_service_spark.operators.closure import (
+        connected_components_star,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # max_cell bounds the exact-Jaccard candidate set: within-cell
@@ -280,10 +282,13 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, block_cols=["lang"],
         threshold=JACCARD_THRESHOLD, max_cell=CLUSTERS_MAX_CELL,
     ).select("id_a", "id_b")
-    cc = connected_components(
+    # r17: star CC (O(log n) rounds) replaces min-label propagation
+    # (O(diameter) rounds) — identical min-id labeling, same loud
+    # non-convergence raise; long-chain families can no longer exhaust
+    # a diameter-bounded max_iters (the mm_dedup_clusters upgrade)
+    cc = connected_components_star(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         max_iters=12,
-        require_converged=True,
     )
     return (
         docs.select("doc_id")

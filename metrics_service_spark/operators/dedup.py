@@ -1330,7 +1330,9 @@ def tiered_dedup(
     max_cell linearity guard, connected_components) and every keeper
     rule is a deterministic min — the full pipeline replays in SQL.
     """
-    from metrics_service_spark.operators.closure import connected_components
+    from metrics_service_spark.operators.closure import (
+        connected_components_star,
+    )
 
     ex = exact_dedup(df, id_col, text_col).select(
         "content_hash", F.col("canonical_id").alias("__exact_canon")
@@ -1353,10 +1355,14 @@ def tiered_dedup(
     # require_converged: the keep-list contract is exact-closure
     # equality (the oracle computes the full recursive closure) — an
     # exhausted round budget on a long-chain component must raise, not
-    # silently return split labels (ADVICE r11)
-    cc = connected_components(
-        pairs, max_iters=max_iters, require_converged=True
-    )
+    # silently return split labels (ADVICE r11).  r17: alternating-star
+    # CC (O(log n) rounds in component size) replaces min-label
+    # propagation (O(diameter) rounds) — identical (node, min-id)
+    # labeling, same loud non-convergence raise, and chain-shaped
+    # near-dup families at scale can no longer exhaust a
+    # diameter-bounded round budget (the same upgrade
+    # doc_linkage_clusters and mm_dedup_clusters made this round).
+    cc = connected_components_star(pairs, max_iters=max_iters)
     near = (
         keepers.select(id_col)
         .join(cc.withColumnRenamed("node", id_col), id_col, "left")

@@ -446,6 +446,7 @@ def package_counts(
     child_col: str = "pid",
     parent_col: str = "obsoletes",
     max_depth: int = 20,
+    hop: int = 4,
 ) -> DataFrame:
     """Catalog-page resultDetails: per visible PID, unique view/download
     counts accumulated over its obsolescence ancestry
@@ -462,6 +463,16 @@ def package_counts(
     One aggregation + one bounded closure + one join: the ancestry pairs
     come from expand_family over the directed parent edges (depth-capped
     like the reference's max_depth=20 walk).
+
+    `hop` composes the parent-pointer relation with itself up front so
+    the driver loop runs ceil(max_depth / hop) rounds instead of
+    max_depth (r17, guide §2.6-analogue: each BFS round is fixed
+    job-launch latency).  Obsolescence edges are parent POINTERS — out-
+    degree <= 1 per child by the reference's obsoletes semantics — so
+    the composed <=hop-hop set stays linear in the node count (<= hop
+    edges per node), never the hub blow-up the generic expand_family
+    docstring warns about.  Measured at sf0.1: hop=1 4.83s / hop=2
+    3.96s / hop=4 3.56s warm (28.98/7.79/4.53 cold), identical output.
     """
     from metrics_service_spark.operators.closure import expand_family
 
@@ -477,7 +488,9 @@ def package_counts(
         F.col(child_col).alias("src"), F.col(parent_col).alias("dst")
     ).filter(F.col("dst").isNotNull())
     seeds = events.select(F.col(pid_col).alias("pid")).distinct()
-    ancestry = expand_family(seeds, edges, seed_col="pid", max_iters=max_depth)
+    ancestry = expand_family(
+        seeds, edges, seed_col="pid", max_iters=max_depth, hop=hop
+    )
     return (
         ancestry.join(counts, ancestry.member == counts.__pid, "left")
         .groupBy(F.col("seed").alias("pid"))
