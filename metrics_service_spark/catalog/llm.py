@@ -561,10 +561,16 @@ def q_doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + count; the top-k compiles to TakeOrderedAndProject
     (per-partition top-N + driver merge, no global sort)."""
     from metrics_service_spark.operators.dedup import shingle_array
+    from metrics_service_spark.operators.similarity import _spread
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    sh = docs.select(F.explode(shingle_array(toks, 3)).alias("ngram"))
+    # r17 (guide §2.3 raw-rows-first): spread the raw rows so the
+    # interpreted shingle transform runs on all cores, not inside the
+    # one-row-group scan task
+    sh = _spread(docs.select("text")).select(
+        F.explode(shingle_array(toks, 3)).alias("ngram")
+    )
     return (
         sh.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -944,10 +950,14 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are tiny and broadcast; the corpus explodes shingles once
     and hash-joins — the shape that survives a 100 TB corpus."""
     from metrics_service_spark.operators.dedup import shingle_array
+    from metrics_service_spark.operators.similarity import _spread
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    sh = docs.select(
+    # r17 (guide §2.3 raw-rows-first): spread raw rows ahead of the
+    # shingle explode (the doc_id filters still push below the spread's
+    # exchange, so each arm only explodes its slice — but on all cores)
+    sh = _spread(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(shingle_array(toks, CONTAM_N)).alias("sh")
     )
     bench = (
@@ -992,11 +1002,17 @@ def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     opposite failure mode profile from document self-joins, needing
     no cell cap.  NEW r14 surface."""
     from metrics_service_spark.operators.dedup import shingle_array
+    from metrics_service_spark.operators.similarity import _spread
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # r17 (guide §2.3 raw-rows-first, the batch-9 discipline): spread
+    # the RAW (source, text) rows so the shingle explode runs above the
+    # exchange on all cores instead of inside the one-row-group scan
+    # task, and the exchange moves raw text, not the n-fold gram set
     sh = (
-        docs.select(
+        _spread(docs.select("source", "text"))
+        .select(
             "source", F.explode(shingle_array(toks, CONTAM_N)).alias("g")
         )
         .distinct()
