@@ -25,7 +25,13 @@ from metrics_service_spark.sources.tables import load_table
 
 
 def q_func_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = eventlog_view(load_table(spark, sf_dir, "events"))
+    from metrics_service_spark.operators.similarity import _spread
+
+    # r17 (guide §2.3 raw-rows-first): the whole suite is a per-row
+    # expression chain (JSON extract, regex, md5 x2) over a
+    # one-row-group fixture scan — spread the RAW events so it runs on
+    # all cores; the exchange moves the narrow raw rows once
+    ev = eventlog_view(_spread(load_table(spark, sf_dir, "events")))
     # synthesize reference-shaped inputs from adapter columns so each
     # scalar has something real to chew on
     doi_text = F.concat(F.lit("citation of doi:10.5063/"), F.col("pid"), F.lit(" end"))

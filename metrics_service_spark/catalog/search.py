@@ -66,7 +66,13 @@ def _raw_lines(events: DataFrame) -> DataFrame:
 
 
 def q_search_log_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _raw_lines(load_table(spark, sf_dir, "events"))
+    from metrics_service_spark.operators.similarity import _spread
+
+    # r17 (guide §2.3 raw-rows-first): the fixture parquet is one row
+    # group, so the per-row regex/kv/md5 chain would run in a single
+    # scan task — spread the raw lines so the parse runs on all cores
+    # (a partitioned 100 TB log scan passes through _spread untouched)
+    lines = _spread(_raw_lines(load_table(spark, sf_dir, "events")))
     # parse ONLY from the raw line (grok/dissect equivalent)
     parsed = lines.select(
         "event_id",
@@ -164,10 +170,16 @@ def q_search_stream_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the values).  `event_ts` is carried as the formatted
     `event_hour` string (the sink's partition column), keeping the
     comparator inside the string domain."""
+    from metrics_service_spark.operators.similarity import _spread
     from metrics_service_spark.streaming.search import parse_search_lines
 
-    lines = _raw_lines(load_table(spark, sf_dir, "events")).select(
-        F.col("raw").alias("value")
+    # r17: same raw-rows-first spread as q_search_log_pipeline — the
+    # spread sits at the BATCH entry seam only; the streaming query
+    # applies parse_search_lines to micro-batches untouched
+    lines = _spread(
+        _raw_lines(load_table(spark, sf_dir, "events")).select(
+            F.col("raw").alias("value")
+        )
     )
     return parse_search_lines(lines).select(
         "session_id", "solr_q", "solr_start", "event_hour"

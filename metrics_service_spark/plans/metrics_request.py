@@ -356,7 +356,13 @@ class MetricsRequestPlanner:
         requested id regardless of activity."""
         first = request.get("filterBy", [{}])[0]
         values = list(first.get("values", []))
-        fam = self.family_map(first.get("filterType", "catalog"), values)
+        # r17 (guide §2.4): the family map feeds TWO broadcast builds
+        # (the event-count join and the citation substring join's
+        # normalized-pid side) — lazily localCheckpoint it so the
+        # identifiers match + explode + distinct run once, not twice
+        fam = self.family_map(
+            first.get("filterType", "catalog"), values
+        ).localCheckpoint(eager=False)
         ev = self.counter_filtered_events()
         counts = (
             ev.join(F.broadcast(fam), "pid")
