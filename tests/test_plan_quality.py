@@ -103,10 +103,15 @@ def test_split_and_sample_no_shuffle(spark, sf_dir):
 
 
 def test_search_pipeline_zero_shuffle(spark, sf_dir):
-    # the whole logstash-equivalent parse is per-row codegen: a 100 TB
-    # log scan must stream through with NO exchange
+    # the whole logstash-equivalent parse is per-row codegen: no
+    # key-based shuffle anywhere — the only exchange allowed is the
+    # r17 raw-rows _spread (round-robin, fires solely when the scan
+    # has fewer partitions than the cluster; a partitioned 100 TB log
+    # scan passes through it untouched and the plan is exchange-free)
     plan = _plan(spark, sf_dir, "search_log_pipeline")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("RoundRobinPartitioning") <= 1
 
 
 def test_cosine_neardup_default_is_bucketed(spark, sf_dir):

@@ -24,7 +24,7 @@ COMMENTARY = {
     "emb_cosine_neardup": "banded integer LSH: codegen signature aggs, band equi-join on (table, bucket), bare-id dedup, zip_with-fold dots — no cartesian, no Python stage, no driver collect",
     "doc_quality_filter": "histogram cutoff: corpus is filtered, never globally sorted (no percent_rank)",
     "doc_jaccard_pairs": "equi-join on (lang, log2-length bucket) + ratio prune before set intersection",
-    "search_log_pipeline": "pure per-row codegen: regexp + kv + md5; zero exchanges",
+    "search_log_pipeline": "pure per-row codegen: regexp + kv + md5; the only exchange is the raw-rows _spread (round-robin, local one-row-group fixture only — a partitioned log scan passes through untouched); no key-based shuffle",
     "ev_sessionize_global": "rank over SESSIONS: per-day histogram window + broadcast offsets; corpus never globally sorted",
     "matview_routed_repo": "summary served from the routed rollup view's subtotal rows",
     "ev_rolling_7d": "range-frame window over the bounded DAILY frame; corpus work is one map-side-combined groupBy",
@@ -44,7 +44,7 @@ COMMENTARY = {
     "emb_semdedup_incr": "ONE fused assignment pass (side tag) lazily checkpointed; batch x index equi-join on cell only; index never self-paired",
     "mm_image_meta_real_mixed": "mapInPandas encode -> sniff -> header decode; repartition by media id for encode parallelism; join back to the fmt tag is a broadcast hash join",
     "doc_jaccard_pairs": "shingles computed ABOVE the repartition exchange (all cores) and checkpointed once for both self-join sides; BHJ on (lang, length-bucket); cheap prunes short-circuit the single array_intersect in the residual condition",
-    "doc_dedup_clusters": "jaccard pair shape as above; min-label propagation over the 79-pair graph via self-loop single-reference rounds",
+    "doc_dedup_clusters": "jaccard pair shape as above; alternating-star contraction (O(log n) rounds, one window + one canonical distinct + a duplicate-retaining mirror per round) labels the pair graph",
     "doc_split_leakage_safe": "documents parquet scanned at most TWICE across the whole pipeline (shingle derivation + final per-doc join; checkpointed subplans included) and the max_cell<=1000 cell-population cap-filter is present — the r7 probe-caught quadratic's linearity guard, mirrored in the oracle CTE; gated by test_split_leakage_safe_bounded_scans_and_cap_filter",
     "emb_contamination": "ONE fused assignment pass for corpus+benchmark (the literal-matrix argmax projection appears in exactly one subplan via the tagged union); the only data-mass join keys on cell; verdict joins move only the tiny dropped-id set; no shuffle on a raw vector column; gated by test_emb_contamination_fused_assignment_cell_keyed",
     "emb_pq_topk_int": "train is iters fused corpus passes with bounded m*k*d_sub collects; encode is a pure projection over two literals (flat code matrix + norms); search broadcasts the per-query integer LUT and scores each corpus row with m element_at lookups — no dim-wide multiply on the corpus side, no cartesian (query join is broadcast), one top-k window",
@@ -71,11 +71,11 @@ COMMENTARY = {
     "emb_knn_hubness": "the audited knn-graph plan feeds a dst-keyed degree aggregate (map-side partial) and one left join back to the id column — nothing beyond the graph cost",
     "emb_proto_prune": "the per-cell count window shares the prototypicality rank window cell partitioning (ONE exchange); the keep rule is a pure integer cross-multiply projection",
     "emb_curation_pipeline": "ONE checkpointed two-level assignment frame feeds the SemDeDup pair join, the keep-list join AND the balanced-quota window — dedup and sampling share the assignment pass; quota is WindowGroupLimit-pushed",
-    "mm_dedup_clusters": "phash pair discovery (the audited banded shape) feeds log-round min-label propagation over the EDGE set only (checkpointed rounds, lineage truncated); the final attach is a left join back to the corpus id column",
+    "mm_dedup_clusters": "phash pair discovery (the audited banded shape) feeds alternating-star contraction over the EDGE set only (checkpointed rounds, 3 edge-set exchanges per round); the final attach is a left join back to the corpus id column",
     "doc_dup_span_runs": "dup_spans' audited span frame (checkpointed once) feeds the corpus count AND the flag join; the islands window runs over ONLY the flagged subset (doc-keyed); coverage is an exploded (doc,pos) distinct — the flagged set itself is deliberately NOT checkpointed (materializing the whole duplicated-window mass OOM'd the 50x probe); zero-filled final join",
     "doc_temperature_mix": "count agg collapses to ~n_sources rows map-side; the exact-isqrt weight + round_frac_bigint quota is a pure projection over that tiny frame; quotas broadcast back; ONE source-keyed exchange for the rank window (variable quota, so the limit can't push — still a single streaming pass per partition)",
     "emb_ann_recall": "both arms in one plan: the exact arm broadcasts the 8-query frame over one corpus scan, the IVF arm reuses its audited assign/probe shape; the intersection join moves k-bounded rows per query; recall arithmetic is a plain-BIGINT projection — |queries| is the knob that bounds the whole eval",
-    "doc_minhash_estimate": "the md5 near-dup entry's audited banded skeleton (signatures checkpointed once, hot-bucket guard); the calibration adds two joins back to the signature + shingle frames on the k-bounded candidate set; estimate/exact/err are integer projections",
+    "doc_minhash_estimate": "the md5 near-dup entry's audited banded skeleton (ONE checkpointed shingle_frame feeds signature build and exact arm; signatures checkpointed once; hot-bucket guard); the calibration adds two joins back on the k-bounded candidate set; estimate/exact/err are integer projections",
     "gold_star_bucketed": "bucketed catalog scans on both fact sides: SortMergeJoin with ZERO Exchange below it (the layout pre-pays the shuffle and the sortBy pre-pays the sort); the whole query's only exchange is the final two-key rollup",
     "doc_epoch_cap_mix": "count agg collapses the corpus to m rows; the waterfill (prefix-sum saturation) is two windows + one agg over that tiny frame (the SinglePartition exchanges move m rows); quotas broadcast back; ONE source-keyed exchange for the rank window + a per-row epoch explode",
     "doc_cms_ngram_error": "ONE corpus-mass shuffle (the exact ngram count agg, _spread above it so the interpreted shingle transform fills all cores, checkpointed for its two consumers); the WEIGHTED sketch build and the top-25 both run over distinct-ngram mass; estimation is a broadcast join of <=4096 cells onto 25 probes",
@@ -113,10 +113,10 @@ COMMENTARY = {
     "metrics_request_package": "two-seed PID/SID/family expansion unioned and distinct'd before the broadcast semi-join — the SID match arm end-to-end; no date filter so no spine, buckets full-outer the citation months",
     "emb_knn_pagerank_conserving": "the plain twin's audited shape (per round one src-keyed join + one dst-keyed map-side-combined agg) plus ONE per-round anti-join aggregate that collapses dangling mass to a single broadcast row — no collect, no convergence tail",
     "doc_bpe_fertility": "bpe_apply_stored's zero-training-jobs skeleton with the group columns riding the token stream: one vocab replay, one token join, ONE language-keyed aggregation — output is |langs| rows, integer basis-point fertility",
-    "metrics_request_catalog_summary": "per-seed family broadcast join + ONE seed-keyed unique-count aggregation + the citation theta-join per family — one zero-filled row per requested id, per-seed families never leave the cluster",
+    "metrics_request_catalog_summary": "per-seed family map checkpointed once for its two broadcast consumers (event-count join + normalized-pid citation theta-join) + ONE seed-keyed unique-count aggregation — one zero-filled row per requested id, per-seed families never leave the cluster",
     "doc_bpe_apply_m48": "doc_bpe_apply_stored's zero-training-jobs skeleton at 48 merges: the replay chain crosses its localCheckpoint(every=32) boundary, so the plan roots at a checkpointed VOCAB-sized RDD scan (never the corpus) with the post-checkpoint merge projections above it; corpus tokens still touched exactly once by the unit join + per-doc agg",
     "doc_vocab_budget": "the fertility report's consumer: the corpus-mass work is bpe_apply_stats' audited one-pass shape collapsing to |langs| rows; the Hamilton apportionment is two SinglePartition windows + integer projections over that tiny frame — exact budget sum at zero corpus cost",
-    "search_stream_batch_twin": "the streaming ingest's transform graph on a batch frame: pure per-row codegen (regexp + kv + md5 + hour format), zero exchanges — identical per-micro-batch plan under readStream",
+    "search_stream_batch_twin": "the streaming ingest's transform graph on a batch frame: pure per-row codegen (regexp + kv + md5 + hour format); only the batch seam's raw-rows _spread exchange, no key-based shuffle — identical per-micro-batch transform under readStream",
     "doc_bpe_train_grouped": "the returned frame is the sum(budgets)-row merge table (local scan BY DESIGN, like doc_bpe_train); per round the work is one grouped pair-count agg over the checkpointed group-keyed vocab, a per-group row_number argmax, a |langs|-row collect, and ONE broadcast join + column-valued greedy scan applying every language's merge together",
     "doc_bpe_train_grouped_local": "ONE corpus-sized grouped word-frequency shuffle + a bounded vocab collect; the per-language heap trainers run on the driver — O(1) Spark jobs at any budget (the returned frame is the merge table, local scan by design)",
     "doc_bpe_budget_retrain": "the full loop chains the audited shapes: local-finish train (one corpus shuffle) -> fertility stats (one corpus pass, |langs| rows) -> Hamilton apportionment (tiny-frame windows) -> grouped retrain (per-round grouped agg + windowed argmax + broadcast merge apply); the only driver transfers are the vocab (guarded), the merge table, and the |langs| budget rows",
