@@ -1,11 +1,12 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines — the per-rep min/max detail first, then the
-canonical median record LAST (the driver captures the stdout tail):
-  {"metric": "headline_queries_detail", "queries_min": ..., ...}
+Prints ONE compact JSON line (guaranteed last on stdout — the driver
+captures the stdout tail, and r16's capture clipped mid-dict when a
+fat detail line shared stdout; VERDICT r17 #2):
   {"metric": "headline_queries_total_wall", "value": <total sec>,
    "unit": "sec", "queries": {name: sec, ...}, "sf": "..."}
+Per-rep min/max detail goes to BENCH_DETAIL.json (+ history) only.
 
 Each query is executed to completion (collect) so the number is true
 end-to-end wall clock including the scan; the session is warmed with a
@@ -605,19 +606,24 @@ def main() -> None:
     # session's min-of-reps record (the r14 close/driver divergence)
     with open(os.path.join(repo, "BENCH_DETAIL_HISTORY.jsonl"), "a") as f:
         f.write(json.dumps({"at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **detail}) + "\n")
-    print(json.dumps(detail))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "sf": sf_dir,
-            }
-        )
+    # The canonical machine-readable record is the ONLY stdout line and
+    # is guaranteed LAST + compact: r16's driver capture clipped the
+    # stdout tail mid-dict because the fat detail line above was ALSO
+    # printed to stdout (VERDICT r17 #2).  Detail now goes to the files
+    # only; the canonical line is compact-serialized and size-checked.
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "reps": reps,
+            "sf": sf_dir,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 4096, f"canonical bench line {len(line)}B >= 4KB; shrink it"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -187,6 +187,11 @@ def citations_view(spark: SparkSession, max_suffix: int) -> DataFrame:
 
 
 def _tables(spark: SparkSession, sf_dir: str) -> MetricsTables:
+    # r18: tried the raw-rows _spread here (probe + main parse run
+    # single-task on the one-row-group fixture) — interleaved A/B read
+    # probe 0.35->0.26 s but main plan 1.37->1.65 s (the added
+    # exchange outweighs the parallelized parse warm); REVERTED, same
+    # verdict as r17's _max_pid_suffix spread attempt.
     ev = metrics_event_view(load_table(spark, sf_dir, "events"))
     mx = _max_pid_suffix(ev)
     return MetricsTables(

@@ -543,17 +543,53 @@ def connected_components_star(
             canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
-    def fingerprint(e: DataFrame) -> int:
-        row = e.agg(
-            # decimal sum: int64 hash sums overflow under ANSI mode
-            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")).alias("h"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        return (row["h"], row["n"])
+    def round_stats(e: DataFrame) -> tuple[tuple, bool]:
+        """One aggregate job per round returning (fingerprint,
+        is_star_forest).
 
-    prev = fingerprint(e)
-    converged = False
+        The fingerprint (order-insensitive sum of pair hashes + count)
+        detects e_{k+1} == e_k, which confirms convergence one round
+        AFTER the edge set stops moving.  The star-forest test detects
+        the fixpoint ON the round that produces it (r18, VERDICT r17
+        #5): the symmetric edge set is a star forest iff every node u
+        is either a center (all neighbors > u) or a leaf (exactly one
+        distinct neighbor, and it is < u).  A leaf's single neighbor
+        is then a center whose neighbors are all leaves (> it), so
+        components are min-centered stars — exactly the fixpoints of
+        both star passes — and the final labeling computed from this
+        edge set is bit-identical to the one the confirming round
+        would have produced (the confirming round is the identity on a
+        star forest).  Both statistics come out of ONE two-level
+        aggregation: groupBy(u) keeps per-node min/max neighbor and
+        partial hash sums (map-side combined, so the exchange carries
+        per-node partials, never the edge set), then a one-row global
+        fold.  The fingerprint comparison is RETAINED as the formal
+        convergence guard — if an edge set ever reached a non-star
+        fixpoint the fingerprint would still terminate the loop."""
+        g = e.groupBy("u").agg(
+            F.min("v").alias("__mn"),
+            F.max("v").alias("__mx"),
+            # decimal sum: int64 hash sums overflow under ANSI mode;
+            # a sum of per-group decimal sums equals the global sum
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("__h"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        is_center = F.col("u") < F.col("__mn")
+        is_leaf = (F.col("__mn") == F.col("__mx")) & (F.col("__mx") < F.col("u"))
+        row = g.agg(
+            F.sum("__h").alias("h"),
+            F.sum("__cnt").alias("n"),
+            F.count(F.when(~(is_center | is_leaf), 1)).alias("viol"),
+        ).first()
+        return (row["h"], row["n"]), row["viol"] == 0
+
+    prev, star_forest = round_stats(e)
+    converged = star_forest
     for _ in range(max_iters):
+        if converged:
+            break
         # r17 (guide §2.4, second cut): ONE canonical distinct per
         # ROUND, not per half-star — the half-stars are bridged by a
         # duplicate-retaining mirror union instead.  A star pass is a
@@ -572,8 +608,8 @@ def connected_components_star(
         e = canonize(star_raw(big_sym, large=False)).localCheckpoint(
             eager=False
         )
-        cur = fingerprint(e)
-        if cur == prev:
+        cur, star_forest = round_stats(e)
+        if star_forest or cur == prev:
             converged = True
             break
         prev = cur
@@ -625,21 +661,28 @@ def pagerank_int(
     are therefore comparable within a run, which is all a quality
     prior needs.
 
-    Scale shape: the edge frame is lazily checkpointed and scanned
-    once per round (plus once each for the node set and out-degrees);
-    every round is one src-keyed shuffle join + one dst-keyed hash
-    aggregation — co-partitioned round to round so AQE reuses the
-    layout.  Nothing is collected; N enters the plan as a broadcast
-    one-row aggregate, never a driver scalar.  Rounds are FIXED
-    (`iters`), not run-to-convergence, so there is no silent
-    non-convergence to guard: the operator computes "iters rounds of
-    power iteration" exactly, and the oracle replays exactly that.
-    Overflow bound: damping_num * scale * iters << 2^63 at the
-    default geometry (masses only ever shrink below ``scale``)."""
+    Scale shape (r18, guide §2.4 — one partitioning carries every
+    per-round operation): the edge frame is hash-partitioned by src
+    ONCE and lazily checkpointed (the checkpoint preserves the
+    physical partitioning, so no round re-shuffles the edges); the
+    out-degree is attached to the NODE frame up front and carried
+    through the rank rows, so each round is exactly one src/node
+    co-partitioned join + one dst-keyed map-side-combined aggregation
+    + one node-co-partitioned re-attach join — a single full exchange
+    (the dst aggregation) per round instead of the r17 shape's edge +
+    rank + out-degree shuffles.  Nothing is collected; N enters the
+    plan as a broadcast one-row aggregate, never a driver scalar.
+    Rounds are FIXED (`iters`), not run-to-convergence, so there is
+    no silent non-convergence to guard: the operator computes "iters
+    rounds of power iteration" exactly, and the oracle replays
+    exactly that.  Overflow bound: damping_num * scale * iters <<
+    2^63 at the default geometry (masses only ever shrink below
+    ``scale``)."""
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .repartition(F.col("src"))
         .localCheckpoint(eager=False)
     )
     nodes = (
@@ -652,23 +695,29 @@ def pagerank_int(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
+    # (node, __deg-or-NULL, __n): the per-round re-attach frame; rank
+    # rows carry __deg so the contribution join needs no third input
+    nd = (
+        nodes.join(outdeg, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .repartition(F.col("node"))
+        .localCheckpoint(eager=False)
+    )
     base_num = (damping_den - damping_num) * scale
-    ranks = nodes.crossJoin(F.broadcast(total)).select(
+    ranks = nd.select(
         "node",
         F.expr(f"CAST({scale} AS BIGINT) div __n").alias("p"),
-        "__n",
+        "__deg",
     )
     for _ in range(iters):
         contrib = (
-            e.join(ranks.select("node", "p"), e.src == F.col("node"))
-            .join(outdeg.withColumnRenamed("node", "__dn"), e.src == F.col("__dn"))
+            e.join(ranks.select("node", "p", "__deg"), e.src == F.col("node"))
             .select(F.col("dst").alias("node"), F.expr("p div __deg").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(total))
-            .join(contrib, "node", "left")
+            nd.join(contrib, "node", "left")
             .select(
                 "node",
                 (
@@ -678,7 +727,7 @@ def pagerank_int(
                         f"div {damping_den}"
                     )
                 ).alias("p"),
-                "__n",
+                "__deg",
             )
         )
     return ranks.select("node", F.col("p").alias("pr_q"))
@@ -708,16 +757,21 @@ def pagerank_int_conserving(
     order-independent, so the unrolled SQL oracle replays every round
     bit-for-bit.
 
-    Scale shape: identical to the plain twin (edge frame checkpointed
-    once, per round one src-keyed join + one dst-keyed map-side-
-    combined aggregation), plus per round ONE anti-join aggregate that
-    collapses to a single row and enters the plan as a broadcast —
-    never a driver collect.  Kept as a separate function so the
+    Scale shape (r18): identical to the plain twin (src-partitioned
+    checkpointed edge frame, out-degree carried on the rank rows, one
+    full exchange per round), and the dangling aggregate is now a
+    FILTER over the carried out-degree (__deg IS NULL marks a node
+    with no out-edges) + a one-row sum that enters the plan as a
+    broadcast — the per-round anti-join against the out-degree frame
+    is gone.  The dangling node set is identical by construction:
+    ranks' node set == nodes, and __deg is NULL exactly for the nodes
+    the old left_anti dropped.  Kept as a separate function so the
     audited `pagerank_int` plan is byte-untouched."""
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+        .repartition(F.col("src"))
         .localCheckpoint(eager=False)
     )
     nodes = (
@@ -730,29 +784,33 @@ def pagerank_int_conserving(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
+    nd = (
+        nodes.join(outdeg, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .repartition(F.col("node"))
+        .localCheckpoint(eager=False)
+    )
     base_num = (damping_den - damping_num) * scale
-    ranks = nodes.crossJoin(F.broadcast(total)).select(
+    ranks = nd.select(
         "node",
         F.expr(f"CAST({scale} AS BIGINT) div __n").alias("p"),
-        "__n",
+        "__deg",
     )
     for _ in range(iters):
         dangling = (
-            ranks.join(outdeg, "node", "left_anti")
+            ranks.filter(F.col("__deg").isNull())
             .agg(
                 F.coalesce(F.sum("p"), F.lit(0).cast("long")).alias("__d")
             )
         )
         contrib = (
-            e.join(ranks.select("node", "p"), e.src == F.col("node"))
-            .join(outdeg.withColumnRenamed("node", "__dn"), e.src == F.col("__dn"))
+            e.join(ranks.select("node", "p", "__deg"), e.src == F.col("node"))
             .select(F.col("dst").alias("node"), F.expr("p div __deg").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(total))
-            .crossJoin(F.broadcast(dangling))
+            nd.crossJoin(F.broadcast(dangling))
             .join(contrib, "node", "left")
             .select(
                 "node",
@@ -763,7 +821,7 @@ def pagerank_int_conserving(
                         f" + (__d div __n))) div {damping_den}"
                     )
                 ).alias("p"),
-                "__n",
+                "__deg",
             )
         )
     return ranks.select("node", F.col("p").alias("pr_q"))

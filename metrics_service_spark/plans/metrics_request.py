@@ -193,7 +193,13 @@ class MetricsRequestPlanner:
                 ev = ev.filter(F.lit(False))
             elif ftype in ("dataset", "catalog", "package", "user", "group"):
                 meta["filterType"] = ftype
-                family = self.family_pids(ftype, values)
+                # r18 (guide §2.4, the catalog_summary pattern): the
+                # family feeds TWO broadcast builds — the event semi-
+                # join here and citations_for_family's normalized-pid
+                # side — so derive it once behind a lazy checkpoint
+                family = self.family_pids(ftype, values).localCheckpoint(
+                    eager=False
+                )
                 ev = ev.join(F.broadcast(family), "pid", "left_semi")
             elif ftype == "repository":
                 meta["filterType"] = ftype
