@@ -941,7 +941,13 @@ def bpe_encode_digest(
         )
         .filter(F.col("w") != "")
     )
-    per_tok = toks.join(word_ids, "w", "left").select(
+    # r18 (guide §3.1): the planner picked a SortMergeJoin here, which
+    # SORTS the full positional token stream by w; the id-map side is
+    # vocab-bounded per partition, so a shuffled-hash build on it keeps
+    # the same scale-safe shuffle while dropping both sorts (broadcast
+    # is deliberately NOT forced: the distinct-word map grows with the
+    # corpus and would breach executor memory at production scale)
+    per_tok = toks.join(word_ids.hint("shuffle_hash"), "w", "left").select(
         id_col,
         "pos",
         F.coalesce(
@@ -2115,7 +2121,12 @@ def bpe_encode_digest_grouped(
         )
         .filter(F.col("w") != "")
     )
-    per_tok = toks.join(word_ids, [group_col, "w"], "left").select(
+    # r18 (guide §3.1): shuffled-hash build on the vocab-bounded id
+    # map instead of sorting the full token stream (see the flat
+    # encode's per_tok note)
+    per_tok = toks.join(
+        word_ids.hint("shuffle_hash"), [group_col, "w"], "left"
+    ).select(
         id_col,
         "pos",
         F.coalesce(

@@ -1389,16 +1389,28 @@ def tiered_dedup(
     max_cell linearity guard, connected_components) and every keeper
     rule is a deterministic min — the full pipeline replays in SQL.
     """
+    from pyspark.sql import Window
+
     from metrics_service_spark.operators.closure import (
         connected_components_star,
     )
 
-    ex = exact_dedup(df, id_col, text_col).select(
-        "content_hash", F.col("canonical_id").alias("__exact_canon")
-    )
-    tagged = df.withColumn("__h", F.md5(F.col(text_col))).join(
-        ex, F.col("__h") == F.col("content_hash")
-    )
+    # r18 (guide §2.4): the exact tier used to be exact_dedup's
+    # hash-groupBy JOINED back onto a second corpus scan, and the
+    # joined frame was then recomputed by every consumer (keepers ->
+    # pair stage, the near-canon attach, and the final verdict join) —
+    # 8 corpus scans in the committed plan.  A window min over the
+    # SAME content-hash partitioning computes each row's exact canon
+    # in the one exchange the grouping needs anyway (no join back),
+    # and one lazy checkpoint feeds every consumer: 1 corpus scan.
+    # min-over-window == exact_dedup's min-over-groupBy, so the
+    # keeper set and verdicts are bit-identical.
+    tagged = df.withColumn(
+        "__exact_canon",
+        F.min(F.col(id_col)).over(
+            Window.partitionBy(F.md5(F.col(text_col)))
+        ),
+    ).localCheckpoint(eager=False)
     keepers = tagged.filter(F.col(id_col) == F.col("__exact_canon")).select(
         df.columns
     )

@@ -13,6 +13,36 @@ ORACLE_QUERIES = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in CATALOG.items() if s.oracle is None)
 
 
+#: Fast-subset smoke sample: one entry per major family, each cheap at
+#: sf0.001, so the DEFAULT run (pytest.ini excludes `slow`) still
+#: differentially checks the engine end to end; the full 221-entry
+#: sweep below runs in the slow set and at round close (FULLCHECK).
+SMOKE_SAMPLE = [
+    "tpch_q1",
+    "landing_page_daily",
+    "counter_report",
+    "ev_sessionize",
+    "sushi_instances",
+    "theta_contains",
+    "pid_family_closure",
+    "doc_minhash_dedup_md5",
+    "doc_dedup_tiers",
+    "doc_linkage_clusters",
+    "doc_bpe_encode_digest",
+    "doc_repetition_multi",
+    "emb_centroids",
+    "mm_dedup_clusters",
+    "metrics_request_user",
+]
+
+
+@pytest.mark.parametrize("name", SMOKE_SAMPLE)
+def test_oracle_smoke_sample(spark, sf_dir, name):
+    spec = CATALOG[name]
+    assert compare_query(spec.fn(spark, sf_dir), spec.oracle, sf_dir, name=name) >= 0
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, name):
     spec = CATALOG[name]
@@ -23,6 +53,7 @@ def test_oracle_match(spark, sf_dir, name):
     assert n >= 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, sf_dir, name):
     df = CATALOG[name].fn(spark, sf_dir)

@@ -9,6 +9,10 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from metrics_service_spark.catalog import all_queries
+import pytest
+
+# multi-minute suite: excluded from the fast default run (pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def test_all_outputs_scalar(spark, sf_dir):

@@ -116,6 +116,7 @@ def test_expand_family_components_equals_seeded_bfs(spark):
     assert (999, 999) in got_c
 
 
+@pytest.mark.slow
 def test_expand_family_hop2_equals_hop1(spark):
     """hop=2 (composed <=2-hop edge set, half the driver rounds) is a
     pure wall-clock optimization: identical (seed, member) pairs to

@@ -84,6 +84,7 @@ if HAVE_HYPOTHESIS:
         frac=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]),
     )
     @settings(max_examples=12, deadline=None)
+    @pytest.mark.slow
     def test_top_fraction_hypothesis(spark, scores, frac):
         """Arbitrary small-integer score multisets (maximal ties) at
         several fracs: the histogram gate must equal percent_rank."""

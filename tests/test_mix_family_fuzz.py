@@ -25,6 +25,10 @@ from metrics_service_spark.operators.dedup import canonical_dedup, winnow_pairs
 from metrics_service_spark.operators.sampling import epoch_cap_source_sample
 from metrics_service_spark.operators.text import chunk_overlap
 from metrics_service_spark.testing.oracle import compare_query
+import pytest
+
+# multi-minute suite: excluded from the fast default run (pytest.ini)
+pytestmark = pytest.mark.slow
 
 _doc = st.lists(
     st.sampled_from(["a", "b", "c", "A.", "b,c", "  ", "d!"]),

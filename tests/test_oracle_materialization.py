@@ -30,6 +30,9 @@ import pytest
 from metrics_service_spark.catalog import all_queries
 from metrics_service_spark.sources.tables import TABLES
 
+# multi-minute suite: excluded from the fast default run (pytest.ini)
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 #: deliberate exception: the unchanged v1 control of the r11 dup-span

@@ -280,6 +280,7 @@ PANDAS_WHITELIST = {
 }
 
 
+@pytest.mark.slow
 def test_every_catalog_plan_free_of_global_antipatterns(spark, sf_dir):
     """Repo-wide sweep: EVERY catalog query's physical plan — including
     entries added after this test — must be free of cartesian products

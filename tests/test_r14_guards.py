@@ -83,20 +83,34 @@ def test_auc_cumulative_window_is_bucket_partitioned(spark):
 
 
 def test_pagerank_no_driver_collect_in_plan_build(spark):
-    """pagerank_int holds no driver-side state: constructing the ranks
-    frame runs at most the two lazy-checkpoint materializations (edges
-    + node set — the documented under-AQE toRdd jobs), NEVER a
-    data-sized collect; N enters as a broadcast aggregate, unlike the
-    Lloyd-loop's driver-held centroids."""
+    """pagerank_int holds no driver-side state: the only build-time
+    jobs are the lazy-checkpoint materializations (edges, node set and
+    — r18 — the degree/N re-attach frame: the under-AQE toRdd jobs),
+    NEVER a data-sized collect.  Pinned as ROUND-INDEPENDENCE: the
+    checkpoints are built once, so tripling `iters` must add ZERO
+    build-time jobs (a per-round collect/probe would scale with
+    iters); N enters as a broadcast aggregate, unlike the Lloyd-loop's
+    driver-held centroids."""
     from metrics_service_spark.operators.closure import pagerank_int
 
     tracker = spark.sparkContext.statusTracker()
-    before = tracker.getJobIdsForGroup(None)
     edges = spark.createDataFrame(
         [(1, 2), (2, 1)], "src_id long, dst_id long"
     )
-    ranks = pagerank_int(edges, iters=3)  # build only, no action
-    after = tracker.getJobIdsForGroup(None)
-    assert len(after) - len(before) <= 2
+
+    def new_jobs_past(mark):
+        return sum(1 for j in tracker.getJobIdsForGroup(None) if j > mark)
+
+    def mark():
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    m0 = mark()
+    ranks = pagerank_int(edges, iters=1)  # build only, no action
+    n1 = new_jobs_past(m0)
+    m1 = mark()
+    ranks = pagerank_int(edges, iters=3)
+    n3 = new_jobs_past(m1)
+    assert n3 == n1
     # and the built plan never collects: no CollectLimit/toLocal nodes
     assert "CollectLimit" not in _executed(ranks)

@@ -101,20 +101,32 @@ def test_bpe_apply_pushes_column_pruning_to_scan(spark, sf_dir):
 
 
 def test_pagerank_conserving_no_driver_collect_in_plan_build(spark):
-    """Like the plain twin (test_r14_guards): constructing the
-    conserving ranks frame runs at most the two lazy-checkpoint
-    materializations; the dangling mass enters as a broadcast one-row
-    aggregate, never a collected scalar."""
+    """Like the plain twin (test_r14_guards): the only build-time jobs
+    are the lazy-checkpoint materializations, which are built ONCE —
+    tripling `iters` must add zero build-time jobs (a per-round
+    collect/probe would scale with iters); the dangling mass enters as
+    a broadcast one-row aggregate, never a collected scalar."""
     from metrics_service_spark.operators.closure import (
         pagerank_int_conserving,
     )
 
     tracker = spark.sparkContext.statusTracker()
-    before = tracker.getJobIdsForGroup(None)
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3)], "src_id long, dst_id long"
     )
+
+    def new_jobs_past(mark):
+        return sum(1 for j in tracker.getJobIdsForGroup(None) if j > mark)
+
+    def mark():
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    m0 = mark()
+    ranks = pagerank_int_conserving(edges, iters=1)
+    n1 = new_jobs_past(m0)
+    m1 = mark()
     ranks = pagerank_int_conserving(edges, iters=3)
-    after = tracker.getJobIdsForGroup(None)
-    assert len(after) - len(before) <= 2
+    n3 = new_jobs_past(m1)
+    assert n3 == n1
     assert "CollectLimit" not in _executed(ranks)

@@ -133,6 +133,7 @@ def test_paragraph_fold_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+@pytest.mark.slow
 def test_word_freqs_shared_pass_bit_identical(spark):
     """The r17 shared word-frequency pass (one (w, freq) / (lang, w,
     freq) frame feeding train + export + replay + apply) must emit

@@ -12,10 +12,14 @@ from pyspark.sql import functions as F
 
 from metrics_service_spark.sources.merge_table import current_version, read_table
 from metrics_service_spark.streaming.semantic_gate import (
+
     _BOOT_FILE,
     admit_batch,
     incremental_semantic_gate_refresh,
 )
+
+# multi-minute suite: excluded from the fast default run (pytest.ini)
+pytestmark = pytest.mark.slow
 
 SCHEMA = "vec_id long, embedding array<float>"
 

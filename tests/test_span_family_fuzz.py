@@ -29,6 +29,10 @@ from metrics_service_spark.operators.dedup import (
     duplicate_span_stats,
 )
 from metrics_service_spark.testing.oracle import compare_query
+import pytest
+
+# multi-minute suite: excluded from the fast default run (pytest.ini)
+pytestmark = pytest.mark.slow
 
 # 3-token alphabet, docs up to 2.5x the window: collisions are the
 # norm, and lengths straddle the shorter-than-window convention

@@ -13,11 +13,15 @@ from pyspark.sql import functions as F
 from metrics_service_spark.operators.sessionize import session_bounds, sessionize
 from metrics_service_spark.streaming.ingest import cidr_ranges_df, run_ingest
 from metrics_service_spark.streaming.sessions import (
+
     changed_keys_upsert,
     live_sessions_at,
     session_aggregate,
     tumbling_hourly,
 )
+
+# multi-minute suite: excluded from the fast default run (pytest.ini)
+pytestmark = pytest.mark.slow
 
 T0 = datetime(2024, 3, 1, 10, 0, 0)
 
