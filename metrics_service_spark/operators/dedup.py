@@ -533,6 +533,16 @@ def minhash_signatures_md5(
     if shingles is None:
         shingles = shingle_frame(df, id_col, text_col, n=n)
         carry = ()
+    elif n != 3:
+        # ADVICE r17: df/id_col/text_col/n are ignored on the
+        # pre-tokenized path — a caller passing a non-default n with
+        # `shingles` almost certainly tokenized with a DIFFERENT n and
+        # would get bit-different signatures silently; fail loud
+        raise ValueError(
+            "minhash_signatures_md5: `n` is ignored when `shingles` is "
+            "given (the frame is already tokenized) — drop the n "
+            "argument, or tokenize via shingle_frame(..., n=n) yourself"
+        )
     exploded = shingles.select(
         "__id", *carry, F.explode(F.col("__sh")).alias("__shingle")
     )

@@ -112,6 +112,11 @@ def test_search_pipeline_zero_shuffle(spark, sf_dir):
     assert "hashpartitioning" not in plan.lower()
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("RoundRobinPartitioning") <= 1
+    # ADVICE r17: an overall exchange budget, so a future global
+    # agg/sort-limit (Exchange SinglePartition) or broadcast build
+    # cannot slip past the keyed-partitioning checks above
+    assert plan.count("Exchange") <= 1
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_cosine_neardup_default_is_bucketed(spark, sf_dir):

@@ -69,3 +69,20 @@ def test_pagerank_true_dangling_node_conserving_vs_plain(spark):
     assert one[9] == p1_node9
     assert one[1] == base + (17 * (p0 // 2 + d_share)) // 20
     assert one[2] == base + (17 * (p0 // 2 + d_share)) // 20
+
+
+def test_minhash_md5_rejects_n_with_pretokenized_shingles(spark):
+    # ADVICE r17: n is ignored on the pre-tokenized path — passing a
+    # non-default n with `shingles` must fail loud, not silently
+    # produce signatures tokenized at a different n
+    from metrics_service_spark.operators.dedup import (
+        minhash_signatures_md5,
+        shingle_frame,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    sh = shingle_frame(df, "doc_id", "text", n=3)
+    with pytest.raises(ValueError, match="ignored when `shingles`"):
+        minhash_signatures_md5(df, "doc_id", "text", n=4, shingles=sh)
